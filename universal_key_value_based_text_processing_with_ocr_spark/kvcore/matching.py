@@ -1,0 +1,257 @@
+"""The key<->token-window matcher and value association.
+
+Parity targets:
+- ``match_keys_in_line`` == reference ``get_str_keys_values``
+  (/root/reference/ocrfw/postprocessing.py:77-251): for each configured key
+  (a sequence of tokens), slide a window of equal token length over the
+  line's tokens and run a 3-stage predicate cascade
+  (optional fuzzy regex -> per-token edit-distance gate -> joined-string
+  accuracy gate), keep the best-scoring window per key, then associate each
+  found key's value as the RAW line slice between the end of its last token
+  and the start of the next found key's first token (sentinels at 0/len).
+- ``match_line_regex`` == reference ``get_all``
+  (/root/reference/ocrfw/postprocessing.py:255-261).
+
+Faithfully-kept reference quirks (all observable in output):
+- ``wo_space=True`` extends the CALLER's ``key_str_list_list`` /
+  ``max_distances`` / ``min_accuracies`` / ``alias_names`` /
+  ``re_chars_filter`` lists in place (postprocessing.py:92-97), so repeated
+  calls with a shared config grow the key set (joined-token variants
+  compound).  The document sweep shares one config dict across lines exactly
+  like the reference does.
+- Found/failed keys live in one insertion-ordered dict; a key first recorded
+  as a failure keeps its original position when later found, and value
+  association follows that dict order, not line position
+  (postprocessing.py:225-246).
+- A key longer than the line unconditionally overwrites its dict entry with
+  a failure record (postprocessing.py:149-151).
+- Value slices are taken from the raw line using offsets computed on the
+  preprocessed line (length-preserving lower/upper only).
+
+The per-window edit distances are computed with one vectorised numpy DP per
+key token across all windows (``edit_distance_many``) instead of the
+reference's per-window scalar calls; the predicate replay that follows is
+order-identical, so results match bit-for-bit while the hot loop stays
+vectorised.
+"""
+
+from __future__ import annotations
+
+import copy
+import re
+
+import numpy as np
+
+from .textdist import accuracy, edit_distance_many
+from .tokenspan import fuzzy_key_pattern, snap_to_grid, split_with_spans
+
+
+def _normalise_char_filters(re_chars_filter, key_str_list_list):
+    """Expand None/str filter spec to a per-key, per-token pattern list."""
+    template = copy.copy(re_chars_filter)
+    if re_chars_filter is None or isinstance(re_chars_filter, str):
+        expanded = []
+        for key_tokens in key_str_list_list:
+            if template is None:
+                expanded.append([r"\w"] * len(key_tokens))
+            else:
+                expanded.append([template] * len(key_tokens))
+        return expanded
+    return re_chars_filter
+
+
+def _normalise_max_distances(max_distances, key_str_list_list):
+    """Convert fractional distances to ints on the reference's grid.
+
+    A float f for key token t becomes
+    ``int(snap_to_grid(f, arange(0, 1, 1/len(t))) / (1/len(t)))`` —
+    i.e. ~round(f * len(t)) with the reference's exact float behaviour
+    (postprocessing.py:109-121).
+    """
+    out = []
+    for key_idx, dists in enumerate(max_distances):
+        row = []
+        for tok_idx, d in enumerate(dists):
+            if type(d) is float:
+                tok = key_str_list_list[key_idx][tok_idx]
+                step = 1 / len(tok)
+                grid = np.arange(0, 1, step)
+                row.append(int(snap_to_grid(d, grid) / step))
+            elif type(d) is int:
+                row.append(d)
+            else:
+                raise ValueError(
+                    "max_distances should be 2 dimensional list containing "
+                    f"float/int, found: ({type(d)!s}) {d!s}"
+                )
+        out.append(row)
+    return out
+
+
+def match_keys_in_line(
+    line,
+    key_str_list_list,
+    max_distances,
+    min_accuracies,
+    separators=None,
+    re_chars_filter=None,
+    alias_names=None,
+    whitespace=" ",
+    line_preprocessing=lambda x: x,
+    use_re_support=False,
+    wo_space=False,
+):
+    if separators is None:
+        separators = [":"]
+    if alias_names is None:
+        alias_names = []
+
+    if wo_space:
+        # In-place growth of the shared config lists — reference quirk
+        # (postprocessing.py:92-97).  The reference doubles the lists on
+        # EVERY call, so a shared config grows 2^n over n scanned lines;
+        # the added entries after the first doubling are exact duplicates
+        # (join of a 1-token key is itself, aliases/limits repeat), and
+        # duplicate keys are output-idempotent in the matcher (same name,
+        # deterministic best-keep, failure records only overwrite
+        # not-found entries).  The engine therefore performs the identical
+        # mutation only while it adds NEW variants: list state matches the
+        # reference bit-for-bit after the first call and stays bounded —
+        # mandatory at 100 TB scale, byte-identical in output.
+        joined_variants = [[j] for j in ["".join(k) for k in key_str_list_list]]
+        if not all(j in key_str_list_list for j in joined_variants):
+            key_str_list_list.extend(joined_variants)
+            max_distances.extend([[s] for s in [sum(d) for d in max_distances[: len(joined_variants)]]])
+            min_accuracies *= 2
+            alias_names *= 2
+            re_chars_filter *= 2
+
+    char_filters = _normalise_char_filters(re_chars_filter, key_str_list_list)
+    max_dist_int = _normalise_max_distances(max_distances, key_str_list_list)
+
+    line_pre = line_preprocessing(line)
+    tokens, spans = split_with_spans(line_pre, [whitespace, *separators])
+    n_tokens = len(tokens)
+
+    # --- find all keys ---------------------------------------------------
+    found: dict = {}  # name -> [True, window_tokens, score, scores, spans]
+    #         or -> [False, placeholder-diagnostic]
+    done_key_indexes: list[int] = []
+
+    for key_idx in range(len(key_str_list_list)):
+        if key_idx in done_key_indexes:
+            continue
+        key_tokens = key_str_list_list[key_idx]
+        k = len(key_tokens)
+        name = alias_names[key_idx] if key_idx < len(alias_names) else tuple(key_tokens)
+
+        if k > n_tokens:
+            found[name] = [False, "key longer than line"]
+            continue
+
+        n_win = n_tokens - k + 1
+        filters = char_filters[key_idx]
+        # Filtered token text per key-token position, reused across windows.
+        filt = [
+            ["".join(re.findall(filters[j], tokens[w + j])) for w in range(n_win)]
+            for j in range(k)
+        ]
+        joined_key = whitespace.join(key_tokens)
+
+        if use_re_support:
+            window_tokens = None  # regex may rewrite tokens per window
+        else:
+            # Vectorised per-token distances across all windows.
+            dist = np.stack(
+                [edit_distance_many(key_tokens[j], filt[j]) for j in range(k)],
+                axis=1,
+            )  # (n_win, k)
+            gates = dist <= np.asarray(max_dist_int[key_idx], dtype=np.int64)
+
+        limits = max_dist_int[key_idx]
+        for w in range(n_win):
+            window = [filt[j][w] for j in range(k)]
+            joined_window = whitespace.join(window)
+            scores: list[float] = []
+            stage = 1  # 0=success, 1=keep going, 2=fail
+
+            if use_re_support:
+                pattern = r"\s*".join(
+                    "({})".format(fuzzy_key_pattern(t, 2)) for t in key_tokens
+                )
+                hit = re.search(pattern, joined_window)
+                if hit:
+                    scores.append(50)
+                    window = list(hit.groups())
+                    joined_window = whitespace.join(window)
+                else:
+                    stage = 2
+                if stage == 1:
+                    dists_w = [
+                        int(edit_distance_many(key_tokens[j], [window[j]])[0])
+                        for j in range(k)
+                    ]
+                    ok_w = [dists_w[j] <= limits[j] for j in range(k)]
+                    self_dist, self_ok = dists_w, ok_w
+            else:
+                self_dist = [int(x) for x in dist[w]]
+                self_ok = [bool(x) for x in gates[w]]
+
+            if stage == 1:
+                passing = [self_dist[j] for j in range(k) if self_ok[j]]
+                if len(passing) < k:
+                    if name not in found or not found[name][0]:
+                        found[name] = [False, f"distances beyond maximum: {self_dist}"]
+                    stage = 2
+                else:
+                    scores.append((1 - (sum(passing) / len(joined_key))) * 100)
+
+            if stage == 1:
+                # Equalise lengths for positional accuracy (pad/truncate).
+                if len(joined_window) < len(joined_key):
+                    probe = joined_window + whitespace * (len(joined_key) - len(joined_window))
+                elif len(joined_window) > len(joined_key):
+                    probe = joined_window[: len(joined_key)]
+                else:
+                    probe = joined_window
+                acc = accuracy(joined_key, probe)
+                if acc < min_accuracies[key_idx]:
+                    if name not in found or not found[name][0]:
+                        found[name] = [False, "Accuracy below minimum"]
+                    stage = 2
+                else:
+                    stage = 0
+                    scores.append(acc * 100)
+
+            if stage == 0:
+                overall = sum(scores) / len(scores)
+                done_key_indexes.append(key_idx)
+                record = [True, window, overall, scores, spans[w : w + k]]
+                if name in found and found[name][0]:
+                    if overall > found[name][2]:
+                        found[name] = record
+                else:
+                    found[name] = record
+
+    # --- associate values -------------------------------------------------
+    result: dict = {}
+    ordered = [[name, *found[name]] for name in found if found[name][0]]
+    ordered.append(["", None, None, None, None, [[len(line), len(line)]]])
+    ordered.insert(0, ["", None, None, None, None, [[0, 0]]])
+    for i in range(1, len(ordered) - 1):
+        cur_spans = ordered[i][-1]
+        nxt_spans = ordered[i + 1][-1]
+        result[ordered[i][0]] = line[cur_spans[-1][-1] : nxt_spans[0][0]]
+
+    return [True, result]
+
+
+def match_line_regex(line, alias_names=None, pattern=".*"):
+    """Whole-line extractor: every alias maps to the full line; success iff
+    the pattern matches anywhere (reference ``get_all``)."""
+    if alias_names is None:
+        alias_names = []
+    result = {name: line for name in alias_names}
+    if re.search(pattern, line):
+        return [True, result]
+    return [False, result]

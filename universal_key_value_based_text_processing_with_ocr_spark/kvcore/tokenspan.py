@@ -1,0 +1,106 @@
+"""Tokenisation with character offsets and config normalisation helpers.
+
+Parity targets:
+- ``split_with_spans``  == reference ``split_index``
+  (/root/reference/ocrfw/postprocessing.py:54-73).  Offsets are load-bearing:
+  value association slices the *raw* line between key-token spans.
+- ``snap_to_grid``      == reference ``find_closest``
+  (/root/reference/ocrfw/postprocessing.py:48-50), used to turn fractional
+  ``max_distances`` into integer distances (:109-121).
+- ``fuzzy_key_pattern`` == reference ``get_re_pattern``
+  (/root/reference/ocrfw/postprocessing.py:11-44): a typo-tolerant regex
+  built from OCR confusion classes.  Only active when a config sets
+  ``use_re_support=True`` (no reference config does — parsers.py:29-61 —
+  but the operator is part of the public surface, so it ships and is tested).
+"""
+
+from __future__ import annotations
+
+import re
+import string as _string
+from collections.abc import Sequence
+
+_BLANK = re.compile(r"^\s*$")
+
+
+def split_with_spans(
+    text: str, splitters: Sequence[str] = (" ",)
+) -> tuple[list[str], list[tuple[int, int]]]:
+    """Split ``text`` on any of ``splitters``; keep (start, end) per token.
+
+    Blank-only fragments are dropped (the reference's ``^\\s*$`` guard), so a
+    token's span never covers pure whitespace.  End offsets are exclusive.
+    """
+    tokens: list[str] = []
+    spans: list[tuple[int, int]] = []
+    splitset = set(splitters)
+    buf = ""
+    start = 0
+    idx = -1
+    for idx, ch in enumerate(text):
+        if ch in splitset:
+            if not _BLANK.match(buf):
+                tokens.append(buf)
+                spans.append((start, idx))
+            start = idx + 1
+            buf = ""
+        else:
+            buf += ch
+    if not _BLANK.match(buf):
+        tokens.append(buf)
+        spans.append((start, idx + 1))
+    return tokens, spans
+
+
+def snap_to_grid(value: float, points: Sequence[float]) -> float:
+    """Nearest grid point to ``value`` (first wins on ties, like list.index)."""
+    best = None
+    best_diff = None
+    for p in points:
+        d = abs(p - value)
+        if best_diff is None or d < best_diff:
+            best, best_diff = p, d
+    return best
+
+
+# OCR confusion classes used by the optional regex fast-path.  Same classes
+# as the reference's replacement table (postprocessing.py:13-42).
+_CONFUSION = {
+    "_": r"\s*",
+    " ": r"\s*",
+    "l": "[i|l|1]",
+    "1": "[i|l|1]",
+    "i": "[i|l|1]",
+    "0": "[o|O|0]",
+    "o": "[o|O|0]",
+    "O": "[o|O|0]",
+    "A": "[A|4]",
+    "4": "[A|4]",
+    "?": "[7|\\?]",
+    "7": "[7|\\?]",
+    "E": "[E|3]",
+    "3": "[E|3]",
+    "S": "[S|5|s]",
+    "s": "[S|5|s]",
+    "5": "[S|5|s]",
+}
+_ELASTIC_VOWELS = "euU"
+_SPECIALS = "[]{}|()$^&*-+=.!/"
+
+
+def fuzzy_key_pattern(key: str, max_mistakes: int = 1) -> str:
+    """Typo-tolerant regex for ``key`` built from OCR confusion classes."""
+    parts: list[str] = []
+    gap = "\\s{,%d}" % max_mistakes
+    for ch in key:
+        if ch in _ELASTIC_VOWELS:
+            parts.append(".{,%d}" % max_mistakes)
+        elif ch in _SPECIALS:
+            parts.append(gap + "\\" + ch + gap)
+        elif ch in _CONFUSION:
+            parts.append(_CONFUSION[ch])
+        elif ch in _string.printable:
+            parts.append(ch)
+        else:
+            parts.append(ch)
+    return "".join(parts)

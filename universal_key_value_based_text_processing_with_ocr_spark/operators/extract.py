@@ -1,0 +1,136 @@
+"""The extraction pipeline: pages DataFrame -> results DataFrame.
+
+Physical shape (SURVEY.md §3/§4): one up-front salted repartition (the only
+shuffle), then ONE fused narrow ``mapInPandas`` stage that does
+payload-decode (html -> lines, or the text column's doc_str path —
+/root/reference/ocrfw/postprocessing.py:407-409) and the per-document
+key-value sweep, Arrow-batched end to end.  No collects, no driver loops; a
+row never needs another row, so the stage scales linearly with partitions.
+
+Output schema is fixed and byte-stable:
+    url string, lang string, extracted_text string, result_json string,
+    success boolean, n_lines int, n_fields int,
+    error_messages array<string>, warnings array<string>, n_bytes long
+
+``result_json`` is the canonical serialization of the reference-ordered
+result dict (reference ocrfw/ktp.py:2140 ``json.dumps(..., default=str)``)
+— the per-url byte-identity target together with ``extracted_text``.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+
+from ..htmlcore import extract_main_lines, page_quality_warnings
+from ..kvcore import ktpspec
+
+RESULT_SCHEMA = (
+    "url string, lang string, extracted_text string, result_json string, "
+    "success boolean, n_lines int, n_fields int, "
+    "error_messages array<string>, warnings array<string>, n_bytes long"
+)
+
+
+def parse_page_row(url, html, text, lang, configs=None) -> dict:
+    """Pure per-row payload: decode + sweep one page.  Shared by the Spark
+    stage and the golden-oracle generator (identical bytes by construction)."""
+    if html is not None:
+        lines = extract_main_lines(bytes(html))
+        extracted_text = "\n".join(lines)
+        n_bytes = len(html)
+    elif text is not None:
+        extracted_text = text
+        lines = text.split("\n")
+        n_bytes = len(text.encode("utf-8"))
+    else:
+        extracted_text = None
+        lines = []
+        n_bytes = 0
+
+    warning = page_quality_warnings(
+        len(html) if html is not None else None,
+        len(text) if text is not None else None,
+        lang,
+    )
+
+    if extracted_text is not None:
+        try:
+            parsed = ktpspec.parse_document(extracted_text, configs=configs, warning=warning)
+        except Exception as exc:  # malformed-doc guard (engine policy:
+            # a poisoned row must not kill a 100 TB job; recorded as failure)
+            parsed = {
+                "success": False,
+                "result": {},
+                "all_error_messages": [f"engine exception: {type(exc).__name__}: {exc}"],
+                "warning": warning,
+            }
+    else:
+        parsed = {"success": False, "result": {}, "all_error_messages": ["no payload"], "warning": warning}
+
+    return {
+        "url": url,
+        "lang": lang,
+        "extracted_text": extracted_text,
+        "result_json": json.dumps(parsed.get("result", {}), default=str),
+        "success": bool(parsed.get("success", False)),
+        "n_lines": len(lines),
+        "n_fields": len(parsed.get("result", {})),
+        "error_messages": [str(m) for m in parsed.get("all_error_messages", [])],
+        "warnings": [str(v) for v in parsed.get("warning", {}).values()],
+        "n_bytes": n_bytes,
+    }
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame], configs) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = [
+            parse_page_row(row.url, row.html, row.text, row.lang, configs)
+            for row in pdf.itertuples(index=False)
+        ]
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "url", "lang", "extracted_text", "result_json", "success",
+                "n_lines", "n_fields", "error_messages", "warnings", "n_bytes",
+            ],
+        )
+
+
+def extract_pages(pages_df, configs=None):
+    """pages(url, warc_ts, html, text, lang) -> results DataFrame.
+
+    Column pruning: only (url, html, text, lang) enter the Arrow stage —
+    keep any filters BEFORE this call so Catalyst pushes them into the scan.
+    """
+    pruned = pages_df.select("url", "html", "text", "lang")
+    return pruned.mapInPandas(
+        lambda it: _extract_batches(it, configs), schema=RESULT_SCHEMA
+    )
+
+
+LINES_SCHEMA = "url string, line_no int, line string"
+
+
+def html_to_lines(pages_df):
+    """Exploded (url, line_no, line) view of the payload-decode stage only."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, nos, lines = [], [], []
+            for row in pdf.itertuples(index=False):
+                if row.html is not None:
+                    doc_lines = extract_main_lines(bytes(row.html))
+                elif row.text is not None:
+                    doc_lines = row.text.split("\n")
+                else:
+                    doc_lines = []
+                for i, ln in enumerate(doc_lines):
+                    urls.append(row.url)
+                    nos.append(i)
+                    lines.append(ln)
+            yield pd.DataFrame({"url": urls, "line_no": nos, "line": lines})
+
+    return pages_df.select("url", "html", "text").mapInPandas(gen, schema=LINES_SCHEMA)
