@@ -1,0 +1,147 @@
+"""Spark-layer tests: extraction stage over real DataFrames, snapshot
+commit/read, resume anti-join, partition lineage, determinism under
+partitioning (SURVEY.md §5 items 3-4)."""
+
+import datetime
+
+import pandas as pd
+import pytest
+
+from universal_key_value_based_text_processing_with_ocr_spark.lakehouse import SnapshotTable
+from universal_key_value_based_text_processing_with_ocr_spark.operators.extract import (
+    extract_pages,
+    parse_page_row,
+)
+from universal_key_value_based_text_processing_with_ocr_spark.plans import (
+    run_extraction_job,
+    salted_repartition,
+)
+from universal_key_value_based_text_processing_with_ocr_spark.sources import PAGES_SCHEMA
+from universal_key_value_based_text_processing_with_ocr_spark.sources.synthdocs import gen_page_row
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("engine-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+def _pages(spark, n=60, seed=42):
+    rows = [gen_page_row(seed, i) for i in range(n)]
+    return spark.createDataFrame(pd.DataFrame(rows), schema=PAGES_SCHEMA)
+
+
+def test_extract_matches_local_oracle(spark):
+    """Distributed run == per-row pure-Python oracle, byte for byte."""
+    df = _pages(spark, 50)
+    got = {r.url: (r.extracted_text, r.result_json, r.success) for r in extract_pages(df).collect()}
+    for i in range(50):
+        row = gen_page_row(42, i)
+        want = parse_page_row(row["url"], row["html"], row["text"], row["lang"])
+        assert got[row["url"]] == (
+            want["extracted_text"],
+            want["result_json"],
+            want["success"],
+        ), row["url"]
+
+
+def test_determinism_across_partitionings(spark):
+    df = _pages(spark, 40)
+    a = sorted((r.url, r.result_json) for r in extract_pages(df.coalesce(1)).collect())
+    b = sorted((r.url, r.result_json) for r in extract_pages(salted_repartition(df, 16)).collect())
+    assert a == b
+
+
+def test_snapshot_table_append_read_history(spark, tmp_path):
+    tbl = SnapshotTable(tmp_path / "t")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    s1 = tbl.append(df1)
+    assert tbl.read(spark).count() == 2
+    s2 = tbl.append(df2)
+    assert tbl.read(spark).count() == 3
+    # snapshot pinning (time travel)
+    assert tbl.read(spark, snapshot_id=s1).count() == 2
+    hist = tbl.history()
+    assert [h["sequence"] for h in hist] == [1, 2]
+    assert hist[1]["parent_id"] == s1
+    assert tbl.snapshot_id() == s2
+
+
+def test_resume_skips_committed_urls(spark, tmp_path):
+    """Kill-and-rerun: second run must not duplicate urls and audit lineage
+    must cover all partitions exactly once per run."""
+    results = str(tmp_path / "results")
+    audit = str(tmp_path / "audit")
+
+    first = _pages(spark, 30)
+    info1 = run_extraction_job(spark, first, results, audit, num_partitions=5, run_id="r1")
+    assert info1["n_docs"] == 30
+
+    # restart with a superset (30 old + 20 new)
+    superset = _pages(spark, 50)
+    info2 = run_extraction_job(spark, superset, results, audit, num_partitions=5, run_id="r2")
+    assert info2["n_docs"] == 20
+
+    tbl = SnapshotTable(results)
+    final = tbl.read(spark)
+    assert final.count() == 50
+    assert final.select("url").distinct().count() == 50
+
+    # third run: nothing left to do, table untouched
+    info3 = run_extraction_job(spark, superset, results, audit, num_partitions=5, run_id="r3")
+    assert info3["n_docs"] == 0
+    assert tbl.snapshot_id() == info2["snapshot_id"]
+
+    audit_rows = SnapshotTable(audit).read(spark).collect()
+    runs = {}
+    for r in audit_rows:
+        runs.setdefault(r.run_id, []).append(r)
+    assert set(runs) == {"r1", "r2"}
+    for rid, rows in runs.items():
+        pids = [r.partition_id for r in rows]
+        assert len(pids) == len(set(pids))  # each partition exactly once
+        assert sum(r.n_docs for r in rows) == (30 if rid == "r1" else 20)
+        assert all(r.stage == "extract" for r in rows)
+
+
+def test_salted_repartition_spreads_hot_host(spark):
+    """The top host (~40% of rows) must land on > 1 partition."""
+    df = _pages(spark, 200)
+    from pyspark.sql import functions as F
+
+    parts = (
+        salted_repartition(df, 16)
+        .withColumn("pid", F.spark_partition_id())
+        .filter(F.col("url").contains("host00"))
+        .select("pid")
+        .distinct()
+        .count()
+    )
+    assert parts >= 4
+
+
+def test_extract_handles_null_payloads(spark):
+    rows = [
+        dict(url="u1", warc_ts=datetime.datetime(2024, 1, 1), html=None, text=None, lang=None),
+        dict(url="u2", warc_ts=datetime.datetime(2024, 1, 1), html=b"<p>hi there</p>", text=None, lang="en"),
+        dict(url="u3", warc_ts=datetime.datetime(2024, 1, 1), html=None, text="NIK : 3201", lang="ind"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=PAGES_SCHEMA)
+    got = {r.url: r for r in extract_pages(df).collect()}
+    assert got["u1"].extracted_text is None and got["u1"].success is False
+    assert got["u2"].extracted_text == "hi there"
+    assert got["u3"].extracted_text == "NIK : 3201"

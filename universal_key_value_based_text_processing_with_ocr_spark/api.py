@@ -1,0 +1,428 @@
+"""Driver contract implementation: queries() + oracle_sql().
+
+Each query is a named DataFrame plan (spark, sf_dir) -> DataFrame with a
+matching ANSI-SQL oracle runnable by DuckDB over the same parquet tables
+(views: region nation customer supplier part orders lineitem events
+documents embeddings).  Extraction queries are oracled against committed
+golden parquet produced by the pure-Python semantic core
+(scripts/make_golden.py), which is itself parity-locked to the genuine
+reference in tests/test_reference_parity.py.
+
+Column names and types are aligned on both sides (the driver hashes values
+under sorted column names).  Float aggregations go through exact DECIMAL
+accumulation then one cast to double, so both engines produce bit-identical
+doubles regardless of accumulation order.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup, multimodal, relational, similarity, textstats
+from .operators.extract import extract_pages, html_to_lines
+from .sources.pages import synth_pages_df
+from .streaming import streamed_events_window_agg
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+GOLDEN_EXTRACT = REPO_ROOT / "tests" / "golden" / "extract_golden.parquet"
+GOLDEN_LINES = REPO_ROOT / "tests" / "golden" / "lines_golden.parquet"
+GOLDEN_N = 400
+GOLDEN_SEED = 42
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+
+def q_extract_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = synth_pages_df(spark, GOLDEN_N, seed=GOLDEN_SEED)
+    return extract_pages(pages).select(
+        "url", "lang", "extracted_text", "result_json", "success", "n_lines", "n_fields"
+    )
+
+
+def q_html_main_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = synth_pages_df(spark, GOLDEN_N, seed=GOLDEN_SEED)
+    return html_to_lines(pages)
+
+
+def q_doc_token_count(spark, sf_dir):
+    return textstats.token_count(_tbl(spark, sf_dir, "documents"))
+
+
+def q_doc_quality(spark, sf_dir):
+    return textstats.quality_score(_tbl(spark, sf_dir, "documents"))
+
+
+def q_doc_langid(spark, sf_dir):
+    return textstats.lang_id(_tbl(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_tbl(spark, sf_dir, "documents"))
+
+
+def q_charclass_projection(spark, sf_dir):
+    return textstats.charclass_projection(_tbl(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_tbl(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_tbl(spark, sf_dir, "documents"), n=10, threshold=0.2)
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return dedup.minhash_signatures(_tbl(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_tbl(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash(_tbl(spark, sf_dir, "documents"))
+
+
+def q_similarity_topk(spark, sf_dir):
+    return similarity.cosine_topk(_tbl(spark, sf_dir, "embeddings"), n_queries=5, k=10)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    return similarity.embedding_near_dup(_tbl(spark, sf_dir, "embeddings"), threshold=0.2)
+
+
+def q_multimodal_image_meta(spark, sf_dir):
+    docs = _tbl(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    images = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return multimodal.decode_image_meta(images)
+
+
+def q_pushdown_agg(spark, sf_dir):
+    return relational.pushdown_agg(_tbl(spark, sf_dir, "lineitem"))
+
+
+def q_argmax_supplier(spark, sf_dir):
+    return relational.argmax_supplier(
+        _tbl(spark, sf_dir, "supplier"), _tbl(spark, sf_dir, "nation")
+    )
+
+
+def q_topk_orders(spark, sf_dir):
+    return relational.topk_orders_per_customer(_tbl(spark, sf_dir, "orders"))
+
+
+def q_fuzzy_nation_join(spark, sf_dir):
+    return relational.fuzzy_dictionary_join(spark, _tbl(spark, sf_dir, "nation"))
+
+
+def q_anti_join_resume(spark, sf_dir):
+    return relational.anti_join_resume(
+        _tbl(spark, sf_dir, "orders"), _tbl(spark, sf_dir, "lineitem")
+    )
+
+
+def q_lead_value_association(spark, sf_dir):
+    return relational.lead_value_association(_tbl(spark, sf_dir, "lineitem"))
+
+
+def q_distance_bucket_group(spark, sf_dir):
+    return relational.distance_bucket_group(_tbl(spark, sf_dir, "lineitem"))
+
+
+def q_events_window_agg(spark, sf_dir):
+    return relational.events_window_agg(_tbl(spark, sf_dir, "events"))
+
+
+def q_events_sessionize(spark, sf_dir):
+    return relational.events_sessionize(_tbl(spark, sf_dir, "events"))
+
+
+def q_streamed_window_agg(spark, sf_dir):
+    return streamed_events_window_agg(spark, f"{sf_dir}/events.parquet")
+
+
+QUERIES = {
+    "extract_fields": q_extract_fields,
+    "html_main_lines": q_html_main_lines,
+    "doc_token_count": q_doc_token_count,
+    "doc_quality": q_doc_quality,
+    "doc_langid": q_doc_langid,
+    "doc_fingerprint": q_doc_fingerprint,
+    "charclass_projection": q_charclass_projection,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "similarity_topk": q_similarity_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "multimodal_image_meta": q_multimodal_image_meta,
+    "pushdown_agg": q_pushdown_agg,
+    "argmax_supplier": q_argmax_supplier,
+    "topk_orders": q_topk_orders,
+    "fuzzy_nation_join": q_fuzzy_nation_join,
+    "anti_join_resume": q_anti_join_resume,
+    "lead_value_association": q_lead_value_association,
+    "distance_bucket_group": q_distance_bucket_group,
+    "events_window_agg": q_events_window_agg,
+    "events_sessionize": q_events_sessionize,
+    "streamed_window_agg": q_streamed_window_agg,
+}
+
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect-compatible ANSI SQL)
+# --------------------------------------------------------------------------
+
+_SHINGLES_CTE = """
+sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, length(text) - 8),
+                                 i -> substring(text, CAST(i AS INT), 10))) AS shingle
+    FROM documents
+    WHERE text IS NOT NULL AND length(text) >= 10
+)
+"""
+
+_MINHASH_CTE = (
+    _SHINGLES_CTE
+    + """,
+sig AS (
+    SELECT doc_id, CAST(s.seed AS INT) AS seed,
+           min(('0x' || substr(md5(CAST(s.seed AS INT) || '|' || shingle), 1, 15))::BIGINT) AS minhash
+    FROM sh, generate_series(0, 15) AS s(seed)
+    GROUP BY doc_id, CAST(s.seed AS INT)
+)
+"""
+)
+
+
+ORACLE_SQL = {
+    "extract_fields": f"""
+        SELECT url, lang, extracted_text, result_json, success, n_lines, n_fields
+        FROM '{GOLDEN_EXTRACT}'
+    """,
+    "html_main_lines": f"""
+        SELECT url, line_no, line FROM '{GOLDEN_LINES}'
+    """,
+    "doc_token_count": r"""
+        SELECT doc_id,
+               CASE WHEN text IS NULL THEN NULL
+                    WHEN length(trim(text)) = 0 THEN 0
+                    ELSE CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               END AS n_tokens
+        FROM documents
+    """,
+    "doc_quality": r"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / CAST(nullif(length(text),0) AS DOUBLE), 6) AS alpha_ratio,
+               round(length(regexp_replace(text, '[^0-9]', '', 'g')) / CAST(nullif(length(text),0) AS DOUBLE), 6) AS digit_ratio,
+               round(length(regexp_replace(text, '[^\s]', '', 'g')) / CAST(nullif(length(text),0) AS DOUBLE), 6) AS space_ratio,
+               round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / CAST(nullif(length(text),0) AS DOUBLE)
+                     - 0.5 * (length(regexp_replace(text, '[^0-9]', '', 'g')) / CAST(nullif(length(text),0) AS DOUBLE)), 6) AS quality
+        FROM documents
+    """,
+    "doc_langid": """
+        SELECT doc_id,
+               CAST((CASE WHEN ' '||lower(text)||' ' LIKE '% the %' THEN 1 ELSE 0 END
+                   + CASE WHEN ' '||lower(text)||' ' LIKE '% and %' THEN 1 ELSE 0 END
+                   + CASE WHEN ' '||lower(text)||' ' LIKE '% of %' THEN 1 ELSE 0 END
+                   + CASE WHEN ' '||lower(text)||' ' LIKE '% to %' THEN 1 ELSE 0 END
+                   + CASE WHEN ' '||lower(text)||' ' LIKE '% is %' THEN 1 ELSE 0 END) AS INT) AS en_hits,
+               CAST((CASE WHEN ' '||lower(text)||' ' LIKE '% yang %' THEN 1 ELSE 0 END
+                   + CASE WHEN ' '||lower(text)||' ' LIKE '% dan %' THEN 1 ELSE 0 END
+                   + CASE WHEN ' '||lower(text)||' ' LIKE '% di %' THEN 1 ELSE 0 END
+                   + CASE WHEN ' '||lower(text)||' ' LIKE '% untuk %' THEN 1 ELSE 0 END
+                   + CASE WHEN ' '||lower(text)||' ' LIKE '% dengan %' THEN 1 ELSE 0 END) AS INT) AS id_hits,
+               CASE WHEN text IS NULL THEN NULL ELSE (
+                 CASE WHEN en_hits = 0 AND id_hits = 0 THEN 'und'
+                      WHEN en_hits >= id_hits THEN 'en'
+                      ELSE 'ind' END) END AS lang_pred
+        FROM documents
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id, md5(coalesce(text, '')) AS fp FROM documents
+    """,
+    "charclass_projection": """
+        SELECT doc_id, regexp_replace(substring(text, 1, 40), '[^A-Za-z]', '', 'g') AS letters_only
+        FROM documents
+    """,
+    "dedup_exact": """
+        SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents WHERE text IS NOT NULL GROUP BY md5(text)
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {_SHINGLES_CTE},
+        sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(n_inter / CAST(sa.n_shingles + sb.n_shingles - n_inter AS DOUBLE), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE round(n_inter / CAST(sa.n_shingles + sb.n_shingles - n_inter AS DOUBLE), 6) >= 0.2
+    """,
+    "dedup_minhash": f"""
+        WITH {_MINHASH_CTE}
+        SELECT doc_id, seed, minhash FROM sig
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH {_MINHASH_CTE},
+        bands AS (
+            SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
+                   md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_hash
+            FROM sig GROUP BY doc_id, CAST(floor(seed / 4) AS INT)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+        ),
+        agree AS (
+            SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) / 16.0 AS est_sim
+            FROM sig sa JOIN sig sb
+              ON sa.seed = sb.seed AND sa.doc_id < sb.doc_id AND sa.minhash = sb.minhash
+            GROUP BY sa.doc_id, sb.doc_id
+        )
+        SELECT cand.doc_a, cand.doc_b, round(coalesce(agree.est_sim, 0.0), 6) AS est_sim
+        FROM cand LEFT JOIN agree ON cand.doc_a = agree.doc_a AND cand.doc_b = agree.doc_b
+    """,
+    "dedup_simhash": r"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+        ),
+        h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        contrib AS (
+            SELECT doc_id, CAST(b.bit AS INT) AS bit,
+                   CASE WHEN (h >> CAST(b.bit AS INT)) & 1 = 1 THEN 1 ELSE -1 END AS c
+            FROM h, generate_series(0, 15) AS b(bit)
+        ),
+        per_bit AS (SELECT doc_id, bit, sum(c) AS s FROM contrib GROUP BY doc_id, bit)
+        SELECT doc_id,
+               sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+        FROM per_bit GROUP BY doc_id
+    """,
+    "similarity_topk": """
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
+        scored AS (
+            SELECT query_id, e.vec_id AS neighbor_id,
+                   list_cosine_similarity(qe, e.embedding::DOUBLE[]) AS cos
+            FROM q, embeddings e WHERE e.vec_id <> query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+    """,
+    "embedding_near_dup": """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.2
+    """,
+    "multimodal_image_meta": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(1 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 2048 AS INT) AS fake_width,
+               CAST(1 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 2048 AS INT) AS fake_height,
+               CASE (('0x' || substr(md5(text), 1, 2))::BIGINT % 3)
+                    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+        FROM documents WHERE text IS NOT NULL
+    """,
+    "pushdown_agg": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "argmax_supplier": """
+        WITH best AS (
+            SELECT *, row_number() OVER (PARTITION BY s_nationkey
+                                         ORDER BY s_acctbal DESC, s_suppkey DESC) AS rn
+            FROM supplier
+        )
+        SELECT n_name, s_name, s_acctbal AS acctbal
+        FROM best JOIN nation ON s_nationkey = n_nationkey WHERE rn = 1
+    """,
+    "topk_orders": """
+        SELECT o_custkey, o_orderkey,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rank,
+               o_totalprice AS totalprice
+        FROM orders
+        QUALIFY rank <= 3
+    """,
+    "fuzzy_nation_join": """
+        WITH probes(probe) AS (VALUES ('NATION_3'), ('NATON_7'), ('NATIN_12'),
+                                      ('NATION22'), ('XATION_5'), ('NOTHING_AT_ALL')),
+        scored AS (
+            SELECT probe, n_name, CAST(levenshtein(probe, n_name) AS INT) AS dist
+            FROM probes, nation
+            WHERE levenshtein(probe, n_name) <= 3
+        )
+        SELECT probe, n_name AS best_match, dist
+        FROM (SELECT *, row_number() OVER (PARTITION BY probe ORDER BY dist ASC, n_name ASC) rn
+              FROM scored)
+        WHERE rn = 1
+    """,
+    "anti_join_resume": """
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+    """,
+    "lead_value_association": """
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(date_diff('day', CAST(l_shipdate AS DATE),
+                    CAST(lead(l_shipdate) OVER (PARTITION BY l_suppkey
+                         ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC) AS DATE)) AS INT)
+                   AS days_to_next
+        FROM lineitem
+    """,
+    "distance_bucket_group": """
+        SELECT CAST(l_quantity AS INT) AS qty_bucket, count(*) AS n,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS bucket_price
+        FROM lineitem GROUP BY CAST(l_quantity AS INT)
+    """,
+    "events_window_agg": """
+        SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start, event_type,
+               count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "events_sessionize": """
+        WITH flagged AS (
+            SELECT user_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        )
+        SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
+        FROM flagged GROUP BY user_id
+    """,
+    "streamed_window_agg": """
+        SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start, event_type,
+               count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+}

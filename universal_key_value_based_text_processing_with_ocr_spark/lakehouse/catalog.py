@@ -1,0 +1,130 @@
+"""Snapshot-manifest table format (Iceberg semantics, Parquet files).
+
+The reference's only sink is a JSON file rewritten per document
+(/root/reference/ocrfw/ktp.py:2138-2140) plus a commented DB insert
+(:2142).  The engine replaces it with an append-only table that gives the
+north_rule's resumability: every append is a SNAPSHOT — an immutable JSON
+manifest listing the complete file set — committed by an atomic rename, so
+readers see either the old or the new table, never a torn write.
+
+Layout:
+    <table>/data/<snapshot_id>/part-*.parquet    (files of one append)
+    <table>/_snapshots/v<seq>-<snapshot_id>.json (manifest: full file list)
+
+Reading loads the manifest with the highest sequence number and reads
+exactly its file list.  Resume = anti-join of source urls against the
+committed table (SURVEY.md §2c).  With a networked cluster the same calls
+map 1:1 to Iceberg: append -> df.writeTo(tbl).append(), read ->
+spark.read.format("iceberg"), committed snapshot -> snapshot-id travel.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    def __init__(self, path: str | os.PathLike):
+        self.path = Path(path)
+        self.snapshot_dir = self.path / "_snapshots"
+
+    # -- manifest bookkeeping ------------------------------------------------
+    def _manifests(self) -> list[Path]:
+        if not self.snapshot_dir.is_dir():
+            return []
+        return sorted(p for p in self.snapshot_dir.iterdir() if p.suffix == ".json")
+
+    def latest_manifest(self) -> dict | None:
+        manifests = self._manifests()
+        if not manifests:
+            return None
+        with open(manifests[-1], encoding="utf-8") as f:
+            return json.load(f)
+
+    def exists(self) -> bool:
+        return bool(self._manifests())
+
+    def snapshot_id(self) -> str | None:
+        m = self.latest_manifest()
+        return m["snapshot_id"] if m else None
+
+    # -- write path ------------------------------------------------------------
+    def append(self, df: DataFrame, summary: dict | None = None) -> str:
+        """Append df as a new snapshot; returns the snapshot id.
+
+        The data files are written first (invisible to readers), then the
+        manifest is renamed into place — the atomic commit point."""
+        parent = self.latest_manifest()
+        seq = (parent["sequence"] + 1) if parent else 1
+        snapshot_id = uuid.uuid4().hex[:16]
+        data_dir = self.path / "data" / snapshot_id
+        df.write.mode("overwrite").parquet(str(data_dir))
+
+        new_files = sorted(
+            str(p.relative_to(self.path))
+            for p in data_dir.rglob("*.parquet")
+            if p.is_file()
+        )
+        manifest = {
+            "snapshot_id": snapshot_id,
+            "parent_id": parent["snapshot_id"] if parent else None,
+            "sequence": seq,
+            "committed_at_ms": int(time.time() * 1000),
+            "schema": df.schema.json(),
+            "files": (parent["files"] if parent else []) + new_files,
+            "summary": summary or {},
+        }
+        self.snapshot_dir.mkdir(parents=True, exist_ok=True)
+        tmp = self.snapshot_dir / f".tmp-{snapshot_id}.json"
+        final = self.snapshot_dir / f"v{seq:08d}-{snapshot_id}.json"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, final)  # atomic commit
+        return snapshot_id
+
+    # -- read path ------------------------------------------------------------
+    def read(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame:
+        """Read the latest (or a pinned) snapshot's exact file list."""
+        manifest = self.latest_manifest()
+        if snapshot_id is not None:
+            for p in reversed(self._manifests()):
+                with open(p, encoding="utf-8") as f:
+                    m = json.load(f)
+                if m["snapshot_id"] == snapshot_id:
+                    manifest = m
+                    break
+            else:
+                raise ValueError(f"snapshot {snapshot_id} not found in {self.path}")
+        if manifest is None:
+            raise FileNotFoundError(f"no committed snapshot in {self.path}")
+        files = [str(self.path / f) for f in manifest["files"]]
+        if not files:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType.fromJson(json.loads(manifest["schema"])))
+        return spark.read.parquet(*files)
+
+    def history(self) -> list[dict]:
+        out = []
+        for p in self._manifests():
+            with open(p, encoding="utf-8") as f:
+                m = json.load(f)
+            out.append(
+                {
+                    "sequence": m["sequence"],
+                    "snapshot_id": m["snapshot_id"],
+                    "parent_id": m["parent_id"],
+                    "committed_at_ms": m["committed_at_ms"],
+                    "n_files": len(m["files"]),
+                    "summary": m["summary"],
+                }
+            )
+        return out

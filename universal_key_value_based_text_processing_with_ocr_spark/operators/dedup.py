@@ -1,0 +1,182 @@
+"""Deduplication family for training-data pipelines.
+
+All variants are pure DataFrame transforms (no Python UDFs) so they codegen
+and shuffle-plan like native SQL, and each has a DuckDB oracle:
+
+- exact:            hash-groupBy on content (md5)
+- n-gram Jaccard:   char-n-gram shingles -> shingle equi-join -> |A∩B|/|A∪B|
+- MinHash + LSH:    md5-derived hash family -> per-seed min -> banded
+                    signature hash -> bucket join -> candidate pairs
+- SimHash:          bitwise majority of token hashes (16-bit demo width)
+- embedding cosine: near-dup pairs over unit vectors (see similarity.py)
+
+Scale notes (100 TB): the shingle join shuffles on the shingle value —
+shingle cardinality is ~uniform so no skew; LSH replaces the quadratic
+pair join with a bucket join on (band, band_hash), which is the standard
+sub-quadratic near-dup plan; exact dedup is one map-side-combinable
+groupBy.  The md5-derived hash family keeps every stage reproducible in
+any engine (no engine-private hash needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Group identical texts: (fp, keep_id, n_copies) — keep lowest doc_id."""
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def char_shingles(docs: DataFrame, n: int = 10) -> DataFrame:
+    """Distinct character n-gram shingles per document."""
+    pos = F.explode(F.sequence(F.lit(1), F.length("text") - (n - 1))).alias("pos")
+    return (
+        docs.filter(F.length("text") >= n)
+        .select("doc_id", "text", pos)
+        .select("doc_id", F.expr(f"substring(text, pos, {n})").alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 10, threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs by char-n-gram Jaccard >= threshold (doc_a < doc_b)."""
+    sh = char_shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- MinHash --------------------------------------------------------------
+
+
+def _md5_long(col) -> F.Column:
+    """Reproducible 60-bit hash: first 15 hex digits of md5 as a bigint.
+
+    Engine-agnostic (md5 is md5 everywhere), so oracles can recompute it;
+    at production scale swap for xxhash64 behind this seam.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 16, shingle_n: int = 10) -> DataFrame:
+    """(doc_id, seed, minhash): min over shingles of md5(seed|shingle)."""
+    sh = char_shingles(docs, shingle_n)
+    seeds = F.explode(F.array([F.lit(i) for i in range(n_hashes)])).alias("seed")
+    return (
+        sh.select("doc_id", "shingle", seeds)
+        .select(
+            "doc_id",
+            "seed",
+            _md5_long(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, n_hashes: int = 16, band_size: int = 4, shingle_n: int = 10
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over the minhash signature.
+
+    Bands of ``band_size`` seeds are hashed together; two docs sharing any
+    (band, band_hash) bucket become a candidate pair with their estimated
+    similarity = fraction of agreeing signature positions.
+    """
+    sig = minhash_signatures(docs, n_hashes, shingle_n)
+    bands = (
+        sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                )
+            ).alias("band_hash")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # Estimated similarity: agreeing positions over the full signature.
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    agree = (
+        sa.join(sb, (F.col("sa.seed") == F.col("sb.seed")) & (F.col("sa.doc_id") < F.col("sb.doc_id")))
+        .filter(F.col("sa.minhash") == F.col("sb.minhash"))
+        .groupBy(F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b"))
+        .agg((F.count("*") / n_hashes).alias("est_sim"))
+    )
+    return cand.join(agree, ["doc_a", "doc_b"], "left").select(
+        "doc_a", "doc_b", F.round(F.coalesce("est_sim", F.lit(0.0)), 6).alias("est_sim")
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash): bitwise majority over whitespace-token hashes.
+
+    Token multiset (not set) — repeated tokens weigh more, standard SimHash.
+    """
+    toks = docs.filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    ).select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    h = toks.select("doc_id", _md5_long(F.col("tok")).alias("h"))
+    bit = F.explode(F.array([F.lit(i) for i in range(bits)])).alias("bit")
+    contrib = h.select(
+        "doc_id",
+        bit,
+        F.expr("CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END").alias("c"),
+    )
+    per_bit = contrib.groupBy("doc_id", "bit").agg(F.sum("c").alias("s"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END")).alias(
+            "simhash"
+        )
+    )

@@ -1,0 +1,145 @@
+"""Relational analogs of the reference's non-relational operators
+(SURVEY.md §2c-§2f mappings), expressed as stock DataFrame plans over the
+TPC-H-ish test tables so Catalyst's pushdown/broadcast/AQE machinery does
+the physical planning.
+
+Each function documents which reference operator it re-expresses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.columns import decimal_sum
+
+# Misspelled probes for the fuzzy dictionary join demo (nation names in the
+# synthetic TPC-H-ish data are NATION_0..NATION_24).
+FUZZY_NATION_PROBES = [
+    "NATION_3", "NATON_7", "NATIN_12", "NATION22", "XATION_5", "NOTHING_AT_ALL",
+]
+
+
+def pushdown_agg(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-shaped agg: partial+final aggregation, filter pushed to scan
+    (the reference has no partial agg — Catalyst provides it, SURVEY §2d)."""
+    return (
+        lineitem.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            decimal_sum(F.col("l_quantity")).alias("sum_qty"),
+            decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def argmax_supplier(supplier: DataFrame, nation: DataFrame) -> DataFrame:
+    """Best-match keep / argmax per group (reference keep-best-score,
+    postprocessing.py:225-232): top supplier by acctbal per nation,
+    deterministic tie-break, broadcast dim join."""
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey").desc()
+    )
+    best = (
+        supplier.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return best.join(F.broadcast(nation), best.s_nationkey == nation.n_nationkey).select(
+        "n_name", "s_name", F.col("s_acctbal").alias("acctbal")
+    )
+
+
+def topk_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Grouped top-k (reference top-3 NIK score buckets,
+    postprocessing.py:383-385)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("o_custkey", "o_orderkey", "rank", F.col("o_totalprice").alias("totalprice"))
+    )
+
+
+def fuzzy_dictionary_join(spark, nation: DataFrame, max_distance: int = 3) -> DataFrame:
+    """The reference's fuzzy dictionary join (provinsi/kab_kota/pekerjaan
+    evaluators, evaluators.py:5-36 etc.) as a broadcast nested-loop theta
+    join: probe x dictionary, levenshtein <= k, keep argmin distance."""
+    probes = spark.createDataFrame([(p,) for p in FUZZY_NATION_PROBES], "probe string")
+    scored = (
+        F.broadcast(probes)
+        .crossJoin(nation.select("n_name"))
+        .select("probe", "n_name", F.levenshtein("probe", "n_name").alias("dist"))
+        .filter(F.col("dist") <= max_distance)
+    )
+    w = Window.partitionBy("probe").orderBy(F.col("dist").asc(), F.col("n_name").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("probe", F.col("n_name").alias("best_match"), "dist")
+    )
+
+
+def anti_join_resume(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Resume-from-checkpoint anti join (SURVEY §2c: source urls minus
+    committed urls) demonstrated as orders with no lineitem."""
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey, "left_anti")
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+def lead_value_association(lineitem: DataFrame) -> DataFrame:
+    """Positional value association via lead() (the reference slices a value
+    from the end of key i to the start of key i+1, postprocessing.py:236-249
+    — same lead-over-ordered-positions shape): per supplier, days to the
+    next shipment."""
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("l_shipdate").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    nxt = F.lead(F.col("l_shipdate")).over(w)
+    return lineitem.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff(F.to_date(nxt), F.to_date(F.col("l_shipdate"))).alias("days_to_next"),
+    )
+
+
+def distance_bucket_group(lineitem: DataFrame) -> DataFrame:
+    """Distance-bucket grouping (nik_evaluator buckets by distance,
+    evaluators.py:58-66): group rows into integer quantity buckets."""
+    return (
+        lineitem.groupBy(F.col("l_quantity").cast("int").alias("qty_bucket"))
+        .agg(F.count("*").alias("n"), decimal_sum(F.col("l_extendedprice")).alias("bucket_price"))
+    )
+
+
+def events_window_agg(events: DataFrame) -> DataFrame:
+    """5-minute tumbling-window aggregation over the events stream table
+    (batch form; streaming/incremental.py runs the same plan as a stream)."""
+    return (
+        events.groupBy(
+            F.window(F.col("ts"), "5 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"), decimal_sum(F.col("value"), "decimal(18,6)").alias("sum_value"))
+        .select(F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket_start"), "event_type", "n", "sum_value")
+    )
+
+
+def events_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: lag + cumulative gap>threshold counter per user."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev_ts = F.lag("ts").over(w)
+    # ts may be TIMESTAMP_NTZ (parquet isAdjustedToUTC=false): go through
+    # timestamp_ltz (session TZ pinned to UTC) to get epoch seconds.
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    prev_epoch = prev_ts.cast("timestamp_ltz").cast("long")
+    new_sess = F.when(prev_ts.isNull() | (epoch - prev_epoch > gap_minutes * 60), 1).otherwise(0)
+    with_sess = events.withColumn("sess_no", F.sum(new_sess).over(w))
+    return with_sess.groupBy("user_id").agg(
+        F.max("sess_no").cast("long").alias("n_sessions"), F.count("*").alias("n_events")
+    )

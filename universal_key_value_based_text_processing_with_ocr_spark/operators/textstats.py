@@ -1,0 +1,95 @@
+"""Text-analysis operators over a documents table (doc_id, text, lang, ...).
+
+Large-scale training-data pipeline primitives, all pure JVM-side DataFrame
+expressions (whole-stage-codegen'd, no Python in the hot path): language ID
+(stopword-hit heuristic), quality scoring (char-class ratios), token
+counting (whitespace tokenizer), and document fingerprinting (md5 +
+simhash-style in dedup.py).  Every operator has an exact ANSI-SQL oracle in
+__spark_entry__.oracle_sql().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EN_STOPWORDS = ["the", "and", "of", "to", "is"]
+ID_STOPWORDS = ["yang", "dan", "di", "untuk", "dengan"]
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens) — whitespace tokens of trimmed text."""
+    trimmed = F.trim(F.col("text"))
+    n = (
+        F.when(F.col("text").isNull(), F.lit(None).cast("long"))
+        .when(F.length(trimmed) == 0, F.lit(0).cast("long"))
+        .otherwise(F.size(F.split(trimmed, r"\s+")).cast("long"))
+    )
+    return docs.select(F.col("doc_id"), n.alias("n_tokens"))
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Char-class ratio quality features + a composite score.
+
+    The web-scale analog of the reference's image-quality predicates
+    (get_warning_image, /root/reference/ocrfw/preprocessing.py:115-135):
+    per-payload numeric quality stats thresholded downstream.
+    """
+    text = F.col("text")
+    n = F.length(text).cast("double")
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    digit = F.length(F.regexp_replace(text, "[^0-9]", "")).cast("double")
+    space = F.length(F.regexp_replace(text, r"[^\s]", "")).cast("double")
+    safe_n = F.when(n > 0, n)
+    return docs.select(
+        "doc_id",
+        F.length(text).cast("long").alias("n_chars"),
+        F.round(alpha / safe_n, 6).alias("alpha_ratio"),
+        F.round(digit / safe_n, 6).alias("digit_ratio"),
+        F.round(space / safe_n, 6).alias("space_ratio"),
+        F.round(alpha / safe_n - 0.5 * (digit / safe_n), 6).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-hit language ID: en vs ind vs und (n-gram-free heuristic)."""
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+
+    def hits(words):
+        h = F.lit(0)
+        for w in words:
+            h = h + F.when(padded.like(f"% {w} %"), 1).otherwise(0)
+        return h
+
+    en = hits(EN_STOPWORDS)
+    ind = hits(ID_STOPWORDS)
+    pred = (
+        F.when(F.col("text").isNull(), F.lit(None).cast("string"))
+        .when((en == 0) & (ind == 0), "und")
+        .when(en >= ind, "en")
+        .otherwise("ind")
+    )
+    return docs.select(
+        "doc_id",
+        en.cast("int").alias("en_hits"),
+        ind.cast("int").alias("id_hits"),
+        pred.alias("lang_pred"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) — md5 content fingerprint (exact-dup key)."""
+    return docs.select(
+        "doc_id", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp")
+    )
+
+
+def charclass_projection(docs: DataFrame, prefix_len: int = 40) -> DataFrame:
+    """Reference-style character-class projection (postprocessing.py:159):
+    keep only letters of a text prefix."""
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(F.substring(F.col("text"), 1, prefix_len), "[^A-Za-z]", "").alias(
+            "letters_only"
+        ),
+    )

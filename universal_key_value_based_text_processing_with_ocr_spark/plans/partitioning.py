@@ -1,0 +1,46 @@
+"""Partitioning & skew policy (north_rule: explicit bucket-by-url
+partitioning + salted repartition for skewed hosts).
+
+Why salting even though urls are unique: hash(url) balances ROW COUNTS, but
+per-row work is proportional to payload size and host-correlated (one hot
+host can carry 40%+ of rows with systematically larger pages).  Salting the
+partition key with a per-host rotating salt spreads any single host across
+``salt_buckets`` partitions, so a hot host cannot serialise into one task.
+At 100 TB the same expression is the bucket transform on the Iceberg table
+(bucket(N, url)); AQE handles residual skew for joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def host_of_url(col):
+    """Host component of an https?://host/path url column."""
+    return F.regexp_extract(col, r"^[a-z]+://([^/]+)/", 1)
+
+
+def salted_repartition(
+    df: DataFrame,
+    num_partitions: int,
+    url_col: str = "url",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Repartition by (hash(url), per-host salt).
+
+    The salt is ``xxhash64(url) % salt_buckets`` — deterministic per row,
+    uniform within each host — combined with the host so rows of one host
+    land in ``salt_buckets`` distinct shuffle keys while remaining
+    co-bucketed enough for downstream per-host aggregations to combine
+    map-side.  One shuffle; everything downstream is narrow.
+    """
+    salt = (F.xxhash64(F.col(url_col)) % salt_buckets).cast("int")
+    return df.repartition(num_partitions, host_of_url(F.col(url_col)), salt)
+
+
+def plan_partitions(n_rows: int, target_rows_per_partition: int, min_parallelism: int) -> int:
+    """Partition count: >= 4x cores (scaling headroom per SURVEY §7) and
+    bounded rows per partition so Arrow batches fit executor memory."""
+    by_rows = max(1, (n_rows + target_rows_per_partition - 1) // target_rows_per_partition)
+    return max(min_parallelism * 4, by_rows)

@@ -1,0 +1,100 @@
+"""The end-to-end extraction job: scan -> resume anti-join -> salted
+repartition -> fused extract stage -> snapshot commit + audit lineage.
+
+New-engine lifecycle per SURVEY.md §3: one repartition shuffle up front, two
+actions (results append, audit append), everything between is narrow.  The
+job is idempotent and resumable: on restart, urls already in the committed
+results snapshot are anti-joined away, and the audit table records one row
+per (run, stage, partition) so lineage covers every partition exactly once.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lakehouse import SnapshotTable
+from ..operators.extract import extract_pages
+from .partitioning import salted_repartition
+
+AUDIT_SCHEMA = (
+    "run_id string, stage string, partition_id int, n_docs long, n_success long, "
+    "bytes_in long, wall_ms long, snapshot_id string"
+)
+
+
+def run_extraction_job(
+    spark: SparkSession,
+    pages_df: DataFrame,
+    results_path: str,
+    audit_path: str | None = None,
+    num_partitions: int | None = None,
+    run_id: str | None = None,
+    configs=None,
+) -> dict:
+    """Run (or resume) the extraction job; returns a summary dict."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    t0 = time.time()
+    results_tbl = SnapshotTable(results_path)
+    audit_tbl = SnapshotTable(audit_path) if audit_path else None
+
+    # Resume: drop urls already committed (left anti join; broadcast if the
+    # committed side is small, AQE decides otherwise).
+    if results_tbl.exists():
+        done = results_tbl.read(spark).select("url")
+        pages_df = pages_df.join(done, "url", "left_anti")
+
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism * 4
+    pages_df = salted_repartition(pages_df, num_partitions)
+
+    results = extract_pages(pages_df, configs=configs).withColumn(
+        "partition_id", F.spark_partition_id()
+    )
+    # Single pass, cached only long enough for the two aggregates + write.
+    results.persist()
+    try:
+        n_rows = results.count()
+        if n_rows == 0:
+            return {"run_id": run_id, "n_docs": 0, "snapshot_id": results_tbl.snapshot_id(),
+                    "resumed": True, "wall_ms": int((time.time() - t0) * 1000)}
+
+        snapshot_id = results_tbl.append(
+            results.drop("partition_id"),
+            summary={"run_id": run_id, "n_docs": n_rows},
+        )
+
+        if audit_tbl is not None:
+            wall_ms = int((time.time() - t0) * 1000)
+            audit = (
+                results.groupBy("partition_id")
+                .agg(
+                    F.count("*").alias("n_docs"),
+                    F.sum(F.col("success").cast("long")).alias("n_success"),
+                    F.sum("n_bytes").alias("bytes_in"),
+                )
+                .select(
+                    F.lit(run_id).alias("run_id"),
+                    F.lit("extract").alias("stage"),
+                    F.col("partition_id"),
+                    "n_docs",
+                    "n_success",
+                    "bytes_in",
+                    F.lit(wall_ms).alias("wall_ms"),
+                    F.lit(snapshot_id).alias("snapshot_id"),
+                )
+            )
+            audit_tbl.append(audit, summary={"run_id": run_id, "stage": "extract"})
+    finally:
+        results.unpersist()
+
+    return {
+        "run_id": run_id,
+        "n_docs": n_rows,
+        "snapshot_id": snapshot_id,
+        "resumed": False,
+        "wall_ms": int((time.time() - t0) * 1000),
+    }
