@@ -1,0 +1,109 @@
+"""Physical-plan shape assertions: the optimizations the engine relies on at
+100 TB must actually appear in the plan — filter/column pushdown into the
+parquet scan, broadcast for small build sides, no Python in relational
+paths (whole-stage codegen)."""
+
+import pytest
+
+from tests.test_spark_pipeline import spark  # session fixture  # noqa: F401
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_and_column_pushdown(spark):  # noqa: F811
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .filter(F.col("l_shipdate") <= "1995-01-01")
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _formatted(df)
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # column pruning: ReadSchema carries only the needed columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" not in read_schema
+    assert "l_orderkey" in read_schema
+
+
+def test_extract_stage_prunes_payload_columns(spark):  # noqa: F811
+    """Only (url, html, text, lang) may enter the Arrow stage — warc_ts must
+    be pruned at the scan."""
+    import pandas as pd
+
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.extract import (
+        extract_pages,
+    )
+    from universal_key_value_based_text_processing_with_ocr_spark.sources import PAGES_SCHEMA
+    from universal_key_value_based_text_processing_with_ocr_spark.sources.synthdocs import (
+        gen_page_row,
+    )
+
+    pages = spark.createDataFrame(
+        pd.DataFrame([gen_page_row(42, i) for i in range(5)]), schema=PAGES_SCHEMA
+    )
+    plan = _plan(extract_pages(pages))
+    assert "warc_ts" not in plan.split("MapInPandas")[0]
+
+
+def test_fuzzy_join_is_broadcast(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.relational import (
+        fuzzy_dictionary_join,
+    )
+
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    plan = _plan(fuzzy_dictionary_join(spark, nation))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_similarity_topk_broadcasts_queries(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(cosine_topk(emb))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_relational_ops_stay_jvm_side(spark):  # noqa: F811
+    """No Python evaluation in the relational operators (codegen-only)."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators import (
+        dedup,
+        relational,
+        textstats,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    for df in [
+        textstats.token_count(docs),
+        textstats.lang_id(docs),
+        dedup.exact_dedup(docs),
+        dedup.simhash(docs),
+        relational.pushdown_agg(lineitem),
+    ]:
+        df.collect()  # materialise so AQE finalises the physical plan
+        plan = _plan(df)
+        assert "PythonUDF" not in plan and "MapInPandas" not in plan, plan[:500]
+        # whole-stage codegen stages render as "*(n)" in the plan string
+        assert "*(" in plan, plan[:500]
+
+
+def test_pushdown_agg_has_partial_aggregation(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.relational import (
+        pushdown_agg,
+    )
+
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    plan = _plan(pushdown_agg(lineitem))
+    # partial (map-side) + final aggregate pair
+    assert plan.count("HashAggregate") >= 2

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import math
 import re
+from functools import lru_cache
 from itertools import combinations
 
 from . import dictionaries
@@ -54,10 +55,29 @@ def _best_near_100(scores_names: dict) -> str:
     return scores_names[closest[sorted(closest)[0]]]
 
 
-def eval_province(value, max_mistakes=5, min_accuracy=0.5):
-    names = dict(
+@lru_cache(maxsize=1)
+def _province_names() -> dict:
+    return dict(
         zip([_WS.sub("", p.upper()) for p in dictionaries.provinces()], dictionaries.provinces())
     )
+
+
+@lru_cache(maxsize=1)
+def _city_names() -> dict:
+    return dict(
+        zip([_WS.sub("", c.upper()) for c in dictionaries.cities()], dictionaries.cities())
+    )
+
+
+@lru_cache(maxsize=1)
+def _normalized_jobs() -> list:
+    from .repair import repair_to_letters as _rl
+
+    return [(j, _rl(j)[1].upper()) for j in dictionaries.jobs()]
+
+
+def eval_province(value, max_mistakes=5, min_accuracy=0.5):
+    names = _province_names()
     probe = _WS.sub("", value.upper())
     scores_names = {}
     for cand in names:
@@ -78,9 +98,7 @@ def eval_province(value, max_mistakes=5, min_accuracy=0.5):
 
 
 def eval_city(value, max_mistakes=5, min_accuracy=0.5):
-    names = dict(
-        zip([_WS.sub("", c.upper()) for c in dictionaries.cities()], dictionaries.cities())
-    )
+    names = _city_names()
     probe = _WS.sub("", value.upper())
     if len(probe) <= 3:
         return [False, f"Lenght of city should be > 3, found: {len(probe)}"]
@@ -302,8 +320,7 @@ def eval_job(value, recommended_distance=1, max_distance=0.25):
     probe_full = repair_to_letters(value)[1].upper()
     smallest_dist = math.inf
     smallest_name = False
-    for raw_job in dictionaries.jobs():
-        job_norm = repair_to_letters(raw_job)[1].upper()
+    for raw_job, job_norm in _normalized_jobs():
         cap = math.floor(len(job_norm) * max_distance)
         probe = probe_full[: len(job_norm)] if len(probe_full) > len(job_norm) else probe_full
         dist = edit_distance(job_norm, probe)

@@ -28,11 +28,11 @@ Faithfully-kept reference quirks (all observable in output):
 - Value slices are taken from the raw line using offsets computed on the
   preprocessed line (length-preserving lower/upper only).
 
-The per-window edit distances are computed with one vectorised numpy DP per
-key token across all windows (``edit_distance_many``) instead of the
-reference's per-window scalar calls; the predicate replay that follows is
-order-identical, so results match bit-for-bit while the hot loop stays
-vectorised.
+Hot-path shape: per key token, one distance column over all windows using
+the LRU-cached scalar DP (fixed key set x repeated tokens -> mostly cache
+hits), with per-call memoisation of regex-filtered tokens; the predicate
+replay that follows is order-identical to the reference, so results match
+bit-for-bit.
 """
 
 from __future__ import annotations
@@ -42,7 +42,7 @@ import re
 
 import numpy as np
 
-from .textdist import accuracy, edit_distance_many
+from .textdist import accuracy, edit_distance
 from .tokenspan import fuzzy_key_pattern, snap_to_grid, split_with_spans
 
 
@@ -151,24 +151,46 @@ def match_keys_in_line(
 
         n_win = n_tokens - k + 1
         filters = char_filters[key_idx]
-        # Filtered token text per key-token position, reused across windows.
-        filt = [
-            ["".join(re.findall(filters[j], tokens[w + j])) for w in range(n_win)]
-            for j in range(k)
-        ]
+        # Filtered token text per key-token position, reused across windows;
+        # (pattern, token) results memoised — adjacent windows share tokens.
+        filt_memo: dict = {}
+        filt = []
+        for j in range(k):
+            pat = re.compile(filters[j])
+            col = []
+            for w in range(n_win):
+                tok = tokens[w + j]
+                mkey = (filters[j], tok)
+                got = filt_memo.get(mkey)
+                if got is None:
+                    got = "".join(pat.findall(tok))
+                    filt_memo[mkey] = got
+                col.append(got)
+            filt.append(col)
         joined_key = whitespace.join(key_tokens)
-
-        if use_re_support:
-            window_tokens = None  # regex may rewrite tokens per window
-        else:
-            # Vectorised per-token distances across all windows.
-            dist = np.stack(
-                [edit_distance_many(key_tokens[j], filt[j]) for j in range(k)],
-                axis=1,
-            )  # (n_win, k)
-            gates = dist <= np.asarray(max_dist_int[key_idx], dtype=np.int64)
-
         limits = max_dist_int[key_idx]
+
+        if not use_re_support:
+            # Per-token distance columns (cached scalar DP; see textdist).
+            # Length pre-filter: |len(a)-len(b)| is a Levenshtein lower
+            # bound, so over-limit pairs are clamped to limit+1 without a
+            # DP.  Clamped values are never observable: score sums use only
+            # passing (exact) distances, and failure diagnostics stay
+            # internal to the matcher.
+            dist_cols = []
+            for j in range(k):
+                kt = key_tokens[j]
+                lk_j = len(kt)
+                lim = limits[j]
+                dist_cols.append(
+                    [
+                        (lim + 1)
+                        if abs(lk_j - len(t)) > lim
+                        else edit_distance(kt, t)
+                        for t in filt[j]
+                    ]
+                )
+
         for w in range(n_win):
             window = [filt[j][w] for j in range(k)]
             joined_window = whitespace.join(window)
@@ -187,15 +209,11 @@ def match_keys_in_line(
                 else:
                     stage = 2
                 if stage == 1:
-                    dists_w = [
-                        int(edit_distance_many(key_tokens[j], [window[j]])[0])
-                        for j in range(k)
-                    ]
-                    ok_w = [dists_w[j] <= limits[j] for j in range(k)]
-                    self_dist, self_ok = dists_w, ok_w
+                    self_dist = [edit_distance(key_tokens[j], window[j]) for j in range(k)]
             else:
-                self_dist = [int(x) for x in dist[w]]
-                self_ok = [bool(x) for x in gates[w]]
+                self_dist = [dist_cols[j][w] for j in range(k)]
+            if stage == 1:
+                self_ok = [self_dist[j] <= limits[j] for j in range(k)]
 
             if stage == 1:
                 passing = [self_dist[j] for j in range(k) if self_ok[j]]

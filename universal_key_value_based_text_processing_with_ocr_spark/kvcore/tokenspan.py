@@ -19,8 +19,16 @@ from __future__ import annotations
 import re
 import string as _string
 from collections.abc import Sequence
+from functools import lru_cache
 
 _BLANK = re.compile(r"^\s*$")
+
+
+@lru_cache(maxsize=256)
+def _runs_pattern(splitters: tuple[str, ...]):
+    """Compiled pattern matching maximal runs of non-splitter chars."""
+    cls = "".join(re.escape(c) for c in splitters)
+    return re.compile(f"[^{cls}]+")
 
 
 def split_with_spans(
@@ -30,25 +38,18 @@ def split_with_spans(
 
     Blank-only fragments are dropped (the reference's ``^\\s*$`` guard), so a
     token's span never covers pure whitespace.  End offsets are exclusive.
+    Implemented as a single regex scan over maximal non-splitter runs —
+    token-for-token and span-for-span identical to the reference's per-char
+    accumulation (a run ends exactly at a splitter or EOS; blank runs are
+    dropped by both).
     """
     tokens: list[str] = []
     spans: list[tuple[int, int]] = []
-    splitset = set(splitters)
-    buf = ""
-    start = 0
-    idx = -1
-    for idx, ch in enumerate(text):
-        if ch in splitset:
-            if not _BLANK.match(buf):
-                tokens.append(buf)
-                spans.append((start, idx))
-            start = idx + 1
-            buf = ""
-        else:
-            buf += ch
-    if not _BLANK.match(buf):
-        tokens.append(buf)
-        spans.append((start, idx + 1))
+    for m in _runs_pattern(tuple(splitters)).finditer(text):
+        tok = m.group()
+        if not _BLANK.match(tok):
+            tokens.append(tok)
+            spans.append(m.span())
     return tokens, spans
 
 

@@ -112,21 +112,35 @@ def minhash_lsh_pairs(
     (band, band_hash) bucket become a candidate pair with their estimated
     similarity = fraction of agreeing signature positions.
     """
+    # One doc-level signature array (sorted by seed), computed ONCE and
+    # persisted — it is tiny (one row per doc) and feeds both the band
+    # hashing and the agreement estimate, so the expensive shingle+hash
+    # subtree runs a single time.
     sig = minhash_signatures(docs, n_hashes, shingle_n)
-    bands = (
-        sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
-        .groupBy("doc_id", "band")
+    sig_arr = (
+        sig.groupBy("doc_id")
         .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
-                )
-            ).alias("band_hash")
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                lambda s: s["minhash"],
+            ).alias("sig")
         )
+        .persist()
+    )
+    n_bands = n_hashes // band_size
+    band_ids = F.explode(F.array([F.lit(i) for i in range(n_bands)])).alias("band")
+    bands = sig_arr.select("doc_id", band_ids, "sig").select(
+        "doc_id",
+        "band",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("sig"), F.col("band") * band_size + 1, band_size),
+                    lambda m: m.cast("string"),
+                ),
+            )
+        ).alias("band_hash"),
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -140,17 +154,29 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # Estimated similarity: agreeing positions over the full signature.
-    sa = sig.alias("sa")
-    sb = sig.alias("sb")
-    agree = (
-        sa.join(sb, (F.col("sa.seed") == F.col("sb.seed")) & (F.col("sa.doc_id") < F.col("sb.doc_id")))
-        .filter(F.col("sa.minhash") == F.col("sb.minhash"))
-        .groupBy(F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b"))
-        .agg((F.count("*") / n_hashes).alias("est_sim"))
-    )
-    return cand.join(agree, ["doc_a", "doc_b"], "left").select(
-        "doc_a", "doc_b", F.round(F.coalesce("est_sim", F.lit(0.0)), 6).alias("est_sim")
+    # Estimated similarity = agreeing signature positions, computed ONLY for
+    # candidate pairs (never an all-pairs self-join: at N docs that is
+    # O(N^2 * n_hashes) rows — the whole point of LSH is to avoid it).
+    sa = sig_arr.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig_arr.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
+                    ),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                )
+                / F.lit(n_hashes),
+                6,
+            ).alias("est_sim"),
+        )
     )
 
 
