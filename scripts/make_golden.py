@@ -30,7 +30,9 @@ from universal_key_value_based_text_processing_with_ocr_spark.htmlcore import ( 
     extract_main_lines,
 )
 from universal_key_value_based_text_processing_with_ocr_spark.operators.extract import (  # noqa: E402
+    SAMPLE_CUSTOM_CONFIG,
     parse_page_row,
+    parse_page_row_with_config,
 )
 from universal_key_value_based_text_processing_with_ocr_spark.sources.synthdocs import (  # noqa: E402
     gen_page_row,
@@ -51,13 +53,25 @@ EXTRACT_FIELDS = [
 ]
 
 
-def build_tables() -> tuple[pa.Table, pa.Table]:
+CUSTOM_FIELDS = [
+    ("url", pa.string()),
+    ("result_json", pa.string()),
+    ("success", pa.bool_()),
+    ("n_fields", pa.int32()),
+]
+
+
+def build_tables() -> tuple[pa.Table, pa.Table, pa.Table]:
     extract_rows = []
     line_rows = []
+    custom_rows = []
     for doc_id in range(GOLDEN_N):
         row = gen_page_row(GOLDEN_SEED, doc_id)
         parsed = parse_page_row(row["url"], row["html"], row["text"], row["lang"])
         extract_rows.append({k: parsed[k] for k, _ in EXTRACT_FIELDS})
+        custom_rows.append(
+            parse_page_row_with_config(row["url"], row["html"], row["text"], SAMPLE_CUSTOM_CONFIG)
+        )
         if row["html"] is not None:
             doc_lines = extract_main_lines(row["html"])
         elif row["text"] is not None:
@@ -76,15 +90,22 @@ def build_tables() -> tuple[pa.Table, pa.Table]:
             [pa.field("url", pa.string()), pa.field("line_no", pa.int32()), pa.field("line", pa.string())]
         ),
     )
-    return extract_tbl, lines_tbl
+    custom_tbl = pa.Table.from_pylist(
+        custom_rows, schema=pa.schema([pa.field(n, t) for n, t in CUSTOM_FIELDS])
+    )
+    return extract_tbl, lines_tbl, custom_tbl
 
 
 def main() -> None:
     GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
-    extract_tbl, lines_tbl = build_tables()
+    extract_tbl, lines_tbl, custom_tbl = build_tables()
     pq.write_table(extract_tbl, GOLDEN_DIR / "extract_golden.parquet")
     pq.write_table(lines_tbl, GOLDEN_DIR / "lines_golden.parquet")
-    print(f"wrote {extract_tbl.num_rows} extract rows, {lines_tbl.num_rows} line rows -> {GOLDEN_DIR}")
+    pq.write_table(custom_tbl, GOLDEN_DIR / "custom_golden.parquet")
+    print(
+        f"wrote {extract_tbl.num_rows} extract rows, {lines_tbl.num_rows} line rows, "
+        f"{custom_tbl.num_rows} custom rows -> {GOLDEN_DIR}"
+    )
 
 
 if __name__ == "__main__":

@@ -22,13 +22,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators import dedup, multimodal, relational, similarity, textstats
-from .operators.extract import extract_pages, html_to_lines
+from .operators.extract import (
+    SAMPLE_CUSTOM_CONFIG,
+    extract_pages,
+    extract_pages_with_config,
+    html_to_lines,
+)
 from .sources.pages import synth_pages_df
 from .streaming import streamed_events_window_agg
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 GOLDEN_EXTRACT = REPO_ROOT / "tests" / "golden" / "extract_golden.parquet"
 GOLDEN_LINES = REPO_ROOT / "tests" / "golden" / "lines_golden.parquet"
+GOLDEN_CUSTOM = REPO_ROOT / "tests" / "golden" / "custom_golden.parquet"
 GOLDEN_N = 400
 GOLDEN_SEED = 42
 
@@ -52,6 +58,12 @@ def q_extract_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_html_main_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = synth_pages_df(spark, GOLDEN_N, seed=GOLDEN_SEED)
     return html_to_lines(pages)
+
+
+def q_custom_config_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined key-dictionary extraction (kvcore/config.py JSON spec)."""
+    pages = synth_pages_df(spark, GOLDEN_N, seed=GOLDEN_SEED)
+    return extract_pages_with_config(pages, SAMPLE_CUSTOM_CONFIG)
 
 
 def q_doc_token_count(spark, sf_dir):
@@ -155,6 +167,7 @@ def q_streamed_window_agg(spark, sf_dir):
 QUERIES = {
     "extract_fields": q_extract_fields,
     "html_main_lines": q_html_main_lines,
+    "custom_config_extract": q_custom_config_extract,
     "doc_token_count": q_doc_token_count,
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
@@ -215,6 +228,9 @@ ORACLE_SQL = {
     """,
     "html_main_lines": f"""
         SELECT url, line_no, line FROM '{GOLDEN_LINES}'
+    """,
+    "custom_config_extract": f"""
+        SELECT url, result_json, success, n_fields FROM '{GOLDEN_CUSTOM}'
     """,
     "doc_token_count": r"""
         SELECT doc_id,

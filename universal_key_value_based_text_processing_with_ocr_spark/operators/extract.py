@@ -134,3 +134,57 @@ def html_to_lines(pages_df):
             yield pd.DataFrame({"url": urls, "line_no": nos, "line": lines})
 
     return pages_df.select("url", "html", "text").mapInPandas(gen, schema=LINES_SCHEMA)
+
+
+# --- universal custom-config extraction ------------------------------------
+
+CUSTOM_SCHEMA = "url string, result_json string, success boolean, n_fields int"
+
+# Demo config used by the golden-checked `custom_config_extract` query: a
+# user-defined key dictionary over the same pages (kvcore/config.py format).
+SAMPLE_CUSTOM_CONFIG = {
+    "fields": [
+        {"name": "Nama", "keys": [["Nama"]], "max_distances": [[1]],
+         "min_accuracies": [0.6], "separators": [":"], "evaluators": ["letters"]},
+        {"name": "Pekerjaan", "keys": [["Pekerjaan"]], "max_distances": [[2]],
+         "min_accuracies": [0.6], "separators": [":"], "evaluators": ["job"],
+         "tolerant_not_exists": [True]},
+    ],
+    "final_evaluator": None,
+}
+
+
+def parse_page_row_with_config(url, html, text, cfg) -> dict:
+    """Pure per-row payload for user-config extraction (oracle + UDF body)."""
+    from ..kvcore.config import parse_document_with_config
+
+    if html is not None:
+        doc = "\n".join(extract_main_lines(bytes(html)))
+    elif text is not None:
+        doc = text
+    else:
+        doc = ""
+    parsed = parse_document_with_config(doc, cfg)
+    return {
+        "url": url,
+        "result_json": json.dumps(parsed.get("result", {}), default=str),
+        "success": bool(parsed.get("success", False)),
+        "n_fields": len(parsed.get("result", {})),
+    }
+
+
+def extract_pages_with_config(pages_df, cfg: dict):
+    """pages -> per-url results under a user-defined extraction config.
+
+    Same fused-narrow-stage physical shape as ``extract_pages``; the config
+    is a plain JSON dict captured by closure (broadcast-equivalent)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                parse_page_row_with_config(row.url, row.html, row.text, cfg)
+                for row in pdf.itertuples(index=False)
+            ]
+            yield pd.DataFrame(out, columns=["url", "result_json", "success", "n_fields"])
+
+    return pages_df.select("url", "html", "text").mapInPandas(gen, schema=CUSTOM_SCHEMA)
