@@ -117,6 +117,11 @@ def main() -> None:
         "extraction_docs": extracted,
         "extraction_docs_per_sec": docs_per_sec,
     }
+    scaling_file = REPO / "BENCH" / "scaling.json"
+    if scaling_file.exists():
+        scaling = json.loads(scaling_file.read_text())
+        out["scaling_efficiency_n_to_4n"] = scaling.get("efficiency_2_to_8")
+        out["scaling"] = scaling
     spark.stop()
     print(json.dumps(out))
 

@@ -50,3 +50,78 @@ def streamed_events_window_agg(spark: SparkSession, events_path: str) -> DataFra
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def streamed_extraction_job(
+    spark: SparkSession,
+    pages_dir: str,
+    results_path: str,
+    audit_path: str | None = None,
+    checkpoint_dir: str | None = None,
+    run_id: str = "stream",
+) -> dict:
+    """Incremental extraction: stream the pages directory (AvailableNow) and
+    commit each micro-batch to the lakehouse results table via foreachBatch.
+
+    Exactly-once story: Structured Streaming's checkpoint records which
+    input files each epoch consumed; inside foreachBatch the engine ALSO
+    anti-joins committed urls (the lakehouse resume predicate), so replayed
+    epochs after a crash between sink-commit and checkpoint-commit are
+    idempotent.  This is the streaming twin of plans.run_extraction_job —
+    same fused stage, same tables.
+    """
+    from ..lakehouse import SnapshotTable
+    from ..operators.extract import extract_pages
+    from pyspark.sql import functions as F
+
+    results_tbl = SnapshotTable(results_path)
+    audit_tbl = SnapshotTable(audit_path) if audit_path else None
+    schema = spark.read.parquet(pages_dir).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "4").parquet(pages_dir)
+    epochs: list[int] = []
+
+    def commit_batch(batch_df, epoch_id: int) -> None:
+        pages = batch_df
+        if results_tbl.exists():
+            done = results_tbl.read(batch_df.sparkSession).select("url")
+            pages = pages.join(done, "url", "left_anti")
+        results = extract_pages(pages).withColumn("partition_id", F.spark_partition_id())
+        results.persist()
+        try:
+            n = results.count()
+            if n == 0:
+                return
+            snapshot_id = results_tbl.append(
+                results.drop("partition_id"),
+                summary={"run_id": run_id, "epoch": epoch_id, "n_docs": n},
+            )
+            if audit_tbl is not None:
+                audit = (
+                    results.groupBy("partition_id")
+                    .agg(
+                        F.count("*").alias("n_docs"),
+                        F.sum(F.col("success").cast("long")).alias("n_success"),
+                        F.sum("n_bytes").alias("bytes_in"),
+                    )
+                    .select(
+                        F.lit(f"{run_id}-e{epoch_id}").alias("run_id"),
+                        F.lit("extract").alias("stage"),
+                        F.col("partition_id"),
+                        "n_docs",
+                        "n_success",
+                        "bytes_in",
+                        F.lit(0).cast("long").alias("wall_ms"),
+                        F.lit(snapshot_id).alias("snapshot_id"),
+                    )
+                )
+                audit_tbl.append(audit, summary={"run_id": run_id, "epoch": epoch_id})
+            epochs.append(epoch_id)
+        finally:
+            results.unpersist()
+
+    writer = stream.writeStream.foreachBatch(commit_batch).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return {"run_id": run_id, "n_epochs": len(epochs), "snapshot_id": results_tbl.snapshot_id()}
