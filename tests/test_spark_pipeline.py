@@ -112,10 +112,13 @@ def test_resume_skips_committed_urls(spark, tmp_path):
         runs.setdefault(r.run_id, []).append(r)
     assert set(runs) == {"r1", "r2"}
     for rid, rows in runs.items():
-        pids = [r.partition_id for r in rows]
+        expected_docs = 30 if rid == "r1" else 20
+        extract_rows = [r for r in rows if r.stage == "extract"]
+        write_rows = [r for r in rows if r.stage == "write"]
+        pids = [r.partition_id for r in extract_rows]
         assert len(pids) == len(set(pids))  # each partition exactly once
-        assert sum(r.n_docs for r in rows) == (30 if rid == "r1" else 20)
-        assert all(r.stage == "extract" for r in rows)
+        assert sum(r.n_docs for r in extract_rows) == expected_docs
+        assert len(write_rows) == 1 and write_rows[0].n_docs == expected_docs
 
 
 def test_salted_repartition_spreads_hot_host(spark):

@@ -27,3 +27,30 @@ Layers
 """
 
 __version__ = "0.1.0"
+
+# Public API surface (lazy imports keep `import ukv...` Spark-free until a
+# Spark-backed symbol is touched).
+
+
+def __getattr__(name):
+    if name in ("extract_pages", "extract_pages_with_config", "html_to_lines"):
+        from .operators import extract as _m
+
+        return getattr(_m, name)
+    if name == "run_extraction_job":
+        from .plans import run_extraction_job as _f
+
+        return _f
+    if name == "SnapshotTable":
+        from .lakehouse import SnapshotTable as _c
+
+        return _c
+    if name == "parse_document":
+        from .kvcore.ktpspec import parse_document as _f
+
+        return _f
+    if name == "parse_document_with_config":
+        from .kvcore.config import parse_document_with_config as _f
+
+        return _f
+    raise AttributeError(name)

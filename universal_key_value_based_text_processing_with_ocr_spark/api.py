@@ -110,6 +110,10 @@ def q_similarity_topk(spark, sf_dir):
     return similarity.cosine_topk(_tbl(spark, sf_dir, "embeddings"), n_queries=5, k=10)
 
 
+def q_similarity_topk_lsh(spark, sf_dir):
+    return similarity.lsh_bucketed_topk(_tbl(spark, sf_dir, "embeddings"), n_queries=5, k=10)
+
+
 def q_embedding_near_dup(spark, sf_dir):
     return similarity.embedding_near_dup(_tbl(spark, sf_dir, "embeddings"), threshold=0.2)
 
@@ -179,6 +183,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "similarity_topk": q_similarity_topk,
+    "similarity_topk_lsh": q_similarity_topk_lsh,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_image_meta": q_multimodal_image_meta,
     "pushdown_agg": q_pushdown_agg,
@@ -341,6 +346,28 @@ ORACLE_SQL = {
             SELECT query_id, e.vec_id AS neighbor_id,
                    list_cosine_similarity(qe, e.embedding::DOUBLE[]) AS cos
             FROM q, embeddings e WHERE e.vec_id <> query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+    """,
+    "similarity_topk_lsh": """
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   (CASE WHEN embedding[1]  >= 0 THEN 1 ELSE 0 END
+                  + CASE WHEN embedding[8]  >= 0 THEN 2 ELSE 0 END
+                  + CASE WHEN embedding[22] >= 0 THEN 4 ELSE 0 END
+                  + CASE WHEN embedding[43] >= 0 THEN 8 ELSE 0 END) AS bucket
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe, bucket AS qb FROM b WHERE vec_id < 5),
+        scored AS (
+            SELECT query_id, e.vec_id AS neighbor_id,
+                   list_cosine_similarity(qe, e.embedding::DOUBLE[]) AS cos
+            FROM q JOIN b e ON e.bucket = qb AND e.vec_id <> query_id
         ),
         ranked AS (
             SELECT query_id, neighbor_id,

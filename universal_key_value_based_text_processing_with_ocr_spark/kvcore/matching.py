@@ -88,6 +88,16 @@ def _normalise_max_distances(max_distances, key_str_list_list):
     return out
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 16)
+def _filter_token(pattern: str, token: str) -> str:
+    """Character-class projection of one token (reference
+    postprocessing.py:159), cached on (pattern, token)."""
+    return "".join(re.findall(pattern, token))
+
+
 def match_keys_in_line(
     line,
     key_str_list_list,
@@ -152,21 +162,12 @@ def match_keys_in_line(
         n_win = n_tokens - k + 1
         filters = char_filters[key_idx]
         # Filtered token text per key-token position, reused across windows;
-        # (pattern, token) results memoised — adjacent windows share tokens.
-        filt_memo: dict = {}
-        filt = []
-        for j in range(k):
-            pat = re.compile(filters[j])
-            col = []
-            for w in range(n_win):
-                tok = tokens[w + j]
-                mkey = (filters[j], tok)
-                got = filt_memo.get(mkey)
-                if got is None:
-                    got = "".join(pat.findall(tok))
-                    filt_memo[mkey] = got
-                col.append(got)
-            filt.append(col)
+        # (pattern, token) results are globally memoised — the filter set is
+        # fixed per plan and token text repeats heavily across lines/docs.
+        filt = [
+            [_filter_token(filters[j], tokens[w + j]) for w in range(n_win)]
+            for j in range(k)
+        ]
         joined_key = whitespace.join(key_tokens)
         limits = max_dist_int[key_idx]
 
@@ -192,12 +193,24 @@ def match_keys_in_line(
                 )
 
         for w in range(n_win):
-            window = [filt[j][w] for j in range(k)]
-            joined_window = whitespace.join(window)
-            scores: list[float] = []
-            stage = 1  # 0=success, 1=keep going, 2=fail
-
-            if use_re_support:
+            if not use_re_support:
+                # Fast path: evaluate the distance gate before building any
+                # window strings — most windows fail here, and the failure
+                # record's content/timing does not depend on the strings.
+                self_dist = [dist_cols[j][w] for j in range(k)]
+                if any(self_dist[j] > limits[j] for j in range(k)):
+                    if name not in found or not found[name][0]:
+                        found[name] = [False, f"distances beyond maximum: {self_dist}"]
+                    continue
+                window = [filt[j][w] for j in range(k)]
+                joined_window = whitespace.join(window)
+                scores: list[float] = [(1 - (sum(self_dist) / len(joined_key))) * 100]
+                stage = 1
+            else:
+                window = [filt[j][w] for j in range(k)]
+                joined_window = whitespace.join(window)
+                scores = []
+                stage = 1  # 0=success, 1=keep going, 2=fail
                 pattern = r"\s*".join(
                     "({})".format(fuzzy_key_pattern(t, 2)) for t in key_tokens
                 )
@@ -210,19 +223,12 @@ def match_keys_in_line(
                     stage = 2
                 if stage == 1:
                     self_dist = [edit_distance(key_tokens[j], window[j]) for j in range(k)]
-            else:
-                self_dist = [dist_cols[j][w] for j in range(k)]
-            if stage == 1:
-                self_ok = [self_dist[j] <= limits[j] for j in range(k)]
-
-            if stage == 1:
-                passing = [self_dist[j] for j in range(k) if self_ok[j]]
-                if len(passing) < k:
-                    if name not in found or not found[name][0]:
-                        found[name] = [False, f"distances beyond maximum: {self_dist}"]
-                    stage = 2
-                else:
-                    scores.append((1 - (sum(passing) / len(joined_key))) * 100)
+                    if any(self_dist[j] > limits[j] for j in range(k)):
+                        if name not in found or not found[name][0]:
+                            found[name] = [False, f"distances beyond maximum: {self_dist}"]
+                        stage = 2
+                    else:
+                        scores.append((1 - (sum(self_dist) / len(joined_key))) * 100)
 
             if stage == 1:
                 # Equalise lengths for positional accuracy (pad/truncate).

@@ -43,9 +43,17 @@ def split_with_spans(
     accumulation (a run ends exactly at a splitter or EOS; blank runs are
     dropped by both).
     """
+    return _split_cached(text, tuple(splitters))
+
+
+@lru_cache(maxsize=8192)
+def _split_cached(text: str, splitters: tuple[str, ...]):
+    # Cached per (line, splitters): the sweep probes the SAME line with up
+    # to ~16 specs sharing two splitter sets, so hits dominate.  Callers
+    # treat the returned lists as immutable (slices only).
     tokens: list[str] = []
     spans: list[tuple[int, int]] = []
-    for m in _runs_pattern(tuple(splitters)).finditer(text):
+    for m in _runs_pattern(splitters).finditer(text):
         tok = m.group()
         if not _BLANK.match(tok):
             tokens.append(tok)

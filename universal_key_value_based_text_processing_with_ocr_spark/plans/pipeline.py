@@ -69,16 +69,19 @@ def run_extraction_job(
 
         if audit_tbl is not None:
             wall_ms = int((time.time() - t0) * 1000)
-            audit = (
+            per_partition = (
                 results.groupBy("partition_id")
                 .agg(
                     F.count("*").alias("n_docs"),
                     F.sum(F.col("success").cast("long")).alias("n_success"),
                     F.sum("n_bytes").alias("bytes_in"),
                 )
-                .select(
+            )
+
+            def _stage_rows(df, stage):
+                return df.select(
                     F.lit(run_id).alias("run_id"),
-                    F.lit("extract").alias("stage"),
+                    F.lit(stage).alias("stage"),
                     F.col("partition_id"),
                     "n_docs",
                     "n_success",
@@ -86,8 +89,18 @@ def run_extraction_job(
                     F.lit(wall_ms).alias("wall_ms"),
                     F.lit(snapshot_id).alias("snapshot_id"),
                 )
+
+            # Lineage rows for both pipeline stages (the fused stage does
+            # html_parse+extract together; 'write' records the commit).
+            write_row = per_partition.groupBy().agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("n_success").alias("n_success"),
+                F.sum("bytes_in").alias("bytes_in"),
+            ).select(F.lit(-1).alias("partition_id"), "n_docs", "n_success", "bytes_in")
+            audit = _stage_rows(per_partition, "extract").unionByName(
+                _stage_rows(write_row, "write")
             )
-            audit_tbl.append(audit, summary={"run_id": run_id, "stage": "extract"})
+            audit_tbl.append(audit, summary={"run_id": run_id, "stage": "extract+write"})
     finally:
         results.unpersist()
 
