@@ -58,7 +58,7 @@ def build_spark(cpus: int):
 
 def main() -> None:
     sf = sf_of(SF_DIR)
-    n_docs = max(400, int(60000 * sf))  # sf0.1 -> 6000 synthetic pages
+    n_docs = max(400, int(120000 * sf))  # sf0.1 -> 12000 synthetic pages
 
     spark = build_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")

@@ -213,14 +213,26 @@ sh AS (
 )
 """
 
+# Mirror of operators/dedup.py MINHASH_A/B/PRIME (universal hash family over
+# one 32-bit md5-derived base hash per shingle).
+from .operators.dedup import MINHASH_A, MINHASH_B, MINHASH_PRIME  # noqa: E402
+
+_SEED_ROWS = ", ".join(
+    f"({i}, {MINHASH_A[i]}, {MINHASH_B[i]})" for i in range(16)
+)
+
 _MINHASH_CTE = (
     _SHINGLES_CTE
-    + """,
+    + f""",
+xh AS (
+    SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x FROM sh
+),
+seeds(seed, a, b) AS (VALUES {_SEED_ROWS}),
 sig AS (
-    SELECT doc_id, CAST(s.seed AS INT) AS seed,
-           min(('0x' || substr(md5(CAST(s.seed AS INT) || '|' || shingle), 1, 15))::BIGINT) AS minhash
-    FROM sh, generate_series(0, 15) AS s(seed)
-    GROUP BY doc_id, CAST(s.seed AS INT)
+    SELECT doc_id, CAST(seed AS INT) AS seed,
+           min((a * x + b) % {MINHASH_PRIME}) AS minhash
+    FROM xh, seeds
+    GROUP BY doc_id, CAST(seed AS INT)
 )
 """
 )
@@ -286,10 +298,14 @@ ORACLE_SQL = {
     """,
     "dedup_ngram_jaccard": f"""
         WITH {_SHINGLES_CTE},
-        sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+        kept AS (
+            SELECT doc_id, shingle FROM sh
+            QUALIFY count(*) OVER (PARTITION BY shingle) <= 100
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_shingles FROM kept GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
         )
         SELECT doc_a, doc_b,

@@ -46,9 +46,30 @@ def char_shingles(docs: DataFrame, n: int = 10) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, n: int = 10, threshold: float = 0.5) -> DataFrame:
-    """Near-dup pairs by char-n-gram Jaccard >= threshold (doc_a < doc_b)."""
-    sh = char_shingles(docs, n)
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 10, threshold: float = 0.5, max_doc_freq: int = 100
+) -> DataFrame:
+    """Near-dup pairs by char-n-gram Jaccard >= threshold (doc_a < doc_b).
+
+    Shingles occurring in more than ``max_doc_freq`` documents are dropped
+    from BOTH the intersection and the set sizes ("stop-shingles").  A
+    shingle shared by d documents contributes O(d^2) join rows while adding
+    no discriminative signal, so without the cap the exact all-pairs join
+    degenerates quadratically on boilerplate-heavy corpora; with it the
+    worst join group is max_doc_freq^2.  (For corpus-scale near-dup the LSH
+    variant below is the real plan; this is the exact baseline.)
+    """
+    raw = char_shingles(docs, n)
+    # One pass: document frequency via a window over the shingle partition
+    # (a single shuffle), then persist — the kept-shingle set feeds three
+    # branches (sizes + both join sides), so recomputing it would triple
+    # the scan+shingle cost.
+    sh = (
+        raw.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
+        .filter(F.col("df") <= max_doc_freq)
+        .drop("df")
+        .persist()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -87,16 +108,48 @@ def _md5_long(col) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+# Universal-hash family over ONE base hash per shingle: h_s = (a_s*x + b_s)
+# mod p with p prime > 2^32 and 30-bit odd multipliers, so one md5 feeds all
+# signature positions (16x fewer digests) and every product stays < 2^62
+# (exact in any engine's 64-bit integers — the oracle replays it in SQL).
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+MINHASH_A = [
+    787697173, 611068513, 201906163, 989422417, 359573261, 573721831,
+    876298313, 102938417, 743292619, 465730177, 694392113, 550127099,
+    318932117, 908765431, 237465209, 662198473,
+]
+MINHASH_B = [
+    105691, 905869, 333667, 710641, 260017, 881917, 414977, 623521,
+    198491, 764929, 536879, 149057, 982451, 370261, 657731, 821297,
+]
+
+
+def _base_hash(col) -> F.Column:
+    """32-bit reproducible base hash: first 8 md5 hex digits as bigint."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
 def minhash_signatures(docs: DataFrame, n_hashes: int = 16, shingle_n: int = 10) -> DataFrame:
-    """(doc_id, seed, minhash): min over shingles of md5(seed|shingle)."""
-    sh = char_shingles(docs, shingle_n)
-    seeds = F.explode(F.array([F.lit(i) for i in range(n_hashes)])).alias("seed")
+    """(doc_id, seed, minhash): min over shingles of (a_s*md5_32 + b_s) % p."""
+    sh = char_shingles(docs, shingle_n).select("doc_id", _base_hash(F.col("shingle")).alias("x"))
+    seeds = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("seed"),
+                    F.lit(MINHASH_A[i]).alias("a"),
+                    F.lit(MINHASH_B[i]).alias("b"),
+                )
+                for i in range(n_hashes)
+            ]
+        )
+    ).alias("s")
     return (
-        sh.select("doc_id", "shingle", seeds)
+        sh.select("doc_id", "x", seeds)
         .select(
             "doc_id",
-            "seed",
-            _md5_long(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
+            F.col("s.seed").alias("seed"),
+            ((F.col("s.a") * F.col("x") + F.col("s.b")) % MINHASH_PRIME).alias("h"),
         )
         .groupBy("doc_id", "seed")
         .agg(F.min("h").alias("minhash"))
