@@ -71,6 +71,7 @@ def main() -> None:
         salted_repartition,
     )
     from universal_key_value_based_text_processing_with_ocr_spark.sources.pages import (
+        materialize_pages_parquet,
         synth_pages_df,
     )
 
@@ -81,7 +82,10 @@ def main() -> None:
     extract_pages(synth_pages_df(spark, 64, partitions=CPUS)).count()
 
     # --- headline: extraction throughput --------------------------------
-    pages = salted_repartition(synth_pages_df(spark, n_docs, partitions=CPUS * 2), CPUS * 4)
+    # Production shape: JVM parquet scan -> salted repartition -> fused
+    # extract stage.  The synthetic source is materialised untimed.
+    pages_path = materialize_pages_parquet(spark, n_docs)
+    pages = salted_repartition(spark.read.parquet(pages_path), CPUS * 4)
     t0 = time.time()
     extracted = extract_pages(pages).count()
     timings["extract_pages"] = round(time.time() - t0, 3)

@@ -29,7 +29,7 @@ from .operators.extract import (
     html_to_lines,
 )
 from .sources.pages import synth_pages_df
-from .streaming import streamed_events_window_agg
+from .streaming import stateful_sessionize_stream, streamed_events_window_agg
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 GOLDEN_EXTRACT = REPO_ROOT / "tests" / "golden" / "extract_golden.parquet"
@@ -168,6 +168,10 @@ def q_streamed_window_agg(spark, sf_dir):
     return streamed_events_window_agg(spark, f"{sf_dir}/events.parquet")
 
 
+def q_stateful_sessionize(spark, sf_dir):
+    return stateful_sessionize_stream(spark, f"{sf_dir}/events.parquet")
+
+
 QUERIES = {
     "extract_fields": q_extract_fields,
     "html_main_lines": q_html_main_lines,
@@ -196,6 +200,7 @@ QUERIES = {
     "events_window_agg": q_events_window_agg,
     "events_sessionize": q_events_sessionize,
     "streamed_window_agg": q_streamed_window_agg,
+    "stateful_sessionize": q_stateful_sessionize,
 }
 
 
@@ -469,6 +474,17 @@ ORACLE_SQL = {
         FROM events GROUP BY 1, 2
     """,
     "events_sessionize": """
+        WITH flagged AS (
+            SELECT user_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        )
+        SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
+        FROM flagged GROUP BY user_id
+    """,
+    "stateful_sessionize": """
         WITH flagged AS (
             SELECT user_id,
                    CASE WHEN lag(ts) OVER w IS NULL

@@ -17,6 +17,25 @@ from .synthdocs import PAGES_SCHEMA, gen_page_row
 _COLS = ["url", "warc_ts", "html", "text", "lang"]
 
 
+def materialize_pages_parquet(spark, n: int, seed: int = 42, base_dir: str | None = None) -> str:
+    """Write (once) and return a parquet pages table for (seed, n).
+
+    Benchmarks time the production pipeline shape — JVM parquet scan ->
+    shuffle -> extract — so the synthetic source is materialised untimed
+    and cached across runs."""
+    import tempfile
+    from pathlib import Path
+
+    base = Path(base_dir or tempfile.gettempdir())
+    path = base / f"ukv_pages_seed{seed}_n{n}.parquet"
+    if not (path / "_SUCCESS").exists():
+        parts = max(8, n // 500)
+        synth_pages_df(spark, n, seed=seed, partitions=parts).write.mode("overwrite").parquet(
+            str(path)
+        )
+    return str(path)
+
+
 def synth_pages_df(
     spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None
 ) -> DataFrame:
