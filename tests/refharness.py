@@ -81,8 +81,15 @@ def load_reference():
     sys.modules["ocr"] = ocr_stub
 
     pre_stub = types.ModuleType("preprocessing")
-    pre_stub.preprocessing3 = lambda img, *a, **k: img
-    pre_stub.preprocessing1 = lambda img, *a, **k: img
+
+    def preprocessing3(img, *a, **k):  # identity; name is observable via
+        return img  # simple_parse_one_all's model_result keys
+
+    def preprocessing1(img, *a, **k):
+        return img
+
+    pre_stub.preprocessing3 = preprocessing3
+    pre_stub.preprocessing1 = preprocessing1
     pre_stub.whimg = lambda img, *a, **k: img
     pre_stub.get_warning_image = lambda img, *a, **k: {}
     sys.modules["preprocessing"] = pre_stub

@@ -25,6 +25,7 @@ from .operators import dedup, multimodal, relational, similarity, textstats
 from .operators.extract import (
     SAMPLE_CUSTOM_CONFIG,
     extract_pages,
+    extract_pages_blended,
     extract_pages_with_config,
     html_to_lines,
 )
@@ -35,6 +36,7 @@ REPO_ROOT = Path(__file__).resolve().parent.parent
 GOLDEN_EXTRACT = REPO_ROOT / "tests" / "golden" / "extract_golden.parquet"
 GOLDEN_LINES = REPO_ROOT / "tests" / "golden" / "lines_golden.parquet"
 GOLDEN_CUSTOM = REPO_ROOT / "tests" / "golden" / "custom_golden.parquet"
+GOLDEN_BLENDED = REPO_ROOT / "tests" / "golden" / "blended_golden.parquet"
 GOLDEN_N = 400
 GOLDEN_SEED = 42
 
@@ -64,6 +66,12 @@ def q_custom_config_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-defined key-dictionary extraction (kvcore/config.py JSON spec)."""
     pages = synth_pages_df(spark, GOLDEN_N, seed=GOLDEN_SEED)
     return extract_pages_with_config(pages, SAMPLE_CUSTOM_CONFIG)
+
+
+def q_extract_fields_blended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-parser blended extraction (sweep + NIK re-scan, Entry-1 shape)."""
+    pages = synth_pages_df(spark, GOLDEN_N, seed=GOLDEN_SEED)
+    return extract_pages_blended(pages)
 
 
 def q_doc_token_count(spark, sf_dir):
@@ -176,6 +184,7 @@ QUERIES = {
     "extract_fields": q_extract_fields,
     "html_main_lines": q_html_main_lines,
     "custom_config_extract": q_custom_config_extract,
+    "extract_fields_blended": q_extract_fields_blended,
     "doc_token_count": q_doc_token_count,
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
@@ -253,6 +262,9 @@ ORACLE_SQL = {
     """,
     "custom_config_extract": f"""
         SELECT url, result_json, success, n_fields FROM '{GOLDEN_CUSTOM}'
+    """,
+    "extract_fields_blended": f"""
+        SELECT url, result_json, success, n_fields FROM '{GOLDEN_BLENDED}'
     """,
     "doc_token_count": r"""
         SELECT doc_id,

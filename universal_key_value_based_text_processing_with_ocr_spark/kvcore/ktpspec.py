@@ -45,7 +45,7 @@ from .evaluate import (
 )
 from .matching import match_keys_in_line, match_line_regex
 from .repair import repair_no_number, repair_to_letters
-from .sweep import blend_parsers, sweep_document
+from .sweep import blend_parsers, scan_document_all, sweep_document
 
 RESULT_ORDERS = [
     "PROVINSI",
@@ -404,6 +404,52 @@ def parse_document(
     result = blend_parsers(
         doc_parsers={sweep_document: {"doc_str": doc_str, "to_extracts": specs}},
         final_evaluator=final_evaluator,
+    )
+    result["warning"] = {} if warning is None else warning
+    result["result"] = {k: result["result"][k] for k in result_orders if k in result["result"]}
+    return {k: result[k] for k in output_orders if k in result}
+
+
+def _rescan_nik_spec():
+    """The focused NIK re-scan spec of the blended entry point
+    (reference ``to_extracts_ktp_nik``, parsers.py:63-65)."""
+    return dict(
+        extractor=match_line_regex,
+        extractor_args=dict(alias_names=["NIK_1"], pattern=r".*"),
+        evaluators=[eval_nik],
+        multi_line_value=False,
+        alias_names=["NIK_1"],
+        tolerant_not_exists=[True],
+        tess_config="",
+    )
+
+
+def parse_document_blended(
+    doc_str,
+    configs=None,
+    output_orders=None,
+    result_orders=None,
+    warning=None,
+):
+    """Two-parser blended entry == reference ``parse_ktp`` image-path
+    STRUCTURE (parsers.py:68-96) applied to a text payload: the ordered
+    field sweep PLUS the multi-hit NIK_1 re-scan, merged first-writer-wins,
+    then the cross-field final evaluator."""
+    if configs is None:
+        configs = DEFAULT_FIELD_CONFIG
+    if output_orders is None:
+        output_orders = OUTPUT_ORDERS
+    if result_orders is None:
+        result_orders = RESULT_ORDERS
+
+    specs = build_ktp_specs(configs)
+    result = blend_parsers(
+        doc_parsers={
+            sweep_document: {"to_extracts": specs},
+            scan_document_all: {"spec": [_rescan_nik_spec()]},
+        },
+        final_evaluator=final_evaluate_ktp,
+        doc_str=doc_str,
     )
     result["warning"] = {} if warning is None else warning
     result["result"] = {k: result["result"][k] for k in result_orders if k in result["result"]}

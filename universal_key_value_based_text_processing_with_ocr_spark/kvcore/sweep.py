@@ -169,6 +169,53 @@ def sweep_document(doc_str, to_extracts, final_evaluator=None):
     return final_result
 
 
+def scan_document_all(doc_str, spec, passes=("preprocessing3", "preprocessing1")):
+    """Multi-hit scan: run ONE spec over every line of every pass,
+    collecting ALL evaluator-passing values (no consumption, no break).
+
+    Parity target: reference ``simple_parse_one_all``
+    (/root/reference/ocrfw/postprocessing.py:666-698) on the text path —
+    the second "physical plan" of the blended entry point (parsers.py:68-73),
+    whose role is a focused re-scan (NIK digits) across alternative payload
+    preprocessings.  For text payloads each pass sees the same lines; the
+    pass names mirror the reference's preprocessing function names.
+
+    Kept quirks: a dict extractor result is flattened to its VALUES list
+    before evaluation; evaluator outputs are ``extend``-ed (not appended);
+    success = at least one collected value.
+    """
+    if type(spec) is list:
+        spec = spec[0]
+    all_result: list = []
+    all_real_lines: dict = {}
+    extractor = spec["extractor"]
+    extractor_args = spec["extractor_args"]
+
+    for pass_name in passes:
+        real_lines = doc_str.split("\n")
+        all_real_lines[pass_name] = real_lines
+        for line in real_lines:
+            extractor_args["line"] = line
+            line_result = extractor(**extractor_args)
+            if line_result[0]:
+                new_result = line_result[1]
+                if type(new_result) is dict:
+                    new_result = [v for _, v in new_result.items()]
+                if len(spec["evaluators"]) > 0:
+                    for evaluator in spec["evaluators"]:
+                        eval_result = evaluator(new_result)
+                        if eval_result[0]:
+                            all_result.extend(eval_result[1])
+                else:
+                    all_result.append(new_result)
+
+    return {
+        "result": {spec["alias_names"][0]: all_result},
+        "model_result": all_real_lines,
+        "success": True if len(all_result) > 0 else False,
+    }
+
+
 def blend_parsers(doc_parsers, final_evaluator=None, **kwargs):
     """Run each parser; merge ``result``/``model_result`` first-writer-wins,
     then apply the final evaluator over the merged result dict."""

@@ -188,3 +188,43 @@ def extract_pages_with_config(pages_df, cfg: dict):
             yield pd.DataFrame(out, columns=["url", "result_json", "success", "n_fields"])
 
     return pages_df.select("url", "html", "text").mapInPandas(gen, schema=CUSTOM_SCHEMA)
+
+
+BLENDED_SCHEMA = "url string, result_json string, success boolean, n_fields int"
+
+
+def parse_page_row_blended(url, html, text) -> dict:
+    """Two-parser blended extraction (Entry-1 structure) for one page."""
+    from ..kvcore.ktpspec import parse_document_blended
+
+    if html is not None:
+        doc = "\n".join(extract_main_lines(bytes(html)))
+    elif text is not None:
+        doc = text
+    else:
+        doc = ""
+    try:
+        parsed = parse_document_blended(doc)
+    except Exception as exc:
+        parsed = {"success": False, "result": {},
+                  "all_error_messages": [f"engine exception: {type(exc).__name__}: {exc}"]}
+    return {
+        "url": url,
+        "result_json": json.dumps(parsed.get("result", {}), default=str),
+        "success": bool(parsed.get("success", False)),
+        "n_fields": len(parsed.get("result", {})),
+    }
+
+
+def extract_pages_blended(pages_df):
+    """pages -> blended (sweep + NIK re-scan) per-url results."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                parse_page_row_blended(row.url, row.html, row.text)
+                for row in pdf.itertuples(index=False)
+            ]
+            yield pd.DataFrame(out, columns=["url", "result_json", "success", "n_fields"])
+
+    return pages_df.select("url", "html", "text").mapInPandas(gen, schema=BLENDED_SCHEMA)
