@@ -113,3 +113,31 @@ def test_matcher_fuzz_shared_args_two_calls():
             got = matching.match_keys_in_line(**a1)
             want = ref_fn(**a2)
             assert _norm(got) == _norm(want), (trial, line)
+
+
+def test_sweep_fuzz_duplicate_lines_parity():
+    """Random short documents WITH DUPLICATED LINES through the full
+    text-path pipeline: exercises consume-by-value (del pool[pool.index])
+    picking the FIRST equal line (postprocessing.py:495)."""
+    from universal_key_value_based_text_processing_with_ocr_spark.kvcore import ktpspec
+
+    rng = random.Random(4242)
+    from universal_key_value_based_text_processing_with_ocr_spark.sources import synthdocs
+
+    ktp_lines = []
+    for doc_id in range(8):
+        d = synthdocs.gen_document(42, doc_id)
+        if d["lang"] == "ind":
+            ktp_lines.extend(d["_lines"])
+
+    for trial in range(25):
+        n = rng.randint(1, 6)
+        lines = [rng.choice(ktp_lines) for _ in range(n)]
+        if rng.random() < 0.7 and lines:
+            lines.insert(rng.randrange(len(lines) + 1), rng.choice(lines))  # duplicate
+        doc = "\n".join(lines)
+        got = {k: v for k, v in ktpspec.parse_document(doc).items() if k != "warning"}
+        want = refharness.ref_parse_document(
+            doc, ktpspec.DEFAULT_FIELD_CONFIG, ktpspec.RESULT_ORDERS, ktpspec.OUTPUT_ORDERS
+        )
+        assert _norm(got) == _norm(want), (trial, lines)
