@@ -36,12 +36,17 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def char_shingles(docs: DataFrame, n: int = 10) -> DataFrame:
-    """Distinct character n-gram shingles per document."""
-    pos = F.explode(F.sequence(F.lit(1), F.length("text") - (n - 1))).alias("pos")
+    """Distinct character n-gram shingles per document.
+
+    The shingle ARRAY is computed per row and then exploded, so generated
+    rows carry only the n-char shingle — exploding positions first would
+    replicate the full text into every row of the Generate output."""
+    shingle_array = F.expr(
+        f"transform(sequence(1, length(text) - {n - 1}), i -> substring(text, i, {n}))"
+    )
     return (
         docs.filter(F.length("text") >= n)
-        .select("doc_id", "text", pos)
-        .select("doc_id", F.expr(f"substring(text, pos, {n})").alias("shingle"))
+        .select("doc_id", F.explode(shingle_array).alias("shingle"))
         .distinct()
     )
 
@@ -130,29 +135,25 @@ def _base_hash(col) -> F.Column:
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = 16, shingle_n: int = 10) -> DataFrame:
-    """(doc_id, seed, minhash): min over shingles of (a_s*md5_32 + b_s) % p."""
+    """(doc_id, seed, minhash): min over shingles of (a_s*md5_32 + b_s) % p.
+
+    Physical shape: one column-wise min per seed in a SINGLE groupBy over
+    the shingle rows (map-side combinable, no n_hashes-fold row explosion),
+    then an unpivot to the (doc_id, seed, minhash) long form."""
     sh = char_shingles(docs, shingle_n).select("doc_id", _base_hash(F.col("shingle")).alias("x"))
-    seeds = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("seed"),
-                    F.lit(MINHASH_A[i]).alias("a"),
-                    F.lit(MINHASH_B[i]).alias("b"),
-                )
-                for i in range(n_hashes)
-            ]
-        )
-    ).alias("s")
-    return (
-        sh.select("doc_id", "x", seeds)
-        .select(
-            "doc_id",
-            F.col("s.seed").alias("seed"),
-            ((F.col("s.a") * F.col("x") + F.col("s.b")) % MINHASH_PRIME).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(MINHASH_A[i]) * F.col("x") + F.lit(MINHASH_B[i])) % MINHASH_PRIME).alias(
+                f"h{i}"
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    stack_expr = "stack({n}, {args}) as (seed, minhash)".format(
+        n=n_hashes, args=", ".join(f"{i}, h{i}" for i in range(n_hashes))
+    )
+    return mins.select("doc_id", F.expr(stack_expr)).select(
+        "doc_id", F.col("seed").cast("int").alias("seed"), "minhash"
     )
 
 
