@@ -134,11 +134,13 @@ def events_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization: lag + cumulative gap>threshold counter per user."""
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     prev_ts = F.lag("ts").over(w)
-    # ts may be TIMESTAMP_NTZ (parquet isAdjustedToUTC=false): go through
-    # timestamp_ltz (session TZ pinned to UTC) to get epoch seconds.
-    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
-    prev_epoch = prev_ts.cast("timestamp_ltz").cast("long")
-    new_sess = F.when(prev_ts.isNull() | (epoch - prev_epoch > gap_minutes * 60), 1).otherwise(0)
+    # ts is TIMESTAMP_NTZ: compare gaps as intervals (NTZ - NTZ), which is
+    # timezone-free — epoch-based math would depend on the session TZ.
+    new_sess = F.when(
+        prev_ts.isNull()
+        | ((F.col("ts") - prev_ts) > F.expr(f"INTERVAL {gap_minutes} MINUTES")),
+        1,
+    ).otherwise(0)
     with_sess = events.withColumn("sess_no", F.sum(new_sess).over(w))
     return with_sess.groupBy("user_id").agg(
         F.max("sess_no").cast("long").alias("n_sessions"), F.count("*").alias("n_events")
