@@ -81,13 +81,17 @@ def eval_province(value, max_mistakes=5, min_accuracy=0.5):
     probe = _WS.sub("", value.upper())
     scores_names = {}
     for cand in names:
+        # |len diff| lower-bounds the distance: the pair cannot pass the
+        # mistakes gate, and non-passing pairs leave no observable trace.
+        if abs(len(cand) - len(probe)) > max_mistakes:
+            continue
         if len(probe) < len(cand):
             eq = probe + (" " * (len(cand) - len(probe)))
         elif len(probe) > len(cand):
             eq = probe[: len(cand)]
         else:
             eq = probe
-        acc = accuracy(eq, cand) if len(eq) == len(cand) else 0.0
+        acc = accuracy(eq, cand)
         mistakes = edit_distance(cand, probe)
         if mistakes <= max_mistakes and acc >= min_accuracy:
             score = (100 - (mistakes * (100 / max_mistakes)) + acc * 100) / 2
@@ -104,6 +108,8 @@ def eval_city(value, max_mistakes=5, min_accuracy=0.5):
         return [False, f"Lenght of city should be > 3, found: {len(probe)}"]
     scores_names = {}
     for cand in names:
+        if abs(len(cand) - len(probe)) > max_mistakes:  # cannot pass (see eval_province)
+            continue
         if len(probe) < len(cand):
             eq = probe + (" " * (len(cand) - len(probe)))
         elif len(probe) > len(cand):
@@ -323,6 +329,12 @@ def eval_job(value, recommended_distance=1, max_distance=0.25):
     for raw_job, job_norm in _normalized_jobs():
         cap = math.floor(len(job_norm) * max_distance)
         probe = probe_full[: len(job_norm)] if len(probe_full) > len(job_norm) else probe_full
+        # After truncation len(probe) <= len(job_norm); the length gap
+        # lower-bounds the distance, so pairs beyond both gates are skipped
+        # with no observable effect (they set neither early-exit nor
+        # smallest_dist).
+        if len(job_norm) - len(probe) > max(cap, recommended_distance):
+            continue
         dist = edit_distance(job_norm, probe)
         if dist <= recommended_distance:
             # Early exit on a near-exact hit (top-1 short-circuit).
@@ -377,6 +389,8 @@ def eval_citizenship(value, recommended_distance=1, max_distance=0.25):
     for country in dictionaries.countries():
         country = country.upper()
         cap = math.floor(len(country) * max_distance)
+        if abs(len(country) - len(probe)) > max(cap, recommended_distance):
+            continue  # cannot pass either gate (see eval_province)
         dist = edit_distance(country, probe)
         if dist <= recommended_distance:
             return [True, country, probe]
