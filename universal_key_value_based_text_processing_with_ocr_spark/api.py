@@ -94,6 +94,18 @@ def q_charclass_projection(spark, sf_dir):
     return textstats.charclass_projection(_tbl(spark, sf_dir, "documents"))
 
 
+def q_doc_rolling_fp(spark, sf_dir):
+    return textstats.rolling_fingerprint(_tbl(spark, sf_dir, "documents"))
+
+
+def q_doc_winnowing_fp(spark, sf_dir):
+    return textstats.winnowing_fingerprints(_tbl(spark, sf_dir, "documents"))
+
+
+def q_corpus_top_terms(spark, sf_dir):
+    return textstats.corpus_top_terms(_tbl(spark, sf_dir, "documents"))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_tbl(spark, sf_dir, "documents"))
 
@@ -190,6 +202,9 @@ QUERIES = {
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
     "charclass_projection": q_charclass_projection,
+    "doc_rolling_fp": q_doc_rolling_fp,
+    "doc_winnowing_fp": q_doc_winnowing_fp,
+    "corpus_top_terms": q_corpus_top_terms,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
@@ -308,6 +323,38 @@ ORACLE_SQL = {
     "charclass_projection": """
         SELECT doc_id, regexp_replace(substring(text, 1, 40), '[^A-Za-z]', '', 'g') AS letters_only
         FROM documents
+    """,
+    "doc_rolling_fp": """
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+                   (acc, code) -> (acc * 31 + code) % 1000000007) AS roll_fp
+        FROM documents WHERE text IS NOT NULL
+    """,
+    "doc_winnowing_fp": """
+        WITH grams AS (
+            SELECT doc_id, CAST(i AS INT) - 1 AS pos,
+                   ('0x' || substr(md5(substring(text, CAST(i AS INT), 10)), 1, 15))::BIGINT AS h
+            FROM documents, unnest(range(1, length(text) - 8)) AS t(i)
+            WHERE text IS NOT NULL AND length(text) >= 10
+        )
+        SELECT DISTINCT doc_id,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM grams
+    """,
+    "corpus_top_terms": r"""
+        WITH toks AS (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+            FROM documents WHERE text IS NOT NULL
+        ),
+        counts AS (
+            SELECT term, count(*) AS n FROM toks WHERE length(term) > 0 GROUP BY term
+        )
+        SELECT term, n, CAST(row_number() OVER (ORDER BY n DESC, term ASC) AS INT) AS rank
+        FROM counts
+        QUALIFY rank <= 50
     """,
     "dedup_exact": """
         SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies

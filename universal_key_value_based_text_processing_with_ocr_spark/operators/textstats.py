@@ -10,8 +10,10 @@ __spark_entry__.oracle_sql().
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..functions.columns import md5_long
 
 EN_STOPWORDS = ["the", "and", "of", "to", "is"]
 ID_STOPWORDS = ["yang", "dan", "di", "untuk", "dengan"]
@@ -92,4 +94,60 @@ def charclass_projection(docs: DataFrame, prefix_len: int = 40) -> DataFrame:
         F.regexp_replace(F.substring(F.col("text"), 1, prefix_len), "[^A-Za-z]", "").alias(
             "letters_only"
         ),
+    )
+
+
+def rolling_fingerprint(docs: DataFrame, base: int = 31, mod: int = 1_000_000_007) -> DataFrame:
+    """(doc_id, roll_fp) — polynomial rolling hash over the text's
+    character codes (Rabin-Karp style full-document fingerprint): exact,
+    order-sensitive, engine-reproducible (modular arithmetic keeps every
+    intermediate < 2^60)."""
+    fp = F.aggregate(
+        F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, code: (acc * base + code) % mod,
+    )
+    return docs.filter(F.col("text").isNotNull()).select("doc_id", fp.alias("roll_fp"))
+
+
+def winnowing_fingerprints(
+    docs: DataFrame, k: int = 10, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken:
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003):
+    hash every k-gram, slide a window of ``window`` consecutive k-gram
+    hashes, keep each window's minimum, emit the distinct minima per doc.
+
+    Guarantees matches of length >= k+window-1 share a fingerprint while
+    keeping O(n/window) selected hashes — the standard sub-linear
+    fingerprint for large-corpus overlap detection."""
+    grams = (
+        docs.filter(F.length("text") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(f"transform(sequence(1, length(text) - {k - 1}), i -> substring(text, i, {k}))")
+            ).alias("pos", "gram"),
+        )
+        .select("doc_id", "pos", md5_long(F.col("gram")).alias("h"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        grams.select("doc_id", F.min("h").over(w).alias("fp"))
+        .distinct()
+    )
+
+
+def corpus_top_terms(docs: DataFrame, n: int = 50) -> DataFrame:
+    """Corpus-wide term frequencies, top-n (deterministic tie-break):
+    the canonical partial+final-aggregated shuffle-heavy text statistic."""
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term")
+    ).filter(F.length("term") > 0)
+    counts = toks.groupBy("term").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select("term", "n", F.col("rank").cast("int").alias("rank"))
     )
