@@ -148,3 +148,35 @@ def test_extract_handles_null_payloads(spark):
     assert got["u1"].extracted_text is None and got["u1"].success is False
     assert got["u2"].extracted_text == "hi there"
     assert got["u3"].extracted_text == "NIK : 3201"
+
+
+def test_concurrent_appends_no_lost_snapshots(spark, tmp_path):
+    """Two writers committing simultaneously: the CAS commit must serialise
+    them (distinct sequence numbers) and the final table must contain BOTH
+    appends — no orphaned snapshot."""
+    import threading
+
+    tbl = SnapshotTable(tmp_path / "cc")
+    dfs = [
+        spark.createDataFrame([(i, f"w{w}") for i in range(10)], "id long, writer string")
+        for w in range(4)
+    ]
+    errors = []
+
+    def commit(df):
+        try:
+            tbl.append(df)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=commit, args=(df,)) for df in dfs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    hist = tbl.history()
+    assert [h["sequence"] for h in hist] == [1, 2, 3, 4]
+    final = tbl.read(spark)
+    assert final.count() == 40
+    assert final.select("writer").distinct().count() == 4

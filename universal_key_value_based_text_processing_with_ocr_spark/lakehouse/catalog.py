@@ -55,40 +55,52 @@ class SnapshotTable:
         return m["snapshot_id"] if m else None
 
     # -- write path ------------------------------------------------------------
-    def append(self, df: DataFrame, summary: dict | None = None) -> str:
+    def append(self, df: DataFrame, summary: dict | None = None, max_retries: int = 20) -> str:
         """Append df as a new snapshot; returns the snapshot id.
 
-        The data files are written first (invisible to readers), then the
-        manifest is renamed into place — the atomic commit point."""
-        parent = self.latest_manifest()
-        seq = (parent["sequence"] + 1) if parent else 1
+        Optimistic-concurrency commit (Iceberg-style): data files are
+        written first (invisible to readers), then the manifest claims the
+        next sequence number via an EXCLUSIVE create (``os.link`` of a
+        fsync'd temp file onto the unique ``v<seq>.json`` name — a POSIX
+        compare-and-swap).  A concurrent writer that claimed the same
+        sequence first causes EEXIST; this writer then re-reads the new
+        parent, rebases its manifest (parent files + its own) and retries,
+        so no committed snapshot is ever orphaned."""
         snapshot_id = uuid.uuid4().hex[:16]
         data_dir = self.path / "data" / snapshot_id
         df.write.mode("overwrite").parquet(str(data_dir))
-
         new_files = sorted(
             str(p.relative_to(self.path))
             for p in data_dir.rglob("*.parquet")
             if p.is_file()
         )
-        manifest = {
-            "snapshot_id": snapshot_id,
-            "parent_id": parent["snapshot_id"] if parent else None,
-            "sequence": seq,
-            "committed_at_ms": int(time.time() * 1000),
-            "schema": df.schema.json(),
-            "files": (parent["files"] if parent else []) + new_files,
-            "summary": summary or {},
-        }
         self.snapshot_dir.mkdir(parents=True, exist_ok=True)
-        tmp = self.snapshot_dir / f".tmp-{snapshot_id}.json"
-        final = self.snapshot_dir / f"v{seq:08d}-{snapshot_id}.json"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, final)  # atomic commit
-        return snapshot_id
+
+        for _attempt in range(max_retries):
+            parent = self.latest_manifest()
+            seq = (parent["sequence"] + 1) if parent else 1
+            manifest = {
+                "snapshot_id": snapshot_id,
+                "parent_id": parent["snapshot_id"] if parent else None,
+                "sequence": seq,
+                "committed_at_ms": int(time.time() * 1000),
+                "schema": df.schema.json(),
+                "files": (parent["files"] if parent else []) + new_files,
+                "summary": summary or {},
+            }
+            tmp = self.snapshot_dir / f".tmp-{snapshot_id}-{_attempt}.json"
+            final = self.snapshot_dir / f"v{seq:08d}.json"
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump(manifest, f)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, final)  # atomic claim of this sequence number
+                os.unlink(tmp)
+                return snapshot_id
+            except FileExistsError:
+                os.unlink(tmp)  # lost the race: rebase on the new parent
+        raise RuntimeError(f"commit contention: gave up after {max_retries} retries on {self.path}")
 
     # -- read path ------------------------------------------------------------
     def read(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame:
