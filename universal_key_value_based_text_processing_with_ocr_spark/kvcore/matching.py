@@ -192,21 +192,56 @@ def match_keys_in_line(
                     ]
                 )
 
-        for w in range(n_win):
-            if not use_re_support:
-                # Fast path: evaluate the distance gate before building any
-                # window strings — most windows fail here, and the failure
-                # record's content/timing does not depend on the strings.
-                self_dist = [dist_cols[j][w] for j in range(k)]
-                if any(self_dist[j] > limits[j] for j in range(k)):
-                    if name not in found or not found[name][0]:
-                        found[name] = [False, f"distances beyond maximum: {self_dist}"]
-                    continue
+        if not use_re_support:
+            # Gate pass over all windows first.  Failure-record CONTENT and
+            # per-window write ORDER are unobservable (records never leave
+            # this function; the dict slot per name is fixed by this key's
+            # loop position), so failing windows reduce to one boolean and
+            # one optional False write, with no string building at all.
+            if k == 1:
+                col0, lim0 = dist_cols[0], limits[0]
+                passing = [w for w in range(n_win) if col0[w] <= lim0]
+            else:
+                passing = [
+                    w
+                    for w in range(n_win)
+                    if all(dist_cols[j][w] <= limits[j] for j in range(k))
+                ]
+            any_fail = len(passing) < n_win
+            min_acc = min_accuracies[key_idx]
+            len_jk = len(joined_key)
+            succeeded = False
+            for w in passing:
                 window = [filt[j][w] for j in range(k)]
                 joined_window = whitespace.join(window)
-                scores: list[float] = [(1 - (sum(self_dist) / len(joined_key))) * 100]
-                stage = 1
-            else:
+                if len(joined_window) < len_jk:
+                    probe = joined_window + whitespace * (len_jk - len(joined_window))
+                elif len(joined_window) > len_jk:
+                    probe = joined_window[:len_jk]
+                else:
+                    probe = joined_window
+                acc = accuracy(joined_key, probe)
+                if acc < min_acc:
+                    any_fail = True
+                    continue
+                dist_score = (1 - (sum(dist_cols[j][w] for j in range(k)) / len_jk)) * 100
+                scores = [dist_score, acc * 100]
+                overall = (dist_score + acc * 100) / 2
+                succeeded = True
+                record = [True, window, overall, scores, spans[w : w + k]]
+                if name in found and found[name][0]:
+                    if overall > found[name][2]:
+                        found[name] = record
+                else:
+                    found[name] = record
+            if succeeded:
+                done_key_indexes.append(key_idx)
+            elif any_fail and (name not in found or not found[name][0]):
+                found[name] = [False, "no window passed the distance/accuracy gates"]
+            continue
+
+        for w in range(n_win):
+            if True:
                 window = [filt[j][w] for j in range(k)]
                 joined_window = whitespace.join(window)
                 scores = []
