@@ -87,3 +87,15 @@ def test_quality_warnings():
     assert 1 in page_quality_warnings(10, None, "en")
     assert 2 in page_quality_warnings(9 * 1024 * 1024, None, "en")
     assert page_quality_warnings(1000, None, "en") == {}
+
+
+def test_declared_charset_sniffed():
+    body = "<p>zażółć gęślą jaźń ok</p>"
+    html = ('<html><head><meta charset="iso-8859-2"></head><body>' + body + "</body></html>").encode("iso-8859-2")
+    lines = extract_main_lines(html)
+    assert lines == ["zażółć gęślą jaźń ok"]
+
+
+def test_wrong_declared_charset_falls_back():
+    html = ('<html><head><meta charset="no-such-enc"></head><body><p>héllo wörld</p></body></html>').encode("utf-8")
+    assert extract_main_lines(html) == ["héllo wörld"]

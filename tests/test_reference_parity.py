@@ -105,12 +105,21 @@ EVAL_PAIRS = [
 ]
 
 
+def _fuzz_values(n=250, seed=31):
+    rng = random.Random(seed)
+    alpha = "aA10oO5sS3eE8Bg9+|^?! .:/-WNIKLMPRUDHT24679"
+    out = []
+    for _ in range(n):
+        out.append("".join(rng.choice(alpha) for _ in range(rng.randint(0, 28))))
+    return out
+
+
 @pytest.mark.parametrize("mine_name,ref_name", EVAL_PAIRS)
 def test_evaluator_parity(ref, mine_name, ref_name):
     _, ev = ref
     mine = getattr(evaluate, mine_name)
     theirs = ev[ref_name]
-    for v in NOISY_VALUES:
+    for v in NOISY_VALUES + _fuzz_values():
         try:
             want = theirs(v)
             want_exc = None

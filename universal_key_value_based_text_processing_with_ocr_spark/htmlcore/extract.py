@@ -28,6 +28,7 @@ Text Features", WSDM 2010):
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
 
 _KILL_TAGS = frozenset(
@@ -111,8 +112,24 @@ class _BlockCollector(HTMLParser):
             self._link_chars += n
 
 
+_CHARSET_DECL = re.compile(rb"charset\s*=\s*[\"']?([A-Za-z0-9_\-]+)")
+
+
 def decode_payload(payload: bytes) -> str:
-    """bytes -> str with charset fallback (utf-8 strict, then latin-1)."""
+    """bytes -> str: declared-charset sniff, then utf-8, then latin-1.
+
+    The charset declaration (``<meta charset=...>`` or a Content-Type meta)
+    is sniffed from the first 2 KiB; a wrong or unknown declaration falls
+    through to the utf-8/latin-1 chain (latin-1 never fails, so decoding is
+    total)."""
+    m = _CHARSET_DECL.search(payload[:2048])
+    if m:
+        name = m.group(1).decode("ascii", "ignore").lower()
+        if name not in ("utf-8", "utf8"):
+            try:
+                return payload.decode(name)
+            except (LookupError, UnicodeDecodeError, ValueError):
+                pass
     try:
         return payload.decode("utf-8")
     except UnicodeDecodeError:
