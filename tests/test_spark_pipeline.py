@@ -180,3 +180,20 @@ def test_concurrent_appends_no_lost_snapshots(spark, tmp_path):
     final = tbl.read(spark)
     assert final.count() == 40
     assert final.select("writer").distinct().count() == 4
+
+
+def test_manifest_file_pruning(spark, tmp_path):
+    """Range reads prune data files via manifest min/max stats before Spark
+    lists them (Iceberg-style scan pruning)."""
+    tbl = SnapshotTable(tmp_path / "pruned")
+    # three appends with disjoint id ranges -> three file sets
+    for lo in (0, 100, 200):
+        df = spark.range(lo, lo + 50).selectExpr("id", "concat('v', id) as v").coalesce(1)
+        tbl.append(df)
+    kept, total = tbl.pruned_file_count(between=(120, 130))
+    assert total == 3 and kept == 1
+    got = tbl.read(spark, between=(120, 130))
+    rows = got.filter("id between 120 and 130").count()
+    assert rows == 11
+    # unpruned read still sees everything
+    assert tbl.read(spark).count() == 150

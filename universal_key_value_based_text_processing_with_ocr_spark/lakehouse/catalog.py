@@ -74,6 +74,7 @@ class SnapshotTable:
             for p in data_dir.rglob("*.parquet")
             if p.is_file()
         )
+        file_stats = self._collect_file_stats(new_files)
         self.snapshot_dir.mkdir(parents=True, exist_ok=True)
 
         for _attempt in range(max_retries):
@@ -86,6 +87,7 @@ class SnapshotTable:
                 "committed_at_ms": int(time.time() * 1000),
                 "schema": df.schema.json(),
                 "files": (parent["files"] if parent else []) + new_files,
+                "file_stats": {**(parent.get("file_stats", {}) if parent else {}), **file_stats},
                 "summary": summary or {},
             }
             tmp = self.snapshot_dir / f".tmp-{snapshot_id}-{_attempt}.json"
@@ -102,9 +104,40 @@ class SnapshotTable:
                 os.unlink(tmp)  # lost the race: rebase on the new parent
         raise RuntimeError(f"commit contention: gave up after {max_retries} retries on {self.path}")
 
+    # -- file statistics (manifest-level pruning, Iceberg-style) -------------
+    STATS_COLUMNS = ("url", "doc_id", "user_id", "id")
+
+    def _collect_file_stats(self, rel_files: list[str]) -> dict:
+        """Per-file row count + min/max of the first present stats column,
+        read from parquet footers (metadata only, no data scan)."""
+        import pyarrow.parquet as pq
+
+        stats: dict = {}
+        for rel in rel_files:
+            try:
+                meta = pq.ParquetFile(str(self.path / rel)).metadata
+            except Exception:
+                continue
+            names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+            col = next((c for c in self.STATS_COLUMNS if c in names), None)
+            entry: dict = {"rows": meta.num_rows}
+            if col is not None:
+                idx = names[col]
+                lo = hi = None
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        lo = hi = None
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                if lo is not None:
+                    entry.update({"column": col, "min": lo, "max": hi})
+            stats[rel] = entry
+        return stats
+
     # -- read path ------------------------------------------------------------
-    def read(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame:
-        """Read the latest (or a pinned) snapshot's exact file list."""
+    def _resolve_manifest(self, snapshot_id: str | None) -> dict:
         manifest = self.latest_manifest()
         if snapshot_id is not None:
             for p in reversed(self._manifests()):
@@ -117,12 +150,52 @@ class SnapshotTable:
                 raise ValueError(f"snapshot {snapshot_id} not found in {self.path}")
         if manifest is None:
             raise FileNotFoundError(f"no committed snapshot in {self.path}")
-        files = [str(self.path / f) for f in manifest["files"]]
-        if not files:
+        return manifest
+
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: str | None = None,
+        between: tuple | None = None,
+    ) -> DataFrame:
+        """Read the latest (or a pinned) snapshot's exact file list.
+
+        ``between=(lo, hi)`` prunes data files whose manifest min/max range
+        for the stats column cannot intersect [lo, hi] BEFORE Spark ever
+        lists them — manifest-level scan pruning (row-group pruning inside
+        the surviving files still happens in the parquet reader).  The
+        pruned read may still contain out-of-range rows; callers filter."""
+        manifest = self._resolve_manifest(snapshot_id)
+        files = manifest["files"]
+        if between is not None:
+            lo, hi = between
+            stats = manifest.get("file_stats", {})
+
+            def may_match(rel: str) -> bool:
+                st = stats.get(rel)
+                if not st or "min" not in st:
+                    return True  # no stats -> cannot prune
+                return not (st["max"] < lo or st["min"] > hi)
+
+            files = [f for f in files if may_match(f)]
+        paths = [str(self.path / f) for f in files]
+        if not paths:
             from pyspark.sql.types import StructType
 
             return spark.createDataFrame([], StructType.fromJson(json.loads(manifest["schema"])))
-        return spark.read.parquet(*files)
+        return spark.read.parquet(*paths)
+
+    def pruned_file_count(self, between: tuple, snapshot_id: str | None = None) -> tuple[int, int]:
+        """(files kept, total files) for a range — observability of pruning."""
+        manifest = self._resolve_manifest(snapshot_id)
+        stats = manifest.get("file_stats", {})
+        lo, hi = between
+        kept = sum(
+            1
+            for f in manifest["files"]
+            if not (s := stats.get(f)) or "min" not in s or not (s["max"] < lo or s["min"] > hi)
+        )
+        return kept, len(manifest["files"])
 
     def history(self) -> list[dict]:
         out = []
