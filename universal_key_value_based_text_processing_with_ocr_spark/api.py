@@ -122,6 +122,10 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_tbl(spark, sf_dir, "documents"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    return dedup.near_dup_clusters(_tbl(spark, sf_dir, "documents"))
+
+
 def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash(_tbl(spark, sf_dir, "documents"))
 
@@ -210,6 +214,7 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_clusters": q_dedup_clusters,
     "similarity_topk": q_similarity_topk,
     "similarity_topk_lsh": q_similarity_topk_lsh,
     "embedding_near_dup": q_embedding_near_dup,
@@ -403,6 +408,31 @@ ORACLE_SQL = {
         )
         SELECT cand.doc_a, cand.doc_b, round(coalesce(agree.est_sim, 0.0), 6) AS est_sim
         FROM cand LEFT JOIN agree ON cand.doc_a = agree.doc_a AND cand.doc_b = agree.doc_b
+    """,
+    "dedup_clusters": f"""
+        WITH RECURSIVE {_MINHASH_CTE},
+        bands AS (
+            SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
+                   md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_hash
+            FROM sig GROUP BY doc_id, CAST(floor(seed / 4) AS INT)
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+        ),
+        adj AS (
+            SELECT doc_a, doc_b FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        reach AS (
+            -- transitive closure of reachable-with-smaller-or-equal ids
+            SELECT doc_a AS doc_id, doc_b AS other FROM adj
+            UNION
+            SELECT r.doc_id, a.doc_b FROM reach r JOIN adj a ON r.other = a.doc_a
+        )
+        SELECT doc_id, least(doc_id, min(other)) AS cluster_id
+        FROM reach GROUP BY doc_id
     """,
     "dedup_simhash": r"""
         WITH toks AS (

@@ -55,7 +55,9 @@ class SnapshotTable:
         return m["snapshot_id"] if m else None
 
     # -- write path ------------------------------------------------------------
-    def append(self, df: DataFrame, summary: dict | None = None, max_retries: int = 20) -> str:
+    def append(
+        self, df: DataFrame, summary: dict | None = None, max_retries: int = 20, _replace: bool = False
+    ) -> str:
         """Append df as a new snapshot; returns the snapshot id.
 
         Optimistic-concurrency commit (Iceberg-style): data files are
@@ -86,8 +88,10 @@ class SnapshotTable:
                 "sequence": seq,
                 "committed_at_ms": int(time.time() * 1000),
                 "schema": df.schema.json(),
-                "files": (parent["files"] if parent else []) + new_files,
-                "file_stats": {**(parent.get("file_stats", {}) if parent else {}), **file_stats},
+                "files": new_files if _replace else (parent["files"] if parent else []) + new_files,
+                "file_stats": file_stats
+                if _replace
+                else {**(parent.get("file_stats", {}) if parent else {}), **file_stats},
                 "summary": summary or {},
             }
             tmp = self.snapshot_dir / f".tmp-{snapshot_id}-{_attempt}.json"
@@ -213,3 +217,12 @@ class SnapshotTable:
                 }
             )
         return out
+
+    # -- maintenance -----------------------------------------------------------
+    def compact(self, spark: SparkSession, target_partitions: int = 1) -> str:
+        """Rewrite the table into ``target_partitions`` files as a new
+        REPLACING snapshot (Iceberg rewrite_data_files analog).  Old data
+        files stay on disk for time travel of older snapshots; readers of
+        the new snapshot list only the compacted files."""
+        current = self.read(spark).coalesce(target_partitions)
+        return self.append(current, summary={"op": "compact"}, _replace=True)

@@ -260,3 +260,64 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
             "simhash"
         )
     )
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 10,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over the LSH candidate-pair graph:
+    (doc_id, cluster_id) where cluster_id = min doc_id reachable through
+    near-dup edges (the canonical "keep one per duplicate cluster" step).
+
+    Distributed min-label propagation: every node repeatedly adopts the
+    smallest label among itself and its neighbours until a fixpoint —
+    O(diameter) joins, each a plain shuffle join, no graph library.  The
+    label table is tiny (one row per doc in any near-dup pair), so AQE
+    broadcasts the propagation joins at realistic duplicate rates.
+    """
+    edges = (
+        minhash_lsh_pairs(docs, n_hashes, band_size, shingle_n)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    # symmetric adjacency
+    adj = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        adj.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbour_min = (
+            adj.join(labels, adj.doc_b == labels.doc_id)
+            .groupBy(adj.doc_a)
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbour_min, labels.doc_id == neighbour_min.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select("doc_id", F.col("label").alias("cluster_id"))
+    return out
