@@ -106,6 +106,10 @@ def q_corpus_top_terms(spark, sf_dir):
     return textstats.corpus_top_terms(_tbl(spark, sf_dir, "documents"))
 
 
+def q_quality_filter(spark, sf_dir):
+    return textstats.quality_filter(_tbl(spark, sf_dir, "documents"))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_tbl(spark, sf_dir, "documents"))
 
@@ -209,6 +213,7 @@ QUERIES = {
     "doc_rolling_fp": q_doc_rolling_fp,
     "doc_winnowing_fp": q_doc_winnowing_fp,
     "corpus_top_terms": q_corpus_top_terms,
+    "quality_filter": q_quality_filter,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
@@ -360,6 +365,39 @@ ORACLE_SQL = {
         SELECT term, n, CAST(row_number() OVER (ORDER BY n DESC, term ASC) AS INT) AS rank
         FROM counts
         QUALIFY rank <= 50
+    """,
+    "quality_filter": r"""
+        WITH feats AS (
+            SELECT doc_id, text,
+                   CASE WHEN text IS NULL THEN NULL
+                        WHEN length(trim(text)) = 0 THEN 0
+                        ELSE length(string_split_regex(trim(text), '\s+')) END AS n_words,
+                   length(regexp_replace(text, '\s', '', 'g')) AS n_chars_ns,
+                   length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+                   (' ' || lower(text) || ' ' LIKE '% the %' OR ' ' || lower(text) || ' ' LIKE '% and %'
+                    OR ' ' || lower(text) || ' ' LIKE '% of %' OR ' ' || lower(text) || ' ' LIKE '% to %'
+                    OR ' ' || lower(text) || ' ' LIKE '% is %' OR ' ' || lower(text) || ' ' LIKE '% yang %'
+                    OR ' ' || lower(text) || ' ' LIKE '% dan %' OR ' ' || lower(text) || ' ' LIKE '% di %'
+                    OR ' ' || lower(text) || ' ' LIKE '% untuk %' OR ' ' || lower(text) || ' ' LIKE '% dengan %')
+                       AS has_stop
+            FROM documents
+        ),
+        judged AS (
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN 'null_text'
+                        WHEN n_words < 15 THEN 'too_few_words'
+                        WHEN n_chars_ns / CAST(nullif(n_words,0) AS DOUBLE) < 2.0 THEN 'words_too_short'
+                        WHEN n_chars_ns / CAST(nullif(n_words,0) AS DOUBLE) > 12.0 THEN 'words_too_long'
+                        WHEN n_digits / CAST(nullif(length(text),0) AS DOUBLE) > 0.3 THEN 'too_many_digits'
+                        WHEN NOT has_stop THEN 'no_stopwords'
+                   END AS fail,
+                   n_words,
+                   round(n_chars_ns / CAST(nullif(n_words,0) AS DOUBLE), 6) AS mean_word_len
+            FROM feats
+        )
+        SELECT doc_id, fail IS NULL AS keep, coalesce(fail, 'ok') AS fail_reason,
+               CAST(n_words AS BIGINT) AS n_words, mean_word_len
+        FROM judged
     """,
     "dedup_exact": """
         SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -151,3 +151,40 @@ def corpus_top_terms(docs: DataFrame, n: int = 50) -> DataFrame:
         .filter(F.col("rank") <= n)
         .select("term", "n", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def quality_filter(docs: DataFrame, min_words: int = 15, max_mean_word_len: float = 12.0,
+                   min_mean_word_len: float = 2.0, max_digit_ratio: float = 0.3) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021 rule family):
+    word count, mean word length and digit-ratio thresholds plus a
+    stopword-presence check -> (doc_id, keep, fail_reason).
+
+    All thresholds are per-document scalars from one projection — at corpus
+    scale this is a single codegen'd scan feeding the keep/drop split."""
+    trimmed = F.trim(F.col("text"))
+    n_words = F.when(F.length(trimmed) == 0, 0).otherwise(F.size(F.split(trimmed, r"\s+")))
+    n_chars_nospace = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    mean_wl = n_chars_nospace / F.when(n_words > 0, n_words).otherwise(F.lit(None))
+    digit_ratio = F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")) / F.when(
+        F.length("text") > 0, F.length("text")
+    )
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    has_stop = F.lit(False)
+    for w in EN_STOPWORDS + ID_STOPWORDS:
+        has_stop = has_stop | padded.like(f"% {w} %")
+
+    fail = (
+        F.when(F.col("text").isNull(), "null_text")
+        .when(n_words < min_words, "too_few_words")
+        .when(mean_wl < min_mean_word_len, "words_too_short")
+        .when(mean_wl > max_mean_word_len, "words_too_long")
+        .when(digit_ratio > max_digit_ratio, "too_many_digits")
+        .when(~has_stop, "no_stopwords")
+    )
+    return docs.select(
+        "doc_id",
+        fail.isNull().alias("keep"),
+        F.coalesce(fail, F.lit("ok")).alias("fail_reason"),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+    )
