@@ -78,6 +78,10 @@ def q_doc_token_count(spark, sf_dir):
     return textstats.token_count(_tbl(spark, sf_dir, "documents"))
 
 
+def q_doc_token_count_bpe(spark, sf_dir):
+    return textstats.token_count_bpe(_tbl(spark, sf_dir, "documents"))
+
+
 def q_doc_quality(spark, sf_dir):
     return textstats.quality_score(_tbl(spark, sf_dir, "documents"))
 
@@ -206,6 +210,7 @@ QUERIES = {
     "custom_config_extract": q_custom_config_extract,
     "extract_fields_blended": q_extract_fields_blended,
     "doc_token_count": q_doc_token_count,
+    "doc_token_count_bpe": q_doc_token_count_bpe,
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
@@ -297,6 +302,13 @@ ORACLE_SQL = {
                     WHEN length(trim(text)) = 0 THEN 0
                     ELSE CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT)
                END AS n_tokens
+        FROM documents
+    """,
+    "doc_token_count_bpe": r"""
+        SELECT doc_id,
+               CASE WHEN text IS NULL THEN NULL
+                    ELSE CAST(length(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT)
+               END AS n_bpe_tokens
         FROM documents
     """,
     "doc_quality": r"""

@@ -188,3 +188,18 @@ def quality_filter(docs: DataFrame, min_words: int = 15, max_mean_word_len: floa
         n_words.cast("long").alias("n_words"),
         F.round(mean_wl, 6).alias("mean_word_len"),
     )
+
+
+# GPT-2-flavoured pre-tokeniser regex (no lookaheads, so it behaves
+# identically on Java regex and RE2-based engines): contractions, letter
+# runs, digit runs, punctuation runs, whitespace runs.
+BPE_ISH_PATTERN = "'(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+
+def token_count_bpe(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bpe_tokens) — BPE-ish pre-tokeniser token count, the
+    training-cost estimator companion to the whitespace count."""
+    n = F.when(F.col("text").isNull(), F.lit(None).cast("long")).otherwise(
+        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), F.lit(0))).cast("long")
+    )
+    return docs.select("doc_id", n.alias("n_bpe_tokens"))
