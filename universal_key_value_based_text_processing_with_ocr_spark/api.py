@@ -156,6 +156,12 @@ def q_multimodal_image_meta(spark, sf_dir):
     return multimodal.decode_image_meta(images)
 
 
+def q_multimodal_frame_plan(spark, sf_dir):
+    docs = _tbl(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    video = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return multimodal.frame_sample_plan(video, every_n=30)
+
+
 def q_pushdown_agg(spark, sf_dir):
     return relational.pushdown_agg(_tbl(spark, sf_dir, "lineitem"))
 
@@ -229,6 +235,7 @@ QUERIES = {
     "similarity_topk_lsh": q_similarity_topk_lsh,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_image_meta": q_multimodal_image_meta,
+    "multimodal_frame_plan": q_multimodal_frame_plan,
     "pushdown_agg": q_pushdown_agg,
     "argmax_supplier": q_argmax_supplier,
     "topk_orders": q_topk_orders,
@@ -551,6 +558,12 @@ ORACLE_SQL = {
                CASE (('0x' || substr(md5(text), 1, 2))::BIGINT % 3)
                     WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
         FROM documents WHERE text IS NOT NULL
+    """,
+    "multimodal_frame_plan": """
+        SELECT doc_id, CAST(f.i AS INT) AS frame_idx
+        FROM (SELECT doc_id, octet_length(encode(text)) % 300 + 1 AS n_frames
+              FROM documents WHERE text IS NOT NULL) v,
+             unnest(range(0, v.n_frames, 30)) AS f(i)
     """,
     "pushdown_agg": """
         SELECT l_returnflag, l_linestatus,
