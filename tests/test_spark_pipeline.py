@@ -213,3 +213,24 @@ def test_compaction_replaces_file_list(spark, tmp_path):
     assert after == before
     # time travel to the pre-compaction snapshot still works
     assert tbl.read(spark, snapshot_id=pre_compact_snapshot).count() == 150
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    tbl = SnapshotTable(tmp_path / "evolve")
+    tbl.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    tbl.append(spark.createDataFrame([(2, "b", 9.5)], "id long, v string, score double"))
+    got = tbl.read(spark)
+    assert set(got.columns) == {"id", "v", "score"}
+    rows = {r.id: r for r in got.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
+
+
+def test_expire_snapshots_vacuum(spark, tmp_path):
+    tbl = SnapshotTable(tmp_path / "vac")
+    for lo in (0, 10, 20):
+        tbl.append(spark.range(lo, lo + 10).coalesce(1))
+    tbl.compact(spark, target_partitions=1)  # snapshot 4 references only new files
+    info = tbl.expire_snapshots(keep_last=1)
+    assert info["expired"] == 3 and info["deleted_files"] >= 3
+    assert len(tbl.history()) == 1
+    assert tbl.read(spark).count() == 30  # live snapshot intact

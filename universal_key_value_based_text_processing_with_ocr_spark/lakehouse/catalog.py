@@ -187,7 +187,9 @@ class SnapshotTable:
             from pyspark.sql.types import StructType
 
             return spark.createDataFrame([], StructType.fromJson(json.loads(manifest["schema"])))
-        return spark.read.parquet(*paths)
+        # mergeSchema: snapshots may carry evolved (widened) schemas; the
+        # union-by-name semantics match Iceberg's add-column evolution.
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def pruned_file_count(self, between: tuple, snapshot_id: str | None = None) -> tuple[int, int]:
         """(files kept, total files) for a range — observability of pruning."""
@@ -226,3 +228,35 @@ class SnapshotTable:
         the new snapshot list only the compacted files."""
         current = self.read(spark).coalesce(target_partitions)
         return self.append(current, summary={"op": "compact"}, _replace=True)
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Expire all but the last ``keep_last`` snapshots and DELETE data
+        files referenced only by expired ones (Iceberg expire_snapshots +
+        remove_orphan_files analog).  Time travel to expired snapshots is
+        gone; live snapshots are untouched."""
+        manifests = self._manifests()
+        if len(manifests) <= keep_last:
+            return {"expired": 0, "deleted_files": 0}
+        keep, drop = manifests[-keep_last:], manifests[:-keep_last]
+        live_files: set = set()
+        for p in keep:
+            with open(p, encoding="utf-8") as f:
+                live_files.update(json.load(f)["files"])
+        deleted = 0
+        for p in drop:
+            with open(p, encoding="utf-8") as f:
+                m = json.load(f)
+            for rel in m["files"]:
+                if rel not in live_files:
+                    fp = self.path / rel
+                    if fp.exists():
+                        fp.unlink()
+                        deleted += 1
+            os.unlink(p)
+        # prune now-empty data dirs
+        data_root = self.path / "data"
+        if data_root.is_dir():
+            for d in data_root.iterdir():
+                if d.is_dir() and not any(d.iterdir()):
+                    d.rmdir()
+        return {"expired": len(drop), "deleted_files": deleted}
