@@ -14,10 +14,39 @@ pure-Python oracle).
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
+
+# Robust against being loaded by file path with an arbitrary cwd.
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_PKG = "universal_key_value_based_text_processing_with_ocr_spark"
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the package importable in EXECUTOR python workers regardless of
+    their cwd: zip it once and addPyFile it (the --py-files mechanism, but
+    attachable to an already-running session).  Idempotent."""
+    import tempfile
+    import zipfile
+
+    zip_path = Path(tempfile.gettempdir()) / f"{_PKG}.zip"
+    if not zip_path.exists():
+        src = Path(_REPO) / _PKG
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for f in sorted(src.rglob("*")):
+                if f.is_file() and "__pycache__" not in f.parts:
+                    zf.write(f, f.relative_to(src.parent))
+    try:
+        spark.sparkContext.addPyFile(str(zip_path))
+    except Exception:
+        pass  # already added in this context
 
 from universal_key_value_based_text_processing_with_ocr_spark import api
 from universal_key_value_based_text_processing_with_ocr_spark.operators.extract import (
@@ -27,6 +56,7 @@ from universal_key_value_based_text_processing_with_ocr_spark.operators.extract 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _ship_package(spark)
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     pages = docs.select(
         F.concat(F.lit("testdata://documents/"), F.col("doc_id").cast("string")).alias("url"),
@@ -38,8 +68,16 @@ def entry(spark: SparkSession) -> DataFrame:
     return extract_pages(pages)
 
 
+def _shipped(fn: Callable[[SparkSession, str], DataFrame]):
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ship_package(spark)
+        return fn(spark, sf_dir)
+
+    return wrapper
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(api.QUERIES)
+    return {name: _shipped(fn) for name, fn in api.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

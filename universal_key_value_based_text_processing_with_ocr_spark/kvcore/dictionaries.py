@@ -11,15 +11,16 @@ from __future__ import annotations
 
 import json
 from functools import lru_cache
-from pathlib import Path
-
-_DATA = Path(__file__).parent / "data" / "dictionaries.json"
 
 
 @lru_cache(maxsize=1)
 def load() -> dict:
-    with open(_DATA, encoding="utf-8") as f:
-        return json.load(f)
+    # importlib.resources is zip-import-safe: the package may reach executors
+    # as a --py-files / addPyFile zip, where filesystem paths don't exist.
+    from importlib import resources
+
+    data = resources.files(__package__).joinpath("data/dictionaries.json").read_text("utf-8")
+    return json.loads(data)
 
 
 def prov_city_kec() -> dict:
