@@ -26,27 +26,9 @@ if _REPO not in sys.path:
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_PKG = "universal_key_value_based_text_processing_with_ocr_spark"
-
-
-def _ship_package(spark: SparkSession) -> None:
-    """Make the package importable in EXECUTOR python workers regardless of
-    their cwd: zip it once and addPyFile it (the --py-files mechanism, but
-    attachable to an already-running session).  Idempotent."""
-    import tempfile
-    import zipfile
-
-    zip_path = Path(tempfile.gettempdir()) / f"{_PKG}.zip"
-    if not zip_path.exists():
-        src = Path(_REPO) / _PKG
-        with zipfile.ZipFile(zip_path, "w") as zf:
-            for f in sorted(src.rglob("*")):
-                if f.is_file() and "__pycache__" not in f.parts:
-                    zf.write(f, f.relative_to(src.parent))
-    try:
-        spark.sparkContext.addPyFile(str(zip_path))
-    except Exception:
-        pass  # already added in this context
+from universal_key_value_based_text_processing_with_ocr_spark.ship import (
+    ship_package as _ship_package,
+)
 
 from universal_key_value_based_text_processing_with_ocr_spark import api
 from universal_key_value_based_text_processing_with_ocr_spark.operators.extract import (

@@ -62,6 +62,9 @@ def main() -> None:
 
     spark = build_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
+    from universal_key_value_based_text_processing_with_ocr_spark.ship import ship_package
+
+    ship_package(spark)
 
     from universal_key_value_based_text_processing_with_ocr_spark import api
     from universal_key_value_based_text_processing_with_ocr_spark.operators.extract import (

@@ -48,6 +48,9 @@ def main(argv: list[str] | None = None) -> int:
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .getOrCreate()
     )
+    from .ship import ship_package
+
+    ship_package(spark)
 
     if args.streaming:
         from .streaming import streamed_extraction_job
