@@ -74,6 +74,37 @@ def test_similarity_topk_broadcasts_queries(spark):  # noqa: F811
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_embedding_near_dup_lsh_is_not_all_pairs(spark):  # noqa: F811
+    """The scale path must be an equi-join on the probe key — never a
+    CartesianProduct/BroadcastNestedLoopJoin over the full corpus."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(embedding_near_dup_lsh(emb, threshold=0.2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # pair generation is a hash/sort-merge equi-join on the bucket key
+    assert "Join" in plan
+
+
+def test_corpus_top_terms_avoids_global_window(spark):  # noqa: F811
+    """Top-n must plan as TakeOrderedAndProject (per-partition top-n + n-row
+    merge), not a single-partition Exchange feeding a global row_number over
+    the whole vocabulary."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        corpus_top_terms,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = corpus_top_terms(docs, n=50)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    # the only Window may sit above the n-row limit, never below it
+    assert plan.index("TakeOrderedAndProject") > plan.index("Window")
+
+
 def test_relational_ops_stay_jvm_side(spark):  # noqa: F811
     """No Python evaluation in the relational operators (codegen-only)."""
     from universal_key_value_based_text_processing_with_ocr_spark.operators import (

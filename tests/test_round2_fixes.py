@@ -1,0 +1,169 @@
+"""Round-2 regression tests: ship-zip freshness, manifest hygiene,
+poisoned-row guard on the custom-config path, checkpointed clustering,
+and wo_space string-filter parity."""
+
+import json
+
+import pandas as pd
+import pytest
+
+from tests.test_spark_pipeline import spark  # session fixture  # noqa: F401
+
+
+def test_ship_zip_tracks_source_changes(tmp_path, monkeypatch):
+    """A source edit must produce a differently-named zip (no stale code)."""
+    import universal_key_value_based_text_processing_with_ocr_spark.ship as ship
+
+    pkg = tmp_path / "fakepkg"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("X = 1\n")
+    monkeypatch.setattr(ship, "_PKG_DIR", pkg)
+    files = ship._package_files()
+    d1 = ship._package_digest(files)
+    (pkg / "__init__.py").write_text("X = 2\n")
+    d2 = ship._package_digest(ship._package_files())
+    assert d1 != d2
+    (pkg / "__init__.py").write_text("X = 1\n")
+    assert ship._package_digest(ship._package_files()) == d1
+
+
+def test_manifest_ignores_orphan_tmp_files(spark, tmp_path):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.lakehouse import SnapshotTable
+
+    tbl = SnapshotTable(tmp_path / "t")
+    df = spark.createDataFrame(pd.DataFrame({"url": ["a", "b"]}))
+    sid = tbl.append(df)
+    # a crash between fsync and os.link leaves a .tmp file behind
+    orphan = tbl.snapshot_dir / ".tmp-deadbeef-0.json"
+    orphan.write_text(json.dumps({"snapshot_id": "deadbeef", "sequence": 99, "files": []}))
+    manifests = tbl._manifests()
+    assert all(p.name.startswith("v") for p in manifests)
+    assert tbl.snapshot_id() == sid
+    assert len(tbl.history()) == 1
+
+
+def test_custom_config_poisoned_row_is_failure_not_abort(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.extract import (
+        SAMPLE_CUSTOM_CONFIG,
+        parse_page_row_with_config,
+    )
+
+    # max_distances must be int/float per the matcher contract; a string makes
+    # kvcore raise — the row guard must convert that into a failure record
+    bad_cfg = {
+        "fields": [
+            {"name": "F", "keys": [["Key"]], "max_distances": [["boom"]],
+             "min_accuracies": [0.5], "separators": [":"], "evaluators": ["letters"]}
+        ],
+        "final_evaluator": None,
+    }
+    row = parse_page_row_with_config("u1", None, "Key : value", bad_cfg)
+    assert row["success"] is False and row["n_fields"] == 0
+
+    # and decode failures are likewise contained (html decode on junk bytes)
+    ok = parse_page_row_with_config("u2", None, "Nama : Budi", SAMPLE_CUSTOM_CONFIG)
+    assert ok["url"] == "u2"
+
+
+def test_near_dup_clusters_checkpointing_three_components(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.dedup import (
+        near_dup_clusters,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again tonight",
+        "pack my box with five dozen liquor jugs before the morning train leaves",
+        "how vexingly quick daft zebras jump over fences in the autumn rain",
+    ]
+    rows = []
+    for c, text in enumerate(base):
+        for v in range(3):  # three near-identical variants per component
+            rows.append({"doc_id": c * 10 + v, "text": text + (" extra" * v)})
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    out = near_dup_clusters(docs, checkpoint_interval=1).toPandas()
+    clusters = out.groupby("cluster_id")["doc_id"].apply(sorted).to_dict()
+    assert sorted(clusters.keys()) == [0, 10, 20]
+    assert clusters[0] == [0, 1, 2] and clusters[10] == [10, 11, 12] and clusters[20] == [20, 21, 22]
+
+
+def test_near_dup_clusters_raises_when_unconverged(spark, monkeypatch):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.dedup import (
+        near_dup_clusters,
+    )
+
+    text = "a shared nearly identical sentence that lsh will definitely bucket together"
+    docs = spark.createDataFrame(
+        pd.DataFrame([{"doc_id": i, "text": text + " pad" * i} for i in range(4)])
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_clusters(docs, max_iterations=0)
+
+
+def test_wo_space_string_filter_doubles_every_call():
+    """Reference doubles a str re_chars_filter locally on EVERY call; a shared
+    spec's 2nd+ line must see the doubled pattern (ADVICE r1 repro)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from refharness import load_reference
+
+    from universal_key_value_based_text_processing_with_ocr_spark.kvcore.matching import (
+        match_keys_in_line,
+    )
+
+    pp, _ = load_reference()
+    get_ref = pp["get_str_keys_values"] if isinstance(pp, dict) else pp.get_str_keys_values
+
+    def run(fn):
+        keys, md, ma, al = [["Umur", "Kde"]], [[0, 0]], [0.8], []
+        return [
+            fn(line, keys, md, ma, re_chars_filter="[a-zA-Z]", alias_names=al, wo_space=True)
+            for line in ["Umur Kde : 19", "UmurKde : 19", "UK : 19", "Umur Kde : 20"]
+        ]
+
+    assert run(get_ref) == run(match_keys_in_line)
+
+
+def test_wo_space_none_filter_raises_like_reference():
+    from universal_key_value_based_text_processing_with_ocr_spark.kvcore.matching import (
+        match_keys_in_line,
+    )
+
+    for _ in range(2):  # every call, not just the extending first one
+        with pytest.raises(TypeError):
+            match_keys_in_line(
+                "Umur : 19", [["Umur"]], [[0]], [0.8],
+                re_chars_filter=None, alias_names=[], wo_space=True,
+            )
+
+
+def test_plan_partitions_policy():
+    from universal_key_value_based_text_processing_with_ocr_spark.plans.partitioning import (
+        plan_partitions,
+    )
+
+    assert plan_partitions(5, min_parallelism=32) == 5          # never more than rows
+    assert plan_partitions(257, min_parallelism=32) == 32        # small batch: 1/core
+    assert plan_partitions(12000, min_parallelism=32) == 120     # sized by rows/target
+    assert plan_partitions(10**9, min_parallelism=32) == 128     # capped at 4x cores
+    assert plan_partitions(0, min_parallelism=32) == 1
+
+
+def test_small_resume_batch_gets_few_partitions(spark, tmp_path):  # noqa: F811
+    """A 10-row resume batch must not be sprayed over 4x-cores partitions."""
+    from universal_key_value_based_text_processing_with_ocr_spark.lakehouse import SnapshotTable
+    from universal_key_value_based_text_processing_with_ocr_spark.plans.pipeline import (
+        run_extraction_job,
+    )
+    from universal_key_value_based_text_processing_with_ocr_spark.sources import PAGES_SCHEMA
+    from universal_key_value_based_text_processing_with_ocr_spark.sources.synthdocs import (
+        gen_page_row,
+    )
+
+    pages = spark.createDataFrame(
+        pd.DataFrame([gen_page_row(7, i) for i in range(10)]), schema=PAGES_SCHEMA
+    )
+    run_extraction_job(spark, pages, str(tmp_path / "res"), audit_path=str(tmp_path / "aud"))
+    audit = SnapshotTable(tmp_path / "aud").read(spark).toPandas()
+    extract_rows = audit[audit.stage == "extract"]
+    assert len(extract_rows) <= 10  # one audit row per non-empty partition

@@ -150,6 +150,10 @@ def q_embedding_near_dup(spark, sf_dir):
     return similarity.embedding_near_dup(_tbl(spark, sf_dir, "embeddings"), threshold=0.2)
 
 
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    return similarity.embedding_near_dup_lsh(_tbl(spark, sf_dir, "embeddings"), threshold=0.2)
+
+
 def q_multimodal_image_meta(spark, sf_dir):
     docs = _tbl(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     images = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
@@ -234,6 +238,7 @@ QUERIES = {
     "similarity_topk": q_similarity_topk,
     "similarity_topk_lsh": q_similarity_topk_lsh,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "multimodal_image_meta": q_multimodal_image_meta,
     "multimodal_frame_plan": q_multimodal_frame_plan,
     "pushdown_agg": q_pushdown_agg,
@@ -504,7 +509,9 @@ ORACLE_SQL = {
         ),
         per_bit AS (SELECT doc_id, bit, sum(c) AS s FROM contrib GROUP BY doc_id, bit)
         SELECT doc_id,
-               sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+               -- DuckDB sum(BIGINT) -> HUGEINT -> float64 in pandas; cast back so the
+               -- driver's value hash matches Spark's bigint output.
+               CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
         FROM per_bit GROUP BY doc_id
     """,
     "similarity_topk": """
@@ -549,6 +556,26 @@ ORACLE_SQL = {
         FROM embeddings a, embeddings b
         WHERE a.vec_id < b.vec_id
           AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.2
+    """,
+    "embedding_near_dup_lsh": """
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   (CASE WHEN embedding[1]  >= 0 THEN 1 ELSE 0 END
+                  + CASE WHEN embedding[8]  >= 0 THEN 2 ELSE 0 END
+                  + CASE WHEN embedding[22] >= 0 THEN 4 ELSE 0 END
+                  + CASE WHEN embedding[43] >= 0 THEN 8 ELSE 0 END) AS bucket
+            FROM embeddings
+        ),
+        cand AS (
+            -- spec of the engine's multi-probe rule: compare iff sign buckets
+            -- differ in at most one bit (cross join is the ORACLE only)
+            SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
+            FROM b a JOIN b c
+              ON a.vec_id < c.vec_id
+             AND bit_count(CAST(xor(a.bucket, c.bucket) AS BIGINT)) <= 1
+        )
+        SELECT vec_a, vec_b, cos FROM cand WHERE cos >= 0.2
     """,
     "multimodal_image_meta": """
         SELECT doc_id,

@@ -128,13 +128,22 @@ def match_keys_in_line(
         # mutation only while it adds NEW variants: list state matches the
         # reference bit-for-bit after the first call and stays bounded —
         # mandatory at 100 TB scale, byte-identical in output.
+        list_filter = isinstance(re_chars_filter, list)
+        if not list_filter:
+            # The reference's ``re_chars_filter *= 2`` (postprocessing.py:97)
+            # never mutates the caller when the filter is a str (rebinds a
+            # local) and raises TypeError when it is None — on EVERY call.
+            # Replay that per call so the 2nd+ line of a shared spec sees the
+            # same doubled pattern / same TypeError as the reference.
+            re_chars_filter *= 2
         joined_variants = [[j] for j in ["".join(k) for k in key_str_list_list]]
         if not all(j in key_str_list_list for j in joined_variants):
             key_str_list_list.extend(joined_variants)
             max_distances.extend([[s] for s in [sum(d) for d in max_distances[: len(joined_variants)]]])
             min_accuracies *= 2
             alias_names *= 2
-            re_chars_filter *= 2
+            if list_filter:
+                re_chars_filter *= 2
 
     char_filters = _normalise_char_filters(re_chars_filter, key_str_list_list)
     max_dist_int = _normalise_max_distances(max_distances, key_str_list_list)

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from pathlib import Path
@@ -35,10 +36,25 @@ class SnapshotTable:
         self.snapshot_dir = self.path / "_snapshots"
 
     # -- manifest bookkeeping ------------------------------------------------
+    _MANIFEST_RE = re.compile(r"^v\d{8}\.json$")
+
     def _manifests(self) -> list[Path]:
+        """Committed manifests only: a ``.tmp-*`` file left by a crash between
+        fsync and the os.link claim must never be read as a snapshot."""
         if not self.snapshot_dir.is_dir():
             return []
-        return sorted(p for p in self.snapshot_dir.iterdir() if p.suffix == ".json")
+        out = []
+        for p in self.snapshot_dir.iterdir():
+            if self._MANIFEST_RE.match(p.name):
+                out.append(p)
+            elif p.name.startswith(".tmp-") and time.time() - p.stat().st_mtime > 3600:
+                # opportunistic cleanup of orphaned temp files from hard
+                # crashes; age-gated so an in-flight commit is never raced
+                try:
+                    p.unlink()
+                except OSError:
+                    pass
+        return sorted(out)
 
     def latest_manifest(self) -> dict | None:
         manifests = self._manifests()

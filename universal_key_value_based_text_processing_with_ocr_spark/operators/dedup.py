@@ -268,6 +268,7 @@ def near_dup_clusters(
     band_size: int = 4,
     shingle_n: int = 10,
     max_iterations: int = 20,
+    checkpoint_interval: int = 5,
 ) -> DataFrame:
     """Connected components over the LSH candidate-pair graph:
     (doc_id, cluster_id) where cluster_id = min doc_id reachable through
@@ -294,20 +295,27 @@ def near_dup_clusters(
         .withColumn("label", F.col("doc_id"))
         .persist()
     )
-    for _ in range(max_iterations):
+    converged = False
+    for it in range(max_iterations):
         neighbour_min = (
             adj.join(labels, adj.doc_b == labels.doc_id)
             .groupBy(adj.doc_a)
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neighbour_min, labels.doc_id == neighbour_min.doc_a, "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
-            )
-            .persist()
+        new_labels = labels.join(
+            neighbour_min, labels.doc_id == neighbour_min.doc_a, "left"
+        ).select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
         )
+        if (it + 1) % checkpoint_interval == 0:
+            # Cut lineage: each round otherwise stacks a join on the previous
+            # plan, and at corpus scale round 15+ replans/reschedules a
+            # 15-join tree.  localCheckpoint materialises the (tiny) label
+            # table and truncates the plan.
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -318,6 +326,16 @@ def near_dup_clusters(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Components with diameter > max_iterations would silently get wrong
+        # (split) cluster ids — surface it.  min-label propagation needs
+        # O(diameter) rounds; for pathological chains raise max_iterations or
+        # switch to the large-star/small-star O(log n) variant.
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iterations} iterations; "
+            "a duplicate-chain component has diameter > max_iterations"
+        )
     out = labels.select("doc_id", F.col("label").alias("cluster_id"))
     return out

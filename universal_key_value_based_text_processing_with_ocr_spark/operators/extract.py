@@ -158,13 +158,17 @@ def parse_page_row_with_config(url, html, text, cfg) -> dict:
     """Pure per-row payload for user-config extraction (oracle + UDF body)."""
     from ..kvcore.config import parse_document_with_config
 
-    if html is not None:
-        doc = "\n".join(extract_main_lines(bytes(html)))
-    elif text is not None:
-        doc = text
-    else:
-        doc = ""
-    parsed = parse_document_with_config(doc, cfg)
+    try:
+        if html is not None:
+            doc = "\n".join(extract_main_lines(bytes(html)))
+        elif text is not None:
+            doc = text
+        else:
+            doc = ""
+        parsed = parse_document_with_config(doc, cfg)
+    except Exception:  # poisoned-row policy: same guard as parse_page_row —
+        # one malformed document must not abort the whole job
+        parsed = {"success": False, "result": {}}
     return {
         "url": url,
         "result_json": json.dumps(parsed.get("result", {}), default=str),
@@ -197,13 +201,13 @@ def parse_page_row_blended(url, html, text) -> dict:
     """Two-parser blended extraction (Entry-1 structure) for one page."""
     from ..kvcore.ktpspec import parse_document_blended
 
-    if html is not None:
-        doc = "\n".join(extract_main_lines(bytes(html)))
-    elif text is not None:
-        doc = text
-    else:
-        doc = ""
     try:
+        if html is not None:
+            doc = "\n".join(extract_main_lines(bytes(html)))
+        elif text is not None:
+            doc = text
+        else:
+            doc = ""
         parsed = parse_document_blended(doc)
     except Exception as exc:
         parsed = {"success": False, "result": {},

@@ -78,6 +78,50 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.8) -> DataFra
     )
 
 
+def embedding_near_dup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    dims: tuple[int, ...] = (0, 7, 21, 42),
+) -> DataFrame:
+    """Sub-quadratic near-duplicate pairs: sign-bucket LSH with Hamming-1
+    multi-probe, cosine computed only inside candidate buckets.
+
+    Candidate rule: two vectors are compared iff their sign buckets differ in
+    at most ONE of the ``dims`` bits (multi-probe widens recall beyond exact
+    bucket equality).  One side explodes its bucket into the |dims|+1 probe
+    keys and the pair generation is a plain equi-join on the probe key —
+    shuffle-partitioned by bucket, O(sum of bucket_size * probes) work, never
+    the all-pairs crossJoin of ``embedding_near_dup`` (kept as the small-N
+    exact oracle).  At 100 TB, add bits to ``dims`` to keep buckets bounded.
+    """
+    b = embeddings.select(
+        "vec_id", "embedding", sign_bucket(F.col("embedding"), dims).alias("bucket")
+    )
+    left = b.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
+    )
+    probe_keys = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(len(dims))]
+    )
+    right = b.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.explode(probe_keys).alias("probe"),
+    )
+    # hamming(a,b)==d<=1 matches exactly one probe key, so no pair dedup needed
+    return (
+        left.join(right, (F.col("bucket") == F.col("probe")) & (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))), 6
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def sign_bucket(embedding, dims: tuple[int, ...] = (0, 7, 21, 42)) -> F.Column:
     """Coarse LSH bucket: sign bits of selected components packed to an int.
 

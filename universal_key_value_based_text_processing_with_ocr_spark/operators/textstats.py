@@ -145,12 +145,13 @@ def corpus_top_terms(docs: DataFrame, n: int = 50) -> DataFrame:
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term")
     ).filter(F.length("term") > 0)
     counts = toks.groupBy("term").agg(F.count("*").alias("n"))
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition top-n, then
+    # one n-row merge) — never pulls the full vocabulary through a
+    # single-partition Exchange the way a global row_number window would.
+    top = counts.orderBy(F.col("n").desc(), F.col("term").asc()).limit(n)
+    # rank is recomputed over the already-materialised n rows — trivially small
     w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= n)
-        .select("term", "n", F.col("rank").cast("int").alias("rank"))
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select("term", "n", "rank")
 
 
 def quality_filter(docs: DataFrame, min_words: int = 15, max_mean_word_len: float = 12.0,

@@ -39,8 +39,21 @@ def salted_repartition(
     return df.repartition(num_partitions, host_of_url(F.col(url_col)), salt)
 
 
-def plan_partitions(n_rows: int, target_rows_per_partition: int, min_parallelism: int) -> int:
-    """Partition count: >= 4x cores (scaling headroom per SURVEY §7) and
-    bounded rows per partition so Arrow batches fit executor memory."""
+def plan_partitions(
+    n_rows: int, target_rows_per_partition: int = 100, min_parallelism: int = 32
+) -> int:
+    """Partition count from the input size.
+
+    ``ceil(n_rows / target_rows_per_partition)`` clamped to
+    [min(n_rows, min_parallelism), min_parallelism * 4]: large inputs get up
+    to 4x-cores headroom (straggler absorption per SURVEY §7, AQE coalesces
+    the rest) with rows-per-partition bounded so Arrow batches fit executor
+    memory; a small resume batch gets ~one partition per core — never
+    hundreds of near-empty shuffle partitions — and tiny inputs never get
+    more partitions than rows.  The default target (~100 docs at ~5 ms/doc
+    semantic-core cost) makes a task ~0.5 s: large enough to amortise
+    scheduling, small enough to rebalance."""
     by_rows = max(1, (n_rows + target_rows_per_partition - 1) // target_rows_per_partition)
-    return max(min_parallelism * 4, by_rows)
+    lower = max(1, min(n_rows, min_parallelism))
+    upper = max(lower, min_parallelism * 4)
+    return min(max(by_rows, lower), upper)

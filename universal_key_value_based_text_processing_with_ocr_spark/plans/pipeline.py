@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..lakehouse import SnapshotTable
 from ..operators.extract import extract_pages
-from .partitioning import salted_repartition
+from .partitioning import plan_partitions, salted_repartition
 
 AUDIT_SCHEMA = (
     "run_id string, stage string, partition_id int, n_docs long, n_success long, "
@@ -48,7 +48,14 @@ def run_extraction_job(
         pages_df = pages_df.join(done, "url", "left_anti")
 
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism * 4
+        # Size-aware partitioning: the count is a JVM-only action (url column
+        # at most — payload columns pruned), negligible next to the Python
+        # extract stage, and it stops a small resume batch from being sprayed
+        # over 4x-cores near-empty shuffle partitions.
+        n_input = pages_df.count()
+        num_partitions = plan_partitions(
+            n_input, min_parallelism=spark.sparkContext.defaultParallelism
+        )
     pages_df = salted_repartition(pages_df, num_partitions)
 
     results = extract_pages(pages_df, configs=configs).withColumn(
