@@ -113,6 +113,32 @@ def main() -> None:
         n = fn(spark, SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)
 
+    # --- hash-seam delta: the same LSH pipeline on the xxhash64 fast path ---
+    # (oracles replay md5, so correctness checks stay on md5; production
+    # would flip this switch — the delta is the md5-reproducibility tax)
+    from universal_key_value_based_text_processing_with_ocr_spark.operators import dedup
+
+    dedup.set_hash_impl("xxhash64")
+    try:
+        t0 = time.time()
+        api.QUERIES["dedup_minhash_lsh"](spark, SF_DIR).count()
+        timings["dedup_minhash_lsh_xxhash64"] = round(time.time() - t0, 3)
+    finally:
+        dedup.set_hash_impl("md5")
+
+    # --- ANN recall@10 vs the exact scan (quality, not time) -------------
+    from universal_key_value_based_text_processing_with_ocr_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {(r.query_id, r.neighbor_id) for r in similarity.cosine_topk(emb, 5, 10).collect()}
+    recall = {}
+    for label, fn in [
+        ("lsh_multiprobe", similarity.lsh_bucketed_topk),
+        ("ivf", similarity.ivf_topk),
+    ]:
+        approx = {(r.query_id, r.neighbor_id) for r in fn(emb, 5, 10).collect()}
+        recall[label] = round(len(exact & approx) / max(1, len(exact)), 3)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline queries wall time (extraction + operator suite)",
@@ -123,6 +149,7 @@ def main() -> None:
         "cpus": CPUS,
         "extraction_docs": extracted,
         "extraction_docs_per_sec": docs_per_sec,
+        "ann_recall_at_10": recall,
     }
     scaling_file = REPO / "BENCH" / "scaling.json"
     if scaling_file.exists():

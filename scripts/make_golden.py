@@ -33,6 +33,7 @@ from universal_key_value_based_text_processing_with_ocr_spark.operators.extract 
     SAMPLE_CUSTOM_CONFIG,
     parse_page_row,
     parse_page_row_blended,
+    parse_page_row_boxorder,
     parse_page_row_with_config,
 )
 from universal_key_value_based_text_processing_with_ocr_spark.sources.synthdocs import (  # noqa: E402
@@ -67,6 +68,7 @@ def build_tables():
     line_rows = []
     custom_rows = []
     blended_rows = []
+    boxorder_rows = []
     for doc_id in range(GOLDEN_N):
         row = gen_page_row(GOLDEN_SEED, doc_id)
         parsed = parse_page_row(row["url"], row["html"], row["text"], row["lang"])
@@ -75,6 +77,7 @@ def build_tables():
             parse_page_row_with_config(row["url"], row["html"], row["text"], SAMPLE_CUSTOM_CONFIG)
         )
         blended_rows.append(parse_page_row_blended(row["url"], row["html"], row["text"]))
+        boxorder_rows.append(parse_page_row_boxorder(row["url"], row["html"], row["text"]))
         if row["html"] is not None:
             doc_lines = extract_main_lines(row["html"])
         elif row["text"] is not None:
@@ -99,19 +102,24 @@ def build_tables():
     blended_tbl = pa.Table.from_pylist(
         blended_rows, schema=pa.schema([pa.field(n, t) for n, t in CUSTOM_FIELDS])
     )
-    return extract_tbl, lines_tbl, custom_tbl, blended_tbl
+    boxorder_tbl = pa.Table.from_pylist(
+        boxorder_rows, schema=pa.schema([pa.field(n, t) for n, t in CUSTOM_FIELDS])
+    )
+    return extract_tbl, lines_tbl, custom_tbl, blended_tbl, boxorder_tbl
 
 
 def main() -> None:
     GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
-    extract_tbl, lines_tbl, custom_tbl, blended_tbl = build_tables()
+    extract_tbl, lines_tbl, custom_tbl, blended_tbl, boxorder_tbl = build_tables()
     pq.write_table(extract_tbl, GOLDEN_DIR / "extract_golden.parquet")
     pq.write_table(lines_tbl, GOLDEN_DIR / "lines_golden.parquet")
     pq.write_table(custom_tbl, GOLDEN_DIR / "custom_golden.parquet")
     pq.write_table(blended_tbl, GOLDEN_DIR / "blended_golden.parquet")
+    pq.write_table(boxorder_tbl, GOLDEN_DIR / "boxorder_golden.parquet")
     print(
         f"wrote {extract_tbl.num_rows} extract rows, {lines_tbl.num_rows} line rows, "
-        f"{custom_tbl.num_rows} custom rows, {blended_tbl.num_rows} blended rows -> {GOLDEN_DIR}"
+        f"{custom_tbl.num_rows} custom rows, {blended_tbl.num_rows} blended rows, "
+        f"{boxorder_tbl.num_rows} boxorder rows -> {GOLDEN_DIR}"
     )
 
 

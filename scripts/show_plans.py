@@ -66,6 +66,9 @@ def main() -> None:
         ("dedup_minhash_lsh", "LSH bucket self-join on (band, band_hash) + candidate-only agreement join over persisted signature arrays (InMemoryTableScan)"),
         ("similarity_topk", "broadcast of the small query side; per-query window top-k"),
         ("anti_join_resume", "left anti join (resume predicate shape)"),
+        ("embedding_near_dup_lsh", "sub-quadratic near-dup: probe-key explode + equi-join on the sign bucket — no CartesianProduct"),
+        ("similarity_topk_ivf", "IVF-flat: broadcast centroid assignment (argmax window), candidate scan joined on disjoint cell ids"),
+        ("corpus_top_terms", "TakeOrderedAndProject top-n (no single-partition Exchange over the vocabulary)"),
     ]
     for name, note in named:
         sections.append((name, note, formatted(api.QUERIES[name](spark, SF))))

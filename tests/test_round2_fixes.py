@@ -167,3 +167,71 @@ def test_small_resume_batch_gets_few_partitions(spark, tmp_path):  # noqa: F811
     audit = SnapshotTable(tmp_path / "aud").read(spark).toPandas()
     extract_rows = audit[audit.stage == "extract"]
     assert len(extract_rows) <= 10  # one audit row per non-empty partition
+
+
+def test_ivf_topk_recall_beats_090(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        lsh_bucketed_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, 5, 10).collect()}
+    ivf = {(r.query_id, r.neighbor_id) for r in ivf_topk(emb, 5, 10).collect()}
+    assert len(exact & ivf) / len(exact) >= 0.9
+    # multi-probe LSH must at least beat the exact-bucket baseline (0.1)
+    lsh = {(r.query_id, r.neighbor_id) for r in lsh_bucketed_topk(emb, 5, 10).collect()}
+    assert len(exact & lsh) / len(exact) >= 0.2
+
+
+def test_hash_seam_xxhash64_same_pairs_on_exact_dups(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators import dedup
+
+    rows = [
+        {"doc_id": 1, "text": "hello world this is a long duplicated text for shingles"},
+        {"doc_id": 2, "text": "hello world this is a long duplicated text for shingles"},
+        {"doc_id": 3, "text": "a totally different document about other topics entirely"},
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    md5_pairs = {(r.doc_a, r.doc_b, r.est_sim) for r in dedup.minhash_lsh_pairs(docs).collect()}
+    dedup.set_hash_impl("xxhash64")
+    try:
+        xx_pairs = {(r.doc_a, r.doc_b, r.est_sim) for r in dedup.minhash_lsh_pairs(docs).collect()}
+    finally:
+        dedup.set_hash_impl("md5")
+    assert md5_pairs == {(1, 2, 1.0)} and xx_pairs == {(1, 2, 1.0)}
+    with pytest.raises(ValueError):
+        dedup.set_hash_impl("sha1")
+
+
+def test_debug_artifacts_one_row_per_failed_url(spark, tmp_path):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.lakehouse import SnapshotTable
+    from universal_key_value_based_text_processing_with_ocr_spark.plans.pipeline import (
+        run_extraction_job,
+    )
+    from universal_key_value_based_text_processing_with_ocr_spark.sources import PAGES_SCHEMA
+    from universal_key_value_based_text_processing_with_ocr_spark.sources.synthdocs import (
+        gen_page_row,
+    )
+
+    pages = spark.createDataFrame(
+        pd.DataFrame([gen_page_row(42, i) for i in range(30)]), schema=PAGES_SCHEMA
+    )
+    run_extraction_job(
+        spark, pages, str(tmp_path / "res"), debug_path=str(tmp_path / "dbg")
+    )
+    results = SnapshotTable(tmp_path / "res").read(spark).toPandas()
+    debug = SnapshotTable(tmp_path / "dbg").read(spark).toPandas()
+    failed_urls = set(results[~results.success].url)
+    assert failed_urls, "fixture must contain failures"
+    assert set(debug.url) == failed_urls
+    assert len(debug) == len(failed_urls)  # exactly one row per failed url
+    # the row carries the full diagnostic payload
+    row = debug.iloc[0]
+    assert row.n_blocks >= row.n_kept >= 0
+    if row.n_blocks:
+        b = row.blocks[0]
+        assert {"block_no", "kept", "container", "n_chars", "link_chars",
+                "link_density", "text"} <= set(b.asDict().keys() if hasattr(b, "asDict") else b.keys())
+    assert isinstance(row.result_json, str)

@@ -32,6 +32,13 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--partitions", type=int, default=None)
     parser.add_argument("--run-id", default=None)
     parser.add_argument(
+        "--debug",
+        default=None,
+        metavar="DIR",
+        help="write per-url debug artifacts for FAILED extractions to this "
+        "snapshot-table dir (blocks + densitometry + errors)",
+    )
+    parser.add_argument(
         "--streaming",
         action="store_true",
         help="drive incrementally via Structured Streaming (AvailableNow)",
@@ -74,6 +81,7 @@ def main(argv: list[str] | None = None) -> int:
             audit_path=args.audit,
             num_partitions=args.partitions,
             run_id=args.run_id,
+            debug_path=args.debug,
         )
     print(json.dumps(info))
     return 0

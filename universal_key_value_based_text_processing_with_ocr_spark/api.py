@@ -26,6 +26,7 @@ from .operators.extract import (
     SAMPLE_CUSTOM_CONFIG,
     extract_pages,
     extract_pages_blended,
+    extract_pages_boxorder,
     extract_pages_with_config,
     html_to_lines,
 )
@@ -37,6 +38,7 @@ GOLDEN_EXTRACT = REPO_ROOT / "tests" / "golden" / "extract_golden.parquet"
 GOLDEN_LINES = REPO_ROOT / "tests" / "golden" / "lines_golden.parquet"
 GOLDEN_CUSTOM = REPO_ROOT / "tests" / "golden" / "custom_golden.parquet"
 GOLDEN_BLENDED = REPO_ROOT / "tests" / "golden" / "blended_golden.parquet"
+GOLDEN_BOXORDER = REPO_ROOT / "tests" / "golden" / "boxorder_golden.parquet"
 GOLDEN_N = 400
 GOLDEN_SEED = 42
 
@@ -72,6 +74,12 @@ def q_extract_fields_blended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-parser blended extraction (sweep + NIK re-scan, Entry-1 shape)."""
     pages = synth_pages_df(spark, GOLDEN_N, seed=GOLDEN_SEED)
     return extract_pages_blended(pages)
+
+
+def q_extract_fields_boxorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-order sweep (reference parse_doc_new0 analog, third parser)."""
+    pages = synth_pages_df(spark, GOLDEN_N, seed=GOLDEN_SEED)
+    return extract_pages_boxorder(pages)
 
 
 def q_doc_token_count(spark, sf_dir):
@@ -144,6 +152,10 @@ def q_similarity_topk(spark, sf_dir):
 
 def q_similarity_topk_lsh(spark, sf_dir):
     return similarity.lsh_bucketed_topk(_tbl(spark, sf_dir, "embeddings"), n_queries=5, k=10)
+
+
+def q_similarity_topk_ivf(spark, sf_dir):
+    return similarity.ivf_topk(_tbl(spark, sf_dir, "embeddings"), n_queries=5, k=10)
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -219,6 +231,7 @@ QUERIES = {
     "html_main_lines": q_html_main_lines,
     "custom_config_extract": q_custom_config_extract,
     "extract_fields_blended": q_extract_fields_blended,
+    "extract_fields_boxorder": q_extract_fields_boxorder,
     "doc_token_count": q_doc_token_count,
     "doc_token_count_bpe": q_doc_token_count_bpe,
     "doc_quality": q_doc_quality,
@@ -237,6 +250,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "similarity_topk": q_similarity_topk,
     "similarity_topk_lsh": q_similarity_topk_lsh,
+    "similarity_topk_ivf": q_similarity_topk_ivf,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "multimodal_image_meta": q_multimodal_image_meta,
@@ -307,6 +321,9 @@ ORACLE_SQL = {
     """,
     "extract_fields_blended": f"""
         SELECT url, result_json, success, n_fields FROM '{GOLDEN_BLENDED}'
+    """,
+    "extract_fields_boxorder": f"""
+        SELECT url, result_json, success, n_fields FROM '{GOLDEN_BOXORDER}'
     """,
     "doc_token_count": r"""
         SELECT doc_id,
@@ -539,9 +556,12 @@ ORACLE_SQL = {
         ),
         q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe, bucket AS qb FROM b WHERE vec_id < 5),
         scored AS (
+            -- multi-probe: candidates whose bucket differs in at most 1 bit
             SELECT query_id, e.vec_id AS neighbor_id,
                    list_cosine_similarity(qe, e.embedding::DOUBLE[]) AS cos
-            FROM q JOIN b e ON e.bucket = qb AND e.vec_id <> query_id
+            FROM q JOIN b e
+              ON bit_count(CAST(xor(e.bucket, qb) AS BIGINT)) <= 1
+             AND e.vec_id <> query_id
         ),
         ranked AS (
             SELECT query_id, neighbor_id,
@@ -549,6 +569,38 @@ ORACLE_SQL = {
             FROM scored
         )
         SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+    """,
+    "similarity_topk_ivf": """
+        WITH cent AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < 16
+        ),
+        sims AS (
+            SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, c.cid,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce), 9) AS sim
+            FROM embeddings e CROSS JOIN cent c
+        ),
+        ranked AS (
+            SELECT vec_id, emb, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+            FROM sims
+        ),
+        cells AS (SELECT vec_id, emb, cid AS cell FROM ranked WHERE rn = 1),
+        qprobe AS (
+            SELECT vec_id AS query_id, emb AS q, cid AS cell
+            FROM ranked WHERE vec_id < 5 AND rn <= 5
+        ),
+        scored AS (
+            SELECT query_id, c.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(q, c.emb), 9) AS cos
+            FROM qprobe p JOIN cells c USING (cell)
+            WHERE c.vec_id <> p.query_id
+        ),
+        topk AS (
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank FROM topk WHERE rank <= 10
     """,
     "embedding_near_dup": """
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

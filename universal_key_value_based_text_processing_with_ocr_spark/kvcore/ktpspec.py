@@ -45,6 +45,7 @@ from .evaluate import (
 )
 from .matching import match_keys_in_line, match_line_regex
 from .repair import repair_no_number, repair_to_letters
+from .boxsweep import sweep_blocks
 from .sweep import blend_parsers, scan_document_all, sweep_document
 
 RESULT_ORDERS = [
@@ -454,6 +455,51 @@ def parse_document_blended(
     result["warning"] = {} if warning is None else warning
     result["result"] = {k: result["result"][k] for k in result_orders if k in result["result"]}
     return {k: result[k] for k in output_orders if k in result}
+
+
+def parse_document_boxorder(
+    blocks,
+    configs=None,
+    result_orders=None,
+    keep_looking=False,
+    warning=None,
+):
+    """Block-order entry point == reference ``parse_doc_new0``
+    (/root/reference/ocrfw/postprocessing.py:546-663) applied to the graft's
+    DOM blocks: the geometry-driven second physical plan, where a box is one
+    htmlcore block's text in document order.  Same spec list as the text
+    path (incl. the index-2 NIK insert) so the two parsers differ only in
+    sweep order/consumption semantics."""
+    if configs is None:
+        configs = DEFAULT_FIELD_CONFIG
+    if result_orders is None:
+        result_orders = RESULT_ORDERS
+
+    specs = build_ktp_specs(configs)
+    specs.insert(2, _text_path_nik_spec(configs))
+    # Box-order profile: parse_doc_new0 is never invoked by the reference
+    # (dead code — no canonical spec list exists for it), and its
+    # failing-spec semantics is ABORT-the-document rather than the line
+    # sweep's record-and-continue.  The line path's hardcoded must-exist NIK
+    # (parsers.py:35, duplicated at index 3 here) would abort every noisy
+    # document, so this profile uses the config-driven tolerance for BOTH
+    # NIK specs; everything else keeps its configured must-exist flags.
+    specs[3]["tolerant_not_exists"] = copy.deepcopy(configs["nik"]["tolerant_not_exists"])
+
+    result = sweep_blocks(
+        blocks, specs, final_evaluator=final_evaluate_ktp, keep_looking=keep_looking
+    )
+    # the early-failure echo carries the spec dict (function objects) — not
+    # serializable and not byte-stable; the parity tests exercise it on the
+    # raw sweep_blocks instead
+    result.pop("to extracts", None)
+    result.pop("line_result", None)
+    result["warning"] = {} if warning is None else warning
+    if "result" in result:
+        result["result"] = {
+            k: result["result"][k] for k in result_orders if k in result["result"]
+        }
+    return result
 
 
 def serialize_result(parsed: dict) -> str:

@@ -104,12 +104,30 @@ def ngram_jaccard_pairs(
 # --- MinHash --------------------------------------------------------------
 
 
-def _md5_long(col) -> F.Column:
-    """Reproducible 60-bit hash: first 15 hex digits of md5 as a bigint.
+_HASH_IMPL = "md5"
 
-    Engine-agnostic (md5 is md5 everywhere), so oracles can recompute it;
-    at production scale swap for xxhash64 behind this seam.
+
+def set_hash_impl(impl: str) -> None:
+    """Switch the dedup hash family behind the seam.
+
+    'md5' (default): byte-reproducible in any engine — the DuckDB oracles
+    replay it, which is what makes every dedup query cross-checkable.
+    'xxhash64': the production fast path — JVM-native, no hex-string
+    round-trip per shingle (the md5 path spends most of its time in
+    md5+substring+conv).  Same plans and same pair semantics; fingerprint
+    VALUES differ, so cross-engine oracles don't apply in this mode.
     """
+    global _HASH_IMPL
+    if impl not in ("md5", "xxhash64"):
+        raise ValueError(f"hash impl must be 'md5' or 'xxhash64', got {impl!r}")
+    _HASH_IMPL = impl
+
+
+def _md5_long(col) -> F.Column:
+    """Reproducible non-negative 60-bit hash (first 15 md5 hex digits as a
+    bigint), or the xxhash64 fast path when selected via set_hash_impl."""
+    if _HASH_IMPL == "xxhash64":
+        return F.shiftrightunsigned(F.xxhash64(col), 4)
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
@@ -130,8 +148,18 @@ MINHASH_B = [
 
 
 def _base_hash(col) -> F.Column:
-    """32-bit reproducible base hash: first 8 md5 hex digits as bigint."""
+    """32-bit base hash feeding the universal-hash family (values must stay
+    < 2^32 so every a*x+b product stays exact in 64-bit integers)."""
+    if _HASH_IMPL == "xxhash64":
+        return F.pmod(F.xxhash64(col), F.lit(4294967296)).cast("long")
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _band_hash(col) -> F.Column:
+    """Join key for a band's signature slice (string in both impls)."""
+    if _HASH_IMPL == "xxhash64":
+        return F.xxhash64(col).cast("string")
+    return F.md5(col)
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = 16, shingle_n: int = 10) -> DataFrame:
@@ -186,7 +214,7 @@ def minhash_lsh_pairs(
     bands = sig_arr.select("doc_id", band_ids, "sig").select(
         "doc_id",
         "band",
-        F.md5(
+        _band_hash(
             F.concat_ws(
                 ",",
                 F.transform(

@@ -136,6 +136,92 @@ def html_to_lines(pages_df):
     return pages_df.select("url", "html", "text").mapInPandas(gen, schema=LINES_SCHEMA)
 
 
+# --- per-document debug artifacts -------------------------------------------
+
+DEBUG_SCHEMA = (
+    "url string, lang string, success boolean, n_bytes long, "
+    "n_blocks int, n_kept int, "
+    "blocks array<struct<block_no:int, kept:boolean, container:string, "
+    "n_chars:int, link_chars:int, link_density:double, text:string>>, "
+    "extracted_text string, result_json string, error_messages array<string>"
+)
+
+
+def parse_page_row_debug(url, html, text, lang, configs=None) -> dict:
+    """Per-document debug artifact — the reference ``generate_report`` analog
+    (/root/reference/ocrfw/ktp.py:2066-2092 dumps original + preprocessed +
+    raw-OCR + final-result files per doc).  One row carries every
+    decode-stage block with its densitometry stats and keep/drop verdict plus
+    the final result and error detail: everything needed to diagnose one bad
+    extraction without re-running the job."""
+    from ..htmlcore.extract import _keep, decode_payload, extract_blocks
+
+    blocks_info: list[dict] = []
+    if html is not None:
+        for i, b in enumerate(extract_blocks(decode_payload(bytes(html)))):
+            blocks_info.append(
+                {
+                    "block_no": i,
+                    "kept": _keep(b),
+                    "container": b["container"],
+                    "n_chars": b["n_chars"],
+                    "link_chars": b["link_chars"],
+                    "link_density": round(b["link_chars"] / b["n_chars"], 6)
+                    if b["n_chars"]
+                    else 0.0,
+                    "text": b["text"],
+                }
+            )
+    elif text is not None:
+        for i, ln in enumerate(text.split("\n")):
+            blocks_info.append(
+                {
+                    "block_no": i, "kept": True, "container": "",
+                    "n_chars": len(ln), "link_chars": 0, "link_density": 0.0,
+                    "text": ln,
+                }
+            )
+
+    parsed = parse_page_row(url, html, text, lang, configs)
+    return {
+        "url": url,
+        "lang": lang,
+        "success": parsed["success"],
+        "n_bytes": parsed["n_bytes"],
+        "n_blocks": len(blocks_info),
+        "n_kept": sum(1 for b in blocks_info if b["kept"]),
+        "blocks": blocks_info,
+        "extracted_text": parsed["extracted_text"],
+        "result_json": parsed["result_json"],
+        "error_messages": parsed["error_messages"],
+    }
+
+
+def extract_pages_debug(pages_df, configs=None, only_failures: bool = True):
+    """pages -> per-url debug rows (same fused narrow-stage shape).
+
+    ``only_failures`` filters AFTER extraction inside the stage, so a debug
+    pass over a pre-filtered failed-url subset does no wasted Arrow I/O."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "url", "lang", "success", "n_bytes", "n_blocks", "n_kept",
+            "blocks", "extracted_text", "result_json", "error_messages",
+        ]
+        for pdf in batches:
+            out = [
+                parse_page_row_debug(row.url, row.html, row.text, row.lang, configs)
+                for row in pdf.itertuples(index=False)
+            ]
+            if only_failures:
+                out = [r for r in out if not r["success"]]
+            yield pd.DataFrame(out, columns=cols)
+
+    return pages_df.select("url", "html", "text", "lang").mapInPandas(
+        gen, schema=DEBUG_SCHEMA
+    )
+
+
 # --- universal custom-config extraction ------------------------------------
 
 CUSTOM_SCHEMA = "url string, result_json string, success boolean, n_fields int"
@@ -218,6 +304,50 @@ def parse_page_row_blended(url, html, text) -> dict:
         "success": bool(parsed.get("success", False)),
         "n_fields": len(parsed.get("result", {})),
     }
+
+
+def parse_page_row_boxorder(url, html, text) -> dict:
+    """Block-order (geometry-analog, reference parse_doc_new0) extraction
+    for one page: the kept htmlcore blocks ARE the boxes, in document
+    order; a bare-text payload contributes one single-line block per line."""
+    from ..htmlcore.extract import _keep, decode_payload, extract_blocks
+    from ..kvcore.ktpspec import parse_document_boxorder
+
+    try:
+        if html is not None:
+            blocks = [
+                b["text"].strip()
+                for b in extract_blocks(decode_payload(bytes(html)))
+                if _keep(b)
+            ]
+        elif text is not None:
+            blocks = text.split("\n")
+        else:
+            blocks = []
+        parsed = parse_document_boxorder(blocks)
+    except Exception:  # poisoned-row policy (incl. the reference's
+        # UnboundLocalError echo quirk on never-scanned failing specs)
+        parsed = {"success": False, "result": {}}
+    return {
+        "url": url,
+        "result_json": json.dumps(parsed.get("result", {}), default=str),
+        "success": bool(parsed.get("success", False)),
+        "n_fields": len(parsed.get("result", {})),
+    }
+
+
+def extract_pages_boxorder(pages_df):
+    """pages -> block-order-sweep per-url results (third parser)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                parse_page_row_boxorder(row.url, row.html, row.text)
+                for row in pdf.itertuples(index=False)
+            ]
+            yield pd.DataFrame(out, columns=["url", "result_json", "success", "n_fields"])
+
+    return pages_df.select("url", "html", "text").mapInPandas(gen, schema=CUSTOM_SCHEMA)
 
 
 def extract_pages_blended(pages_df):

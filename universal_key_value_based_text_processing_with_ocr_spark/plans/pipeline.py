@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..lakehouse import SnapshotTable
-from ..operators.extract import extract_pages
+from ..operators.extract import extract_pages, extract_pages_debug
 from .partitioning import plan_partitions, salted_repartition
 
 AUDIT_SCHEMA = (
@@ -34,6 +34,7 @@ def run_extraction_job(
     num_partitions: int | None = None,
     run_id: str | None = None,
     configs=None,
+    debug_path: str | None = None,
 ) -> dict:
     """Run (or resume) the extraction job; returns a summary dict."""
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -108,6 +109,20 @@ def run_extraction_job(
                 _stage_rows(write_row, "write")
             )
             audit_tbl.append(audit, summary={"run_id": run_id, "stage": "extract+write"})
+
+        if debug_path is not None:
+            # Per-doc debug artifacts for FAILED urls only (reference
+            # generate_report analog): a second narrow pass over just the
+            # failed subset — opt-in, so the happy path pays nothing.
+            failed_urls = results.filter(~F.col("success")).select("url")
+            debug_rows = extract_pages_debug(
+                pages_df.join(failed_urls, "url", "left_semi"),
+                configs=configs,
+                only_failures=True,
+            )
+            SnapshotTable(debug_path).append(
+                debug_rows, summary={"run_id": run_id, "stage": "debug"}
+            )
     finally:
         results.unpersist()
 
