@@ -170,18 +170,15 @@ def match_keys_in_line(
 
         n_win = n_tokens - k + 1
         filters = char_filters[key_idx]
-        # Filtered token text per key-token position, reused across windows;
-        # (pattern, token) results are globally memoised — the filter set is
-        # fixed per plan and token text repeats heavily across lines/docs.
-        filt = [
-            [_filter_token(filters[j], tokens[w + j]) for w in range(n_win)]
-            for j in range(k)
-        ]
         joined_key = whitespace.join(key_tokens)
         limits = max_dist_int[key_idx]
 
         if not use_re_support:
-            # Per-token distance columns (cached scalar DP; see textdist).
+            # Fused projection+distance pass (cached scalar DP; see
+            # textdist): each (key-token, window) cell's char-class
+            # projection feeds the DP directly — no intermediate
+            # filtered-token matrix is materialised; the few windows that
+            # pass the gate re-read their projections from the global memo.
             # Length pre-filter: |len(a)-len(b)| is a Levenshtein lower
             # bound, so over-limit pairs are clamped to limit+1 without a
             # DP.  Clamped values are never observable: score sums use only
@@ -189,19 +186,17 @@ def match_keys_in_line(
             # internal to the matcher.
             dist_cols = []
             for j in range(k):
+                pat = filters[j]
                 kt = key_tokens[j]
                 lk_j = len(kt)
                 lim = limits[j]
-                dist_cols.append(
-                    [
-                        (lim + 1)
-                        if abs(lk_j - len(t)) > lim
-                        else edit_distance(kt, t)
-                        for t in filt[j]
-                    ]
-                )
-
-        if not use_re_support:
+                col = []
+                for w in range(n_win):
+                    t = _filter_token(pat, tokens[w + j])
+                    col.append(
+                        (lim + 1) if abs(lk_j - len(t)) > lim else edit_distance(kt, t)
+                    )
+                dist_cols.append(col)
             # Gate pass over all windows first.  Failure-record CONTENT and
             # per-window write ORDER are unobservable (records never leave
             # this function; the dict slot per name is fixed by this key's
@@ -221,7 +216,7 @@ def match_keys_in_line(
             len_jk = len(joined_key)
             succeeded = False
             for w in passing:
-                window = [filt[j][w] for j in range(k)]
+                window = [_filter_token(filters[j], tokens[w + j]) for j in range(k)]
                 joined_window = whitespace.join(window)
                 if len(joined_window) < len_jk:
                     probe = joined_window + whitespace * (len_jk - len(joined_window))
@@ -249,6 +244,12 @@ def match_keys_in_line(
                 found[name] = [False, "no window passed the distance/accuracy gates"]
             continue
 
+        # regex-support path: every window is visited, so the projected
+        # token matrix is materialised once here
+        filt = [
+            [_filter_token(filters[j], tokens[w + j]) for w in range(n_win)]
+            for j in range(k)
+        ]
         for w in range(n_win):
             if True:
                 window = [filt[j][w] for j in range(k)]
