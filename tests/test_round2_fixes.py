@@ -235,3 +235,39 @@ def test_debug_artifacts_one_row_per_failed_url(spark, tmp_path):  # noqa: F811
         assert {"block_no", "kept", "container", "n_chars", "link_chars",
                 "link_density", "text"} <= set(b.asDict().keys() if hasattr(b, "asDict") else b.keys())
     assert isinstance(row.result_json, str)
+
+
+def test_incremental_dedup_drops_committed_and_batch_dups(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    committed = spark.createDataFrame(
+        pd.DataFrame([{"doc_id": 1, "text": "already committed text"}])
+    )
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"doc_id": 10, "text": "already committed text"},   # dup of committed
+                {"doc_id": 11, "text": "fresh text"},
+                {"doc_id": 12, "text": "fresh text"},               # dup within batch
+                {"doc_id": 13, "text": None},                       # null dropped
+            ]
+        )
+    )
+    out = incremental_dedup(batch, committed).toPandas()
+    assert len(out) == 1
+    assert out.iloc[0].keep_id == 11 and out.iloc[0].n_copies == 2
+
+
+def test_normalize_text_collapses_whitespace_and_controls(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        normalize_text,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame([{"doc_id": 1, "text": "  Hello\tWORLD\x01  twice  "}])
+    )
+    row = normalize_text(docs).toPandas().iloc[0]
+    assert row.norm_text == "hello world twice"
+    assert row.n_chars_norm == len("hello world twice")

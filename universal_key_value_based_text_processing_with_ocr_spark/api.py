@@ -122,8 +122,20 @@ def q_quality_filter(spark, sf_dir):
     return textstats.quality_filter(_tbl(spark, sf_dir, "documents"))
 
 
+def q_doc_normalize(spark, sf_dir):
+    return textstats.normalize_text(_tbl(spark, sf_dir, "documents"))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_tbl(spark, sf_dir, "documents"))
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """New batch (doc_id % 4 == 0) deduped against the committed rest."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return dedup.incremental_dedup(
+        docs.filter(F.col("doc_id") % 4 == 0), docs.filter(F.col("doc_id") % 4 != 0)
+    )
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -242,7 +254,9 @@ QUERIES = {
     "doc_winnowing_fp": q_doc_winnowing_fp,
     "corpus_top_terms": q_corpus_top_terms,
     "quality_filter": q_quality_filter,
+    "doc_normalize": q_doc_normalize,
     "dedup_exact": q_dedup_exact,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -443,6 +457,27 @@ ORACLE_SQL = {
     "dedup_exact": """
         SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
         FROM documents WHERE text IS NOT NULL GROUP BY md5(text)
+    """,
+    "dedup_incremental": """
+        WITH committed AS (
+            SELECT DISTINCT md5(text) AS fp FROM documents
+            WHERE doc_id % 4 != 0 AND text IS NOT NULL
+        ),
+        batch AS (
+            SELECT doc_id, md5(text) AS fp FROM documents
+            WHERE doc_id % 4 = 0 AND text IS NOT NULL
+        )
+        SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM batch WHERE fp NOT IN (SELECT fp FROM committed)
+        GROUP BY fp
+    """,
+    "doc_normalize": r"""
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f]', ' ', 'g'),
+                                   '\s+', ' ', 'g')) AS norm_text,
+               CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f]', ' ', 'g'),
+                                   '\s+', ' ', 'g'))) AS INT) AS n_chars_norm
+        FROM documents WHERE text IS NOT NULL
     """,
     "dedup_ngram_jaccard": f"""
         WITH {_SHINGLES_CTE},

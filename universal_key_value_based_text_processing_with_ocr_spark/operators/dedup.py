@@ -35,6 +35,31 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def incremental_dedup(new_docs: DataFrame, committed_docs: DataFrame) -> DataFrame:
+    """Exact dedup of a NEW batch against an already-committed corpus — the
+    resume-shaped dedup an append-only 100 TB pipeline runs every increment.
+
+    (fp, keep_id): content fingerprints of batch docs that are not yet in
+    the committed corpus, keeping the lowest doc_id within the batch.  The
+    committed side reduces to a distinct fingerprint column before the
+    anti-join (tiny vs payloads; broadcast when small, shuffle otherwise —
+    AQE decides), so the committed TEXT is never reshuffled.
+    """
+    committed_fp = (
+        committed_docs.filter(F.col("text").isNotNull())
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    batch = new_docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    return (
+        batch.join(committed_fp, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
 def char_shingles(docs: DataFrame, n: int = 10) -> DataFrame:
     """Distinct character n-gram shingles per document.
 

@@ -138,6 +138,24 @@ def winnowing_fingerprints(
     )
 
 
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """Canonical text normalisation: lowercase, control chars -> space,
+    whitespace runs collapsed, trimmed — the standard pre-dedup/pre-tokenise
+    cleanup pass.  Pure JVM expressions (one codegen'd projection)."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[\x00-\x1f]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).alias("n_chars_norm"),
+    )
+
+
 def corpus_top_terms(docs: DataFrame, n: int = 50) -> DataFrame:
     """Corpus-wide term frequencies, top-n (deterministic tie-break):
     the canonical partial+final-aggregated shuffle-heavy text statistic."""
