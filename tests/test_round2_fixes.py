@@ -271,3 +271,26 @@ def test_normalize_text_collapses_whitespace_and_controls(spark):  # noqa: F811
     row = normalize_text(docs).toPandas().iloc[0]
     assert row.norm_text == "hello world twice"
     assert row.n_chars_norm == len("hello world twice")
+
+
+def test_run_extraction_job_parser_selection(spark, tmp_path):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.lakehouse import SnapshotTable
+    from universal_key_value_based_text_processing_with_ocr_spark.plans.pipeline import (
+        run_extraction_job,
+    )
+    from universal_key_value_based_text_processing_with_ocr_spark.sources import PAGES_SCHEMA
+    from universal_key_value_based_text_processing_with_ocr_spark.sources.synthdocs import (
+        gen_page_row,
+    )
+
+    pages = spark.createDataFrame(
+        pd.DataFrame([gen_page_row(42, i) for i in range(12)]), schema=PAGES_SCHEMA
+    )
+    info = run_extraction_job(
+        spark, pages, str(tmp_path / "r"), audit_path=str(tmp_path / "a"), parser="boxorder"
+    )
+    assert info["n_docs"] == 12
+    res = SnapshotTable(tmp_path / "r").read(spark).toPandas()
+    assert set(res.columns) >= {"url", "result_json", "success", "n_fields"}
+    with pytest.raises(ValueError, match="parser must be one of"):
+        run_extraction_job(spark, pages, str(tmp_path / "r2"), parser="nope")

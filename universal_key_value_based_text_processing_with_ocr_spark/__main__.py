@@ -32,6 +32,13 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--partitions", type=int, default=None)
     parser.add_argument("--run-id", default=None)
     parser.add_argument(
+        "--parser",
+        default="sweep",
+        choices=["sweep", "blended", "boxorder"],
+        help="parse strategy: line sweep (default), blended (+NIK re-scan), "
+        "or block-order (geometry-analog)",
+    )
+    parser.add_argument(
         "--debug",
         default=None,
         metavar="DIR",
@@ -82,6 +89,7 @@ def main(argv: list[str] | None = None) -> int:
             num_partitions=args.partitions,
             run_id=args.run_id,
             debug_path=args.debug,
+            parser=args.parser,
         )
     print(json.dumps(info))
     return 0

@@ -17,8 +17,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..lakehouse import SnapshotTable
-from ..operators.extract import extract_pages, extract_pages_debug
+from ..operators.extract import (
+    extract_pages,
+    extract_pages_blended,
+    extract_pages_boxorder,
+    extract_pages_debug,
+)
+
 from .partitioning import plan_partitions, salted_repartition
+
+# parser registry: the three physical parse strategies a user can pick per
+# job (line sweep == reference parse_doc; blended adds the NIK re-scan;
+# boxorder is the parse_doc_new0 block-geometry analog).  blended/boxorder
+# emit the compact schema (no n_bytes/extracted_text).
+PARSERS = {
+    "sweep": extract_pages,
+    "blended": lambda df, configs=None: extract_pages_blended(df),
+    "boxorder": lambda df, configs=None: extract_pages_boxorder(df),
+}
 
 AUDIT_SCHEMA = (
     "run_id string, stage string, partition_id int, n_docs long, n_success long, "
@@ -35,6 +51,7 @@ def run_extraction_job(
     run_id: str | None = None,
     configs=None,
     debug_path: str | None = None,
+    parser: str = "sweep",
 ) -> dict:
     """Run (or resume) the extraction job; returns a summary dict."""
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -59,7 +76,9 @@ def run_extraction_job(
         )
     pages_df = salted_repartition(pages_df, num_partitions)
 
-    results = extract_pages(pages_df, configs=configs).withColumn(
+    if parser not in PARSERS:
+        raise ValueError(f"parser must be one of {sorted(PARSERS)}, got {parser!r}")
+    results = PARSERS[parser](pages_df, configs=configs).withColumn(
         "partition_id", F.spark_partition_id()
     )
     # Single pass, cached only long enough for the two aggregates + write.
@@ -77,12 +96,17 @@ def run_extraction_job(
 
         if audit_tbl is not None:
             wall_ms = int((time.time() - t0) * 1000)
+            bytes_in = (
+                F.sum("n_bytes")
+                if "n_bytes" in results.columns
+                else F.sum(F.lit(None).cast("long"))  # compact-schema parsers
+            )
             per_partition = (
                 results.groupBy("partition_id")
                 .agg(
                     F.count("*").alias("n_docs"),
                     F.sum(F.col("success").cast("long")).alias("n_success"),
-                    F.sum("n_bytes").alias("bytes_in"),
+                    bytes_in.alias("bytes_in"),
                 )
             )
 
