@@ -294,3 +294,40 @@ def test_run_extraction_job_parser_selection(spark, tmp_path):  # noqa: F811
     assert set(res.columns) >= {"url", "result_json", "success", "n_fields"}
     with pytest.raises(ValueError, match="parser must be one of"):
         run_extraction_job(spark, pages, str(tmp_path / "r2"), parser="nope")
+
+
+def test_scrub_pii_masks_and_counts(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        scrub_pii,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [{"doc_id": 1,
+              "text": "mail a@b.co or c.d@e-f.org, call 081234567890, host 10.0.0.1 ok"}]
+        )
+    )
+    row = scrub_pii(docs).toPandas().iloc[0]
+    assert "<EMAIL>" in row.scrubbed and "<NUM>" in row.scrubbed and "<IP>" in row.scrubbed
+    assert "a@b.co" not in row.scrubbed and "081234567890" not in row.scrubbed
+    assert (row.n_emails, row.n_ips, row.n_numbers) == (2, 1, 1)
+
+
+def test_contamination_check_finds_planted_overlap(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        contamination_check,
+    )
+
+    shared = "this exact benchmark sentence appears verbatim in the corpus"
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"doc_id": 10, "text": "prefix junk " + shared + " suffix junk"},
+                {"doc_id": 11, "text": "a completely unrelated document body here"},
+            ]
+        )
+    )
+    probes = spark.createDataFrame(pd.DataFrame([{"doc_id": 1, "text": shared}]))
+    out = contamination_check(docs, probes).toPandas()
+    assert set(out.doc_id) == {10}
+    assert out.iloc[0].n_shared >= len(shared) - 20 + 1

@@ -126,6 +126,18 @@ def q_doc_normalize(spark, sf_dir):
     return textstats.normalize_text(_tbl(spark, sf_dir, "documents"))
 
 
+def q_doc_scrub_pii(spark, sf_dir):
+    return textstats.scrub_pii(_tbl(spark, sf_dir, "documents"))
+
+
+def q_contamination_check(spark, sf_dir):
+    """Corpus (doc_id >= 5) vs a tiny probe 'eval set' (doc_id < 5)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return textstats.contamination_check(
+        docs.filter(F.col("doc_id") >= 5), docs.filter(F.col("doc_id") < 5)
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_tbl(spark, sf_dir, "documents"))
 
@@ -255,6 +267,8 @@ QUERIES = {
     "corpus_top_terms": q_corpus_top_terms,
     "quality_filter": q_quality_filter,
     "doc_normalize": q_doc_normalize,
+    "doc_scrub_pii": q_doc_scrub_pii,
+    "contamination_check": q_contamination_check,
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -478,6 +492,35 @@ ORACLE_SQL = {
                CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f]', ' ', 'g'),
                                    '\s+', ' ', 'g'))) AS INT) AS n_chars_norm
         FROM documents WHERE text IS NOT NULL
+    """,
+    "doc_scrub_pii": r"""
+        WITH t AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL)
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                   '\b\d{8,}\b', '<NUM>', 'g') AS scrubbed,
+               CAST(len(string_split_regex(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS INT) AS n_emails,
+               CAST(len(string_split_regex(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) - 1 AS INT) AS n_ips,
+               CAST(len(string_split_regex(text, '\b\d{8,}\b')) - 1 AS INT) AS n_numbers
+        FROM t
+    """,
+    "contamination_check": """
+        WITH dg AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, length(text) - 18),
+                                         i -> substring(text, CAST(i AS INT), 20))) AS gram
+            FROM documents WHERE doc_id >= 5 AND text IS NOT NULL AND length(text) >= 20
+        ),
+        pg AS (
+            SELECT DISTINCT doc_id AS probe_id,
+                   unnest(list_transform(range(1, length(text) - 18),
+                                         i -> substring(text, CAST(i AS INT), 20))) AS gram
+            FROM documents WHERE doc_id < 5 AND text IS NOT NULL AND length(text) >= 20
+        )
+        SELECT dg.doc_id, pg.probe_id, count(*) AS n_shared
+        FROM dg JOIN pg USING (gram)
+        GROUP BY dg.doc_id, pg.probe_id
     """,
     "dedup_ngram_jaccard": f"""
         WITH {_SHINGLES_CTE},

@@ -156,6 +156,72 @@ def normalize_text(docs: DataFrame) -> DataFrame:
     )
 
 
+def scrub_pii(docs: DataFrame) -> DataFrame:
+    """PII scrubbing: mask emails, long digit runs (phone/account/NIK-like)
+    and IPv4 addresses — the standard pre-training redaction pass, as three
+    chained JVM regexp_replace calls in one codegen'd projection.
+
+    Returns (doc_id, scrubbed, n_emails, n_numbers, n_ips) so the redaction
+    is auditable per document."""
+    text = F.col("text")
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ip_re = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+    num_re = r"\b\d{8,}\b"
+
+    def n_hits(pattern):
+        # count = (len(text) - len(text-with-matches-removed)) impossible;
+        # use size(split)-1: split on the pattern leaves n+1 pieces
+        return (F.size(F.split(text, pattern, -1)) - 1).cast("int")
+
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(text, email_re, "<EMAIL>"), ip_re, "<IP>"),
+        num_re,
+        "<NUM>",
+    )
+    return docs.filter(text.isNotNull()).select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        n_hits(email_re).alias("n_emails"),
+        n_hits(ip_re).alias("n_ips"),
+        n_hits(num_re).alias("n_numbers"),
+    )
+
+
+def contamination_check(docs: DataFrame, probes: DataFrame, n: int = 20) -> DataFrame:
+    """Benchmark decontamination: which corpus docs share an exact char
+    n-gram with any probe (eval-set) text.
+
+    (doc_id, probe_id, n_shared): distinct n-gram equi-join — the probe side
+    is an eval set (tiny vs the corpus), so Spark broadcasts its shingles
+    and the corpus is scanned once, shuffle-free.  The standard exact
+    first-pass of train/test-overlap removal."""
+    doc_grams = (
+        docs.filter(F.length("text") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"transform(sequence(1, length(text) - {n - 1}), i -> substring(text, i, {n}))")
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    probe_grams = (
+        probes.filter(F.length("text") >= n)
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.explode(
+                F.expr(f"transform(sequence(1, length(text) - {n - 1}), i -> substring(text, i, {n}))")
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    return (
+        doc_grams.join(F.broadcast(probe_grams), "gram")
+        .groupBy("doc_id", "probe_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 def corpus_top_terms(docs: DataFrame, n: int = 50) -> DataFrame:
     """Corpus-wide term frequencies, top-n (deterministic tie-break):
     the canonical partial+final-aggregated shuffle-heavy text statistic."""
