@@ -88,7 +88,7 @@ def main() -> None:
     # Production shape: JVM parquet scan -> salted repartition -> fused
     # extract stage.  The synthetic source is materialised untimed.
     pages_path = materialize_pages_parquet(spark, n_docs)
-    pages = salted_repartition(spark.read.parquet(pages_path), CPUS * 4)
+    pages = salted_repartition(spark.read.parquet(pages_path), CPUS * 8)
     t0 = time.time()
     extracted = extract_pages(pages).count()
     timings["extract_pages"] = round(time.time() - t0, 3)

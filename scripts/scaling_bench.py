@@ -45,7 +45,7 @@ extract_pages(synth_pages_df(spark, 128, partitions={cpus})).count()
 # Production shape: JVM parquet scan -> salted repartition -> extract;
 # the synthetic source is materialised once, untimed, shared across levels.
 pages_path = materialize_pages_parquet(spark, {n_docs})
-pages = salted_repartition(spark.read.parquet(pages_path), {cpus} * 4)
+pages = salted_repartition(spark.read.parquet(pages_path), {cpus} * 8)
 t0 = time.time()
 n = extract_pages(pages).count()
 wall = time.time() - t0

@@ -145,7 +145,7 @@ def test_plan_partitions_policy():
     assert plan_partitions(5, min_parallelism=32) == 5          # never more than rows
     assert plan_partitions(257, min_parallelism=32) == 32        # small batch: 1/core
     assert plan_partitions(12000, min_parallelism=32) == 120     # sized by rows/target
-    assert plan_partitions(10**9, min_parallelism=32) == 128     # capped at 4x cores
+    assert plan_partitions(10**9, min_parallelism=32) == 256     # capped at 8x cores
     assert plan_partitions(0, min_parallelism=32) == 1
 
 

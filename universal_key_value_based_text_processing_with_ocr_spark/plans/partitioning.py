@@ -55,9 +55,11 @@ def plan_partitions(
     """Partition count from the input size.
 
     ``ceil(n_rows / target_rows_per_partition)`` clamped to
-    [min(n_rows, min_parallelism), min_parallelism * 4]: large inputs get up
-    to 4x-cores headroom (straggler absorption per SURVEY §7, AQE coalesces
-    the rest) with rows-per-partition bounded so Arrow batches fit executor
+    [min(n_rows, min_parallelism), min_parallelism * 8]: large inputs get up
+    to 8x-cores headroom (straggler absorption per SURVEY §7 — measured
+    best-of-4 interleaved on the fused extract stage, 256 partitions on 32
+    cores beats 128 by ~30%; AQE coalesces the rest) with
+    rows-per-partition bounded so Arrow batches fit executor
     memory; a small resume batch gets ~one partition per core — never
     hundreds of near-empty shuffle partitions — and tiny inputs never get
     more partitions than rows.  The default target (~100 docs at ~5 ms/doc
@@ -65,5 +67,5 @@ def plan_partitions(
     scheduling, small enough to rebalance."""
     by_rows = max(1, (n_rows + target_rows_per_partition - 1) // target_rows_per_partition)
     lower = max(1, min(n_rows, min_parallelism))
-    upper = max(lower, min_parallelism * 4)
+    upper = max(lower, min_parallelism * 8)
     return min(max(by_rows, lower), upper)
