@@ -236,6 +236,16 @@ def test_debug_artifacts_one_row_per_failed_url(spark, tmp_path):  # noqa: F811
                 "link_density", "text"} <= set(b.asDict().keys() if hasattr(b, "asDict") else b.keys())
     assert isinstance(row.result_json, str)
 
+    # parser-aware debug: a boxorder job's debug rows must reflect BOXORDER
+    # failures, not the sweep parser's
+    run_extraction_job(
+        spark, pages, str(tmp_path / "res2"), debug_path=str(tmp_path / "dbg2"),
+        parser="boxorder",
+    )
+    res2 = SnapshotTable(tmp_path / "res2").read(spark).toPandas()
+    dbg2 = SnapshotTable(tmp_path / "dbg2").read(spark).toPandas()
+    assert set(dbg2.url) == set(res2[~res2.success].url)
+
 
 def test_incremental_dedup_drops_committed_and_batch_dups(spark):  # noqa: F811
     from universal_key_value_based_text_processing_with_ocr_spark.operators.dedup import (

@@ -52,6 +52,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument("--checkpoint", default=None, help="streaming checkpoint dir")
     args = parser.parse_args(argv)
+    if args.streaming and (args.parser != "sweep" or args.debug):
+        parser.error(
+            "--streaming supports only the default sweep parser and no --debug "
+            "(batch-only features for now)"
+        )
 
     from pyspark.sql import SparkSession
 

@@ -47,11 +47,14 @@ class SnapshotTable:
         for p in self.snapshot_dir.iterdir():
             if self._MANIFEST_RE.match(p.name):
                 out.append(p)
-            elif p.name.startswith(".tmp-") and time.time() - p.stat().st_mtime > 3600:
+            elif p.name.startswith(".tmp-"):
                 # opportunistic cleanup of orphaned temp files from hard
-                # crashes; age-gated so an in-flight commit is never raced
+                # crashes; age-gated so an in-flight commit is never raced,
+                # and stat+unlink both guarded — a concurrent _manifests()
+                # may have already removed the orphan
                 try:
-                    p.unlink()
+                    if time.time() - p.stat().st_mtime > 3600:
+                        p.unlink()
                 except OSError:
                     pass
         return sorted(out)

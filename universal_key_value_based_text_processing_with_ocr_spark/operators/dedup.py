@@ -89,14 +89,16 @@ def ngram_jaccard_pairs(
     worst join group is max_doc_freq^2.  (For corpus-scale near-dup the LSH
     variant below is the real plan; this is the exact baseline.)
     """
-    raw = char_shingles(docs, n).persist()
+    raw = char_shingles(docs, n)
     # Stop-shingle removal as a map-side-combinable aggregate + broadcast
     # anti-join: the over-cap shingle set is tiny (boilerplate strings), so
     # this avoids the per-shingle sort + full-row materialisation a
     # count-over-Window pass forces on the whole shingle table — measured
-    # ~2x on this stage, and the win grows with corpus size.  The kept
-    # table persists once and feeds three consumers (sizes + both join
-    # sides).
+    # ~2x on this stage, and the win grows with corpus size.  raw is a
+    # narrow scan+explode, deliberately NOT persisted (pinning the largest
+    # intermediate for the session would evict more useful blocks); only
+    # the filtered sh table persists, feeding three consumers (sizes +
+    # both join sides).
     stop = (
         raw.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -331,6 +333,9 @@ def near_dup_clusters(
     (doc_id, cluster_id) where cluster_id = min doc_id reachable through
     near-dup edges (the canonical "keep one per duplicate cluster" step).
 
+    ``checkpoint_interval <= 0`` disables lineage checkpointing (useful for
+    tiny inputs/tests).
+
     Distributed min-label propagation: every node repeatedly adopts the
     smallest label among itself and its neighbours until a fixpoint —
     O(diameter) joins, each a plain shuffle join, no graph library.  The
@@ -365,7 +370,7 @@ def near_dup_clusters(
             "doc_id",
             F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
         )
-        if (it + 1) % checkpoint_interval == 0:
+        if checkpoint_interval > 0 and (it + 1) % checkpoint_interval == 0:
             # Cut lineage: each round otherwise stacks a join on the previous
             # plan, and at corpus scale round 15+ replans/reschedules a
             # 15-join tree.  localCheckpoint materialises the (tiny) label

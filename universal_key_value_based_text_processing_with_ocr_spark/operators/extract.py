@@ -147,7 +147,7 @@ DEBUG_SCHEMA = (
 )
 
 
-def parse_page_row_debug(url, html, text, lang, configs=None) -> dict:
+def parse_page_row_debug(url, html, text, lang, configs=None, parser: str = "sweep") -> dict:
     """Per-document debug artifact — the reference ``generate_report`` analog
     (/root/reference/ocrfw/ktp.py:2066-2092 dumps original + preprocessed +
     raw-OCR + final-result files per doc).  One row carries every
@@ -182,22 +182,36 @@ def parse_page_row_debug(url, html, text, lang, configs=None) -> dict:
                 }
             )
 
-    parsed = parse_page_row(url, html, text, lang, configs)
+    # the final result must come from the SAME parser the job ran, or the
+    # debug table diagnoses the wrong failures (blended/boxorder emit the
+    # compact schema; missing fields are filled locally)
+    if parser == "blended":
+        parsed = parse_page_row_blended(url, html, text, configs)
+    elif parser == "boxorder":
+        parsed = parse_page_row_boxorder(url, html, text, configs)
+    else:
+        parsed = parse_page_row(url, html, text, lang, configs)
+    if html is not None:
+        n_bytes = len(html)
+    elif text is not None:
+        n_bytes = len(text.encode("utf-8"))
+    else:
+        n_bytes = 0
     return {
         "url": url,
         "lang": lang,
         "success": parsed["success"],
-        "n_bytes": parsed["n_bytes"],
+        "n_bytes": parsed.get("n_bytes", n_bytes),
         "n_blocks": len(blocks_info),
         "n_kept": sum(1 for b in blocks_info if b["kept"]),
         "blocks": blocks_info,
-        "extracted_text": parsed["extracted_text"],
+        "extracted_text": parsed.get("extracted_text"),
         "result_json": parsed["result_json"],
-        "error_messages": parsed["error_messages"],
+        "error_messages": [str(m) for m in parsed.get("error_messages", [])],
     }
 
 
-def extract_pages_debug(pages_df, configs=None, only_failures: bool = True):
+def extract_pages_debug(pages_df, configs=None, only_failures: bool = True, parser: str = "sweep"):
     """pages -> per-url debug rows (same fused narrow-stage shape).
 
     ``only_failures`` filters AFTER extraction inside the stage, so a debug
@@ -210,7 +224,7 @@ def extract_pages_debug(pages_df, configs=None, only_failures: bool = True):
         ]
         for pdf in batches:
             out = [
-                parse_page_row_debug(row.url, row.html, row.text, row.lang, configs)
+                parse_page_row_debug(row.url, row.html, row.text, row.lang, configs, parser)
                 for row in pdf.itertuples(index=False)
             ]
             if only_failures:
@@ -283,7 +297,7 @@ def extract_pages_with_config(pages_df, cfg: dict):
 BLENDED_SCHEMA = "url string, result_json string, success boolean, n_fields int"
 
 
-def parse_page_row_blended(url, html, text) -> dict:
+def parse_page_row_blended(url, html, text, configs=None) -> dict:
     """Two-parser blended extraction (Entry-1 structure) for one page."""
     from ..kvcore.ktpspec import parse_document_blended
 
@@ -294,7 +308,7 @@ def parse_page_row_blended(url, html, text) -> dict:
             doc = text
         else:
             doc = ""
-        parsed = parse_document_blended(doc)
+        parsed = parse_document_blended(doc, configs=configs)
     except Exception as exc:
         parsed = {"success": False, "result": {},
                   "all_error_messages": [f"engine exception: {type(exc).__name__}: {exc}"]}
@@ -306,7 +320,7 @@ def parse_page_row_blended(url, html, text) -> dict:
     }
 
 
-def parse_page_row_boxorder(url, html, text) -> dict:
+def parse_page_row_boxorder(url, html, text, configs=None) -> dict:
     """Block-order (geometry-analog, reference parse_doc_new0) extraction
     for one page: the kept htmlcore blocks ARE the boxes, in document
     order; a bare-text payload contributes one single-line block per line."""
@@ -324,7 +338,7 @@ def parse_page_row_boxorder(url, html, text) -> dict:
             blocks = text.split("\n")
         else:
             blocks = []
-        parsed = parse_document_boxorder(blocks)
+        parsed = parse_document_boxorder(blocks, configs=configs)
     except Exception:  # poisoned-row policy (incl. the reference's
         # UnboundLocalError echo quirk on never-scanned failing specs)
         parsed = {"success": False, "result": {}}
@@ -336,13 +350,13 @@ def parse_page_row_boxorder(url, html, text) -> dict:
     }
 
 
-def extract_pages_boxorder(pages_df):
+def extract_pages_boxorder(pages_df, configs=None):
     """pages -> block-order-sweep per-url results (third parser)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = [
-                parse_page_row_boxorder(row.url, row.html, row.text)
+                parse_page_row_boxorder(row.url, row.html, row.text, configs)
                 for row in pdf.itertuples(index=False)
             ]
             yield pd.DataFrame(out, columns=["url", "result_json", "success", "n_fields"])
@@ -350,13 +364,13 @@ def extract_pages_boxorder(pages_df):
     return pages_df.select("url", "html", "text").mapInPandas(gen, schema=CUSTOM_SCHEMA)
 
 
-def extract_pages_blended(pages_df):
+def extract_pages_blended(pages_df, configs=None):
     """pages -> blended (sweep + NIK re-scan) per-url results."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = [
-                parse_page_row_blended(row.url, row.html, row.text)
+                parse_page_row_blended(row.url, row.html, row.text, configs)
                 for row in pdf.itertuples(index=False)
             ]
             yield pd.DataFrame(out, columns=["url", "result_json", "success", "n_fields"])

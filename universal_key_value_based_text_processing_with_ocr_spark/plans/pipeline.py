@@ -28,12 +28,13 @@ from .partitioning import plan_partitions, salted_repartition
 
 # parser registry: the three physical parse strategies a user can pick per
 # job (line sweep == reference parse_doc; blended adds the NIK re-scan;
-# boxorder is the parse_doc_new0 block-geometry analog).  blended/boxorder
-# emit the compact schema (no n_bytes/extracted_text).
+# boxorder is the parse_doc_new0 block-geometry analog).  All three accept
+# a custom field config; blended/boxorder emit the compact schema (no
+# n_bytes/extracted_text).
 PARSERS = {
     "sweep": extract_pages,
-    "blended": lambda df, configs=None: extract_pages_blended(df),
-    "boxorder": lambda df, configs=None: extract_pages_boxorder(df),
+    "blended": extract_pages_blended,
+    "boxorder": extract_pages_boxorder,
 }
 
 AUDIT_SCHEMA = (
@@ -54,6 +55,10 @@ def run_extraction_job(
     parser: str = "sweep",
 ) -> dict:
     """Run (or resume) the extraction job; returns a summary dict."""
+    if parser not in PARSERS:
+        # validate BEFORE any action — an argument typo must not cost a
+        # full source scan + resume anti-join first
+        raise ValueError(f"parser must be one of {sorted(PARSERS)}, got {parser!r}")
     run_id = run_id or uuid.uuid4().hex[:12]
     t0 = time.time()
     results_tbl = SnapshotTable(results_path)
@@ -76,8 +81,6 @@ def run_extraction_job(
         )
     pages_df = salted_repartition(pages_df, num_partitions)
 
-    if parser not in PARSERS:
-        raise ValueError(f"parser must be one of {sorted(PARSERS)}, got {parser!r}")
     results = PARSERS[parser](pages_df, configs=configs).withColumn(
         "partition_id", F.spark_partition_id()
     )
@@ -143,6 +146,7 @@ def run_extraction_job(
                 pages_df.join(failed_urls, "url", "left_semi"),
                 configs=configs,
                 only_failures=True,
+                parser=parser,
             )
             SnapshotTable(debug_path).append(
                 debug_rows, summary={"run_id": run_id, "stage": "debug"}

@@ -20,10 +20,11 @@ from pathlib import Path
 
 _PKG_DIR = Path(__file__).resolve().parent
 
-# (SparkContext id, digest) pairs already registered in this process, so a
+# (applicationId, digest) pairs already registered in this process, so a
 # second ship_package on the same live context is a no-op instead of a
-# duplicate addPyFile.
-_SHIPPED: set[tuple[int, str]] = set()
+# duplicate addPyFile.  applicationId is stable per context and never reused
+# the way id() addresses are after a stop()+GC.
+_SHIPPED: set[tuple[str, str]] = set()
 
 
 def _package_files() -> list[Path]:
@@ -47,7 +48,7 @@ def ship_package(spark) -> None:
     """Idempotently make this package importable in executor workers."""
     files = _package_files()
     digest = _package_digest(files)
-    key = (id(spark.sparkContext), digest)
+    key = (spark.sparkContext.applicationId, digest)
     if key in _SHIPPED:
         return
 
