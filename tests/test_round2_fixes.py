@@ -341,3 +341,25 @@ def test_contamination_check_finds_planted_overlap(spark):  # noqa: F811
     out = contamination_check(docs, probes).toPandas()
     assert set(out.doc_id) == {10}
     assert out.iloc[0].n_shared >= len(shared) - 20 + 1
+
+
+def test_repetition_stats_flags_repeated_content(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"doc_id": 1, "text": "same line\nsame line\nsame line\nother"},
+                {"doc_id": 2, "text": "buy now buy now buy now buy now"},
+                {"doc_id": 3, "text": "all words here are fully distinct tokens"},
+                {"doc_id": 4, "text": "single"},
+            ]
+        )
+    )
+    out = repetition_stats(docs).toPandas().set_index("doc_id")
+    assert out.loc[1].dup_line_frac == 0.5          # 4 lines, 2 distinct
+    assert out.loc[2].top_bigram_frac > 0.5          # 'buy now'/'now buy' dominate
+    assert out.loc[3].top_bigram_frac == round(1 / 6, 6)
+    assert out.loc[4].top_bigram_frac == 0.0 and out.loc[4].n_lines == 1

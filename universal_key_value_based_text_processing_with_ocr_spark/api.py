@@ -126,6 +126,10 @@ def q_doc_normalize(spark, sf_dir):
     return textstats.normalize_text(_tbl(spark, sf_dir, "documents"))
 
 
+def q_doc_repetition(spark, sf_dir):
+    return textstats.repetition_stats(_tbl(spark, sf_dir, "documents"))
+
+
 def q_doc_scrub_pii(spark, sf_dir):
     return textstats.scrub_pii(_tbl(spark, sf_dir, "documents"))
 
@@ -267,6 +271,7 @@ QUERIES = {
     "corpus_top_terms": q_corpus_top_terms,
     "quality_filter": q_quality_filter,
     "doc_normalize": q_doc_normalize,
+    "doc_repetition": q_doc_repetition,
     "doc_scrub_pii": q_doc_scrub_pii,
     "contamination_check": q_contamination_check,
     "dedup_exact": q_dedup_exact,
@@ -492,6 +497,36 @@ ORACLE_SQL = {
                CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f]', ' ', 'g'),
                                    '\s+', ' ', 'g'))) AS INT) AS n_chars_norm
         FROM documents WHERE text IS NOT NULL
+    """,
+    "doc_repetition": r"""
+        WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        lines AS (
+            SELECT doc_id, l AS line
+            FROM base, unnest(string_split(text, chr(10))) AS t(l)
+            WHERE length(trim(l)) > 0
+        ),
+        line_stats AS (
+            SELECT doc_id, count(*) AS n_lines, count(DISTINCT line) AS n_distinct
+            FROM lines GROUP BY doc_id
+        ),
+        words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM base),
+        bigrams AS (
+            SELECT doc_id, g AS bigram
+            FROM words,
+                 unnest(list_transform(range(1, len(w)),
+                        i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1])) AS t(g)
+        ),
+        per_bigram AS (SELECT doc_id, bigram, count(*) AS c FROM bigrams GROUP BY doc_id, bigram),
+        bigram_stats AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bigrams FROM per_bigram GROUP BY doc_id)
+        SELECT b.doc_id,
+               CAST(coalesce(ls.n_lines, 0) AS BIGINT) AS n_lines,
+               round(CASE WHEN ls.n_lines > 0
+                          THEN 1 - ls.n_distinct / CAST(ls.n_lines AS DOUBLE) ELSE 0.0 END, 6) AS dup_line_frac,
+               round(CASE WHEN bs.n_bigrams > 0
+                          THEN bs.top_c / CAST(bs.n_bigrams AS DOUBLE) ELSE 0.0 END, 6) AS top_bigram_frac
+        FROM base b
+        LEFT JOIN line_stats ls USING (doc_id)
+        LEFT JOIN bigram_stats bs USING (doc_id)
     """,
     "doc_scrub_pii": r"""
         WITH t AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL)

@@ -156,6 +156,68 @@ def normalize_text(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Within-document repetition features (Gopher rule family, Rae et al.
+    2021 §A1.3): duplicate-line fraction and the most-frequent word-bigram's
+    share of all bigrams — the standard signals for boilerplate/spam docs.
+
+    Two map-side-combinable aggregations keyed by doc_id (plus bigram), no
+    window over unbounded partitions — scale-safe."""
+    base = docs.filter(F.col("text").isNotNull())
+    lines = base.select(
+        "doc_id", F.explode(F.split(F.col("text"), "\n")).alias("line")
+    ).filter(F.length(F.trim("line")) > 0)
+    line_stats = lines.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.countDistinct("line").alias("n_distinct_lines"),
+    )
+
+    # NB: the SQL string literal needs a double backslash so the parser
+    # hands the regex engine \s+ (a single \s would unescape to plain 's')
+    w_expr = r"split(lower(trim(text)), '\\s+')"
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            # sequence(1, 0) DESCENDS in Spark, so single-word docs must be
+            # guarded to an empty array (explode then drops the row; the
+            # final left join restores it with frac 0)
+            F.expr(
+                f"CASE WHEN size({w_expr}) >= 2 THEN "
+                f"transform(sequence(1, size({w_expr}) - 1), "
+                f"i -> concat(element_at({w_expr}, i), ' ', element_at({w_expr}, i + 1))) "
+                f"ELSE array() END"
+            )
+        ).alias("bigram"),
+    )
+    per_bigram = bigrams.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    bigram_stats = per_bigram.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("n_bigrams")
+    )
+
+    return (
+        base.select("doc_id")
+        .join(line_stats, "doc_id", "left")
+        .join(bigram_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_lines"), F.lit(0)).cast("long").alias("n_lines"),
+            F.round(
+                F.when(
+                    F.col("n_lines") > 0,
+                    1 - F.col("n_distinct_lines") / F.col("n_lines"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_line_frac"),
+            F.round(
+                F.when(F.col("n_bigrams") > 0, F.col("top_c") / F.col("n_bigrams")).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 def scrub_pii(docs: DataFrame) -> DataFrame:
     """PII scrubbing: mask emails, long digit runs (phone/account/NIK-like)
     and IPv4 addresses — the standard pre-training redaction pass, as three
