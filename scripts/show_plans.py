@@ -64,6 +64,7 @@ def main() -> None:
         ("pushdown_agg", "filter pushed into the parquet scan (PushedFilters), partial+final HashAggregate pair"),
         ("fuzzy_nation_join", "broadcast nested-loop theta join (levenshtein <= k), then per-probe top-1 window"),
         ("dedup_minhash_lsh", "LSH bucket self-join on (band, band_hash) + candidate-only agreement join over persisted signature arrays (InMemoryTableScan)"),
+        ("dedup_ngram_jaccard", "stop-shingle removal as aggregate + broadcast anti-join (no count-over-Window sort of the shingle table)"),
         ("similarity_topk", "broadcast of the small query side; per-query window top-k"),
         ("anti_join_resume", "left anti join (resume predicate shape)"),
         ("embedding_near_dup_lsh", "sub-quadratic near-dup: probe-key explode + equi-join on the sign bucket — no CartesianProduct"),
