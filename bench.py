@@ -122,7 +122,9 @@ def main() -> None:
     try:
         t0 = time.time()
         api.QUERIES["dedup_minhash_lsh"](spark, SF_DIR).count()
-        timings["dedup_minhash_lsh_xxhash64"] = round(time.time() - t0, 3)
+        # reported OUTSIDE the summed query map so the headline total stays
+        # comparable across rounds (this is an A/B of the same query)
+        xxhash_lsh_sec = round(time.time() - t0, 3)
     finally:
         dedup.set_hash_impl("md5")
 
@@ -150,6 +152,7 @@ def main() -> None:
         "extraction_docs": extracted,
         "extraction_docs_per_sec": docs_per_sec,
         "ann_recall_at_10": recall,
+        "dedup_minhash_lsh_xxhash64_sec": xxhash_lsh_sec,
     }
     scaling_file = REPO / "BENCH" / "scaling.json"
     if scaling_file.exists():

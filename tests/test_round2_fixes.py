@@ -363,3 +363,24 @@ def test_repetition_stats_flags_repeated_content(spark):  # noqa: F811
     assert out.loc[2].top_bigram_frac > 0.5          # 'buy now'/'now buy' dominate
     assert out.loc[3].top_bigram_frac == round(1 / 6, 6)
     assert out.loc[4].top_bigram_frac == 0.0 and out.loc[4].n_lines == 1
+
+
+def test_clean_corpus_gates_and_dedups(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        clean_corpus,
+    )
+
+    long_text = "this is a sufficiently long normalised document body for the gate"
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"doc_id": 1, "text": long_text},
+                {"doc_id": 2, "text": "  " + long_text.upper() + "  "},  # dup after normalise
+                {"doc_id": 3, "text": "too short"},                       # gated out
+                {"doc_id": 4, "text": None},                              # null dropped
+            ]
+        )
+    )
+    out = clean_corpus(docs).toPandas()
+    assert len(out) == 1
+    assert out.iloc[0].keep_id == 1 and out.iloc[0].n_copies == 2

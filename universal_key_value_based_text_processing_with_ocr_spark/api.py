@@ -126,6 +126,10 @@ def q_doc_normalize(spark, sf_dir):
     return textstats.normalize_text(_tbl(spark, sf_dir, "documents"))
 
 
+def q_clean_corpus(spark, sf_dir):
+    return textstats.clean_corpus(_tbl(spark, sf_dir, "documents"))
+
+
 def q_doc_repetition(spark, sf_dir):
     return textstats.repetition_stats(_tbl(spark, sf_dir, "documents"))
 
@@ -271,6 +275,7 @@ QUERIES = {
     "corpus_top_terms": q_corpus_top_terms,
     "quality_filter": q_quality_filter,
     "doc_normalize": q_doc_normalize,
+    "clean_corpus": q_clean_corpus,
     "doc_repetition": q_doc_repetition,
     "doc_scrub_pii": q_doc_scrub_pii,
     "contamination_check": q_contamination_check,
@@ -497,6 +502,21 @@ ORACLE_SQL = {
                CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f]', ' ', 'g'),
                                    '\s+', ' ', 'g'))) AS INT) AS n_chars_norm
         FROM documents WHERE text IS NOT NULL
+    """,
+    "clean_corpus": r"""
+        WITH norm AS (
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f]', ' ', 'g'),
+                                       '\s+', ' ', 'g')) AS norm_text
+            FROM documents WHERE text IS NOT NULL
+        ),
+        gated AS (
+            SELECT doc_id, norm_text FROM norm
+            WHERE length(norm_text) BETWEEN 30 AND 20000
+              AND len(string_split(norm_text, ' ')) >= 5
+        )
+        SELECT md5(norm_text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM gated GROUP BY fp
     """,
     "doc_repetition": r"""
         WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),

@@ -284,6 +284,28 @@ def contamination_check(docs: DataFrame, probes: DataFrame, n: int = 20) -> Data
     )
 
 
+def clean_corpus(
+    docs: DataFrame, min_chars: int = 30, max_chars: int = 20000, min_words: int = 5
+) -> DataFrame:
+    """The minimal train-corpus cleaning DAG as ONE declarative plan:
+    normalise -> length/word quality gate -> exact dedup on the NORMALISED
+    text (keep lowest doc_id).
+
+    Composition demo: scan -> projection -> filter -> one groupBy, no
+    materialisation between stages — Catalyst fuses the normalise+gate into
+    the scan's codegen stage and the only shuffle is the dedup groupBy."""
+    norm = normalize_text(docs)
+    n_words = F.size(F.split(F.col("norm_text"), " "))  # post-collapse: single spaces
+    gated = norm.filter(
+        (F.col("n_chars_norm") >= min_chars)
+        & (F.col("n_chars_norm") <= max_chars)
+        & (n_words >= min_words)
+    )
+    return gated.groupBy(F.md5("norm_text").alias("fp")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
 def corpus_top_terms(docs: DataFrame, n: int = 50) -> DataFrame:
     """Corpus-wide term frequencies, top-n (deterministic tie-break):
     the canonical partial+final-aggregated shuffle-heavy text statistic."""
