@@ -245,6 +245,11 @@ def test_debug_artifacts_one_row_per_failed_url(spark, tmp_path):  # noqa: F811
     res2 = SnapshotTable(tmp_path / "res2").read(spark).toPandas()
     dbg2 = SnapshotTable(tmp_path / "dbg2").read(spark).toPandas()
     assert set(dbg2.url) == set(res2[~res2.success].url)
+    # the why-it-failed detail must survive the compact parser schema
+    assert all(len(m) > 0 for m in dbg2.error_messages)
+    # and the debug result bytes match the job's committed result bytes
+    merged = dbg2.merge(res2, on="url", suffixes=("_d", "_r"))
+    assert (merged.result_json_d == merged.result_json_r).all()
 
 
 def test_incremental_dedup_drops_committed_and_batch_dups(spark):  # noqa: F811
@@ -384,3 +389,14 @@ def test_clean_corpus_gates_and_dedups(spark):  # noqa: F811
     out = clean_corpus(docs).toPandas()
     assert len(out) == 1
     assert out.iloc[0].keep_id == 1 and out.iloc[0].n_copies == 2
+
+
+def test_repetition_stats_ignores_trailing_whitespace_tokens(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    # trailing \n after the space-only trim must not create phantom bigrams
+    docs = spark.createDataFrame(pd.DataFrame([{"doc_id": 1, "text": "spam spam\n"}]))
+    row = repetition_stats(docs).toPandas().iloc[0]
+    assert row.top_bigram_frac == 1.0

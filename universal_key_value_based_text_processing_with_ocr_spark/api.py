@@ -529,7 +529,8 @@ ORACLE_SQL = {
             SELECT doc_id, count(*) AS n_lines, count(DISTINCT line) AS n_distinct
             FROM lines GROUP BY doc_id
         ),
-        words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM base),
+        words AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                             t -> t != '') AS w FROM base),
         bigrams AS (
             SELECT doc_id, g AS bigram
             FROM words,

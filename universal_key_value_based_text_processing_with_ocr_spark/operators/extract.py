@@ -183,12 +183,42 @@ def parse_page_row_debug(url, html, text, lang, configs=None, parser: str = "swe
             )
 
     # the final result must come from the SAME parser the job ran, or the
-    # debug table diagnoses the wrong failures (blended/boxorder emit the
-    # compact schema; missing fields are filled locally)
-    if parser == "blended":
-        parsed = parse_page_row_blended(url, html, text, configs)
-    elif parser == "boxorder":
-        parsed = parse_page_row_boxorder(url, html, text, configs)
+    # debug table diagnoses the wrong failures.  For blended/boxorder the
+    # compact row wrappers discard the error detail, so the debug path goes
+    # one level deeper to the kvcore entry points (same functions the
+    # wrappers call -> identical result bytes) and keeps the why-it-failed
+    # messages.
+    if parser in ("blended", "boxorder"):
+        from ..kvcore.ktpspec import parse_document_blended, parse_document_boxorder
+
+        try:
+            if parser == "boxorder":
+                if html is not None:
+                    blocks = [b["text"].strip() for b in blocks_info if b["kept"]]
+                elif text is not None:
+                    blocks = text.split("\n")
+                else:
+                    blocks = []
+                full = parse_document_boxorder(blocks, configs=configs)
+            else:
+                if html is not None:
+                    doc = "\n".join(extract_main_lines(bytes(html)))
+                elif text is not None:
+                    doc = text
+                else:
+                    doc = ""
+                full = parse_document_blended(doc, configs=configs)
+        except Exception as exc:
+            full = {"success": False, "result": {},
+                    "all_error_messages": [f"engine exception: {type(exc).__name__}: {exc}"]}
+        err_msgs = full.get("all_error_messages") or (
+            [full["error_message"]] if "error_message" in full else []
+        )
+        parsed = {
+            "success": bool(full.get("success", False)),
+            "result_json": json.dumps(full.get("result", {}), default=str),
+            "error_messages": err_msgs,
+        }
     else:
         parsed = parse_page_row(url, html, text, lang, configs)
     if html is not None:
