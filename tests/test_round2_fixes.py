@@ -400,3 +400,25 @@ def test_repetition_stats_ignores_trailing_whitespace_tokens(spark):  # noqa: F8
     docs = spark.createDataFrame(pd.DataFrame([{"doc_id": 1, "text": "spam spam\n"}]))
     row = repetition_stats(docs).toPandas().iloc[0]
     assert row.top_bigram_frac == 1.0
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        stratified_sample,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [{"doc_id": i, "text": "x", "lang": "en" if i % 2 == 0 else "ind"}
+             for i in range(2000)]
+        )
+    )
+    a = set(stratified_sample(docs).toPandas().doc_id)
+    b = set(stratified_sample(docs).toPandas().doc_id)
+    assert a == b  # pure function of (seed, doc_id): re-runs select the same docs
+    out = stratified_sample(docs).toPandas()
+    en = (out.lang == "en").sum() / 1000
+    ind = (out.lang == "ind").sum() / 1000
+    assert abs(en - 0.5) < 0.08 and abs(ind - 0.25) < 0.08
+    c = set(stratified_sample(docs, seed=7).toPandas().doc_id)
+    assert c != a  # different seed, different sample

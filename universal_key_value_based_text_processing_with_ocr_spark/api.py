@@ -126,6 +126,10 @@ def q_doc_normalize(spark, sf_dir):
     return textstats.normalize_text(_tbl(spark, sf_dir, "documents"))
 
 
+def q_doc_sample_stratified(spark, sf_dir):
+    return textstats.stratified_sample(_tbl(spark, sf_dir, "documents"))
+
+
 def q_clean_corpus(spark, sf_dir):
     return textstats.clean_corpus(_tbl(spark, sf_dir, "documents"))
 
@@ -275,6 +279,7 @@ QUERIES = {
     "corpus_top_terms": q_corpus_top_terms,
     "quality_filter": q_quality_filter,
     "doc_normalize": q_doc_normalize,
+    "doc_sample_stratified": q_doc_sample_stratified,
     "clean_corpus": q_clean_corpus,
     "doc_repetition": q_doc_repetition,
     "doc_scrub_pii": q_doc_scrub_pii,
@@ -502,6 +507,11 @@ ORACLE_SQL = {
                CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f]', ' ', 'g'),
                                    '\s+', ' ', 'g'))) AS INT) AS n_chars_norm
         FROM documents WHERE text IS NOT NULL
+    """,
+    "doc_sample_stratified": """
+        SELECT doc_id, lang FROM documents
+        WHERE ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0
+              < CASE lang WHEN 'en' THEN 0.5 WHEN 'ind' THEN 0.25 ELSE 0.0 END
     """,
     "clean_corpus": r"""
         WITH norm AS (

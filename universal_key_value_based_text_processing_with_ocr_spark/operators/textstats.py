@@ -293,6 +293,33 @@ def contamination_check(docs: DataFrame, probes: DataFrame, n: int = 20) -> Data
     )
 
 
+def stratified_sample(
+    docs: DataFrame, fractions: dict[str, float] | None = None, seed: int = 42
+) -> DataFrame:
+    """Deterministic hash-based stratified sampling by language.
+
+    A doc is kept iff ``md5(seed:doc_id)`` mapped to [0,1) falls below its
+    stratum's fraction — fully reproducible in any engine and stable under
+    re-runs/resumes (unlike rng-based ``sampleBy``), which is what an
+    auditable 100 TB pipeline needs: the sample is a pure function of
+    (seed, doc_id), so a resumed job re-selects exactly the same docs.
+    """
+    if fractions is None:
+        fractions = {"en": 0.5, "ind": 0.25}
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("doc_id"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**32))
+    )
+    frac = F.lit(0.0)
+    for lang, fr in sorted(fractions.items()):
+        frac = F.when(F.col("lang") == lang, F.lit(float(fr))).otherwise(frac)
+    return docs.filter(u < frac).select("doc_id", "lang")
+
+
 def clean_corpus(
     docs: DataFrame, min_chars: int = 30, max_chars: int = 20000, min_words: int = 5
 ) -> DataFrame:
