@@ -422,3 +422,33 @@ def test_stratified_sample_deterministic_and_stratified(spark):  # noqa: F811
     assert abs(en - 0.5) < 0.08 and abs(ind - 0.25) < 0.08
     c = set(stratified_sample(docs, seed=7).toPandas().doc_id)
     assert c != a  # different seed, different sample
+
+
+def test_connected_components_long_chain_converges_logarithmically(spark):  # noqa: F811
+    """A 200-node path graph (diameter 199) must converge within 20 rounds —
+    only possible with pointer jumping (plain min-propagation needs 199)."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        pd.DataFrame([{"doc_a": i, "doc_b": i + 1} for i in range(199)])
+    )
+    out = connected_components(edges, max_iterations=20, checkpoint_interval=5).toPandas()
+    assert len(out) == 200
+    assert (out.cluster_id == 0).all()
+
+
+def test_connected_components_multiple_components(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rows = [{"doc_a": 5, "doc_b": 9}, {"doc_a": 9, "doc_b": 3},   # comp min 3
+            {"doc_a": 20, "doc_b": 21},                            # comp min 20
+            {"doc_a": 30, "doc_b": 30}]                            # self loop
+    edges = spark.createDataFrame(pd.DataFrame(rows))
+    out = connected_components(edges).toPandas().set_index("doc_id")
+    assert out.loc[5].cluster_id == out.loc[9].cluster_id == out.loc[3].cluster_id == 3
+    assert out.loc[20].cluster_id == out.loc[21].cluster_id == 20
+    assert out.loc[30].cluster_id == 30

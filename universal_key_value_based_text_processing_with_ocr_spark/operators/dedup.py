@@ -321,32 +321,24 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     )
 
 
-def near_dup_clusters(
-    docs: DataFrame,
-    n_hashes: int = 16,
-    band_size: int = 4,
-    shingle_n: int = 10,
+def connected_components(
+    edges: DataFrame,
     max_iterations: int = 20,
     checkpoint_interval: int = 5,
 ) -> DataFrame:
-    """Connected components over the LSH candidate-pair graph:
-    (doc_id, cluster_id) where cluster_id = min doc_id reachable through
-    near-dup edges (the canonical "keep one per duplicate cluster" step).
+    """Connected components over an undirected (doc_a, doc_b) edge table:
+    (doc_id, cluster_id) with cluster_id = min reachable doc_id.
 
-    ``checkpoint_interval <= 0`` disables lineage checkpointing (useful for
-    tiny inputs/tests).
-
-    Distributed min-label propagation: every node repeatedly adopts the
-    smallest label among itself and its neighbours until a fixpoint —
-    O(diameter) joins, each a plain shuffle join, no graph library.  The
-    label table is tiny (one row per doc in any near-dup pair), so AQE
-    broadcasts the propagation joins at realistic duplicate rates.
-    """
-    edges = (
-        minhash_lsh_pairs(docs, n_hashes, band_size, shingle_n)
-        .select("doc_a", "doc_b")
-        .persist()
-    )
+    Min-label propagation WITH pointer jumping: each round every node takes
+    the min label among itself and its neighbours, then label <- label(label)
+    (a self-join of the label table), which halves remaining label-chain
+    depth.  Convergence is O(log diameter) rounds instead of the plain
+    propagation's O(diameter) — max_iterations=20 covers components of
+    diameter ~2^20 where the plain loop would silently need a million rounds.
+    Every round is two shuffle joins over the (tiny) label table; lineage is
+    cut by localCheckpoint every ``checkpoint_interval`` rounds
+    (``<= 0`` disables — useful for tiny inputs/tests)."""
+    edges = edges.select("doc_a", "doc_b").persist()
     # symmetric adjacency
     adj = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -364,20 +356,37 @@ def near_dup_clusters(
             .groupBy(adj.doc_a)
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = labels.join(
+        stepped = labels.join(
             neighbour_min, labels.doc_id == neighbour_min.doc_a, "left"
         ).select(
             "doc_id",
             F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
         )
+        # pointer jump: label <- min(label, label(label)).  Every label value
+        # is itself a node id present in the table (labels start as own ids
+        # and only ever take mins of existing ids), so the self-join is total
+        # and labels stay within the component; label(x) <= x by invariant,
+        # so chains of stale labels collapse geometrically.
+        #
+        # The lineage cut here is MANDATORY, not an optimisation: the
+        # self-join references stepped's plan twice, so without truncation
+        # the logical plan tree doubles per round (exponential — OOMs the
+        # driver near round 10 even on a 200-node graph).  localCheckpoint
+        # reduces stepped to a LogicalRDD scan, keeping every round's plan
+        # constant-size.  The label table is one row per near-dup doc.
+        stepped = stepped.localCheckpoint(eager=True)
+        jumped = (
+            stepped.alias("n")
+            .join(stepped.alias("m"), F.col("n.label") == F.col("m.doc_id"))
+            .select(
+                F.col("n.doc_id").alias("doc_id"),
+                F.least(F.col("n.label"), F.col("m.label")).alias("label"),
+            )
+        )
         if checkpoint_interval > 0 and (it + 1) % checkpoint_interval == 0:
-            # Cut lineage: each round otherwise stacks a join on the previous
-            # plan, and at corpus scale round 15+ replans/reschedules a
-            # 15-join tree.  localCheckpoint materialises the (tiny) label
-            # table and truncates the plan.
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = jumped.localCheckpoint(eager=True)
         else:
-            new_labels = new_labels.persist()
+            new_labels = jumped.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -391,13 +400,29 @@ def near_dup_clusters(
             converged = True
             break
     if not converged:
-        # Components with diameter > max_iterations would silently get wrong
-        # (split) cluster ids — surface it.  min-label propagation needs
-        # O(diameter) rounds; for pathological chains raise max_iterations or
-        # switch to the large-star/small-star O(log n) variant.
+        # Components needing more rounds would silently get wrong (split)
+        # cluster ids — surface it.  With pointer jumping this means
+        # diameter > ~2^max_iterations: practically unreachable.
         raise RuntimeError(
-            f"near_dup_clusters did not converge in {max_iterations} iterations; "
-            "a duplicate-chain component has diameter > max_iterations"
+            f"connected_components did not converge in {max_iterations} iterations"
         )
-    out = labels.select("doc_id", F.col("label").alias("cluster_id"))
-    return out
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 10,
+    max_iterations: int = 20,
+    checkpoint_interval: int = 5,
+) -> DataFrame:
+    """Connected components over the LSH candidate-pair graph:
+    (doc_id, cluster_id) where cluster_id = min doc_id reachable through
+    near-dup edges (the canonical "keep one per duplicate cluster" step).
+    See ``connected_components`` for the O(log diameter) propagation."""
+    return connected_components(
+        minhash_lsh_pairs(docs, n_hashes, band_size, shingle_n),
+        max_iterations=max_iterations,
+        checkpoint_interval=checkpoint_interval,
+    )
