@@ -80,7 +80,7 @@ def test_near_dup_clusters_checkpointing_three_components(spark):  # noqa: F811
         for v in range(3):  # three near-identical variants per component
             rows.append({"doc_id": c * 10 + v, "text": text + (" extra" * v)})
     docs = spark.createDataFrame(pd.DataFrame(rows))
-    out = near_dup_clusters(docs, checkpoint_interval=1).toPandas()
+    out = near_dup_clusters(docs).toPandas()
     clusters = out.groupby("cluster_id")["doc_id"].apply(sorted).to_dict()
     assert sorted(clusters.keys()) == [0, 10, 20]
     assert clusters[0] == [0, 1, 2] and clusters[10] == [10, 11, 12] and clusters[20] == [20, 21, 22]
@@ -434,7 +434,7 @@ def test_connected_components_long_chain_converges_logarithmically(spark):  # no
     edges = spark.createDataFrame(
         pd.DataFrame([{"doc_a": i, "doc_b": i + 1} for i in range(199)])
     )
-    out = connected_components(edges, max_iterations=20, checkpoint_interval=5).toPandas()
+    out = connected_components(edges, max_iterations=20).toPandas()
     assert len(out) == 200
     assert (out.cluster_id == 0).all()
 

@@ -36,6 +36,9 @@ NUM = r"\b\d{8,}\b"
 
 
 def _model_scrub(t: str):
+    # mirrors scrub_pii's DOCUMENTED semantics: counts are pattern hits on
+    # the ORIGINAL text; masking is sequential email -> ip -> num (an
+    # overlap is counted under every pattern but masked once by the first)
     scrubbed = re.sub(NUM, "<NUM>", re.sub(IP, "<IP>", re.sub(EMAIL, "<EMAIL>", t)))
     return scrubbed, len(re.split(EMAIL, t)) - 1, len(re.split(IP, t)) - 1, len(re.split(NUM, t)) - 1
 

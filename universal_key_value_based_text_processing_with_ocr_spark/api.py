@@ -510,7 +510,8 @@ ORACLE_SQL = {
     """,
     "doc_sample_stratified": """
         SELECT doc_id, lang FROM documents
-        WHERE ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0
+        WHERE doc_id IS NOT NULL
+          AND ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0
               < CASE lang WHEN 'en' THEN 0.5 WHEN 'ind' THEN 0.25 ELSE 0.0 END
     """,
     "clean_corpus": r"""

@@ -324,10 +324,11 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 20,
-    checkpoint_interval: int = 5,
 ) -> DataFrame:
     """Connected components over an undirected (doc_a, doc_b) edge table:
-    (doc_id, cluster_id) with cluster_id = min reachable doc_id.
+    (doc_id, cluster_id) with cluster_id = min reachable doc_id.  Edges with
+    a NULL endpoint are ignored (a NULL row would otherwise be silently
+    dropped mid-loop by the label self-join).
 
     Min-label propagation WITH pointer jumping: each round every node takes
     the min label among itself and its neighbours, then label <- label(label)
@@ -335,10 +336,20 @@ def connected_components(
     depth.  Convergence is O(log diameter) rounds instead of the plain
     propagation's O(diameter) — max_iterations=20 covers components of
     diameter ~2^20 where the plain loop would silently need a million rounds.
-    Every round is two shuffle joins over the (tiny) label table; lineage is
-    cut by localCheckpoint every ``checkpoint_interval`` rounds
-    (``<= 0`` disables — useful for tiny inputs/tests)."""
-    edges = edges.select("doc_a", "doc_b").persist()
+
+    Both per-round label tables are eagerly localCheckpointed: the cut is
+    MANDATORY (the self-join references its input plan twice, so without
+    truncation the logical plan doubles per round and OOMs the driver by
+    ~round 10), and checkpointing both keeps every plan constant-size and
+    every checkpointed block safe to reclaim — earlier rounds' blocks are
+    released by the ContextCleaner as their references drop, and with
+    O(log d) rounds at most a few copies of the (near-dup-docs-only) label
+    table ever coexist."""
+    edges = (
+        edges.select("doc_a", "doc_b")
+        .filter(F.col("doc_a").isNotNull() & F.col("doc_b").isNotNull())
+        .persist()
+    )
     # symmetric adjacency
     adj = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -367,13 +378,6 @@ def connected_components(
         # and only ever take mins of existing ids), so the self-join is total
         # and labels stay within the component; label(x) <= x by invariant,
         # so chains of stale labels collapse geometrically.
-        #
-        # The lineage cut here is MANDATORY, not an optimisation: the
-        # self-join references stepped's plan twice, so without truncation
-        # the logical plan tree doubles per round (exponential — OOMs the
-        # driver near round 10 even on a 200-node graph).  localCheckpoint
-        # reduces stepped to a LogicalRDD scan, keeping every round's plan
-        # constant-size.  The label table is one row per near-dup doc.
         stepped = stepped.localCheckpoint(eager=True)
         jumped = (
             stepped.alias("n")
@@ -383,10 +387,7 @@ def connected_components(
                 F.least(F.col("n.label"), F.col("m.label")).alias("label"),
             )
         )
-        if checkpoint_interval > 0 and (it + 1) % checkpoint_interval == 0:
-            new_labels = jumped.localCheckpoint(eager=True)
-        else:
-            new_labels = jumped.persist()
+        new_labels = jumped.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -394,7 +395,11 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # new_labels is fully materialised (eager): nothing downstream can
+        # ever recompute through stepped or the previous labels, so dropping
+        # the references lets the ContextCleaner reclaim their blocks
         labels.unpersist()
+        del stepped
         labels = new_labels
         if changed == 0:
             converged = True
@@ -415,7 +420,6 @@ def near_dup_clusters(
     band_size: int = 4,
     shingle_n: int = 10,
     max_iterations: int = 20,
-    checkpoint_interval: int = 5,
 ) -> DataFrame:
     """Connected components over the LSH candidate-pair graph:
     (doc_id, cluster_id) where cluster_id = min doc_id reachable through
@@ -424,5 +428,4 @@ def near_dup_clusters(
     return connected_components(
         minhash_lsh_pairs(docs, n_hashes, band_size, shingle_n),
         max_iterations=max_iterations,
-        checkpoint_interval=checkpoint_interval,
     )

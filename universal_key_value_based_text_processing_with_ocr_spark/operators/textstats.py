@@ -233,7 +233,10 @@ def scrub_pii(docs: DataFrame) -> DataFrame:
     chained JVM regexp_replace calls in one codegen'd projection.
 
     Returns (doc_id, scrubbed, n_emails, n_numbers, n_ips) so the redaction
-    is auditable per document."""
+    is auditable per document.  Counts are pattern occurrences in the
+    ORIGINAL text while the masking itself is sequential (email -> ip ->
+    num), so overlapping matches (an IP inside an email's domain) are
+    counted under every pattern they hit but masked once by the first."""
     text = F.col("text")
     email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
     ip_re = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
@@ -317,7 +320,10 @@ def stratified_sample(
     frac = F.lit(0.0)
     for lang, fr in sorted(fractions.items()):
         frac = F.when(F.col("lang") == lang, F.lit(float(fr))).otherwise(frac)
-    return docs.filter(u < frac).select("doc_id", "lang")
+    # NULL doc_ids are excluded explicitly: concat_ws silently SKIPS null
+    # arguments, so they would otherwise all hash to the same u and be
+    # included/excluded as one block
+    return docs.filter(F.col("doc_id").isNotNull() & (u < frac)).select("doc_id", "lang")
 
 
 def clean_corpus(
