@@ -1,0 +1,203 @@
+"""Round-3 regression tests (VERDICT r2 "Next round" + ADVICE items):
+
+- dedup queries leave no cached blocks pinned after their terminal action
+- quadratic small-N oracles refuse corpus-scale inputs unless opted in
+- repetition tokeniser whitespace class is regex-flavor-independent
+- IVF hash-sampled centroids keep cells balanced
+- ship dir ownership check refuses a world/group-writable pre-created dir
+- plan_partitions large-input behavior (see test_round2_fixes update)
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.test_spark_pipeline import spark  # session fixture  # noqa: F401
+
+
+def _persistent_rdd_ids(spark) -> set[int]:
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+
+
+def _docs(spark, n=40):
+    rows = [(i, f"document number {i % 7} with some shared text body " * 6) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_ngram_jaccard_leaves_no_cached_blocks(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    before = _persistent_rdd_ids(spark)
+    ngram_jaccard_pairs(_docs(spark), n=8, threshold=0.3).count()
+    assert _persistent_rdd_ids(spark) - before == set()
+
+
+def test_minhash_lsh_leaves_no_cached_blocks(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    before = _persistent_rdd_ids(spark)
+    minhash_lsh_pairs(_docs(spark), shingle_n=8).count()
+    assert _persistent_rdd_ids(spark) - before == set()
+
+
+def test_connected_components_releases_edge_caches(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], "doc_a int, doc_b int"
+    )
+    before = _persistent_rdd_ids(spark)
+    out = connected_components(edges)
+    out.count()
+    # The edge/adjacency/intermediate-label caches must be released; only the
+    # eagerly-localCheckpointed result (which the CALLER owns — it is the
+    # returned DataFrame's lineage cut) may remain.
+    leaked = _persistent_rdd_ids(spark) - before
+    assert len(leaked) <= 1, f"expected at most the result checkpoint, got {len(leaked)} blocks"
+    got = {(r.doc_id, r.cluster_id) for r in out.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 20), (22, 20)}
+
+
+def test_quadratic_guard_fires_and_opt_in_works(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators import (
+        dedup,
+        similarity,
+    )
+
+    emb = spark.range(5).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.array(F.lit(1.0), F.rand(7)).alias("embedding"),
+    )
+    # small inputs pass untouched
+    assert similarity.embedding_near_dup(emb, 0.0).count() == 10
+
+    # an over-threshold input raises with a pointer to the LSH sibling ...
+    big = spark.range(60).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.array(F.lit(1.0)).alias("embedding"),
+    )
+    import universal_key_value_based_text_processing_with_ocr_spark.operators.similarity as sim
+
+    old = sim.QUADRATIC_GUARD_MAX_ROWS
+    sim.QUADRATIC_GUARD_MAX_ROWS = 50
+    try:
+        with pytest.raises(ValueError, match="embedding_near_dup_lsh"):
+            similarity.embedding_near_dup(big, 0.0)
+        # ... and the explicit opt-in bypasses the guard
+        assert similarity.embedding_near_dup(big, 0.0, allow_quadratic=True).count() > 0
+    finally:
+        sim.QUADRATIC_GUARD_MAX_ROWS = old
+
+    docs = _docs(spark, 30)
+    old_docs = dedup.JACCARD_GUARD_MAX_DOCS
+    dedup.JACCARD_GUARD_MAX_DOCS = 10
+    try:
+        with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+            dedup.ngram_jaccard_pairs(docs, n=8)
+        assert dedup.ngram_jaccard_pairs(docs, n=8, allow_quadratic=True).count() >= 0
+    finally:
+        dedup.JACCARD_GUARD_MAX_DOCS = old_docs
+
+
+def test_repetition_whitespace_class_matches_oracle_on_vertical_tab(spark):  # noqa: F811
+    """A \\x0b in the text must tokenise identically in Spark (Java regex)
+    and DuckDB (RE2): with the explicit [ \\t\\n\\r\\f] class neither treats
+    it as a separator (ADVICE r2: Java \\s includes \\x0b, RE2 \\s does not)."""
+    from universal_key_value_based_text_processing_with_ocr_spark.api import ORACLE_SQL
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    text = "alpha\x0bbeta gamma alpha\x0bbeta gamma"
+    docs = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    got = repetition_stats(docs).toPandas()
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": [1], "text": [text]}))
+    want = con.execute(ORACLE_SQL["doc_repetition"]).fetchdf()
+    # tokens are [alpha\x0bbeta, gamma] * 2 -> top bigram covers 2 of 3
+    assert got.iloc[0].top_bigram_frac == want.iloc[0].top_bigram_frac == round(2 / 3, 6)
+
+
+def test_ivf_centroids_are_hash_sampled_and_cells_balanced(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n_centroids = 16
+    out = ivf_topk(emb, n_queries=5, k=10, n_centroids=n_centroids)
+    assert out.count() == 50
+
+    # replicate the assignment to audit cell balance
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.similarity import (
+        _dot,
+        _norm,
+    )
+    from pyspark.sql import Window
+
+    cent = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    )
+    sims = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        F.round(
+            _dot(F.col("embedding"), F.col("ce")) / (_norm(F.col("embedding")) * _norm(F.col("ce"))),
+            9,
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid").asc())
+    cells = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("cid")
+        .count()
+        .toPandas()
+    )
+    n_vecs = emb.count()
+    mean = n_vecs / n_centroids
+    # every centroid owns a non-degenerate cell and no cell dominates
+    assert len(cells) == n_centroids
+    assert cells["count"].max() <= 4 * mean, cells.to_dict()
+
+
+def test_ship_dir_ownership_guard(tmp_path, monkeypatch):
+    """A pre-existing group/other-writable ship dir must be rejected in
+    favour of a fresh private directory (ADVICE r2: zip-planting)."""
+    import universal_key_value_based_text_processing_with_ocr_spark.ship as ship
+
+    import getpass
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    evil = tmp_path / f"ukv-ship-{getpass.getuser()}"
+    evil.mkdir(mode=0o777)
+    evil.chmod(0o777)  # umask-proof
+
+    shipped = {}
+
+    class FakeSC:
+        applicationId = "app-test"
+
+        def addPyFile(self, path):
+            shipped["path"] = path
+
+    class FakeSpark:
+        sparkContext = FakeSC()
+
+    ship._SHIPPED.clear()
+    ship.ship_package(FakeSpark())
+    assert "path" in shipped
+    # the zip must NOT have been placed in the attacker-controlled dir
+    assert not str(shipped["path"]).startswith(str(evil))
+    ship._SHIPPED.clear()

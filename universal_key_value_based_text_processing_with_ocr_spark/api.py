@@ -540,7 +540,7 @@ ORACLE_SQL = {
             SELECT doc_id, count(*) AS n_lines, count(DISTINCT line) AS n_distinct
             FROM lines GROUP BY doc_id
         ),
-        words AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        words AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '[ \t\n\r\f]+'),
                                              t -> t != '') AS w FROM base),
         bigrams AS (
             SELECT doc_id, g AS bigram
@@ -717,7 +717,9 @@ ORACLE_SQL = {
     """,
     "similarity_topk_ivf": """
         WITH cent AS (
-            SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < 16
+            -- hash-sampled deterministic centroids (engine: smallest md5(vec_id))
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
         ),
         sims AS (
             SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, c.cid,

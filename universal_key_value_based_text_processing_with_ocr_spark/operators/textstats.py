@@ -178,11 +178,15 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     # text per bigram element (measured 60x slower on 2000-word docs).
     # Empty tokens (trailing newline/tab after the space-only trim) are
     # filtered so no phantom bigrams dilute the repetition signal.
-    # NB: the SQL string literal needs a double backslash so the parser
-    # hands the regex engine \s+ (a single \s would unescape to plain 's').
+    # The whitespace class is spelled out ([ \t\n\r\f]) instead of \s because
+    # \s is flavor-dependent: Java includes \x0B where RE2 (DuckDB) does not
+    # and Python adds Unicode spaces — the explicit class makes the engine,
+    # the SQL oracle and the property-test model tokenise identically.
+    # NB: the SQL string literal needs double backslashes so the parser
+    # hands \t etc. to the regex engine (a single \t would unescape first).
     with_words = base.select(
         "doc_id",
-        F.expr(r"filter(split(lower(trim(text)), '\\s+'), t -> t != '')").alias("w"),
+        F.expr(r"filter(split(lower(trim(text)), '[ \\t\\n\\r\\f]+'), t -> t != '')").alias("w"),
     )
     bigrams = with_words.select(
         "doc_id",

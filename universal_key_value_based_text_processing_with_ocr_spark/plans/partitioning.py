@@ -50,22 +50,37 @@ def salted_repartition(
 
 
 def plan_partitions(
-    n_rows: int, target_rows_per_partition: int = 100, min_parallelism: int = 32
+    n_rows: int,
+    target_rows_per_partition: int = 100,
+    min_parallelism: int = 32,
+    max_partitions: int = 65536,
 ) -> int:
     """Partition count from the input size.
 
     ``ceil(n_rows / target_rows_per_partition)`` clamped to
-    [min(n_rows, min_parallelism), min_parallelism * 8]: large inputs get up
-    to 8x-cores headroom (straggler absorption per SURVEY §7 — measured
-    best-of-4 interleaved on the fused extract stage, 256 partitions on 32
-    cores beats 128 by ~30%; AQE coalesces the rest) with
-    rows-per-partition bounded so Arrow batches fit executor
-    memory; a small resume batch gets ~one partition per core — never
-    hundreds of near-empty shuffle partitions — and tiny inputs never get
-    more partitions than rows.  The default target (~100 docs at ~5 ms/doc
-    semantic-core cost) makes a task ~0.5 s: large enough to amortise
-    scheduling, small enough to rebalance."""
+    [min(n_rows, min_parallelism), max(min_parallelism * 8, min(by_rows,
+    max_partitions))]:
+
+    - small inputs get at least ~one partition per core but never more
+      partitions than rows (a resume batch must not become hundreds of
+      near-empty shuffle partitions);
+    - large inputs keep rows-per-partition at the target all the way up to
+      ``max_partitions`` — the bound here is DRIVER SCHEDULING STATE (task
+      count per stage), not executor memory: the fused stage streams Arrow
+      batches of ``maxRecordsPerBatch`` rows, so per-worker memory is
+      batch-bounded regardless of partition row count;
+    - above ``max_partitions`` (default 64k tasks — comfortably inside a
+      real scheduler's per-stage budget) rows-per-partition grows with input
+      size; only shuffle-block size is affected, Arrow batching still bounds
+      worker memory.
+
+    The 8x-cores floor for large inputs is straggler headroom (SURVEY §7 —
+    measured best-of-4 interleaved on the fused extract stage: 256
+    partitions on 32 cores beats 128 by ~30%; AQE coalesces any excess).
+    The default target (~100 docs at ~5 ms/doc semantic-core cost) makes a
+    task ~0.5 s: large enough to amortise scheduling, small enough to
+    rebalance."""
     by_rows = max(1, (n_rows + target_rows_per_partition - 1) // target_rows_per_partition)
     lower = max(1, min(n_rows, min_parallelism))
-    upper = max(lower, min_parallelism * 8)
+    upper = max(lower, min_parallelism * 8, min(by_rows, max_partitions))
     return min(max(by_rows, lower), upper)

@@ -54,6 +54,14 @@ def ship_package(spark) -> None:
 
     ship_dir = Path(tempfile.gettempdir()) / f"ukv-ship-{getpass.getuser()}"
     ship_dir.mkdir(mode=0o700, exist_ok=True)
+    # The parent tempdir is world-writable: another local user could have
+    # pre-created this path and could then plant a digest-named zip that
+    # addPyFile would ship to executors (arbitrary code).  Accept the
+    # directory only if we own it and nobody else can write it; otherwise
+    # fall back to a fresh private directory.
+    st = ship_dir.stat()
+    if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+        ship_dir = Path(tempfile.mkdtemp(prefix="ukv-ship-"))
     zip_path = ship_dir / f"{_PKG_DIR.name}-{digest}.zip"
     if not zip_path.exists():
         tmp = zip_path.with_name(f"{zip_path.name}.tmp-{os.getpid()}")
