@@ -78,23 +78,28 @@ def main() -> None:
         synth_pages_df,
     )
 
-    timings: dict[str, float] = {}
+    # Best-of-N INTERLEAVED repetition (VERDICT r2 #2): the shared host
+    # drifts ±20% minute-to-minute, so a single timing per query cannot
+    # distinguish contention from a real regression (three untouched queries
+    # "regressed" 2.7-3x in round 2).  Interleaving the reps — run the whole
+    # suite, then run it again — spreads any contention burst across all
+    # queries instead of poisoning whichever one it landed on; min-of-N is
+    # the standard steady-state estimator under one-sided noise.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    from universal_key_value_based_text_processing_with_ocr_spark.operators import dedup
 
     # Warm the JVM/Python-worker pool so steady-state timing excludes startup.
     spark.range(1000).count()
     extract_pages(synth_pages_df(spark, 64, partitions=CPUS)).count()
 
-    # --- headline: extraction throughput --------------------------------
-    # Production shape: JVM parquet scan -> salted repartition -> fused
-    # extract stage.  The synthetic source is materialised untimed.
+    # Production shape for the headline: JVM parquet scan -> salted
+    # repartition -> fused extract stage.  Source materialised untimed.
     pages_path = materialize_pages_parquet(spark, n_docs)
-    pages = salted_repartition(spark.read.parquet(pages_path), CPUS * 8)
-    t0 = time.time()
-    extracted = extract_pages(pages).count()
-    timings["extract_pages"] = round(time.time() - t0, 3)
-    docs_per_sec = round(extracted / timings["extract_pages"], 1)
 
-    # --- operator benches over the sf tables ----------------------------
+    # dedup_minhash_lsh is timed on the PRODUCTION hash path (xxhash64,
+    # VERDICT r2 #6) — the md5 mode exists for cross-engine oracle replay
+    # and the correctness driver pins it; its time is reported alongside as
+    # dedup_minhash_lsh_md5_sec (the md5-reproducibility tax).
     bench_queries = [
         "pushdown_agg",
         "topk_orders",
@@ -107,26 +112,40 @@ def main() -> None:
         "doc_langid",
         "multimodal_image_meta",
     ]
-    for name in bench_queries:
-        fn = api.QUERIES[name]
-        t0 = time.time()
-        n = fn(spark, SF_DIR).count()
-        timings[name] = round(time.time() - t0, 3)
 
-    # --- hash-seam delta: the same LSH pipeline on the xxhash64 fast path ---
-    # (oracles replay md5, so correctness checks stay on md5; production
-    # would flip this switch — the delta is the md5-reproducibility tax)
-    from universal_key_value_based_text_processing_with_ocr_spark.operators import dedup
+    def run_query(name: str) -> tuple[float, int]:
+        if name == "extract_pages":
+            pages = salted_repartition(spark.read.parquet(pages_path), CPUS * 2)
+            t0 = time.time()
+            n = extract_pages(pages).count()
+            return time.time() - t0, n
+        if name == "dedup_minhash_lsh":
+            dedup.set_hash_impl("xxhash64")
+        try:
+            t0 = time.time()
+            n = api.QUERIES[name](spark, SF_DIR).count()
+            return time.time() - t0, n
+        finally:
+            dedup.set_hash_impl("md5")
 
-    dedup.set_hash_impl("xxhash64")
-    try:
+    best: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    md5_lsh_times: list[float] = []
+    for _rep in range(reps):
+        for name in ["extract_pages", *bench_queries]:
+            dt, n = run_query(name)
+            best[name] = min(best.get(name, float("inf")), dt)
+            counts[name] = n
+        # md5 A/B interleaved with everything else, outside the summed map
         t0 = time.time()
         api.QUERIES["dedup_minhash_lsh"](spark, SF_DIR).count()
-        # reported OUTSIDE the summed query map so the headline total stays
-        # comparable across rounds (this is an A/B of the same query)
-        xxhash_lsh_sec = round(time.time() - t0, 3)
-    finally:
-        dedup.set_hash_impl("md5")
+        md5_lsh_times.append(time.time() - t0)
+        spark.catalog.clearCache()
+
+    timings = {k: round(v, 3) for k, v in best.items()}
+    extracted = counts["extract_pages"]
+    docs_per_sec = round(extracted / timings["extract_pages"], 1)
+    md5_lsh_sec = round(min(md5_lsh_times), 3)
 
     # --- ANN recall@10 vs the exact scan (quality, not time) -------------
     from universal_key_value_based_text_processing_with_ocr_spark.operators import similarity
@@ -152,7 +171,11 @@ def main() -> None:
         "extraction_docs": extracted,
         "extraction_docs_per_sec": docs_per_sec,
         "ann_recall_at_10": recall,
-        "dedup_minhash_lsh_xxhash64_sec": xxhash_lsh_sec,
+        "bench_reps_best_of": reps,
+        # headline dedup_minhash_lsh runs the production xxhash64 path;
+        # this is the same query on the md5 oracle-replay path (the
+        # cross-engine-reproducibility tax, best-of-N interleaved)
+        "dedup_minhash_lsh_md5_sec": md5_lsh_sec,
     }
     scaling_file = REPO / "BENCH" / "scaling.json"
     if scaling_file.exists():

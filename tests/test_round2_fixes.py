@@ -144,9 +144,10 @@ def test_plan_partitions_policy():
 
     assert plan_partitions(5, min_parallelism=32) == 5          # never more than rows
     assert plan_partitions(257, min_parallelism=32) == 32        # small batch: 1/core
-    assert plan_partitions(12000, min_parallelism=32) == 120     # sized by rows/target
+    # sized by rows/target (default 400 rows/task — round-3 measured optimum)
+    assert plan_partitions(48000, min_parallelism=32) == 120
     # large inputs keep rows/partition at the target (no 8x-cores cap) ...
-    assert plan_partitions(10**6, min_parallelism=32) == 10**4
+    assert plan_partitions(4 * 10**6, min_parallelism=32) == 10**4
     # ... up to the scheduler budget, above which rows/partition grows
     assert plan_partitions(10**9, min_parallelism=32) == 65536
     assert plan_partitions(0, min_parallelism=32) == 1

@@ -201,3 +201,73 @@ def test_ship_dir_ownership_guard(tmp_path, monkeypatch):
     # the zip must NOT have been placed in the attacker-controlled dir
     assert not str(shipped["path"]).startswith(str(evil))
     ship._SHIPPED.clear()
+
+
+# --- lakehouse chunked manifests (VERDICT r2 #4) ----------------------------
+
+
+def test_lakehouse_pruned_scan_opens_only_matching_chunks(tmp_path):
+    """10k-file table: planning a selective range must open only the chunk
+    files whose summary envelope intersects it — O(matching chunks), never
+    the full file list (the Iceberg manifest-list design)."""
+    import json as _json
+
+    from universal_key_value_based_text_processing_with_ocr_spark.lakehouse.catalog import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(tmp_path / "tbl")
+    chunks = []
+    for c in range(100):
+        files = [f"data/synth/{c:03d}-{i:03d}.parquet" for i in range(100)]
+        stats = {
+            f: {"rows": 10, "column": "doc_id", "min": c * 1000 + i * 10,
+                "max": c * 1000 + i * 10 + 9}
+            for i, f in enumerate(files)
+        }
+        chunks.append(t._write_chunk(files, stats))
+    manifest = {
+        "snapshot_id": "synthetic", "parent_id": None, "sequence": 1,
+        "committed_at_ms": 0, "schema": "{}", "chunks": chunks, "summary": {},
+    }
+    (t.snapshot_dir / "v00000001.json").write_text(_json.dumps(manifest))
+
+    plan = t.plan_stats(between=(1500, 1529))
+    assert plan["chunks_total"] == 100
+    assert plan["chunks_opened"] == 1          # only chunk 1 intersects
+    assert plan["files_kept"] == 3             # files i=50,51,52 of chunk 1
+    kept, total = t.pruned_file_count(between=(1500, 1529))
+    assert (kept, total) == (3, 10_000)
+    # full-range plan touches everything (sanity: no over-pruning)
+    assert t.plan_stats(between=(0, 10**9))["chunks_opened"] == 100
+
+
+def test_lakehouse_chunked_append_read_timetravel_expire(spark, tmp_path):  # noqa: F811
+    """End-to-end over the chunked format: multi-append, chunk-pruned read,
+    time travel, history without opening chunks, expire deletes orphaned
+    chunks + data files."""
+    from universal_key_value_based_text_processing_with_ocr_spark.lakehouse.catalog import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(tmp_path / "tbl")
+    s1 = t.append(spark.range(0, 100).selectExpr("id AS doc_id", "'a' AS v").coalesce(2))
+    t.append(spark.range(100, 200).selectExpr("id AS doc_id", "'b' AS v").coalesce(2))
+
+    # chunk-level prune: the second append's chunk covers [100,199] only
+    plan = t.plan_stats(between=(150, 160))
+    assert plan["chunks_opened"] == 1 and plan["chunks_total"] == 2
+    got = t.read(spark, between=(150, 160)).filter("doc_id BETWEEN 150 AND 160")
+    assert got.count() == 11
+
+    assert t.read(spark).count() == 200
+    assert t.read(spark, snapshot_id=s1).count() == 100       # time travel
+    assert [h["n_files"] for h in t.history()] == [2, 4]
+
+    t.compact(spark, target_partitions=1)
+    res = t.expire_snapshots(keep_last=1)
+    assert res["expired"] == 2 and res["deleted_files"] == 4
+    # expired chunks are gone; the live snapshot still reads fine
+    live_chunks = list(t.snapshot_dir.glob("chunk-*.json"))
+    assert len(live_chunks) == 1
+    assert t.read(spark).count() == 200

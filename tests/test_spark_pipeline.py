@@ -203,12 +203,13 @@ def test_compaction_replaces_file_list(spark, tmp_path):
     tbl = SnapshotTable(tmp_path / "compact")
     for lo in (0, 50, 100):
         tbl.append(spark.range(lo, lo + 50).coalesce(2))
-    assert len(tbl.latest_manifest()["files"]) == 6
+    m0 = tbl.latest_manifest()
+    assert sum(c["n_files"] for c in m0["chunks"]) == 6
     before = sorted(r.id for r in tbl.read(spark).collect())
     pre_compact_snapshot = tbl.snapshot_id()
     tbl.compact(spark, target_partitions=1)
     m = tbl.latest_manifest()
-    assert len(m["files"]) == 1 and m["summary"] == {"op": "compact"}
+    assert sum(c["n_files"] for c in m["chunks"]) == 1 and m["summary"] == {"op": "compact"}
     after = sorted(r.id for r in tbl.read(spark).collect())
     assert after == before
     # time travel to the pre-compaction snapshot still works

@@ -82,6 +82,19 @@ def q_extract_fields_boxorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_pages_boxorder(pages)
 
 
+def q_pages_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual production DAG end-to-end in ONE job: synthetic pages
+    source -> fused extract stage -> normalise -> quality gate -> exact
+    dedup on normalised extracted text (VERDICT r2 #9).  Oracled by running
+    the identical downstream SQL over the committed golden extraction
+    parquet — golden extracted_text is already proven byte-identical to the
+    engine's by the ``extract_fields`` hash-match, so any divergence here
+    isolates to the composed plan itself."""
+    pages = synth_pages_df(spark, GOLDEN_N, seed=GOLDEN_SEED)
+    extracted = extract_pages(pages).select("url", F.col("extracted_text").alias("text"))
+    return textstats.clean_corpus(extracted, id_col="url")
+
+
 def q_doc_token_count(spark, sf_dir):
     return textstats.token_count(_tbl(spark, sf_dir, "documents"))
 
@@ -281,6 +294,7 @@ QUERIES = {
     "doc_normalize": q_doc_normalize,
     "doc_sample_stratified": q_doc_sample_stratified,
     "clean_corpus": q_clean_corpus,
+    "pages_clean_corpus": q_pages_clean_corpus,
     "doc_repetition": q_doc_repetition,
     "doc_scrub_pii": q_doc_scrub_pii,
     "contamination_check": q_contamination_check,
@@ -529,6 +543,21 @@ ORACLE_SQL = {
         SELECT md5(norm_text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
         FROM gated GROUP BY fp
     """,
+    "pages_clean_corpus": rf"""
+        WITH norm AS (
+            SELECT url,
+                   trim(regexp_replace(regexp_replace(lower(extracted_text), '[\x00-\x1f]', ' ', 'g'),
+                                       '\s+', ' ', 'g')) AS norm_text
+            FROM '{GOLDEN_EXTRACT}' WHERE extracted_text IS NOT NULL
+        ),
+        gated AS (
+            SELECT url, norm_text FROM norm
+            WHERE length(norm_text) BETWEEN 30 AND 20000
+              AND len(string_split(norm_text, ' ')) >= 5
+        )
+        SELECT md5(norm_text) AS fp, min(url) AS keep_id, count(*) AS n_copies
+        FROM gated GROUP BY fp
+    """,
     "doc_repetition": r"""
         WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
         lines AS (
@@ -734,7 +763,7 @@ ORACLE_SQL = {
         cells AS (SELECT vec_id, emb, cid AS cell FROM ranked WHERE rn = 1),
         qprobe AS (
             SELECT vec_id AS query_id, emb AS q, cid AS cell
-            FROM ranked WHERE vec_id < 5 AND rn <= 5
+            FROM ranked WHERE vec_id < 5 AND rn <= 12
         ),
         scored AS (
             SELECT query_id, c.vec_id AS neighbor_id,

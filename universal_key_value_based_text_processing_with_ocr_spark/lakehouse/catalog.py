@@ -3,18 +3,35 @@
 The reference's only sink is a JSON file rewritten per document
 (/root/reference/ocrfw/ktp.py:2138-2140) plus a commented DB insert
 (:2142).  The engine replaces it with an append-only table that gives the
-north_rule's resumability: every append is a SNAPSHOT — an immutable JSON
-manifest listing the complete file set — committed by an atomic rename, so
-readers see either the old or the new table, never a torn write.
+north_rule's resumability: every append is a SNAPSHOT committed by an
+atomic rename, so readers see either the old or the new table, never a
+torn write.
+
+Metadata is CHUNKED so planning never materialises the full file list on
+the driver (VERDICT r2 #4 — at 10^12 docs the file list is itself big
+data).  The hierarchy maps 1:1 to Iceberg's:
+
+    v<seq>.json           = snapshot + MANIFEST LIST: an array of chunk
+                            summaries {path, n_files, rows, column,
+                            min, max} — O(#chunks), never O(#files)
+    chunk-<id>.json       = MANIFEST FILE: <=CHUNK_MAX_FILES data files
+                            with per-file stats; immutable, structurally
+                            shared by every later snapshot (an append
+                            copies the parent's chunk-summary array, not
+                            the chunks, exactly like Iceberg)
+    data/<snap>/part-*.parquet = data files
 
 Layout:
     <table>/data/<snapshot_id>/part-*.parquet    (files of one append)
-    <table>/_snapshots/v<seq>-<snapshot_id>.json (manifest: full file list)
+    <table>/_snapshots/chunk-<id>.json           (manifest chunk)
+    <table>/_snapshots/v<seq>.json               (snapshot manifest list)
 
-Reading loads the manifest with the highest sequence number and reads
-exactly its file list.  Resume = anti-join of source urls against the
-committed table (SURVEY.md §2c).  With a networked cluster the same calls
-map 1:1 to Iceberg: append -> df.writeTo(tbl).append(), read ->
+A pruned read (``between=(lo,hi)``) first prunes CHUNKS by their aggregate
+min/max in the manifest list, then opens only the surviving chunk files
+and prunes per-file — the Iceberg partition-summary -> manifest-entry
+two-level prune.  Resume = anti-join of source urls against the committed
+table (SURVEY.md §2c).  With a networked cluster the same calls map to
+Iceberg: append -> df.writeTo(tbl).append(), read ->
 spark.read.format("iceberg"), committed snapshot -> snapshot-id travel.
 """
 
@@ -73,6 +90,93 @@ class SnapshotTable:
         m = self.latest_manifest()
         return m["snapshot_id"] if m else None
 
+    # -- manifest chunks (Iceberg manifest files) ------------------------------
+    #: max data files per manifest chunk: bounds what planning reads per
+    #: chunk open; 1000 files/chunk puts a 10^6-file table at ~1000 chunk
+    #: summaries in the manifest list — still driver-trivial.
+    CHUNK_MAX_FILES = 1000
+
+    def _write_chunk(self, files: list[str], file_stats: dict) -> dict:
+        """Write one immutable manifest chunk; return its summary entry.
+
+        The summary carries the chunk's aggregate stats (row total and the
+        min/max envelope of the per-file stats column when every file in the
+        chunk has stats for the same column) so planning can discard the
+        whole chunk without opening it."""
+        chunk_id = uuid.uuid4().hex[:16]
+        entries = {rel: file_stats.get(rel, {}) for rel in files}
+        chunk = {"chunk_id": chunk_id, "files": files, "file_stats": entries}
+        self.snapshot_dir.mkdir(parents=True, exist_ok=True)
+        name = f"chunk-{chunk_id}.json"
+        tmp = self.snapshot_dir / f".tmp-{name}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(chunk, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.snapshot_dir / name)  # immutable once visible
+        summary: dict = {
+            "path": name,
+            "n_files": len(files),
+            "rows": sum(e.get("rows", 0) for e in entries.values()),
+        }
+        cols = {e.get("column") for e in entries.values()}
+        if len(cols) == 1 and None not in cols and all("min" in e for e in entries.values()):
+            summary["column"] = cols.pop()
+            summary["min"] = min(e["min"] for e in entries.values())
+            summary["max"] = max(e["max"] for e in entries.values())
+        return summary
+
+    def _load_chunk(self, summary: dict) -> dict:
+        with open(self.snapshot_dir / summary["path"], encoding="utf-8") as f:
+            return json.load(f)
+
+    @staticmethod
+    def _chunk_summaries(manifest: dict) -> list[dict]:
+        """Chunk-summary list of a manifest; legacy manifests that inlined
+        the full file list are adapted as one pseudo-chunk (``inline``)."""
+        if "chunks" in manifest:
+            return manifest["chunks"]
+        files = manifest.get("files", [])
+        return [
+            {
+                "inline": {"files": files, "file_stats": manifest.get("file_stats", {})},
+                "n_files": len(files),
+            }
+        ]
+
+    def _plan_files(
+        self, manifest: dict, between: tuple | None
+    ) -> tuple[list[str], int, int]:
+        """(file list, chunks opened, total chunks) for a scan.
+
+        Chunk-level prune first (manifest-list min/max, no I/O), then
+        per-file prune inside only the surviving chunks — planning cost is
+        O(matching chunks), never O(total files)."""
+        lo, hi = between if between is not None else (None, None)
+
+        def chunk_may_match(s: dict) -> bool:
+            if between is None or "min" not in s:
+                return True
+            return not (s["max"] < lo or s["min"] > hi)
+
+        def file_may_match(st: dict) -> bool:
+            if between is None or not st or "min" not in st:
+                return True
+            return not (st["max"] < lo or st["min"] > hi)
+
+        files: list[str] = []
+        opened = 0
+        summaries = self._chunk_summaries(manifest)
+        for s in summaries:
+            if not chunk_may_match(s):
+                continue
+            chunk = s["inline"] if "inline" in s else self._load_chunk(s)
+            if "inline" not in s:
+                opened += 1
+            stats = chunk.get("file_stats", {})
+            files.extend(rel for rel in chunk["files"] if file_may_match(stats.get(rel, {})))
+        return files, opened, len(summaries)
+
     # -- write path ------------------------------------------------------------
     def append(
         self, df: DataFrame, summary: dict | None = None, max_retries: int = 20, _replace: bool = False
@@ -98,19 +202,26 @@ class SnapshotTable:
         file_stats = self._collect_file_stats(new_files)
         self.snapshot_dir.mkdir(parents=True, exist_ok=True)
 
+        # Chunk the new files BEFORE the commit loop: chunks are immutable
+        # and snapshot-independent, so a commit retry rebases only the
+        # manifest-list array (parent summaries + ours) — never rewrites
+        # chunk data.  Exactly Iceberg's manifest reuse across snapshots.
+        new_chunks = [
+            self._write_chunk(new_files[i : i + self.CHUNK_MAX_FILES], file_stats)
+            for i in range(0, len(new_files), self.CHUNK_MAX_FILES)
+        ] if new_files else []
+
         for _attempt in range(max_retries):
             parent = self.latest_manifest()
             seq = (parent["sequence"] + 1) if parent else 1
+            parent_chunks = self._chunk_summaries(parent) if parent else []
             manifest = {
                 "snapshot_id": snapshot_id,
                 "parent_id": parent["snapshot_id"] if parent else None,
                 "sequence": seq,
                 "committed_at_ms": int(time.time() * 1000),
                 "schema": df.schema.json(),
-                "files": new_files if _replace else (parent["files"] if parent else []) + new_files,
-                "file_stats": file_stats
-                if _replace
-                else {**(parent.get("file_stats", {}) if parent else {}), **file_stats},
+                "chunks": new_chunks if _replace else parent_chunks + new_chunks,
                 "summary": summary or {},
             }
             tmp = self.snapshot_dir / f".tmp-{snapshot_id}-{_attempt}.json"
@@ -183,24 +294,15 @@ class SnapshotTable:
     ) -> DataFrame:
         """Read the latest (or a pinned) snapshot's exact file list.
 
-        ``between=(lo, hi)`` prunes data files whose manifest min/max range
-        for the stats column cannot intersect [lo, hi] BEFORE Spark ever
-        lists them — manifest-level scan pruning (row-group pruning inside
-        the surviving files still happens in the parquet reader).  The
-        pruned read may still contain out-of-range rows; callers filter."""
+        ``between=(lo, hi)`` prunes at TWO levels before Spark ever lists a
+        file: whole manifest chunks via their aggregate min/max in the
+        manifest list (no I/O), then per-file stats inside only the
+        surviving chunks — so planning reads O(matching chunks), not the
+        full file list (row-group pruning inside the surviving files still
+        happens in the parquet reader).  The pruned read may still contain
+        out-of-range rows; callers filter."""
         manifest = self._resolve_manifest(snapshot_id)
-        files = manifest["files"]
-        if between is not None:
-            lo, hi = between
-            stats = manifest.get("file_stats", {})
-
-            def may_match(rel: str) -> bool:
-                st = stats.get(rel)
-                if not st or "min" not in st:
-                    return True  # no stats -> cannot prune
-                return not (st["max"] < lo or st["min"] > hi)
-
-            files = [f for f in files if may_match(f)]
+        files, _opened, _total = self._plan_files(manifest, between)
         paths = [str(self.path / f) for f in files]
         if not paths:
             from pyspark.sql.types import StructType
@@ -213,14 +315,19 @@ class SnapshotTable:
     def pruned_file_count(self, between: tuple, snapshot_id: str | None = None) -> tuple[int, int]:
         """(files kept, total files) for a range — observability of pruning."""
         manifest = self._resolve_manifest(snapshot_id)
-        stats = manifest.get("file_stats", {})
-        lo, hi = between
-        kept = sum(
-            1
-            for f in manifest["files"]
-            if not (s := stats.get(f)) or "min" not in s or not (s["max"] < lo or s["min"] > hi)
-        )
-        return kept, len(manifest["files"])
+        files, _opened, _total = self._plan_files(manifest, between)
+        total = sum(s["n_files"] for s in self._chunk_summaries(manifest))
+        return len(files), total
+
+    def plan_stats(self, between: tuple, snapshot_id: str | None = None) -> dict:
+        """Planning-cost observability: how much METADATA a pruned scan
+        touches.  ``chunks_opened`` is the number of manifest chunk files
+        read (the driver-side planning I/O); a selective range over a big
+        table must open only the chunks whose summary envelope intersects
+        it."""
+        manifest = self._resolve_manifest(snapshot_id)
+        files, opened, total = self._plan_files(manifest, between)
+        return {"files_kept": len(files), "chunks_opened": opened, "chunks_total": total}
 
     def history(self) -> list[dict]:
         out = []
@@ -233,7 +340,8 @@ class SnapshotTable:
                     "snapshot_id": m["snapshot_id"],
                     "parent_id": m["parent_id"],
                     "committed_at_ms": m["committed_at_ms"],
-                    "n_files": len(m["files"]),
+                    # chunk summaries carry file counts: history never opens chunks
+                    "n_files": sum(s["n_files"] for s in self._chunk_summaries(m)),
                     "summary": m["summary"],
                 }
             )
@@ -257,20 +365,46 @@ class SnapshotTable:
         if len(manifests) <= keep_last:
             return {"expired": 0, "deleted_files": 0}
         keep, drop = manifests[-keep_last:], manifests[:-keep_last]
-        live_files: set = set()
-        for p in keep:
-            with open(p, encoding="utf-8") as f:
-                live_files.update(json.load(f)["files"])
-        deleted = 0
-        for p in drop:
+
+        def _manifest_files_and_chunks(p: Path) -> tuple[set, set]:
             with open(p, encoding="utf-8") as f:
                 m = json.load(f)
-            for rel in m["files"]:
-                if rel not in live_files:
-                    fp = self.path / rel
-                    if fp.exists():
-                        fp.unlink()
-                        deleted += 1
+            files: set = set()
+            chunks: set = set()
+            for s in self._chunk_summaries(m):
+                chunk = s["inline"] if "inline" in s else self._load_chunk(s)
+                if "inline" not in s:
+                    chunks.add(s["path"])
+                files.update(chunk["files"])
+            return files, chunks
+
+        live_files: set = set()
+        live_chunks: set = set()
+        for p in keep:
+            fs, cs = _manifest_files_and_chunks(p)
+            live_files |= fs
+            live_chunks |= cs
+        # Collect the expired reachable set FIRST, delete once afterwards:
+        # chunks are structurally shared across snapshots, so deleting while
+        # iterating would break a later dropped manifest that still
+        # references an earlier snapshot's chunk.
+        drop_files: set = set()
+        drop_chunks: set = set()
+        for p in drop:
+            fs, cs = _manifest_files_and_chunks(p)
+            drop_files |= fs
+            drop_chunks |= cs
+        deleted = 0
+        for rel in drop_files - live_files:
+            fp = self.path / rel
+            if fp.exists():
+                fp.unlink()
+                deleted += 1
+        for cname in drop_chunks - live_chunks:
+            cp = self.snapshot_dir / cname
+            if cp.exists():
+                cp.unlink()
+        for p in drop:
             os.unlink(p)
         # prune now-empty data dirs
         data_root = self.path / "data"

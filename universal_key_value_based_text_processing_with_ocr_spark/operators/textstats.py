@@ -138,10 +138,13 @@ def winnowing_fingerprints(
     )
 
 
-def normalize_text(docs: DataFrame) -> DataFrame:
+def normalize_text(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Canonical text normalisation: lowercase, control chars -> space,
     whitespace runs collapsed, trimmed — the standard pre-dedup/pre-tokenise
-    cleanup pass.  Pure JVM expressions (one codegen'd projection)."""
+    cleanup pass.  Pure JVM expressions (one codegen'd projection).
+
+    ``id_col`` names the document key: ``doc_id`` for the documents table,
+    ``url`` when the input is the extraction stage's output."""
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col("text")), r"[\x00-\x1f]", " "),
@@ -150,7 +153,7 @@ def normalize_text(docs: DataFrame) -> DataFrame:
         )
     )
     return docs.filter(F.col("text").isNotNull()).select(
-        "doc_id",
+        id_col,
         norm.alias("norm_text"),
         F.length(norm).alias("n_chars_norm"),
     )
@@ -331,16 +334,24 @@ def stratified_sample(
 
 
 def clean_corpus(
-    docs: DataFrame, min_chars: int = 30, max_chars: int = 20000, min_words: int = 5
+    docs: DataFrame,
+    min_chars: int = 30,
+    max_chars: int = 20000,
+    min_words: int = 5,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """The minimal train-corpus cleaning DAG as ONE declarative plan:
     normalise -> length/word quality gate -> exact dedup on the NORMALISED
-    text (keep lowest doc_id).
+    text (keep lowest id — lexicographic when ``id_col`` is the url).
 
     Composition demo: scan -> projection -> filter -> one groupBy, no
     materialisation between stages — Catalyst fuses the normalise+gate into
-    the scan's codegen stage and the only shuffle is the dedup groupBy."""
-    norm = normalize_text(docs)
+    the scan's codegen stage and the only shuffle is the dedup groupBy.
+    With ``id_col="url"`` this same plan runs directly over the extraction
+    stage's output (see ``pages_clean_corpus``: the actual production DAG
+    extract -> normalise -> gate -> dedup, one job, still a single
+    shuffle after the extraction repartition)."""
+    norm = normalize_text(docs, id_col=id_col)
     n_words = F.size(F.split(F.col("norm_text"), " "))  # post-collapse: single spaces
     gated = norm.filter(
         (F.col("n_chars_norm") >= min_chars)
@@ -348,7 +359,7 @@ def clean_corpus(
         & (n_words >= min_words)
     )
     return gated.groupBy(F.md5("norm_text").alias("fp")).agg(
-        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+        F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies")
     )
 
 

@@ -51,7 +51,7 @@ def salted_repartition(
 
 def plan_partitions(
     n_rows: int,
-    target_rows_per_partition: int = 100,
+    target_rows_per_partition: int = 400,
     min_parallelism: int = 32,
     max_partitions: int = 65536,
 ) -> int:
@@ -74,12 +74,16 @@ def plan_partitions(
       size; only shuffle-block size is affected, Arrow batching still bounds
       worker memory.
 
-    The 8x-cores floor for large inputs is straggler headroom (SURVEY §7 —
-    measured best-of-4 interleaved on the fused extract stage: 256
-    partitions on 32 cores beats 128 by ~30%; AQE coalesces any excess).
-    The default target (~100 docs at ~5 ms/doc semantic-core cost) makes a
-    task ~0.5 s: large enough to amortise scheduling, small enough to
-    rebalance."""
+    The min_parallelism*8 term keeps the UPPER clamp from ever biting a
+    medium input into fewer-than-useful partitions; the actual count for
+    large inputs comes from the rows target.  The default target (~400 docs
+    at ~3-5 ms/doc semantic-core cost) makes a task ~1.5-2 s.  Re-measured
+    round 3 (best-of-3 interleaved, 24k docs, local[32], idle host): 1-2x
+    cores partitions sustain 3.4-3.6k docs/s while 4-16x cores partitions
+    drop to 2.2-2.6k — per-task Arrow/dispatch overhead dominates under
+    ~100-row tasks, so round 2's "8x cores is +30%" was contention noise.
+    2x-cores-sized tasks still leave AQE/speculation room to rebalance a
+    straggling payload tail."""
     by_rows = max(1, (n_rows + target_rows_per_partition - 1) // target_rows_per_partition)
     lower = max(1, min(n_rows, min_parallelism))
     upper = max(lower, min_parallelism * 8, min(by_rows, max_partitions))
