@@ -138,3 +138,29 @@ def test_pushdown_agg_has_partial_aggregation(spark):  # noqa: F811
     plan = _plan(pushdown_agg(lineitem))
     # partial (map-side) + final aggregate pair
     assert plan.count("HashAggregate") >= 2
+
+
+def test_dedup_shared_subtrees_use_reused_exchange(spark):  # noqa: F811
+    """ngram_jaccard_pairs and minhash_lsh_pairs deliberately persist
+    NOTHING: their repeated subtrees (the shingle distinct under both the
+    stop-aggregate and the anti-join; the signature array under band
+    hashing and both agreement sides) must be shared via Catalyst's
+    exchange reuse, visible as ReusedExchange nodes in the FINAL adaptive
+    plan (static explain hides them behind AdaptiveSparkPlan)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"shared body text for reuse check number {i % 3} " * 4) for i in range(30)],
+        "doc_id int, text string",
+    )
+    for fn, min_reused in [(ngram_jaccard_pairs, 2), (minhash_lsh_pairs, 2)]:
+        df = fn(docs, 8) if fn is ngram_jaccard_pairs else fn(docs, shingle_n=8)
+        df.collect()
+        plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+        assert "isFinalPlan=true" in plan
+        assert plan.count("ReusedExchange") >= min_reused, plan[:1500]
