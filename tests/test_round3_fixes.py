@@ -271,3 +271,38 @@ def test_lakehouse_chunked_append_read_timetravel_expire(spark, tmp_path):  # no
     live_chunks = list(t.snapshot_dir.glob("chunk-*.json"))
     assert len(live_chunks) == 1
     assert t.read(spark).count() == 200
+
+
+def test_bloom_incremental_dedup_properties(spark):  # noqa: F811
+    """Bloom resume dedup: no false negatives ever (every true dup is a
+    candidate AND verified), false-positive rate bounded by the geometry,
+    and non-candidates skip exact verification by construction."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.dedup import (
+        bloom_incremental_dedup,
+    )
+
+    committed = spark.createDataFrame(
+        [(i, f"committed document body {i}") for i in range(500)],
+        "doc_id int, text string",
+    )
+    # batch: 50 true dups of committed docs + 450 new docs
+    batch = spark.createDataFrame(
+        [(1000 + i, f"committed document body {i}") for i in range(50)]
+        + [(2000 + i, f"brand new document body {i}") for i in range(450)],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: (r.bloom_candidate, r.is_dup) for r in
+           bloom_incremental_dedup(batch, committed).collect()}
+    assert len(out) == 500
+    # no false negatives: every true dup flagged candidate and verified dup
+    for i in range(50):
+        assert out[1000 + i] == (True, True)
+    # new docs are never is_dup; candidate-but-not-dup = false positives
+    fps = 0
+    for i in range(450):
+        cand, dup = out[2000 + i]
+        assert not dup
+        fps += cand
+    # 2^20 bits / 4 hashes / 500 items -> fpp ~ (4*500/2^20)^4 ~ 1e-11;
+    # allow slack for the tiny corpus, but any systematic leak fails hard
+    assert fps <= 2, f"{fps} false positives out of 450"

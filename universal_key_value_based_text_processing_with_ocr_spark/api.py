@@ -175,6 +175,15 @@ def q_dedup_incremental(spark, sf_dir):
     )
 
 
+def q_dedup_incremental_bloom(spark, sf_dir):
+    """Bloom-sketch resume dedup: batch (doc_id % 4 == 0) probes a sketch of
+    the committed rest; exact verification only for sketch candidates."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return dedup.bloom_incremental_dedup(
+        docs.filter(F.col("doc_id") % 4 == 0), docs.filter(F.col("doc_id") % 4 != 0)
+    )
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_tbl(spark, sf_dir, "documents"), n=10, threshold=0.2)
 
@@ -300,6 +309,7 @@ QUERIES = {
     "contamination_check": q_contamination_check,
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_incremental_bloom": q_dedup_incremental_bloom,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -513,6 +523,49 @@ ORACLE_SQL = {
         SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies
         FROM batch WHERE fp NOT IN (SELECT fp FROM committed)
         GROUP BY fp
+    """,
+    "dedup_incremental_bloom": """
+        -- replays the engine's Bloom sketch bit-for-bit: double hashing
+        -- p_j = (h1 + j*(2*h2+1)) % 2^20 over the md5 fingerprint, 4
+        -- hashes, 63-bit words OR'd together (bit 63 would overflow a checked signed shift).  Even the false positives
+        -- are deterministic and therefore cross-checked.
+        WITH committed AS (
+            SELECT md5(text) AS fp FROM documents
+            WHERE doc_id % 4 != 0 AND text IS NOT NULL
+        ),
+        batch AS (
+            SELECT doc_id, md5(text) AS fp FROM documents
+            WHERE doc_id % 4 = 0 AND text IS NOT NULL
+        ),
+        cpos AS (
+            SELECT (('0x' || substr(fp, 1, 8))::BIGINT
+                    + j * (('0x' || substr(fp, 9, 8))::BIGINT * 2 + 1)) % 1048576 AS p
+            FROM committed, generate_series(0, 3) AS g(j)
+        ),
+        sketch AS (
+            SELECT p // 63 AS word_idx,
+                   bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS word
+            FROM cpos GROUP BY 1
+        ),
+        bpos AS (
+            SELECT doc_id, fp,
+                   (('0x' || substr(fp, 1, 8))::BIGINT
+                    + j * (('0x' || substr(fp, 9, 8))::BIGINT * 2 + 1)) % 1048576 AS p
+            FROM batch, generate_series(0, 3) AS g(j)
+        ),
+        hits AS (
+            SELECT doc_id, fp,
+                   COALESCE(word, 0) & (CAST(1 AS BIGINT) << CAST(p % 63 AS INT))
+                     = (CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS hit
+            FROM bpos LEFT JOIN sketch ON word_idx = p // 63
+        ),
+        per_doc AS (
+            SELECT doc_id, fp, bool_and(hit) AS bloom_candidate
+            FROM hits GROUP BY doc_id, fp
+        )
+        SELECT doc_id, bloom_candidate,
+               (bloom_candidate AND fp IN (SELECT fp FROM committed)) AS is_dup
+        FROM per_doc
     """,
     "doc_normalize": r"""
         SELECT doc_id,

@@ -323,6 +323,113 @@ def minhash_lsh_pairs(
     )
 
 
+# --- Bloom-sketch incremental dedup ----------------------------------------
+
+#: Bloom geometry defaults: 2^20 bits / 4 hashes holds ~10^5 committed
+#: fingerprints at <1% false-positive rate (m/n ~ 10 bits per item).  At
+#: 10^9+ committed docs scale m with n (m ~ 10n bits) — the sketch is
+#: m/64 longs, so 10^10 bits = ~1.2 GB: at that point feed a LARGER
+#: word-count and let AQE pick a shuffle join on word_idx instead of the
+#: broadcast (same plan shape, one extra exchange).
+BLOOM_BITS = 1 << 20
+BLOOM_HASHES = 4
+
+
+def _bloom_positions(fp, m_bits: int, k: int) -> F.Column:
+    """k bit positions for one md5-hex fingerprint via double hashing:
+    p_j = (h1 + j*(2*h2+1)) % m with h1, h2 = first/second 8 hex digits.
+    Every term stays < 2^35, exact in any engine's 64-bit integers, so the
+    DuckDB oracle replays the identical sketch bit-for-bit."""
+    h1 = F.conv(F.substring(fp, 1, 8), 16, 10).cast("long")
+    step = F.conv(F.substring(fp, 9, 8), 16, 10).cast("long") * 2 + 1
+    return F.array(*[(h1 + F.lit(j) * step) % m_bits for j in range(k)])
+
+
+def bloom_sketch(docs: DataFrame, m_bits: int = BLOOM_BITS, k: int = BLOOM_HASHES) -> DataFrame:
+    """(word_idx, word): the set 64-bit words of a Bloom filter over the
+    corpus text fingerprints.  One map-side-combinable bit_or aggregate —
+    the committed corpus reduces to a sketch in a single pass with no
+    distinct (bit_or is idempotent, duplicate fps cost nothing)."""
+    fps = docs.filter(F.col("text").isNotNull()).select(F.md5("text").alias("fp"))
+    pos = fps.select(F.explode(_bloom_positions(F.col("fp"), m_bits, k)).alias("p"))
+    return (
+        # 63-bit words: a shift of 63 overflows DuckDB's checked signed <<,
+        # so the sketch never uses the sign bit — costs 1/64 space, buys an
+        # idiom every engine evaluates identically.
+        pos.select(
+            F.expr("p DIV 63").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def bloom_incremental_dedup(
+    new_docs: DataFrame,
+    committed_docs: DataFrame,
+    m_bits: int = BLOOM_BITS,
+    k: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Extreme-scale resume dedup: (doc_id, bloom_candidate, is_dup) for
+    every batch doc with text.
+
+    Plan: the committed corpus collapses to a Bloom sketch (one aggregate
+    pass, never reshuffled again); the batch probes it with a broadcast
+    join on word_idx — NO shuffle of either payload side.  Bloom filters
+    have no false negatives, so non-candidates are guaranteed-new and skip
+    verification entirely; only the candidates (true dups + ~fpp false
+    positives) hit the exact fingerprint semi-join.  Compared with
+    ``incremental_dedup``'s distinct-fp anti-join, the exact join's input
+    shrinks from the whole batch to the candidate sliver, and the committed
+    side ships as m/8 bytes instead of a fingerprint table.
+
+    Entirely JVM expressions with an md5-derived hash family — the DuckDB
+    oracle rebuilds the identical sketch, so even the false positives are
+    deterministic and cross-checked (``dedup_incremental_bloom``)."""
+    sketch = bloom_sketch(committed_docs, m_bits, k)
+    batch = new_docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    probe = batch.select(
+        "doc_id", "fp", F.explode(_bloom_positions(F.col("fp"), m_bits, k)).alias("p")
+    ).select(
+        "doc_id",
+        "fp",
+        F.expr("p DIV 63").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT))").alias("mask"),
+    )
+    hits = probe.join(F.broadcast(sketch), "word_idx", "left").select(
+        "doc_id",
+        "fp",
+        ((F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("mask"))) == F.col("mask")).alias(
+            "hit"
+        ),
+    )
+    per_doc = hits.groupBy("doc_id", "fp").agg(F.bool_and("hit").alias("bloom_candidate"))
+    # exact verification restricted to the candidate sliver (no false
+    # negatives -> non-candidates are proven new without touching the
+    # committed fingerprints)
+    committed_fp = (
+        committed_docs.filter(F.col("text").isNotNull())
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+        .withColumn("verified", F.lit(True))
+    )
+    cand = per_doc.filter(F.col("bloom_candidate"))
+    verified = cand.join(committed_fp, "fp", "left").select(
+        "doc_id", F.coalesce(F.col("verified"), F.lit(False)).alias("is_dup")
+    )
+    return (
+        per_doc.join(verified, "doc_id", "left")
+        .select(
+            "doc_id",
+            "bloom_candidate",
+            F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
 # --- SimHash ----------------------------------------------------------------
 
 SIMHASH_BITS = 16
