@@ -63,8 +63,10 @@ def main() -> None:
     named = [
         ("pushdown_agg", "filter pushed into the parquet scan (PushedFilters), partial+final HashAggregate pair"),
         ("fuzzy_nation_join", "broadcast nested-loop theta join (levenshtein <= k), then per-probe top-1 window"),
-        ("dedup_minhash_lsh", "LSH bucket self-join on (band, band_hash) + candidate-only agreement join over persisted signature arrays (InMemoryTableScan)"),
-        ("dedup_ngram_jaccard", "stop-shingle removal as aggregate + broadcast anti-join (no count-over-Window sort of the shingle table)"),
+        ("dedup_minhash_lsh", "LSH bucket self-join on (band, band_hash) + candidate-only agreement join; the signature-array subtree repeats three times with NO persist — exchange reuse shares it (see note above)"),
+        ("dedup_ngram_jaccard", "stop-shingle aggregate + broadcast anti-join, then bounded-group pair explode (no shingle-table self-join, no persist)"),
+        ("dedup_incremental_bloom", "committed corpus collapses to a bit_or Bloom sketch; batch probes via broadcast join on word_idx — neither payload side shuffles; exact semi-join only for candidates"),
+        ("pages_clean_corpus", "the production DAG in one job: fused extract stage -> codegen'd normalise+gate -> single dedup groupBy"),
         ("similarity_topk", "broadcast of the small query side; per-query window top-k"),
         ("anti_join_resume", "left anti join (resume predicate shape)"),
         ("embedding_near_dup_lsh", "sub-quadratic near-dup: probe-key explode + equi-join on the sign bucket — no CartesianProduct"),
@@ -76,6 +78,16 @@ def main() -> None:
 
     out = ["# EXPLAIN — formatted physical plans of the headline queries\n"]
     out.append("Regenerate with `python scripts/show_plans.py` (sf0.01 tables).\n")
+    out.append(
+        "\nNOTE on exchange reuse: the dedup plans repeat identical subtrees"
+        "\n(the shingle distinct feeds both the stop-shingle aggregate and the"
+        "\nanti-join; the minhash signature array feeds band hashing and both"
+        "\nagreement sides) and deliberately persist NOTHING — Catalyst's"
+        "\nexchange reuse shares those shuffles at runtime.  Static formatted"
+        "\nplans cannot show that (AQE finalises reuse at execution), so it is"
+        "\nasserted on the FINAL adaptive plan in tests/test_plan_shapes.py"
+        "\n(test_dedup_shared_subtrees_use_reused_exchange): executed"
+        "\ndedup_ngram_jaccard carries 2 ReusedExchange nodes, dedup_minhash_lsh 3.\n")
     for title, note, plan in sections:
         out.append(f"\n## {title}\n\n{note}\n\n```\n{plan.strip()}\n```\n")
     (REPO / "EXPLAIN.md").write_text("".join(out))
