@@ -47,7 +47,15 @@ from .tokenspan import fuzzy_key_pattern, snap_to_grid, split_with_spans
 
 
 def _normalise_char_filters(re_chars_filter, key_str_list_list):
-    """Expand None/str filter spec to a per-key, per-token pattern list."""
+    """Expand None/str filter spec to a per-key, per-token pattern list.
+
+    NOTE (measured, round 3): memoising this and _normalise_max_distances
+    on content-tuple keys is a NET LOSS (~10% slower end-to-end, 3x
+    interleaved subprocess A/B: 248/213/220 vs 222/181/203 docs/s) — the
+    default config's distances are all ints, so the uncached loops are
+    trivial and the per-call tuple-of-tuples key build costs more than it
+    saves.  cProfile suggested otherwise only because its per-call hook
+    inflates cheap frequent functions.  Don't redo this."""
     template = copy.copy(re_chars_filter)
     if re_chars_filter is None or isinstance(re_chars_filter, str):
         expanded = []
