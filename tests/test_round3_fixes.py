@@ -306,3 +306,119 @@ def test_bloom_incremental_dedup_properties(spark):  # noqa: F811
     # 2^20 bits / 4 hashes / 500 items -> fpp ~ (4*500/2^20)^4 ~ 1e-11;
     # allow slack for the tiny corpus, but any systematic leak fails hard
     assert fps <= 2, f"{fps} false positives out of 450"
+
+
+def test_expire_sweeps_aged_orphan_chunks(spark, tmp_path):  # noqa: F811
+    """A chunk left by a failed commit is deleted by expire only once it is
+    old enough to prove no in-flight append owns it; young orphans and
+    referenced chunks survive."""
+    import os
+    import time as _time
+
+    from universal_key_value_based_text_processing_with_ocr_spark.lakehouse.catalog import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(tmp_path / "tbl")
+    for lo in (0, 50, 100):
+        t.append(spark.range(lo, lo + 50).selectExpr("id AS doc_id", "'x' AS v").coalesce(1))
+
+    old_orphan = t._write_chunk(["data/ghost/a.parquet"], {})
+    young_orphan = t._write_chunk(["data/ghost/b.parquet"], {})
+    old_path = t.snapshot_dir / old_orphan["path"]
+    os.utime(old_path, (  # age it past the in-flight-commit gate
+        _time.time() - 7200, _time.time() - 7200))
+
+    t.expire_snapshots(keep_last=1)
+    assert not old_path.exists()
+    assert (t.snapshot_dir / young_orphan["path"]).exists()
+    assert t.read(spark).count() == 150
+
+
+def test_salted_repartition_spreads_hot_host(spark):  # noqa: F811
+    """A Zipf-hot host (40% of all rows) must spread across partitions
+    instead of serialising into one task: max partition stays near the mean,
+    while partitioning by host alone would put 40% of rows in one place."""
+    from pyspark.sql import functions as F
+
+    from universal_key_value_based_text_processing_with_ocr_spark.plans.partitioning import (
+        host_of_url,
+        salted_repartition,
+    )
+
+    n, n_parts = 10_000, 32
+    urls = spark.range(n).select(
+        F.when(F.col("id") % 10 < 4, F.concat(F.lit("https://hot.example.com/p"), F.col("id")))
+        .otherwise(
+            F.concat(
+                F.lit("https://host"), (F.col("id") % 97).cast("string"),
+                F.lit(".example.com/p"), F.col("id"),
+            )
+        )
+        .alias("url")
+    )
+    sizes = (
+        salted_repartition(urls, n_parts)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").count().toPandas()["count"]
+    )
+    mean = n / n_parts
+    assert sizes.max() <= 2 * mean, f"skewed partitions: max {sizes.max()} vs mean {mean}"
+
+    # control: partitioning by host alone concentrates the hot host
+    by_host = (
+        urls.repartition(n_parts, host_of_url(F.col("url")))
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").count().toPandas()["count"]
+    )
+    assert by_host.max() >= 0.4 * n  # the pathology salting removes
+
+
+def test_streamed_extraction_content_dedup(spark, tmp_path):  # noqa: F811
+    """dedup_content drops mirror pages (same extracted text, new url)
+    across epochs AND within a batch, while failures (null text) and the
+    url-resume path keep working."""
+    import pandas as pd
+
+    from universal_key_value_based_text_processing_with_ocr_spark.sources import PAGES_SCHEMA
+    from universal_key_value_based_text_processing_with_ocr_spark.streaming.incremental import (
+        streamed_extraction_job,
+    )
+
+    def page(url, body):
+        return {
+            "url": url, "warc_ts": pd.Timestamp("2026-01-01"),
+            "html": f"<p>{body}</p>".encode() if body else None,
+            "text": None, "lang": "en",
+        }
+
+    pages_dir = tmp_path / "pages"
+    pages_dir.mkdir()
+    batch1 = [page("https://a.example.com/1", "alpha content with several words here"),
+              page("https://a.example.com/2", "beta content with several words here")]
+    spark.createDataFrame(pd.DataFrame(batch1), schema=PAGES_SCHEMA).coalesce(1).write.parquet(
+        str(pages_dir / "b1"))
+    res_path, ckpt = str(tmp_path / "results"), str(tmp_path / "ckpt")
+    streamed_extraction_job(
+        spark, str(pages_dir / "b1"), res_path, checkpoint_dir=ckpt + "1", dedup_content=True)
+
+    # epoch 2: one new doc, one cross-epoch mirror (same text as /1, new
+    # url), two within-batch mirrors, one null-payload failure
+    batch2 = [page("https://b.example.com/new", "gamma content with several words here"),
+              page("https://mirror.example.com/1", "alpha content with several words here"),
+              page("https://c.example.com/d1", "delta content with several words here"),
+              page("https://c.example.com/d2", "delta content with several words here"),
+              page("https://d.example.com/nopayload", None)]
+    spark.createDataFrame(pd.DataFrame(batch2), schema=PAGES_SCHEMA).coalesce(1).write.parquet(
+        str(pages_dir / "b2"))
+    streamed_extraction_job(
+        spark, str(pages_dir / "b2"), res_path, checkpoint_dir=ckpt + "2", dedup_content=True)
+
+    from universal_key_value_based_text_processing_with_ocr_spark.lakehouse import SnapshotTable
+
+    rows = {r.url: r.extracted_text for r in SnapshotTable(res_path).read(spark).collect()}
+    assert "https://mirror.example.com/1" not in rows          # cross-epoch mirror dropped
+    assert "https://c.example.com/d1" in rows                  # lowest url kept
+    assert "https://c.example.com/d2" not in rows              # within-batch mirror dropped
+    assert rows["https://d.example.com/nopayload"] is None     # failures still recorded
+    assert len(rows) == 5  # a/1, a/2, b/new, c/d1, d/nopayload

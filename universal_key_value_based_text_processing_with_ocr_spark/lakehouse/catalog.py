@@ -406,6 +406,24 @@ class SnapshotTable:
                 cp.unlink()
         for p in drop:
             os.unlink(p)
+        # Orphan-chunk sweep: a crashed append (or one that exhausted its
+        # commit retries) leaves chunk files no manifest ever references.
+        # Deleting unreferenced chunks is safe only with an age gate — a
+        # chunk is written BEFORE its manifest commits, so a young orphan
+        # may belong to an in-flight append (same rationale as the .tmp
+        # cleanup in _manifests).
+        referenced: set = set(live_chunks)
+        for p in self._manifests():
+            with open(p, encoding="utf-8") as f:
+                m = json.load(f)
+            referenced |= {s["path"] for s in self._chunk_summaries(m) if "path" in s}
+        for cp in self.snapshot_dir.glob("chunk-*.json"):
+            if cp.name not in referenced:
+                try:
+                    if time.time() - cp.stat().st_mtime > 3600:
+                        cp.unlink()
+                except OSError:
+                    pass
         # prune now-empty data dirs
         data_root = self.path / "data"
         if data_root.is_dir():

@@ -370,9 +370,11 @@ def bloom_incremental_dedup(
     committed_docs: DataFrame,
     m_bits: int = BLOOM_BITS,
     k: int = BLOOM_HASHES,
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Extreme-scale resume dedup: (doc_id, bloom_candidate, is_dup) for
-    every batch doc with text.
+    """Extreme-scale resume dedup: (id_col, bloom_candidate, is_dup) for
+    every batch doc with text.  ``id_col`` names the document key —
+    ``doc_id`` for the documents table, ``url`` for extraction output.
 
     Plan: the committed corpus collapses to a Bloom sketch (one aggregate
     pass, never reshuffled again); the batch probes it with a broadcast
@@ -389,24 +391,24 @@ def bloom_incremental_dedup(
     deterministic and cross-checked (``dedup_incremental_bloom``)."""
     sketch = bloom_sketch(committed_docs, m_bits, k)
     batch = new_docs.filter(F.col("text").isNotNull()).select(
-        "doc_id", F.md5("text").alias("fp")
+        id_col, F.md5("text").alias("fp")
     )
     probe = batch.select(
-        "doc_id", "fp", F.explode(_bloom_positions(F.col("fp"), m_bits, k)).alias("p")
+        id_col, "fp", F.explode(_bloom_positions(F.col("fp"), m_bits, k)).alias("p")
     ).select(
-        "doc_id",
+        id_col,
         "fp",
         F.expr("p DIV 63").alias("word_idx"),
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT))").alias("mask"),
     )
     hits = probe.join(F.broadcast(sketch), "word_idx", "left").select(
-        "doc_id",
+        id_col,
         "fp",
         ((F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("mask"))) == F.col("mask")).alias(
             "hit"
         ),
     )
-    per_doc = hits.groupBy("doc_id", "fp").agg(F.bool_and("hit").alias("bloom_candidate"))
+    per_doc = hits.groupBy(id_col, "fp").agg(F.bool_and("hit").alias("bloom_candidate"))
     # exact verification restricted to the candidate sliver (no false
     # negatives -> non-candidates are proven new without touching the
     # committed fingerprints)
@@ -418,12 +420,12 @@ def bloom_incremental_dedup(
     )
     cand = per_doc.filter(F.col("bloom_candidate"))
     verified = cand.join(committed_fp, "fp", "left").select(
-        "doc_id", F.coalesce(F.col("verified"), F.lit(False)).alias("is_dup")
+        id_col, F.coalesce(F.col("verified"), F.lit(False)).alias("is_dup")
     )
     return (
-        per_doc.join(verified, "doc_id", "left")
+        per_doc.join(verified, id_col, "left")
         .select(
-            "doc_id",
+            id_col,
             "bloom_candidate",
             F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
         )

@@ -59,6 +59,7 @@ def streamed_extraction_job(
     audit_path: str | None = None,
     checkpoint_dir: str | None = None,
     run_id: str = "stream",
+    dedup_content: bool = False,
 ) -> dict:
     """Incremental extraction: stream the pages directory (AvailableNow) and
     commit each micro-batch to the lakehouse results table via foreachBatch.
@@ -69,10 +70,21 @@ def streamed_extraction_job(
     epochs after a crash between sink-commit and checkpoint-commit are
     idempotent.  This is the streaming twin of plans.run_extraction_job —
     same fused stage, same tables.
+
+    ``dedup_content=True`` additionally drops documents whose EXTRACTED
+    TEXT already exists in the committed table (mirror pages under new
+    urls — the url anti-join cannot catch them): the committed corpus is
+    probed through the Bloom sketch (``operators.dedup``), so the committed
+    text is never reshuffled and only sketch candidates pay the exact
+    fingerprint join; within-batch content dups keep the lowest url.
+    First-writer-wins across epochs by construction (the sketch is built
+    from the table state BEFORE the epoch's append).
     """
     from ..lakehouse import SnapshotTable
+    from ..operators.dedup import bloom_incremental_dedup
     from ..operators.extract import extract_pages
     from pyspark.sql import functions as F
+    from pyspark.sql import Window
 
     results_tbl = SnapshotTable(results_path)
     audit_tbl = SnapshotTable(audit_path) if audit_path else None
@@ -82,10 +94,26 @@ def streamed_extraction_job(
 
     def commit_batch(batch_df, epoch_id: int) -> None:
         pages = batch_df
+        committed = None
         if results_tbl.exists():
-            done = results_tbl.read(batch_df.sparkSession).select("url")
-            pages = pages.join(done, "url", "left_anti")
+            committed = results_tbl.read(batch_df.sparkSession)
+            pages = pages.join(committed.select("url"), "url", "left_anti")
         results = extract_pages(pages).withColumn("partition_id", F.spark_partition_id())
+        if dedup_content:
+            # within-batch: keep the lowest url per extracted-text fp (null
+            # texts — recorded failures — are never deduped away)
+            w = Window.partitionBy(F.md5("extracted_text")).orderBy("url")
+            results = results.withColumn(
+                "_rn", F.when(F.col("extracted_text").isNull(), F.lit(1)).otherwise(F.row_number().over(w))
+            ).filter(F.col("_rn") == 1).drop("_rn")
+            if committed is not None:
+                flags = bloom_incremental_dedup(
+                    results.select("url", F.col("extracted_text").alias("text")),
+                    committed.select(F.col("extracted_text").alias("text")),
+                    id_col="url",
+                )
+                dup_urls = flags.filter(F.col("is_dup")).select("url")
+                results = results.join(dup_urls, "url", "left_anti")
         results.persist()
         try:
             n = results.count()
