@@ -95,6 +95,28 @@ def q_pages_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.clean_corpus(extracted, id_col="url")
 
 
+def q_pages_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl audit over the extraction output (the aggregation a
+    100 TB operator actually watches: doc counts, payload bytes, extraction
+    success rate and field yield by host).  Composes the fused extract
+    stage with a map-side-combinable groupBy on the salted-repartition
+    host key — the shuffle key is already co-partitioned by host, so the
+    agg reuses the extraction stage's distribution."""
+    from .plans.partitioning import host_of_url
+
+    pages = synth_pages_df(spark, GOLDEN_N, seed=GOLDEN_SEED)
+    res = extract_pages(pages)
+    return (
+        res.groupBy(host_of_url(F.col("url")).alias("host"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_lines").alias("total_lines"),
+            F.sum(F.col("success").cast("long")).alias("n_success"),
+            F.sum("n_fields").alias("total_fields"),
+        )
+    )
+
+
 def q_doc_token_count(spark, sf_dir):
     return textstats.token_count(_tbl(spark, sf_dir, "documents"))
 
@@ -304,6 +326,7 @@ QUERIES = {
     "doc_sample_stratified": q_doc_sample_stratified,
     "clean_corpus": q_clean_corpus,
     "pages_clean_corpus": q_pages_clean_corpus,
+    "pages_host_stats": q_pages_host_stats,
     "doc_repetition": q_doc_repetition,
     "doc_scrub_pii": q_doc_scrub_pii,
     "contamination_check": q_contamination_check,
@@ -610,6 +633,15 @@ ORACLE_SQL = {
         )
         SELECT md5(norm_text) AS fp, min(url) AS keep_id, count(*) AS n_copies
         FROM gated GROUP BY fp
+    """,
+    "pages_host_stats": f"""
+        SELECT regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+               count(*) AS n_docs,
+               CAST(sum(n_lines) AS BIGINT) AS total_lines,
+               sum(CAST(success AS BIGINT)) AS n_success,
+               CAST(sum(n_fields) AS BIGINT) AS total_fields
+        FROM '{GOLDEN_EXTRACT}'
+        GROUP BY host
     """,
     "doc_repetition": r"""
         WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
