@@ -65,14 +65,18 @@ def char_shingles(docs: DataFrame, n: int = 10) -> DataFrame:
 
     The shingle ARRAY is computed per row and then exploded, so generated
     rows carry only the n-char shingle — exploding positions first would
-    replicate the full text into every row of the Generate output."""
+    replicate the full text into every row of the Generate output.
+
+    Per-doc dedup happens ROW-LOCALLY with array_distinct BEFORE the
+    explode: doc_id is constant within a row, so this is exactly the old
+    global ``.distinct()`` — minus its full shuffle of every shingle row.
+    Every downstream consumer (jaccard, minhash, LSH, clusters) loses one
+    exchange over the largest intermediate in the whole dedup family."""
     shingle_array = F.expr(
-        f"transform(sequence(1, length(text) - {n - 1}), i -> substring(text, i, {n}))"
+        f"array_distinct(transform(sequence(1, length(text) - {n - 1}), i -> substring(text, i, {n})))"
     )
-    return (
-        docs.filter(F.length("text") >= n)
-        .select("doc_id", F.explode(shingle_array).alias("shingle"))
-        .distinct()
+    return docs.filter(F.length("text") >= n).select(
+        "doc_id", F.explode(shingle_array).alias("shingle")
     )
 
 
@@ -121,6 +125,9 @@ def ngram_jaccard_pairs(
     # doc set BEFORE the frequency filter, so one boilerplate shingle in
     # 10^9 docs materialises an unbounded agg buffer.  Here the collect
     # runs strictly after the df-cap filter, so every group is <= 100 ids.
+    # Follow-up (same session): moving the per-doc dedup into a row-local
+    # array_distinct (char_shingles) removed the global distinct exchange —
+    # re-measured 10.9-11.2 s -> 9.4-9.5 s best-of-2 interleaved.
     stop = (
         raw.groupBy("shingle")
         .agg(F.count("*").alias("df"))
