@@ -236,7 +236,16 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 16, shingle_n: int = 10)
 
     Physical shape: one column-wise min per seed in a SINGLE groupBy over
     the shingle rows (map-side combinable, no n_hashes-fold row explosion),
-    then an unpivot to the (doc_id, seed, minhash) long form."""
+    then an unpivot to the (doc_id, seed, minhash) long form.
+
+    NOTE (measured, round 3): a fully shuffle-free variant — computing all
+    mins row-locally with transform/array_min over the shingle array — is
+    ~2x SLOWER end-to-end despite eliminating this exchange: higher-order
+    -function lambdas are interpreted per element (no whole-stage codegen),
+    while this exploded+groupBy shape is fully codegen'd; and removing the
+    exchange also removes the ReuseExchange sharing point that lets the
+    LSH query compute the expensive hash subtree once for all consumers.
+    Don't redo it (same trap as the repetition_stats 60x note)."""
     sh = char_shingles(docs, shingle_n).select("doc_id", _base_hash(F.col("shingle")).alias("x"))
     mins = sh.groupBy("doc_id").agg(
         *[
