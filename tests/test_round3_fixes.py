@@ -422,3 +422,37 @@ def test_streamed_extraction_content_dedup(spark, tmp_path):  # noqa: F811
     assert "https://c.example.com/d2" not in rows              # within-batch mirror dropped
     assert rows["https://d.example.com/nopayload"] is None     # failures still recorded
     assert len(rows) == 5  # a/1, a/2, b/new, c/d1, d/nopayload
+
+
+def test_batch_job_content_dedup(spark, tmp_path):  # noqa: F811
+    """run_extraction_job(dedup_content=True): mirror pages dropped across
+    runs and within a run; rejects non-sweep parsers up front."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from universal_key_value_based_text_processing_with_ocr_spark.plans.pipeline import (
+        run_extraction_job,
+    )
+    from universal_key_value_based_text_processing_with_ocr_spark.lakehouse import SnapshotTable
+    from universal_key_value_based_text_processing_with_ocr_spark.sources import PAGES_SCHEMA
+
+    def page(url, body):
+        return {"url": url, "warc_ts": pd.Timestamp("2026-01-01"),
+                "html": f"<p>{body}</p>".encode(), "text": None, "lang": "en"}
+
+    res = str(tmp_path / "results")
+    run1 = spark.createDataFrame(pd.DataFrame(
+        [page("https://a.example.com/1", "alpha words words words words")]), schema=PAGES_SCHEMA)
+    run_extraction_job(spark, run1, res, dedup_content=True)
+
+    run2 = spark.createDataFrame(pd.DataFrame(
+        [page("https://mirror.example.com/1", "alpha words words words words"),
+         page("https://b.example.com/d1", "beta words words words words"),
+         page("https://b.example.com/d2", "beta words words words words")]), schema=PAGES_SCHEMA)
+    out = run_extraction_job(spark, run2, res, dedup_content=True)
+    urls = {r.url for r in SnapshotTable(res).read(spark).collect()}
+    assert urls == {"https://a.example.com/1", "https://b.example.com/d1"}
+    assert out["n_docs"] == 1
+
+    with _pytest.raises(ValueError, match="sweep"):
+        run_extraction_job(spark, run2, res, parser="boxorder", dedup_content=True)

@@ -455,6 +455,44 @@ def bloom_incremental_dedup(
     )
 
 
+def drop_content_duplicates(
+    results: DataFrame,
+    committed: DataFrame | None = None,
+    text_col: str = "extracted_text",
+    id_col: str = "url",
+) -> DataFrame:
+    """Filter mirror documents out of an extraction-results frame.
+
+    Within-frame content duplicates keep the lowest ``id_col``; rows whose
+    ``text_col`` already exists in ``committed`` (same column) are dropped
+    by probing the committed corpus through the Bloom sketch — committed
+    text is never reshuffled, only sketch candidates pay the exact
+    fingerprint join.  NULL-text rows (recorded failures) are never
+    dropped.  Shared by the batch job and the streaming foreachBatch
+    (first-writer-wins across increments by construction: the sketch is
+    built from the table state BEFORE the increment commits)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(text_col)).orderBy(id_col)
+    out = (
+        results.withColumn(
+            "_rn",
+            F.when(F.col(text_col).isNull(), F.lit(1)).otherwise(F.row_number().over(w)),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if committed is not None:
+        flags = bloom_incremental_dedup(
+            out.select(id_col, F.col(text_col).alias("text")),
+            committed.select(F.col(text_col).alias("text")),
+            id_col=id_col,
+        )
+        dup_ids = flags.filter(F.col("is_dup")).select(id_col)
+        out = out.join(dup_ids, id_col, "left_anti")
+    return out
+
+
 # --- SimHash ----------------------------------------------------------------
 
 SIMHASH_BITS = 16

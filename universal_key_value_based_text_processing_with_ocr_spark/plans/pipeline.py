@@ -53,12 +53,21 @@ def run_extraction_job(
     configs=None,
     debug_path: str | None = None,
     parser: str = "sweep",
+    dedup_content: bool = False,
 ) -> dict:
-    """Run (or resume) the extraction job; returns a summary dict."""
+    """Run (or resume) the extraction job; returns a summary dict.
+
+    ``dedup_content=True`` (sweep parser only — the compact blended/
+    boxorder schemas carry no extracted_text) drops mirror documents whose
+    extracted text already exists in the committed table, probing the
+    committed corpus through the Bloom sketch; within-run mirrors keep the
+    lowest url.  See ``operators.dedup.drop_content_duplicates``."""
     if parser not in PARSERS:
         # validate BEFORE any action — an argument typo must not cost a
         # full source scan + resume anti-join first
         raise ValueError(f"parser must be one of {sorted(PARSERS)}, got {parser!r}")
+    if dedup_content and parser != "sweep":
+        raise ValueError("dedup_content requires the sweep parser (extracted_text column)")
     run_id = run_id or uuid.uuid4().hex[:12]
     t0 = time.time()
     results_tbl = SnapshotTable(results_path)
@@ -66,9 +75,10 @@ def run_extraction_job(
 
     # Resume: drop urls already committed (left anti join; broadcast if the
     # committed side is small, AQE decides otherwise).
+    committed = None
     if results_tbl.exists():
-        done = results_tbl.read(spark).select("url")
-        pages_df = pages_df.join(done, "url", "left_anti")
+        committed = results_tbl.read(spark)
+        pages_df = pages_df.join(committed.select("url"), "url", "left_anti")
 
     if num_partitions is None:
         # Size-aware partitioning: the count is a JVM-only action (url column
@@ -84,6 +94,10 @@ def run_extraction_job(
     results = PARSERS[parser](pages_df, configs=configs).withColumn(
         "partition_id", F.spark_partition_id()
     )
+    if dedup_content:
+        from ..operators.dedup import drop_content_duplicates
+
+        results = drop_content_duplicates(results, committed)
     # Single pass, cached only long enough for the two aggregates + write.
     results.persist()
     try:

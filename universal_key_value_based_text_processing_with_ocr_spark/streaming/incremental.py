@@ -81,10 +81,9 @@ def streamed_extraction_job(
     from the table state BEFORE the epoch's append).
     """
     from ..lakehouse import SnapshotTable
-    from ..operators.dedup import bloom_incremental_dedup
+    from ..operators.dedup import drop_content_duplicates
     from ..operators.extract import extract_pages
     from pyspark.sql import functions as F
-    from pyspark.sql import Window
 
     results_tbl = SnapshotTable(results_path)
     audit_tbl = SnapshotTable(audit_path) if audit_path else None
@@ -100,20 +99,7 @@ def streamed_extraction_job(
             pages = pages.join(committed.select("url"), "url", "left_anti")
         results = extract_pages(pages).withColumn("partition_id", F.spark_partition_id())
         if dedup_content:
-            # within-batch: keep the lowest url per extracted-text fp (null
-            # texts — recorded failures — are never deduped away)
-            w = Window.partitionBy(F.md5("extracted_text")).orderBy("url")
-            results = results.withColumn(
-                "_rn", F.when(F.col("extracted_text").isNull(), F.lit(1)).otherwise(F.row_number().over(w))
-            ).filter(F.col("_rn") == 1).drop("_rn")
-            if committed is not None:
-                flags = bloom_incremental_dedup(
-                    results.select("url", F.col("extracted_text").alias("text")),
-                    committed.select(F.col("extracted_text").alias("text")),
-                    id_col="url",
-                )
-                dup_urls = flags.filter(F.col("is_dup")).select("url")
-                results = results.join(dup_urls, "url", "left_anti")
+            results = drop_content_duplicates(results, committed)
         results.persist()
         try:
             n = results.count()
