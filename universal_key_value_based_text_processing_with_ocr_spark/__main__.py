@@ -51,7 +51,15 @@ def main(argv: list[str] | None = None) -> int:
         help="drive incrementally via Structured Streaming (AvailableNow)",
     )
     parser.add_argument("--checkpoint", default=None, help="streaming checkpoint dir")
+    parser.add_argument(
+        "--dedup-content",
+        action="store_true",
+        help="drop mirror documents (same extracted text, different url) "
+        "against the committed table via the Bloom sketch; sweep parser only",
+    )
     args = parser.parse_args(argv)
+    if args.dedup_content and args.parser != "sweep":
+        parser.error("--dedup-content requires the sweep parser (extracted_text column)")
     if args.streaming and (args.parser != "sweep" or args.debug):
         parser.error(
             "--streaming supports only the default sweep parser and no --debug "
@@ -81,6 +89,7 @@ def main(argv: list[str] | None = None) -> int:
             audit_path=args.audit,
             checkpoint_dir=args.checkpoint,
             run_id=args.run_id or "stream",
+            dedup_content=args.dedup_content,
         )
     else:
         from .plans import run_extraction_job
@@ -95,6 +104,7 @@ def main(argv: list[str] | None = None) -> int:
             run_id=args.run_id,
             debug_path=args.debug,
             parser=args.parser,
+            dedup_content=args.dedup_content,
         )
     print(json.dumps(info))
     return 0
