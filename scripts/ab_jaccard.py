@@ -1,13 +1,16 @@
 """A/B/C the ngram_jaccard stop-shingle plans at sf0.1 (VERDICT r2 item #1).
 
-Variants:
-  A window   — round-1 plan: count over Window(shingle), filter, no persist
-  B antijoin — round-2 plan: aggregate stop set + broadcast anti-join,
-               raw computed twice (committed code as of r2)
-  C grouped  — anti-join for stop removal, then groupBy(shingle)
-               collect_list + in-group pair explode (no self-join); the
-               post-filter lists are bounded by max_doc_freq so the
-               collect is safe
+Variants (A/B are FROZEN historical baselines, inlined so later rewrites
+of the live operator cannot silently change what they measure):
+  A window     — round-1 plan: explode+distinct shingles, count over
+                 Window(shingle), filter, self-join, no persist
+  B antijoin_r2— round-2 plan: aggregate stop set + broadcast anti-join,
+                 raw computed twice, sh persisted, self-join
+  C grouped    — anti-join stop removal, then groupBy(shingle)
+                 collect_list + in-group pair explode (no self-join)
+  D onepass    — single collect_set groupBy (REJECTED: unbounded agg
+                 buffer before the frequency filter)
+  E current    — whatever ngram_jaccard_pairs ships now
 
 Best-of-N interleaved; prints one JSON line per rep and a summary.
 """
@@ -64,10 +67,21 @@ def _self_join_pairs(sh: DataFrame) -> DataFrame:
     )
 
 
-def variant_window(docs: DataFrame) -> DataFrame:
-    from universal_key_value_based_text_processing_with_ocr_spark.operators.dedup import char_shingles
+def _raw_r1(docs: DataFrame) -> DataFrame:
+    """Frozen round-1/2 shingle source: explode + GLOBAL distinct (the live
+    char_shingles now dedups row-locally with array_distinct)."""
+    arr = F.expr(
+        f"transform(sequence(1, length(text) - {N - 1}), i -> substring(text, i, {N}))"
+    )
+    return (
+        docs.filter(F.length("text") >= N)
+        .select("doc_id", F.explode(arr).alias("shingle"))
+        .distinct()
+    )
 
-    raw = char_shingles(docs, N)
+
+def variant_window(docs: DataFrame) -> DataFrame:
+    raw = _raw_r1(docs)
     sh = (
         raw.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
         .filter(F.col("df") <= MAX_DF)
@@ -78,6 +92,25 @@ def variant_window(docs: DataFrame) -> DataFrame:
 
 
 def variant_antijoin(docs: DataFrame) -> DataFrame:
+    """The round-2 committed plan, INLINED as a frozen baseline (the live
+    ngram_jaccard_pairs has since been rewritten — importing it here would
+    silently measure the new plan under the old label): aggregate stop set
+    + broadcast anti-join + shingle-table self-join, sh persisted."""
+    raw = _raw_r1(docs)
+    stop = (
+        raw.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > MAX_DF)
+        .select("shingle")
+    )
+    sh = raw.join(F.broadcast(stop), "shingle", "left_anti").persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    return _finish(_self_join_pairs(sh), sizes)
+
+
+def variant_current(docs: DataFrame) -> DataFrame:
+    """Whatever ngram_jaccard_pairs currently ships (round 3+: shared
+    repartition('shingle') + bounded-group pair explode)."""
     from universal_key_value_based_text_processing_with_ocr_spark.operators.dedup import (
         ngram_jaccard_pairs,
     )
@@ -152,9 +185,10 @@ def main() -> None:
 
     variants = {
         "A_window": variant_window,
-        "B_antijoin": variant_antijoin,
+        "B_antijoin_r2": variant_antijoin,
         "C_grouped": variant_grouped,
         "D_grouped_onepass": variant_grouped_onepass,
+        "E_current": variant_current,
     }
     results: dict[str, list[float]] = {k: [] for k in variants}
     counts: dict[str, int] = {}

@@ -158,7 +158,10 @@ def test_dedup_shared_subtrees_use_reused_exchange(spark):  # noqa: F811
         [(i, f"shared body text for reuse check number {i % 3} " * 4) for i in range(30)],
         "doc_id int, text string",
     )
-    for fn, min_reused in [(ngram_jaccard_pairs, 2), (minhash_lsh_pairs, 2)]:
+    # pinned to the current plans: jaccard shares the repartition("shingle")
+    # exchange + the groups exchange (2); LSH shares the signature subtree
+    # across band hashing and both agreement sides (3)
+    for fn, min_reused in [(ngram_jaccard_pairs, 2), (minhash_lsh_pairs, 3)]:
         df = fn(docs, 8) if fn is ngram_jaccard_pairs else fn(docs, shingle_n=8)
         df.collect()
         plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")

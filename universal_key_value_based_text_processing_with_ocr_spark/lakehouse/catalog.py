@@ -366,22 +366,36 @@ class SnapshotTable:
             return {"expired": 0, "deleted_files": 0}
         keep, drop = manifests[-keep_last:], manifests[:-keep_last]
 
-        def _manifest_files_and_chunks(p: Path) -> tuple[set, set]:
+        def _manifest_files_and_chunks(p: Path, tolerate_missing: bool) -> tuple[set, set]:
             with open(p, encoding="utf-8") as f:
                 m = json.load(f)
             files: set = set()
             chunks: set = set()
             for s in self._chunk_summaries(m):
-                chunk = s["inline"] if "inline" in s else self._load_chunk(s)
-                if "inline" not in s:
+                if "inline" in s:
+                    chunk = s["inline"]
+                else:
                     chunks.add(s["path"])
+                    try:
+                        chunk = self._load_chunk(s)
+                    except FileNotFoundError:
+                        # A crash in a previous expire between chunk deletion
+                        # and manifest unlink leaves a DROPPED manifest
+                        # referencing deleted chunks; tolerating the gap for
+                        # the drop side keeps expire retryable.  A LIVE
+                        # manifest missing a chunk is table corruption and
+                        # must surface — treating its files as absent could
+                        # delete still-referenced data.
+                        if tolerate_missing:
+                            continue
+                        raise
                 files.update(chunk["files"])
             return files, chunks
 
         live_files: set = set()
         live_chunks: set = set()
         for p in keep:
-            fs, cs = _manifest_files_and_chunks(p)
+            fs, cs = _manifest_files_and_chunks(p, tolerate_missing=False)
             live_files |= fs
             live_chunks |= cs
         # Collect the expired reachable set FIRST, delete once afterwards:
@@ -391,7 +405,7 @@ class SnapshotTable:
         drop_files: set = set()
         drop_chunks: set = set()
         for p in drop:
-            fs, cs = _manifest_files_and_chunks(p)
+            fs, cs = _manifest_files_and_chunks(p, tolerate_missing=True)
             drop_files |= fs
             drop_chunks |= cs
         deleted = 0

@@ -564,24 +564,23 @@ def connected_components(
     # localCheckpoint persists at the RDD level, OUTSIDE the SQL CacheManager
     # — DataFrame.unpersist() cannot release those blocks, and waiting on the
     # ContextCleaner (JVM-GC-driven, async) leaves up to 2 label-table copies
-    # per completed round pinned for an unbounded time.  Diffing the
-    # persistent-RDD map around each checkpoint captures the JVM handle so a
-    # superseded checkpoint can be released the moment its successor is
-    # eagerly materialised (safe: eager = self-contained blocks, nothing
-    # recomputes through the predecessor).
-    jsc = edges.sparkSession.sparkContext._jsc
+    # per completed round pinned for an unbounded time.  A checkpointed
+    # DataFrame's analyzed plan is a LogicalRDD wrapping exactly the
+    # persisted RDD, so each superseded checkpoint is released through its
+    # OWN handle the moment its successor is eagerly materialised (safe:
+    # eager = self-contained blocks, nothing recomputes through the
+    # predecessor).  Targeting the plan's own RDD — never a diff of the
+    # context-global persistent-RDD map — keeps this correct when other
+    # threads of the same session persist/checkpoint concurrently.
 
-    def _ids():
-        return set(jsc.getPersistentRDDs().keySet())
+    def _ckpt_rdd(df):
+        return df._jdf.queryExecution().analyzed().rdd()
 
-    def _unpersist_ids(ids):
-        m = jsc.getPersistentRDDs()
-        for i in ids:
-            h = m.get(i)
-            if h is not None:
-                h.unpersist()
+    def _release(handles):
+        for h in handles:
+            h.unpersist(False)
 
-    prev_ckpt_ids: set = set()
+    prev_ckpt_handles: list = []
     converged = False
     for it in range(max_iterations):
         neighbour_min = (
@@ -600,9 +599,8 @@ def connected_components(
         # and only ever take mins of existing ids), so the self-join is total
         # and labels stay within the component; label(x) <= x by invariant,
         # so chains of stale labels collapse geometrically.
-        before = _ids()
         stepped = stepped.localCheckpoint(eager=True)
-        stepped_ids = _ids() - before
+        stepped_handle = _ckpt_rdd(stepped)
         jumped = (
             stepped.alias("n")
             .join(stepped.alias("m"), F.col("n.label") == F.col("m.doc_id"))
@@ -611,9 +609,7 @@ def connected_components(
                 F.least(F.col("n.label"), F.col("m.label")).alias("label"),
             )
         )
-        before = _ids()
         new_labels = jumped.localCheckpoint(eager=True)
-        new_ids = _ids() - before
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -624,8 +620,8 @@ def connected_components(
         # new_labels is fully materialised: nothing can recompute through
         # stepped or the previous labels — release their blocks NOW.
         labels.unpersist()  # round-0 initial labels (CacheManager persist)
-        _unpersist_ids(stepped_ids | prev_ckpt_ids)
-        prev_ckpt_ids = new_ids
+        _release([stepped_handle, *prev_ckpt_handles])
+        prev_ckpt_handles = [_ckpt_rdd(new_labels)]
         labels = new_labels
         if changed == 0:
             converged = True

@@ -70,15 +70,17 @@ QUADRATIC_GUARD_MAX_ROWS = 50_000
 
 def _guard_quadratic(df: DataFrame, max_rows: int, allow: bool, sibling: str) -> None:
     """Fail fast before an all-pairs plan is unleashed on a corpus-scale
-    input (VERDICT r2 #7).  Costs one count() of the (already pruned) input —
-    trivial next to the O(N^2) join it prevents.  ``allow`` skips the check
-    for callers that know their input (e.g. a sampled oracle run)."""
+    input (VERDICT r2 #7).  The size probe is ``limit(max_rows+1).count()``
+    — LocalLimit stops each task as soon as the bound is exceeded, so the
+    guard never materialises the full upstream lineage the way a plain
+    count() would on a computed (uncached) input.  ``allow`` skips the
+    check for callers that know their input (e.g. a sampled oracle run)."""
     if allow:
         return
-    n = df.count()
+    n = df.limit(max_rows + 1).count()
     if n > max_rows:
         raise ValueError(
-            f"input has {n} rows > {max_rows}: this operator is the exact "
+            f"input has more than {max_rows} rows: this operator is the exact "
             f"O(N^2) small-N oracle — use {sibling} for corpus-scale inputs, "
             "or pass allow_quadratic=True if you really mean it"
         )

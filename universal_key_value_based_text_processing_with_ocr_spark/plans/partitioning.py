@@ -86,5 +86,8 @@ def plan_partitions(
     straggling payload tail."""
     by_rows = max(1, (n_rows + target_rows_per_partition - 1) // target_rows_per_partition)
     lower = max(1, min(n_rows, min_parallelism))
-    upper = max(lower, min_parallelism * 8, min(by_rows, max_partitions))
+    # max_partitions caps EVERYTHING (the rows target, the 8x-cores
+    # straggler headroom, even the per-core lower bound): it is the
+    # caller's scheduler budget, so no internal heuristic may exceed it.
+    upper = max(1, min(max(lower, min_parallelism * 8, by_rows), max_partitions))
     return min(max(by_rows, lower), upper)
