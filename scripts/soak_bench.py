@@ -45,7 +45,7 @@ def main() -> None:
 
     extract_pages(synth_pages_df(spark, 128, partitions=cpus)).count()  # warmup
     pages_path = materialize_pages_parquet(spark, n_docs)
-    n_parts = plan_partitions(n_docs, target_rows_per_partition=400, min_parallelism=cpus)
+    n_parts = plan_partitions(n_docs, min_parallelism=cpus)
     pages = salted_repartition(spark.read.parquet(pages_path), n_parts)
 
     t0 = time.time()

@@ -144,12 +144,14 @@ def test_plan_partitions_policy():
 
     assert plan_partitions(5, min_parallelism=32) == 5          # never more than rows
     assert plan_partitions(257, min_parallelism=32) == 32        # small batch: 1/core
-    # sized by rows/target (default 400 rows/task — round-3 measured optimum)
-    assert plan_partitions(48000, min_parallelism=32) == 120
-    # large inputs keep rows/partition at the target (no 8x-cores cap) ...
-    assert plan_partitions(4 * 10**6, min_parallelism=32) == 10**4
-    # ... up to the scheduler budget, above which rows/partition grows
-    assert plan_partitions(10**9, min_parallelism=32) == 65536
+    # the measured optimum: 2x cores, independent of row count ...
+    assert plan_partitions(48000, min_parallelism=32) == 64
+    assert plan_partitions(24000, min_parallelism=2) == 4        # holds at low parallelism
+    # ... until the shuffle-block bound forces more partitions (50k rows each)
+    assert plan_partitions(4 * 10**6, min_parallelism=32) == 80
+    assert plan_partitions(10**9, min_parallelism=32) == 20000
+    # the caller's scheduler budget caps everything
+    assert plan_partitions(10**9, min_parallelism=32, max_partitions=100) == 100
     assert plan_partitions(0, min_parallelism=32) == 1
 
 

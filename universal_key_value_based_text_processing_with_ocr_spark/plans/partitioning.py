@@ -51,43 +51,42 @@ def salted_repartition(
 
 def plan_partitions(
     n_rows: int,
-    target_rows_per_partition: int = 400,
     min_parallelism: int = 32,
+    parallelism_factor: int = 2,
+    min_rows_per_partition: int = 100,
+    max_rows_per_partition: int = 50_000,
     max_partitions: int = 65536,
 ) -> int:
-    """Partition count from the input size.
+    """Partition count for the fused extract stage.
 
-    ``ceil(n_rows / target_rows_per_partition)`` clamped to
-    [min(n_rows, min_parallelism), max(min_parallelism * 8, min(by_rows,
-    max_partitions))]:
+    Policy (each bound is measurement- or resource-grounded):
 
-    - small inputs get at least ~one partition per core but never more
-      partitions than rows (a resume batch must not become hundreds of
-      near-empty shuffle partitions);
-    - large inputs keep rows-per-partition at the target all the way up to
-      ``max_partitions`` — the bound here is DRIVER SCHEDULING STATE (task
-      count per stage), not executor memory: the fused stage streams Arrow
-      batches of ``maxRecordsPerBatch`` rows, so per-worker memory is
-      batch-bounded regardless of partition row count;
-    - above ``max_partitions`` (default 64k tasks — comfortably inside a
-      real scheduler's per-stage budget) rows-per-partition grows with input
-      size; only shuffle-block size is affected, Arrow batching still bounds
-      worker memory.
-
-    The min_parallelism*8 term keeps the UPPER clamp from ever biting a
-    medium input into fewer-than-useful partitions; the actual count for
-    large inputs comes from the rows target.  The default target (~400 docs
-    at ~3-5 ms/doc semantic-core cost) makes a task ~1.5-2 s.  Re-measured
-    round 3 (best-of-3 interleaved, 24k docs, local[32], idle host): 1-2x
-    cores partitions sustain 3.4-3.6k docs/s while 4-16x cores partitions
-    drop to 2.2-2.6k — per-task Arrow/dispatch overhead dominates under
-    ~100-row tasks, so round 2's "8x cores is +30%" was contention noise.
-    2x-cores-sized tasks still leave AQE/speculation room to rebalance a
-    straggling payload tail."""
-    by_rows = max(1, (n_rows + target_rows_per_partition - 1) // target_rows_per_partition)
+    - BASELINE ``min_parallelism * parallelism_factor``: 2x cores was the
+      measured optimum at every level probed (best-of-3 interleaved, 24k
+      docs: 1-2x cores sustain 3.4-3.6k docs/s at local[32] while 4-16x
+      drop to 2.2-2.6k; per-task Arrow/dispatch overhead dominates small
+      tasks).  Round 3 also measured the cost of ignoring this at LOW
+      parallelism: the end-to-end job previously planned ~row-count/400
+      partitions, which at local[2] meant 30 task waves and dragged the
+      full-job N->4N efficiency to ~0.79 vs the 0.96 of the 2x-cores
+      stage bench.  2x still leaves AQE/speculation room to rebalance a
+      straggling payload tail.
+    - FLOOR ``n_rows / min_rows_per_partition``: a small resume batch is
+      never sprayed over near-empty partitions (sub-100-row tasks are pure
+      overhead); tiny inputs never get more partitions than rows.
+    - CEILING ``n_rows / max_rows_per_partition``: bounds the shuffle
+      block per partition (~50k rows * ~2 KB payload ~ 100 MB).  Worker
+      MEMORY is not the concern — the Arrow stage streams
+      maxRecordsPerBatch-row batches regardless of partition size.
+    - ABSOLUTE CAP ``max_partitions`` (64k tasks, a real scheduler's
+      per-stage budget): above it rows-per-partition grows with input; at
+      10^12 docs one raises min_parallelism (more executors), not the cap.
+    """
     lower = max(1, min(n_rows, min_parallelism))
-    # max_partitions caps EVERYTHING (the rows target, the 8x-cores
-    # straggler headroom, even the per-core lower bound): it is the
-    # caller's scheduler budget, so no internal heuristic may exceed it.
-    upper = max(1, min(max(lower, min_parallelism * 8, by_rows), max_partitions))
-    return min(max(by_rows, lower), upper)
+    want = max(lower, min_parallelism * parallelism_factor)
+    # never create sub-min_rows tasks beyond the per-core floor
+    want = min(want, max(lower, n_rows // min_rows_per_partition))
+    # but always enough partitions to bound the shuffle block size
+    by_max_rows = (n_rows + max_rows_per_partition - 1) // max_rows_per_partition
+    want = max(want, by_max_rows)
+    return max(1, min(want, max_partitions, max(n_rows, 1)))
