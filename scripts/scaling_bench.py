@@ -159,9 +159,21 @@ def kernel_parallel_calibration(n_docs: int, levels=(2, 8, 32)) -> dict:
     return out
 
 
+def _code_version() -> str:
+    """HEAD commit of the repo: accumulated bests are only comparable when
+    the measured code is identical, so the merge is keyed on this."""
+    try:
+        out = subprocess.run(["git", "rev-parse", "HEAD"], cwd=str(REPO),
+                             capture_output=True, text=True, timeout=30)
+        return out.stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 12000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    code_version = _code_version()
     cores = measure_effective_cores()
     # Interleaved repetitions, best-of-n per level: the host is shared and
     # its capacity drifts minute to minute (observed ±20%); the best run
@@ -185,11 +197,18 @@ def main() -> None:
             prior = json.loads(prior_path.read_text())
         except ValueError:
             prior = {}
-        if prior.get("n_docs") == n_docs:
+        # merge ONLY same-code, same-input measurements: a code change must
+        # never inherit (and so mask) the previous code's bests
+        if prior.get("n_docs") == n_docs and prior.get("code_version") == code_version:
             levels = {int(k): v for k, v in prior.get("levels", {}).items()}
             job_levels = {int(k): v for k, v in prior.get("job_levels", {}).items()}
             kernel = {int(k): v for k, v in prior.get("kernel_levels", {}).items()}
             prior_reps = prior.get("repeats", 0)
+            # hardware calibration is host capacity, not code: accumulate the
+            # best observed per pool size so a contended invocation cannot
+            # publish a stale-looking ceiling next to accumulated Spark bests
+            for w, v in prior.get("cores", {}).items():
+                cores[int(w)] = max(cores.get(int(w), 0), v)
     for _rep in range(repeats):
         for c in (2, 8, 32):
             r, j = run_level(c, n_docs)
@@ -329,6 +348,7 @@ Notes
                "normalized_efficiency_8_to_32": norm_8_32,
                "spark_vs_kernel": overhead,
                "n_docs": n_docs, "repeats": repeats + prior_reps,
+               "code_version": code_version,
                "date": datetime.date.today().isoformat()}
     (bench_dir / "scaling.json").write_text(json.dumps(payload))
     print(json.dumps(payload))

@@ -79,8 +79,10 @@ def test_lakehouse_random_op_sequences_match_model(spark, tmp_path, seed):  # no
         for sid, rows in history.items():
             assert _read_rows(spark, tbl, snapshot_id=sid) == rows
 
-    # bookkeeping invariants at the end: no dangling chunk references and
-    # history never opens chunk files (counts come from summaries)
+    # bookkeeping invariants at the end, BOTH directions: every referenced
+    # chunk exists (no dangling references) and every on-disk chunk is
+    # referenced (no orphans — nothing in this test crashes mid-expire, so
+    # the collect-then-delete expire must leave the two sets identical)
     hist = tbl.history()
     assert hist[-1]["n_files"] >= 1
     referenced = set()
@@ -90,3 +92,5 @@ def test_lakehouse_random_op_sequences_match_model(spark, tmp_path, seed):  # no
             if "path" in s:
                 assert (tbl.snapshot_dir / s["path"]).exists()
                 referenced.add(s["path"])
+    on_disk = {p.name for p in tbl.snapshot_dir.glob("chunk-*.json")}
+    assert on_disk == referenced

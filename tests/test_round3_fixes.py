@@ -456,3 +456,63 @@ def test_batch_job_content_dedup(spark, tmp_path):  # noqa: F811
 
     with _pytest.raises(ValueError, match="sweep"):
         run_extraction_job(spark, run2, res, parser="boxorder", dedup_content=True)
+
+
+def test_all_mirror_batch_rolls_back_empty_snapshot(spark, tmp_path):  # noqa: F811
+    """A rerun whose every row is content-deduped away must not grow the
+    manifest chain (review finding: empty junk snapshots on each rerun)."""
+    import pandas as pd
+
+    from universal_key_value_based_text_processing_with_ocr_spark.lakehouse import SnapshotTable
+    from universal_key_value_based_text_processing_with_ocr_spark.plans.pipeline import (
+        run_extraction_job,
+    )
+    from universal_key_value_based_text_processing_with_ocr_spark.sources import PAGES_SCHEMA
+
+    def page(url, body):
+        return {"url": url, "warc_ts": pd.Timestamp("2026-01-01"),
+                "html": f"<p>{body}</p>".encode(), "text": None, "lang": "en"}
+
+    res = str(tmp_path / "res")
+    base = spark.createDataFrame(pd.DataFrame(
+        [page("https://a.example.com/1", "alpha words words words words")]), schema=PAGES_SCHEMA)
+    run_extraction_job(spark, base, res, dedup_content=True)
+    n_manifests = len(SnapshotTable(res)._manifests())
+
+    mirrors = spark.createDataFrame(pd.DataFrame(
+        [page("https://m.example.com/1", "alpha words words words words")]), schema=PAGES_SCHEMA)
+    for _ in range(2):  # rerun twice: chain must not grow either time
+        out = run_extraction_job(spark, mirrors, res, dedup_content=True)
+        assert out["n_docs"] == 0 and out["resumed"] is True
+        assert len(SnapshotTable(res)._manifests()) == n_manifests
+    assert SnapshotTable(res).read(spark).count() == 1
+
+
+def test_expire_recovers_when_gutted_manifest_lands_in_keep(spark, tmp_path):  # noqa: F811
+    """A manifest gutted by a crashed expire (chunk deleted, manifest file
+    left behind) must be reclassified as dropped by a LATER expire with a
+    larger keep_last — not wedge every future expire (review finding)."""
+    from universal_key_value_based_text_processing_with_ocr_spark.lakehouse.catalog import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(tmp_path / "tbl")
+    t.append(spark.range(0, 50).selectExpr("id AS doc_id", "'a' AS v").coalesce(1))
+    t.append(spark.range(50, 100).selectExpr("id AS doc_id", "'b' AS v").coalesce(1))
+    t.compact(spark, target_partitions=1)  # latest = self-contained replace
+
+    # simulate the crash: delete the chunks the first two manifests
+    # reference but leave their manifest files (the compact snapshot's
+    # chunk is separate, so the LATEST stays intact)
+    compact_m = t.latest_manifest()
+    compact_chunks = {s["path"] for s in t._chunk_summaries(compact_m)}
+    for cp in t.snapshot_dir.glob("chunk-*.json"):
+        if cp.name not in compact_chunks:
+            cp.unlink()
+
+    # keep_last=2 puts one gutted manifest on the live side; it must be
+    # reclassified and cleaned along with the dropped one, not raise
+    res = t.expire_snapshots(keep_last=2)
+    assert res["expired"] == 2
+    assert len(t._manifests()) == 1
+    assert t.read(spark).count() == 100  # survivor intact

@@ -209,7 +209,9 @@ def test_compaction_replaces_file_list(spark, tmp_path):
     pre_compact_snapshot = tbl.snapshot_id()
     tbl.compact(spark, target_partitions=1)
     m = tbl.latest_manifest()
-    assert sum(c["n_files"] for c in m["chunks"]) == 1 and m["summary"] == {"op": "compact"}
+    assert sum(c["n_files"] for c in m["chunks"]) == 1
+    # append auto-records the committed row count alongside caller fields
+    assert m["summary"] == {"n_rows": 150, "op": "compact"}
     after = sorted(r.id for r in tbl.read(spark).collect())
     assert after == before
     # time travel to the pre-compaction snapshot still works

@@ -211,6 +211,11 @@ class SnapshotTable:
             for i in range(0, len(new_files), self.CHUNK_MAX_FILES)
         ] if new_files else []
 
+        # Row totals come free from the chunk summaries (parquet footers) —
+        # record them so history() always carries per-snapshot doc counts,
+        # whether or not the caller supplied its own summary fields.
+        auto_summary = {"n_rows": sum(c.get("rows", 0) for c in new_chunks)}
+
         for _attempt in range(max_retries):
             parent = self.latest_manifest()
             seq = (parent["sequence"] + 1) if parent else 1
@@ -222,7 +227,7 @@ class SnapshotTable:
                 "committed_at_ms": int(time.time() * 1000),
                 "schema": df.schema.json(),
                 "chunks": new_chunks if _replace else parent_chunks + new_chunks,
-                "summary": summary or {},
+                "summary": {**auto_summary, **(summary or {})},
             }
             tmp = self.snapshot_dir / f".tmp-{snapshot_id}-{_attempt}.json"
             final = self.snapshot_dir / f"v{seq:08d}.json"
@@ -347,6 +352,29 @@ class SnapshotTable:
             )
         return out
 
+    def rollback_latest(self, snapshot_id: str) -> bool:
+        """Withdraw the LATEST snapshot iff it is ``snapshot_id``; returns
+        whether it was removed.
+
+        Used by job loops that discover post-commit that a batch contributed
+        nothing (e.g. every row content-deduped away) and want the manifest
+        chain to stay junk-free.  Only the manifest file is unlinked — the
+        snapshot becomes invisible atomically; its (empty/trivial) chunk
+        files and data dir are left for the age-gated orphan sweep in
+        expire_snapshots, so a concurrent writer that already read this
+        manifest as its parent never loses chunk files it referenced.  If a
+        newer snapshot exists the rollback is refused (the chain above it
+        depends on this manifest's chunk list)."""
+        manifests = self._manifests()
+        if not manifests:
+            return False
+        with open(manifests[-1], encoding="utf-8") as f:
+            m = json.load(f)
+        if m["snapshot_id"] != snapshot_id:
+            return False
+        os.unlink(manifests[-1])
+        return True
+
     # -- maintenance -----------------------------------------------------------
     def compact(self, spark: SparkSession, target_partitions: int = 1) -> str:
         """Rewrite the table into ``target_partitions`` files as a new
@@ -394,10 +422,27 @@ class SnapshotTable:
 
         live_files: set = set()
         live_chunks: set = set()
-        for p in keep:
-            fs, cs = _manifest_files_and_chunks(p, tolerate_missing=False)
+        for p in list(keep):
+            try:
+                fs, cs = _manifest_files_and_chunks(p, tolerate_missing=False)
+            except FileNotFoundError:
+                # A manifest whose chunks are gone was gutted by a previous
+                # expire that crashed before unlinking it; it is unusable
+                # for reads by definition, so a later call with a LARGER
+                # keep_last must not wedge on it — reclassify it as dropped
+                # and finish the interrupted cleanup.
+                keep.remove(p)
+                drop.append(p)
+                continue
             live_files |= fs
             live_chunks |= cs
+        if not keep:
+            # every candidate keeper was gutted: refuse rather than delete
+            # the only (broken) history — surface the corruption instead
+            raise FileNotFoundError(
+                f"all {len(drop)} remaining manifests in {self.snapshot_dir} "
+                "reference missing chunks; table needs manual repair"
+            )
         # Collect the expired reachable set FIRST, delete once afterwards:
         # chunks are structurally shared across snapshots, so deleting while
         # iterating would break a later dropped manifest that still

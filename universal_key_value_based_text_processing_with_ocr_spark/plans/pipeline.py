@@ -84,17 +84,25 @@ def run_extraction_job(
         committed = results_tbl.read(spark)
         pages_df = pages_df.join(committed.select("url"), "url", "left_anti")
 
-    # Size-aware partitioning + early resume exit: the count is a JVM-only
-    # action (url column at most — payload columns pruned), negligible next
-    # to the Python extract stage.
-    n_input = pages_df.count()
-    if n_input == 0:
+    def _resumed_summary():
         return {"run_id": run_id, "n_docs": 0, "snapshot_id": results_tbl.snapshot_id(),
                 "resumed": True, "wall_ms": int((time.time() - t0) * 1000)}
+
+    # Size-aware partitioning + early resume exit.  The count is a JVM-only
+    # action (url column at most — payload columns pruned), negligible next
+    # to the Python extract stage — but a caller that pre-planned
+    # num_partitions (a 100 TB job sizing partitions from table metadata)
+    # must not pay a second source scan, so they get a limit-1 existence
+    # probe instead.
     if num_partitions is None:
+        n_input = pages_df.count()
+        if n_input == 0:
+            return _resumed_summary()
         num_partitions = plan_partitions(
             n_input, min_parallelism=spark.sparkContext.defaultParallelism
         )
+    elif pages_df.select("url").isEmpty():
+        return _resumed_summary()
     pages_df = salted_repartition(pages_df, num_partitions)
 
     results = PARSERS[parser](pages_df, configs=configs).withColumn(
@@ -116,6 +124,14 @@ def run_extraction_job(
     snapshot_id = results_tbl.append(results, summary={"run_id": run_id})
     batch = spark.read.parquet(str(results_tbl.path / "data" / snapshot_id))
     n_rows = batch.count()
+    if n_rows == 0:
+        # Only reachable via dedup_content dropping every row (extraction
+        # itself is row-preserving): withdraw the empty snapshot so reruns
+        # of an all-mirror batch never grow the manifest chain.  The mirror
+        # urls stay uncommitted, so such a batch re-extracts each run — the
+        # price of first-writer-wins without recording tombstones.
+        results_tbl.rollback_latest(snapshot_id)
+        return _resumed_summary()
 
     if audit_tbl is not None:
         wall_ms = int((time.time() - t0) * 1000)
