@@ -1,0 +1,332 @@
+"""Round-4 regression tests (VERDICT r3 "Next round" + ADVICE items):
+
+- pages_host_stats oracle n_success cast (covered by check_correctness run)
+- drop_content_duplicates: NULL-text rows never share one window partition
+- streaming foreachBatch commits partition_id (schema parity w/ batch job)
+- expire_snapshots repairs a gutted newest manifest even when nothing
+  would be dropped (no early-return before the health check)
+- orphan data/<snap> dirs (rollback remnants, crashed appends) are
+  age-gate reclaimed by the expire orphan sweep
+- multi-column chunk stats: pruning on a SECOND stats column works at
+  both chunk and file level without opening non-matching chunks
+"""
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.test_spark_pipeline import spark  # session fixture  # noqa: F401
+from universal_key_value_based_text_processing_with_ocr_spark.lakehouse import SnapshotTable
+
+
+# --- drop_content_duplicates NULL handling ---------------------------------
+
+
+def test_content_dedup_null_texts_survive_and_spread(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.dedup import (
+        drop_content_duplicates,
+    )
+
+    rows = [(f"http://h{i}.com/p", None if i % 2 else f"text {i // 4}") for i in range(40)]
+    df = spark.createDataFrame(rows, "url string, extracted_text string")
+    out = drop_content_duplicates(df)
+    got = {r.url: r.extracted_text for r in out.collect()}
+    # every NULL-text row (recorded failure) survives
+    assert sum(v is None for v in got.values()) == 20
+    # non-null texts dedup to lowest url per content
+    non_null = {v for v in got.values() if v is not None}
+    assert len([v for v in got.values() if v is not None]) == len(non_null)
+    # the window key spreads NULLs: no single partition receives all 20
+    # (coalesce(md5(text), chr(0)||url) is the key — distinct per failure)
+    keyed = df.select(
+        F.coalesce(F.md5("extracted_text"), F.concat(F.lit("\x00"), F.col("url"))).alias("k")
+    )
+    assert keyed.filter(F.col("k").startswith("\x00")).distinct().count() == 20
+
+
+# --- streaming partition_id lineage ----------------------------------------
+
+
+def test_streamed_results_commit_partition_id(spark, tmp_path):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.sources.pages import (
+        synth_pages_df,
+    )
+    from universal_key_value_based_text_processing_with_ocr_spark.streaming import (
+        streamed_extraction_job,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    synth_pages_df(spark, 30, seed=7).coalesce(2).write.parquet(pages_dir)
+    results = str(tmp_path / "results")
+    streamed_extraction_job(spark, pages_dir, results)
+    got = SnapshotTable(results).read(spark)
+    assert "partition_id" in got.columns
+    # every streamed row carries lineage — no NULL gaps under mergeSchema
+    assert got.filter(F.col("partition_id").isNull()).count() == 0
+
+
+# --- lakehouse: expire repair + orphan data sweep --------------------------
+
+
+def _age(p, seconds=7200):
+    old = time.time() - seconds
+    os.utime(p, (old, old))
+    for child in p.rglob("*") if p.is_dir() else []:
+        os.utime(child, (old, old))
+
+
+def test_expire_repairs_gutted_newest_without_drop(spark, tmp_path):  # noqa: F811
+    t = SnapshotTable(tmp_path / "t")
+    t.append(spark.range(100).selectExpr("id AS doc_id").coalesce(1))
+    t.append(spark.range(100, 200).selectExpr("id AS doc_id").coalesce(1))
+    # gut the NEWEST manifest: delete the chunk files only it references
+    manifests = t._manifests()
+    with open(manifests[0], encoding="utf-8") as f:
+        old_chunks = {s["path"] for s in t._chunk_summaries(json.load(f))}
+    with open(manifests[1], encoding="utf-8") as f:
+        new_chunks = {s["path"] for s in t._chunk_summaries(json.load(f))}
+    for cname in new_chunks - old_chunks:
+        (t.snapshot_dir / cname).unlink()
+    # len(manifests)=2 <= keep_last=2: previously early-returned and the
+    # gutted newest kept winning latest_manifest(); now the health check
+    # runs first, reclassifies it, and the table reads clean again
+    res = t.expire_snapshots(keep_last=2)
+    assert res["expired"] == 1
+    assert len(t._manifests()) == 1
+    assert t.read(spark).count() == 100
+
+
+def test_rollback_remnant_data_dir_swept_when_aged(spark, tmp_path):  # noqa: F811
+    t = SnapshotTable(tmp_path / "t")
+    t.append(spark.range(50).selectExpr("id AS doc_id").coalesce(1))
+    s2 = t.append(spark.range(50, 60).selectExpr("id AS doc_id").coalesce(1))
+    assert t.rollback_latest(s2)
+    remnant = t.path / "data" / s2
+    assert remnant.is_dir()  # manifest-unlink only; data falls to the sweep
+
+    # young remnant: a no-drop expire call must NOT touch it (in-flight-
+    # append protection) …
+    t.expire_snapshots(keep_last=5)
+    assert remnant.is_dir()
+    # … but once aged past the gate it is reclaimed even though nothing
+    # was expired (rollback remnants must not wait for a future drop)
+    _age(remnant)
+    t.expire_snapshots(keep_last=5)
+    assert not remnant.exists()
+    assert t.read(spark).count() == 50
+
+
+def test_crashed_append_data_dir_swept(spark, tmp_path):  # noqa: F811
+    t = SnapshotTable(tmp_path / "t")
+    t.append(spark.range(50).selectExpr("id AS doc_id").coalesce(1))
+    # simulate an append that wrote data but died before its manifest commit
+    orphan = t.path / "data" / "deadbeefdeadbeef"
+    orphan.mkdir(parents=True)
+    (orphan / "part-00000.parquet").write_bytes(b"not really parquet")
+    _age(orphan)
+    t.append(spark.range(50, 100).selectExpr("id AS doc_id").coalesce(1))
+    t.expire_snapshots(keep_last=1)
+    assert not orphan.exists()
+    assert t.read(spark).count() == 100  # live data untouched
+
+
+# --- lakehouse: multi-column chunk stats -----------------------------------
+
+
+def test_multi_column_chunk_stats_prune_second_column(spark, tmp_path):  # noqa: F811
+    """Chunks carry a column->(min,max) map; a range on warc_ts (the SECOND
+    stats column — url is first) prunes whole chunks without opening them
+    and per-file inside surviving chunks."""
+    t = SnapshotTable(tmp_path / "t")
+    # two appends with disjoint warc_ts ranges but overlapping urls
+    for day in ("2025-01-01", "2025-06-01"):
+        df = spark.createDataFrame(
+            [(f"http://site{i}.com/x", f"{day}T00:00:{i:02d}", f"body {i}") for i in range(20)],
+            "url string, warc_ts string, text string",
+        ).coalesce(2)
+        t.append(df)
+
+    m = t.latest_manifest()
+    summaries = t._chunk_summaries(m)
+    assert all("cols" in s and "warc_ts" in s["cols"] and "url" in s["cols"] for s in summaries)
+
+    # chunk-level prune on the second column: only the June chunk opens
+    plan = t.plan_stats(between=("2025-06-01", "2025-06-02"), column="warc_ts")
+    assert plan["chunks_opened"] == 1 and plan["chunks_total"] == 2
+    kept, total = t.pruned_file_count(("2025-06-01", "2025-06-02"), column="warc_ts")
+    assert total == 4 and kept == 2
+
+    got = t.read(spark, between=("2025-06-01", "2025-06-02"), column="warc_ts").filter(
+        F.col("warc_ts") >= "2025-06-01"
+    )
+    assert got.count() == 20
+
+    # default-column pruning still works (url is the legacy first column):
+    # a full-cover url range keeps everything, a narrow one prunes files
+    kept_all, _ = t.pruned_file_count(("http://site0.com/x", "http://site9.com/x"))
+    assert kept_all == total
+    kept_narrow, _ = t.pruned_file_count(("http://site0.com/x", "http://site0.com/x"))
+    assert kept_narrow < total
+
+    # a range on a column with NO stats never prunes (unknown bounds keep)
+    kept_none, _ = t.pruned_file_count(("a", "b"), column="no_such_col")
+    assert kept_none == total
+
+
+def test_multi_column_stats_absent_column_in_one_file_drops_chunk_envelope(
+    spark, tmp_path
+):  # noqa: F811
+    """A chunk where not every file has a column's stats must NOT advertise
+    a chunk-level envelope for it (pruning on partial bounds could drop a
+    file with unknown range)."""
+    t = SnapshotTable(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("http://a.com", "2025-01-01")], "url string, warc_ts string"
+    )
+    t.append(df.coalesce(1))
+    # second append lacks warc_ts entirely
+    t.append(
+        spark.createDataFrame([("http://b.com",)], "url string").coalesce(1)
+    )
+    m = t.latest_manifest()
+    sums = t._chunk_summaries(m)
+    with_ts = [s for s in sums if "warc_ts" in s.get("cols", {})]
+    without_ts = [s for s in sums if "warc_ts" not in s.get("cols", {})]
+    assert len(with_ts) == 1 and len(without_ts) == 1
+    # pruning on warc_ts keeps the stats-less file unconditionally
+    kept, total = t.pruned_file_count(("2026-01-01", "2026-12-31"), column="warc_ts")
+    assert total == 2 and kept == 1  # 2025 file pruned, stats-less file kept
+
+
+# --- Bloom fp side-table (VERDICT r3 #5) -----------------------------------
+
+
+def _page(url, body):
+    import pandas as pd
+
+    return {"url": url, "warc_ts": pd.Timestamp("2026-01-01"),
+            "html": f"<p>{body}</p>".encode(), "text": None, "lang": "en"}
+
+
+def _pages(spark, specs):
+    import pandas as pd
+
+    from universal_key_value_based_text_processing_with_ocr_spark.sources import PAGES_SCHEMA
+
+    return spark.createDataFrame(
+        pd.DataFrame([_page(u, b) for u, b in specs]), schema=PAGES_SCHEMA
+    )
+
+
+def test_job_maintains_fp_table_and_verify_reads_it(spark, tmp_path):  # noqa: F811
+    """The dedup verify side must consult the FP TABLE, not the results
+    table: poisoning the fp table (removing one fp) lets that doc's mirror
+    through even though its text is still committed in results — proof the
+    committed text path is never read."""
+    from universal_key_value_based_text_processing_with_ocr_spark.plans.pipeline import (
+        run_extraction_job,
+    )
+
+    res = str(tmp_path / "results")
+    run_extraction_job(
+        spark,
+        _pages(spark, [("https://a.example.com/1", "alpha words words words words"),
+                       ("https://a.example.com/2", "beta words words words words")]),
+        res, dedup_content=True,
+    )
+    fp_tbl = SnapshotTable(res + "_fps")
+    assert fp_tbl.exists()
+    fps = {r.fp for r in fp_tbl.read(spark).collect()}
+    assert len(fps) == 2  # one fp per distinct committed text
+
+    # poison: rewrite the fp table WITHOUT the 'alpha' doc's fingerprint
+    alpha_fp = {
+        r.fp
+        for r in SnapshotTable(res).read(spark)
+        .filter(F.col("url") == "https://a.example.com/1")
+        .select(F.md5("extracted_text").alias("fp")).collect()
+    }
+    keep = spark.createDataFrame([(f,) for f in fps - alpha_fp], "fp string")
+    fp_tbl.append(keep, summary={"op": "poison"}, _replace=True)
+
+    out = run_extraction_job(
+        spark,
+        _pages(spark, [("https://m.example.com/1", "alpha words words words words"),
+                       ("https://m.example.com/2", "beta words words words words")]),
+        res, dedup_content=True,
+    )
+    urls = {r.url for r in SnapshotTable(res).read(spark).collect()}
+    # alpha mirror SURVIVED (fp missing from fp table) although its text is
+    # in the results table; beta mirror dropped (fp present)
+    assert "https://m.example.com/1" in urls
+    assert "https://m.example.com/2" not in urls
+    assert out["n_docs"] == 1
+
+
+def test_fp_table_backfilled_for_pre_existing_results(spark, tmp_path):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.plans.pipeline import (
+        run_extraction_job,
+    )
+
+    res = str(tmp_path / "results")
+    # table created WITHOUT content dedup: no fp table yet
+    run_extraction_job(
+        spark,
+        _pages(spark, [("https://a.example.com/1", "alpha words words words words")]),
+        res,
+    )
+    assert not SnapshotTable(res + "_fps").exists()
+    # first dedup run backfills the fp table, then still drops the mirror
+    out = run_extraction_job(
+        spark,
+        _pages(spark, [("https://m.example.com/1", "alpha words words words words")]),
+        res, dedup_content=True,
+    )
+    assert out["n_docs"] == 0
+    assert SnapshotTable(res + "_fps").exists()
+    assert SnapshotTable(res + "_fps").read(spark).count() == 1
+
+
+def test_rebuild_fp_table_heals_gaps(spark, tmp_path):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.plans import (
+        rebuild_fp_table,
+    )
+    from universal_key_value_based_text_processing_with_ocr_spark.plans.pipeline import (
+        run_extraction_job,
+    )
+
+    res = str(tmp_path / "results")
+    run_extraction_job(
+        spark,
+        _pages(spark, [("https://a.example.com/1", "alpha words words words words"),
+                       ("https://a.example.com/2", "beta words words words words")]),
+        res, dedup_content=True,
+    )
+    fp_tbl = SnapshotTable(res + "_fps")
+    fp_tbl.append(spark.createDataFrame([("feedfeed",)], "fp string"))  # junk fp
+    rebuild_fp_table(spark, res)
+    fps = [r.fp for r in fp_tbl.read(spark).collect()]
+    assert len(fps) == 2 and "feedfeed" not in fps
+
+
+def test_bloom_dedup_fps_path_matches_docs_path(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.dedup import (
+        bloom_incremental_dedup,
+    )
+
+    committed = spark.createDataFrame(
+        [(i, f"committed text {i % 6}") for i in range(30)], "doc_id int, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, f"committed text {i}" if i < 4 else f"fresh text {i}") for i in range(10)],
+        "doc_id int, text string",
+    )
+    via_docs = bloom_incremental_dedup(batch, committed).collect()
+    fps = committed.select(F.md5("text").alias("fp"))
+    via_fps = bloom_incremental_dedup(batch, committed_fps=fps).collect()
+    key = lambda rows: sorted((r.doc_id, r.bloom_candidate, r.is_dup) for r in rows)  # noqa: E731
+    assert key(via_docs) == key(via_fps)
+    assert sum(r.is_dup for r in via_docs) == 4

@@ -638,7 +638,7 @@ ORACLE_SQL = {
         SELECT regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
                count(*) AS n_docs,
                CAST(sum(n_lines) AS BIGINT) AS total_lines,
-               sum(CAST(success AS BIGINT)) AS n_success,
+               CAST(sum(CAST(success AS BIGINT)) AS BIGINT) AS n_success,
                CAST(sum(n_fields) AS BIGINT) AS total_fields
         FROM '{GOLDEN_EXTRACT}'
         GROUP BY host

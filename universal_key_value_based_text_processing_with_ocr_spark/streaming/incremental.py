@@ -60,6 +60,7 @@ def streamed_extraction_job(
     checkpoint_dir: str | None = None,
     run_id: str = "stream",
     dedup_content: bool = False,
+    fp_path: str | None = None,
 ) -> dict:
     """Incremental extraction: stream the pages directory (AvailableNow) and
     commit each micro-batch to the lakehouse results table via foreachBatch.
@@ -79,6 +80,12 @@ def streamed_extraction_job(
     fingerprint join; within-batch content dups keep the lowest url.
     First-writer-wins across epochs by construction (the sketch is built
     from the table state BEFORE the epoch's append).
+
+    Like the batch twin, the job maintains the fingerprint side-table
+    (``fp_path``, default ``<results_path>_fps``) when deduping: each
+    epoch's dedup probes the fp table (16-byte fps, committed text never
+    scanned) and appends the epoch's distinct fps after its results
+    commit.
     """
     from ..lakehouse import SnapshotTable
     from ..operators.dedup import drop_content_duplicates
@@ -87,6 +94,7 @@ def streamed_extraction_job(
 
     results_tbl = SnapshotTable(results_path)
     audit_tbl = SnapshotTable(audit_path) if audit_path else None
+    fp_tbl = SnapshotTable(fp_path or f"{results_path}_fps") if dedup_content else None
     schema = spark.read.parquet(pages_dir).schema
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "4").parquet(pages_dir)
     epochs: list[int] = []
@@ -99,16 +107,41 @@ def streamed_extraction_job(
             pages = pages.join(committed.select("url"), "url", "left_anti")
         results = extract_pages(pages).withColumn("partition_id", F.spark_partition_id())
         if dedup_content:
-            results = drop_content_duplicates(results, committed)
+            committed_fps = None
+            if committed is not None:
+                if fp_tbl.exists():
+                    committed_fps = fp_tbl.read(batch_df.sparkSession).select("fp")
+                else:
+                    fp_tbl.append(
+                        committed.filter(F.col("extracted_text").isNotNull())
+                        .select(F.md5("extracted_text").alias("fp"))
+                        .distinct(),
+                        summary={"op": "backfill", "run_id": run_id},
+                    )
+                    committed_fps = fp_tbl.read(batch_df.sparkSession).select("fp")
+            results = drop_content_duplicates(results, committed_fps=committed_fps)
         results.persist()
         try:
             n = results.count()
             if n == 0:
                 return
+            # partition_id commits WITH the rows (same schema as the batch
+            # job's writer — both producers of this table must agree, or
+            # streamed rows read back with NULL lineage under mergeSchema).
             snapshot_id = results_tbl.append(
-                results.drop("partition_id"),
+                results,
                 summary={"run_id": run_id, "epoch": epoch_id, "n_docs": n},
             )
+            if fp_tbl is not None:
+                # fp rows commit AFTER the epoch's results snapshot —
+                # crash window leaks a future mirror, never drops a doc
+                fp_tbl.append(
+                    results.filter(F.col("extracted_text").isNotNull())
+                    .select(F.md5("extracted_text").alias("fp"))
+                    .distinct(),
+                    summary={"run_id": run_id, "epoch": epoch_id,
+                             "results_snapshot_id": snapshot_id},
+                )
             if audit_tbl is not None:
                 audit = (
                     results.groupBy("partition_id")
