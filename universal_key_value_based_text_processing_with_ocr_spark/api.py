@@ -398,6 +398,43 @@ sig AS (
 )
 
 
+def _lsh_topk_oracle() -> str:
+    """similarity_topk_lsh oracle built from the SAME hyperplane literals
+    the Spark operator uses (similarity.lsh_hyperplanes), so the sign bits
+    — and therefore the probe/candidate sets — are identical by
+    construction.  Candidate rule replayed as bit_count(xor) <= radius."""
+    planes = similarity.lsh_hyperplanes(10, 64)
+    terms = []
+    for i, p in enumerate(planes):
+        arr = "[" + ",".join(repr(x) for x in p) + "]::DOUBLE[]"
+        terms.append(
+            f"CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}) >= 0"
+            f" THEN {1 << i} ELSE 0 END"
+        )
+    bucket = "(" + "\n                  + ".join(terms) + ")"
+    return f"""
+        WITH b AS (
+            SELECT vec_id, embedding, {bucket} AS bucket
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe, bucket AS qb FROM b WHERE vec_id < 5),
+        scored AS (
+            -- multi-probe: candidates whose bucket differs in at most 4 bits
+            SELECT query_id, e.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(qe, e.embedding::DOUBLE[]), 9) AS cos
+            FROM q JOIN b e
+              ON bit_count(CAST(xor(e.bucket, qb) AS BIGINT)) <= 4
+             AND e.vec_id <> query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+    """
+
+
 ORACLE_SQL = {
     "extract_fields": f"""
         SELECT url, lang, extracted_text, result_json, success, n_lines, n_fields
@@ -804,31 +841,7 @@ ORACLE_SQL = {
         )
         SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
     """,
-    "similarity_topk_lsh": """
-        WITH b AS (
-            SELECT vec_id, embedding,
-                   (CASE WHEN embedding[1]  >= 0 THEN 1 ELSE 0 END
-                  + CASE WHEN embedding[8]  >= 0 THEN 2 ELSE 0 END
-                  + CASE WHEN embedding[22] >= 0 THEN 4 ELSE 0 END
-                  + CASE WHEN embedding[43] >= 0 THEN 8 ELSE 0 END) AS bucket
-            FROM embeddings
-        ),
-        q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe, bucket AS qb FROM b WHERE vec_id < 5),
-        scored AS (
-            -- multi-probe: candidates whose bucket differs in at most 1 bit
-            SELECT query_id, e.vec_id AS neighbor_id,
-                   list_cosine_similarity(qe, e.embedding::DOUBLE[]) AS cos
-            FROM q JOIN b e
-              ON bit_count(CAST(xor(e.bucket, qb) AS BIGINT)) <= 1
-             AND e.vec_id <> query_id
-        ),
-        ranked AS (
-            SELECT query_id, neighbor_id,
-                   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
-            FROM scored
-        )
-        SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
-    """,
+    "similarity_topk_lsh": _lsh_topk_oracle(),
     "similarity_topk_ivf": """
         WITH cent AS (
             -- hash-sampled deterministic centroids (engine: smallest md5(vec_id))

