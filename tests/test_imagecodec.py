@@ -1,0 +1,144 @@
+"""Stdlib image codec tests (VERDICT r3 #4).
+
+The PNG known-answer tests decode HAND-CONSTRUCTED byte streams whose
+filtered bytes and expected pixels were derived by hand from RFC 2083 —
+independent of ``encode_png``, so a symmetric encoder/decoder bug in a
+filter predictor cannot cancel out (the round-trip tests alone could not
+catch that).
+"""
+
+import struct
+import zlib
+
+import pytest
+
+from universal_key_value_based_text_processing_with_ocr_spark.operators import imagecodec as ic
+
+
+def _png(width, height, color_type, idat_raw):
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        ic.PNG_SIG
+        + ic._chunk(b"IHDR", ihdr)
+        + ic._chunk(b"IDAT", zlib.compress(idat_raw))
+        + ic._chunk(b"IEND", b"")
+    )
+
+
+def test_png_known_answer_sub_up_paeth_filters():
+    """2x3 RGB, rows filtered Sub/Up/Paeth — filtered bytes hand-computed."""
+    raw_rows = [
+        [10, 20, 30, 40, 60, 80],
+        [5, 10, 15, 200, 210, 220],
+        [100, 110, 120, 130, 140, 150],
+    ]
+    filtered = (
+        b"\x01" + bytes([10, 20, 30, 30, 40, 50])          # Sub: x - left
+        + b"\x02" + bytes([251, 246, 241, 160, 150, 140])   # Up: x - above (mod 256)
+        + b"\x04" + bytes([95, 100, 105, 186, 186, 186])    # Paeth (hand-derived)
+    )
+    dec = ic.decode_png(_png(2, 3, 2, filtered))
+    assert dec["width"] == 2 and dec["height"] == 3 and dec["channels"] == 3
+    assert list(dec["pixels"]) == [v for row in raw_rows for v in row]
+
+
+def test_png_known_answer_average_filter_gray():
+    """4x2 grayscale, row1 filtered Average — hand-computed."""
+    filtered = (
+        b"\x00" + bytes([10, 20, 30, 40])
+        + b"\x03" + bytes([45, 25, 25, 25])  # x - (left+above)//2
+    )
+    dec = ic.decode_png(_png(4, 2, 0, filtered))
+    assert dec["channels"] == 1
+    assert list(dec["pixels"]) == [10, 20, 30, 40, 50, 60, 70, 80]
+
+
+def test_png_roundtrip_all_filters_all_color_types():
+    """encode(filter=y%5) -> decode recovers the exact pixel buffer for
+    every supported color type, including RGBA/LA alpha channels."""
+    for ct in (0, 2, 4, 6):
+        ch = ic._PNG_CHANNELS[ct]
+        w, h = 9, 11  # odd sizes exercise stride edges
+        px = bytes((7 * x + 13 * y + 57 * c) % 256 for y in range(h) for x in range(w) for c in range(ch))
+        payload = ic.encode_png(w, h, px, color_type=ct, filter_choice=lambda y: y % 5)
+        dec = ic.decode_png(payload)
+        assert dec["pixels"] == px, f"color_type {ct}"
+
+
+def test_png_mixed_filters_decode_equals_filter0_decode():
+    """The same pixels encoded with filter 0 only and with cycling filters
+    must decode identically (filter choice is an encoding detail)."""
+    w, h = 8, 8
+    px = bytes((x * y * 3 + x + 5 * y) % 256 for y in range(h) for x in range(w) for _ in range(3))
+    a = ic.decode_png(ic.encode_png(w, h, px, 2, lambda y: 0))
+    b = ic.decode_png(ic.encode_png(w, h, px, 2, lambda y: y % 5))
+    assert a["pixels"] == b["pixels"] == px
+
+
+def test_png_rejects_unsupported():
+    with pytest.raises(ValueError):
+        ic.decode_png(b"nonsense bytes")
+    # 16-bit depth rejected explicitly
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    bad = ic.PNG_SIG + ic._chunk(b"IHDR", ihdr) + ic._chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="unsupported"):
+        ic.decode_png(bad)
+
+
+def test_bmp_known_answer_bottom_up_bgr_padding():
+    """Hand-built 2x2 24bpp BMP: BGR byte order, bottom-up rows, 4-byte
+    row padding — decoder must normalise to top-down RGB."""
+    # target top-down RGB: row0 = (1,2,3) (4,5,6); row1 = (7,8,9) (10,11,12)
+    # stored bottom-up BGR, rows padded from 6 to 8 bytes
+    img = bytes([9, 8, 7, 12, 11, 10, 0, 0]) + bytes([3, 2, 1, 6, 5, 4, 0, 0])
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(img), 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(img), 0, 0, 0, 0)
+    dec = ic.decode_bmp(header + info + img)
+    assert dec["width"] == 2 and dec["height"] == 2
+    assert list(dec["pixels"]) == [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12]
+
+
+def test_bmp_roundtrip():
+    w, h = 5, 4
+    px = bytes((11 * x + 3 * y + c) % 256 for y in range(h) for x in range(w) for c in range(3))
+    dec = ic.decode_bmp(ic.encode_bmp(w, h, px))
+    assert dec["pixels"] == px
+
+
+def test_gif_header():
+    dec = ic.decode_gif_header(ic.synth_image(3))  # kind 3 -> gif
+    assert dec["format"] == "gif" and dec["pixels"] is None
+    assert dec["width"] == 8 + 3 % 9 and dec["height"] == 8 + 9 % 9
+    assert dec["palette_size"] == 2 and dec["version"] == "87a"
+
+
+def test_image_stats_integer_exactness():
+    """Solid-color image: brightness == the exact luma, contrast == 0."""
+    px = bytes([100, 150, 200] * 16)
+    dec = {"format": "png", "width": 4, "height": 4, "channels": 3, "pixels": px}
+    st = ic.image_stats(dec)
+    assert st["brightness"] == (299 * 100 + 587 * 150 + 114 * 200) / 1000.0
+    assert st["contrast"] == 0.0
+    assert st["min_luma"] == st["max_luma"] == st["brightness"]
+
+
+def test_synth_image_dispatch_and_stats_match_pattern():
+    """decode_image sniffs all three formats; decoded pixels reproduce the
+    analytic pattern (the oracle's ground truth) for PNG and BMP."""
+    import math
+
+    for d in (0, 1, 2, 3, 17, 42, 101):
+        dec = ic.decode_image(ic.synth_image(d))
+        kind = d % 4
+        assert dec["format"] == {0: "png", 1: "png", 2: "bmp", 3: "gif"}[kind]
+        assert dec["width"] == 8 + d % 9 and dec["height"] == 8 + (3 * d) % 9
+        if kind == 3:
+            continue
+        w, h, ch = dec["width"], dec["height"], dec["channels"]
+        expect = bytes(
+            (7 * x + 13 * y + 31 * d + 57 * c) % 256
+            for y in range(h) for x in range(w) for c in range(ch)
+        )
+        assert dec["pixels"] == expect
+        st = ic.image_stats(dec)
+        assert st["contrast"] >= 0 and math.isfinite(st["brightness"])

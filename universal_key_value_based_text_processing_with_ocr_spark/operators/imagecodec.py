@@ -1,0 +1,378 @@
+"""Pure-stdlib image codecs for the multimodal decode seam.
+
+The container has no Pillow/libvips/ffmpeg, but PNG needs only ``zlib``
+(stdlib) plus the five RFC-2083 scanline filters, and uncompressed BMP /
+GIF headers need only ``struct``.  This module turns the multimodal
+metadata operator from header-sniffing into REAL decoded-pixel statistics
+(reference analog: the brightness/contrast probe of the OCR preprocessing
+family, /root/reference/ocrfw/preprocessing.py:48-53) with no new
+dependency.
+
+Decoders:
+- PNG: 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+  6 (RGBA), non-interlaced; full IDAT inflate + unfiltering (None/Sub/
+  Up/Average/Paeth).
+- BMP: BITMAPINFOHEADER, 24 bpp, BI_RGB (uncompressed), bottom-up rows.
+- GIF: GIF87a/GIF89a logical-screen header + global palette (dimensions,
+  palette size; LZW pixel decode intentionally out of scope — callers get
+  dims/format with pixel stats NULL).
+
+Statistics use INTEGER luma accumulation (luma1000 = 299R + 587G + 114B,
+or 1000V for gray) so the sums are exact in any engine's 64-bit integers
+— the DuckDB oracle replays brightness/contrast bit-for-bit from the
+synthetic pixel pattern without ever decoding a PNG.
+
+``encode_png`` is the deterministic fixture source: it can emit every
+filter type (row index mod 5) so decode exercises all five predictors.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: PNG color type -> channel count (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+# --------------------------------------------------------------------------
+# PNG encode (fixture source)
+# --------------------------------------------------------------------------
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _filter_row(ftype: int, row: bytes, prev: bytes, bpp: int) -> bytes:
+    """Apply PNG filter ``ftype`` to a raw scanline (encoder side)."""
+    n = len(row)
+    out = bytearray(n)
+    for i in range(n):
+        x = row[i]
+        a = row[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            v = x
+        elif ftype == 1:
+            v = x - a
+        elif ftype == 2:
+            v = x - b
+        elif ftype == 3:
+            v = x - (a + b) // 2
+        elif ftype == 4:
+            v = x - _paeth(a, b, c)
+        else:
+            raise ValueError(f"bad filter {ftype}")
+        out[i] = v & 0xFF
+    return bytes(out)
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: bytes,
+    color_type: int = 2,
+    filter_choice=lambda y: 0,
+) -> bytes:
+    """Encode 8-bit pixels (row-major, ``channels`` bytes per pixel) as a
+    valid PNG.  ``filter_choice(y)`` picks the filter per scanline —
+    fixtures use ``y % 5`` so a decoder must invert all five predictors to
+    recover the pattern."""
+    ch = _PNG_CHANNELS[color_type]
+    assert len(pixels) == width * height * ch, "pixel buffer does not match dims"
+    stride = width * ch
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = pixels[y * stride : (y + 1) * stride]
+        f = filter_choice(y)
+        raw.append(f)
+        raw += _filter_row(f, row, prev, ch)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+# --------------------------------------------------------------------------
+# PNG decode
+# --------------------------------------------------------------------------
+
+
+def _unfilter_row(ftype: int, row: bytearray, prev: bytes, bpp: int) -> None:
+    """Invert PNG filter ``ftype`` in place (decoder side)."""
+    n = len(row)
+    for i in range(n):
+        a = row[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            v = row[i]
+        elif ftype == 1:
+            v = row[i] + a
+        elif ftype == 2:
+            v = row[i] + b
+        elif ftype == 3:
+            v = row[i] + (a + b) // 2
+        elif ftype == 4:
+            v = row[i] + _paeth(a, b, c)
+        else:
+            raise ValueError(f"bad filter {ftype}")
+        row[i] = v & 0xFF
+
+
+def decode_png(payload: bytes) -> dict:
+    """Full PNG decode -> {format, width, height, channels, pixels}.
+
+    ``pixels`` is the raw 8-bit row-major buffer (``channels`` bytes per
+    pixel).  Supports bit depth 8, color types 0/2/4/6, non-interlaced —
+    the envelope ``encode_png`` emits plus common real-world truecolor
+    files.  Raises ValueError on anything else (palette/16-bit/interlace
+    need a fuller library; the seam stays explicit)."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = None
+    color_type = depth = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            width, height, depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth} color_type={color_type} interlace={interlace})"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG data length mismatch")
+    out = bytearray(stride * height)
+    prev = bytes(stride)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        _unfilter_row(f, row, prev, ch)
+        out[y * stride : (y + 1) * stride] = row
+        prev = bytes(row)
+    return {
+        "format": "png",
+        "width": width,
+        "height": height,
+        "channels": ch,
+        "pixels": bytes(out),
+    }
+
+
+# --------------------------------------------------------------------------
+# BMP decode (24 bpp uncompressed)
+# --------------------------------------------------------------------------
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Uncompressed 24-bpp BITMAPINFOHEADER BMP -> RGB pixel buffer.
+
+    BMP stores BGR bottom-up with rows padded to 4 bytes; the decoder
+    normalises to top-down RGB so stats match PNG semantics."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    (hdr_size,) = struct.unpack("<I", payload[14:18])
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header")
+    width, height = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp} compression={compression})")
+    top_down = height < 0
+    height = abs(height)
+    row_size = (width * 3 + 3) & ~3
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        src_y = y if top_down else height - 1 - y
+        row = payload[data_off + src_y * row_size : data_off + src_y * row_size + width * 3]
+        for x in range(width):
+            b, g, r = row[3 * x : 3 * x + 3]
+            i = (y * width + x) * 3
+            out[i : i + 3] = bytes((r, g, b))
+    return {
+        "format": "bmp",
+        "width": width,
+        "height": height,
+        "channels": 3,
+        "pixels": bytes(out),
+    }
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """24-bpp BI_RGB BMP from a top-down RGB buffer (fixture source)."""
+    row_size = (width * 3 + 3) & ~3
+    img = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        for x in range(width):
+            i = (y * width + x) * 3
+            r, g, b = rgb[i : i + 3]
+            row += bytes((b, g, r))
+        row += bytes(row_size - len(row))
+        img += row
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(img), 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(img), 2835, 2835, 0, 0)
+    return header + info + img
+
+
+# --------------------------------------------------------------------------
+# GIF header decode
+# --------------------------------------------------------------------------
+
+
+def decode_gif_header(payload: bytes) -> dict:
+    """GIF87a/89a logical-screen descriptor + global palette size.
+
+    Pixel decode (LZW) is intentionally out of scope — dims/format real,
+    pixels None."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    width, height = struct.unpack("<HH", payload[6:10])
+    packed = payload[10]
+    has_gct = bool(packed & 0x80)
+    gct_size = 2 ** ((packed & 0x07) + 1) if has_gct else 0
+    return {
+        "format": "gif",
+        "width": width,
+        "height": height,
+        "channels": 3,
+        "pixels": None,
+        "palette_size": gct_size,
+        "version": payload[3:6].decode("ascii"),
+    }
+
+
+# --------------------------------------------------------------------------
+# decode dispatch + statistics
+# --------------------------------------------------------------------------
+
+
+def decode_image(payload: bytes) -> dict:
+    """Sniff + decode: PNG / BMP (full pixels), GIF (header only)."""
+    if payload[:8] == PNG_SIG:
+        return decode_png(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_header(payload)
+    raise ValueError("unknown image format")
+
+
+def image_stats(decoded: dict) -> dict:
+    """Integer-exact luminance statistics of a decoded image.
+
+    luma1000 per pixel = 299R + 587G + 114B (gray: 1000V; alpha ignored).
+    brightness = mean(luma1000)/1000, contrast = population-std of
+    luma1000/1000 — both derived from exact integer sums, so any engine
+    reproduces them bit-for-bit from the same pixel values."""
+    px, ch = decoded["pixels"], decoded["channels"]
+    n = decoded["width"] * decoded["height"]
+    if px is None or n == 0:
+        return {"brightness": None, "contrast": None, "min_luma": None, "max_luma": None}
+    import numpy as np  # exact int64 accumulation, vectorised
+
+    a = np.frombuffer(px, dtype=np.uint8).reshape(n, ch).astype(np.int64)
+    if ch >= 3:
+        luma = 299 * a[:, 0] + 587 * a[:, 1] + 114 * a[:, 2]
+    else:
+        luma = 1000 * a[:, 0]
+    s = int(luma.sum())
+    s2 = int((luma * luma).sum())
+    lo, hi = int(luma.min()), int(luma.max())
+    mean = s / n
+    var = s2 / n - mean * mean
+    import math  # math.sqrt == SQL sqrt (IEEE correctly rounded); x**0.5 is pow()
+
+    return {
+        "brightness": mean / 1000.0,
+        "contrast": math.sqrt(max(var, 0.0)) / 1000.0,
+        "min_luma": lo / 1000.0,
+        "max_luma": hi / 1000.0,
+    }
+
+
+# --------------------------------------------------------------------------
+# deterministic fixture source
+# --------------------------------------------------------------------------
+
+
+def synth_image(doc_id: int) -> bytes:
+    """Deterministic synthetic image for ``doc_id`` — REAL encoded bytes.
+
+    The pixel pattern has a closed form the DuckDB oracle recomputes
+    analytically (it never decodes a PNG):
+
+        kind   = doc_id % 4   (0: PNG RGB, 1: PNG gray, 2: BMP, 3: GIF)
+        w      = 8 + doc_id % 9;  h = 8 + (3*doc_id) % 9
+        px(x, y, c) = (7x + 13y + 31*doc_id + 57c) % 256
+
+    PNGs cycle the scanline filter (y % 5), so decoding them exercises all
+    five RFC-2083 predictors — a decoder bug shifts the pixels and the
+    analytic stats stop matching."""
+    d = int(doc_id)
+    w, h = 8 + d % 9, 8 + (3 * d) % 9
+    kind = d % 4
+    if kind == 3:
+        # GIF87a header + 2-entry global palette + trailer (no image data:
+        # the decoder is header-only by design)
+        packed = 0x80  # GCT present, size bits 0 -> 2 entries
+        return (
+            b"GIF87a"
+            + struct.pack("<HH", w, h)
+            + bytes((packed, 0, 0))
+            + b"\x00\x00\x00\xff\xff\xff"
+            + b";"
+        )
+
+    def val(x: int, y: int, c: int) -> int:
+        return (7 * x + 13 * y + 31 * d + 57 * c) % 256
+
+    if kind == 1:
+        px = bytes(val(x, y, 0) for y in range(h) for x in range(w))
+        return encode_png(w, h, px, color_type=0, filter_choice=lambda y: y % 5)
+    px = bytes(val(x, y, c) for y in range(h) for x in range(w) for c in range(3))
+    if kind == 0:
+        return encode_png(w, h, px, color_type=2, filter_choice=lambda y: y % 5)
+    return encode_bmp(w, h, px)
