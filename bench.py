@@ -168,6 +168,29 @@ def main() -> None:
         approx = {(r.query_id, r.neighbor_id) for r in fn(emb, 5, 10).collect()}
         recall[label] = round(len(exact & approx) / max(1, len(exact)), 3)
 
+    # --- sf1 extraction point (VERDICT r3 #6): 10x the headline corpus ----
+    # Exposes partition-policy or memory cliffs the 12k-doc scale hides.
+    # Same production shape (materialised scan -> salted repartition ->
+    # fused extract), best-of-2; target: docs/sec within 20% of the sf0.1
+    # rate.  SPARK_GRAFT_SF1_DOCS=0 skips (e.g. quick local iteration).
+    sf1_docs = int(os.environ.get("SPARK_GRAFT_SF1_DOCS", "120000"))
+    sf1_out = None
+    if sf1_docs:
+        sf1_path = materialize_pages_parquet(spark, sf1_docs)
+        sf1_best = float("inf")
+        for _ in range(2):
+            pages = salted_repartition(spark.read.parquet(sf1_path), CPUS * 2)
+            t0 = time.time()
+            n1 = extract_pages(pages).count()
+            sf1_best = min(sf1_best, time.time() - t0)
+        sf1_rate = round(n1 / sf1_best, 1)
+        sf1_out = {
+            "docs": n1,
+            "wall_sec": round(sf1_best, 3),
+            "docs_per_sec": sf1_rate,
+            "vs_sf0.1_rate": round(sf1_rate / docs_per_sec, 3),
+        }
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline queries wall time (extraction + operator suite)",
@@ -188,6 +211,8 @@ def main() -> None:
         # cross-engine-reproducibility tax, best-of-N interleaved)
         "dedup_minhash_lsh_md5_sec": md5_lsh_sec,
     }
+    if sf1_out is not None:
+        out["sf1_extraction"] = sf1_out
     scaling_file = REPO / "BENCH" / "scaling.json"
     if scaling_file.exists():
         scaling = json.loads(scaling_file.read_text())

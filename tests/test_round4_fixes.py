@@ -379,3 +379,49 @@ def test_lsh_topk_explodes_query_side_not_corpus(spark):  # noqa: F811
     bcast_idx = plan.index("BroadcastExchange")
     gen_idx = plan.index("Generate explode")
     assert gen_idx > bcast_idx, "probe explode must be under the broadcast side"
+
+
+# --- skewed-corpus fixture (VERDICT r3 #7) ---------------------------------
+
+
+def test_skewed_pages_fixture_properties(spark):  # noqa: F811
+    """Hot host keeps its ~40% row share but carries ~4x payload; cold
+    docs are byte-identical to the uniform fixture (same urls, same
+    bodies) so the two fixtures differ ONLY in the adversarial weight."""
+    from universal_key_value_based_text_processing_with_ocr_spark.sources.synthdocs import (
+        _HOSTS,
+        gen_page_row,
+        gen_page_row_skewed,
+    )
+
+    hot, cold_same, hot_bigger = 0, 0, 0
+    for i in range(200):
+        a, b = gen_page_row(42, i), gen_page_row_skewed(42, i)
+        assert a["url"] == b["url"]
+        if _HOSTS[0] in a["url"]:
+            hot += 1
+            # body LINES quadruple (the extraction work driver); html adds
+            # constant boilerplate so its ratio is smaller on short docs
+            if a["text"] is not None and b["text"] is not None:
+                hot_bigger += len(b["text"]) > 3 * len(a["text"])
+        else:
+            cold_same += a["html"] == b["html"] and a["text"] == b["text"]
+    assert 60 <= hot <= 100  # ~40% of 200
+    assert hot_bigger >= hot * 0.7  # hot payloads really inflated
+    assert cold_same >= (200 - hot) * 0.9  # cold docs unchanged
+
+
+def test_synth_pages_row_fn_distributed(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.sources.pages import (
+        synth_pages_df,
+    )
+    from universal_key_value_based_text_processing_with_ocr_spark.sources.synthdocs import (
+        gen_page_row_skewed,
+    )
+
+    df = synth_pages_df(spark, 40, seed=42, row_fn=gen_page_row_skewed)
+    rows = {r.url: r for r in df.collect()}
+    assert len(rows) == 40
+    expect = gen_page_row_skewed(42, 11)
+    got = rows[expect["url"]]
+    assert bytes(got.html) == expect["html"]

@@ -231,3 +231,32 @@ def gen_page_row(seed: int, doc_id: int) -> dict:
     row = gen_document(seed, doc_id)
     row.pop("_lines")
     return row
+
+
+def gen_page_row_skewed(seed: int, doc_id: int, payload_factor: int = 4) -> dict:
+    """Adversarial skew fixture (VERDICT r3 #7): same host mix as
+    ``gen_page_row`` (top host ~40% of rows) but hot-host documents carry
+    ``payload_factor``x the body lines — with the default 4x, roughly 73%
+    of total extraction WORK lands on one host key.  Deterministic pure
+    function of (seed, doc_id), so parallelism levels see byte-identical
+    input."""
+    rng = random.Random(f"{seed}:{doc_id}")
+    is_ktp = rng.random() < 0.5
+    lines = gen_ktp_lines(rng) if is_ktp else gen_generic_lines(rng)
+    lang = "ind" if is_ktp else "en"
+    host = _HOSTS[0] if rng.random() < 0.4 else rng.choice(_HOSTS[1:])
+    if host == _HOSTS[0]:
+        lines = lines * payload_factor
+    url = f"https://{host}/doc/{doc_id:012d}"
+    text = "\n".join(lines)
+    html = render_html(rng, lines, title=f"doc {doc_id}")
+    r = rng.random()
+    html_out = html.encode("utf-8") if r >= 0.05 else None
+    text_out = text if (r < 0.05 or r >= 0.10) else None
+    return {
+        "url": url,
+        "warc_ts": _EPOCH + _dt.timedelta(seconds=doc_id),
+        "html": html_out,
+        "text": text_out,
+        "lang": lang,
+    }
