@@ -425,3 +425,64 @@ def test_synth_pages_row_fn_distributed(spark):  # noqa: F811
     expect = gen_page_row_skewed(42, 11)
     got = rows[expect["url"]]
     assert bytes(got.html) == expect["html"]
+
+
+# --- new pipeline operators (round 4) --------------------------------------
+
+
+def test_dedup_paragraphs_semantics(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators import textstats
+
+    boiler = "Accept cookies to continue"
+    nav = "Home | About | Contact"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{nav}\nunique one\n{boiler}\ntail one"),
+            (2, f"{nav}\nunique two\n{boiler}"),
+            (3, f"{boiler}\n{nav}"),          # all boilerplate
+            (4, "solo doc line\nsolo doc line"),  # dup WITHIN one doc only
+        ],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r for r in textstats.dedup_paragraphs(docs).collect()}
+    assert got[1].clean_text == "unique one\ntail one"
+    assert got[2].clean_text == "unique two"
+    assert got[3].clean_text == "" and got[3].n_lines_kept == 0
+    # within-doc repetition is NOT cross-document boilerplate (distinct-doc
+    # frequency = 1): kept, order preserved
+    assert got[4].clean_text == "solo doc line\nsolo doc line"
+    assert got[1].n_lines_total == 4 and got[1].n_lines_kept == 2
+
+
+def test_normalize_urls_cases(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators import textstats
+
+    cases = {
+        "HTTPS://WWW.Example.COM:443/Path/Q?x=1&utm_source=a#frag":
+            "https://www.example.com/Path/Q?x=1",
+        "http://a.b:80": "http://a.b",
+        "https://a.b/": "https://a.b",
+        "https://a.b/p?utm_campaign=x&fbclid=y&keep=1": "https://a.b/p?keep=1",
+        "https://a.b/p?utm_only=1": "https://a.b/p",
+        "https://a.b:8443/x": "https://a.b:8443/x",  # non-default port kept
+        "no-scheme-at-all": "no-scheme-at-all",       # untouched
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r.url: r.url_norm for r in textstats.normalize_urls(df).collect()}
+    for raw, want in cases.items():
+        assert got[raw] == want, f"{raw} -> {got[raw]} != {want}"
+
+
+def test_corpus_familiarity_exact_counts(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha beta"), (2, "alpha gamma"), (3, "zzz")],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r for r in textstats.corpus_familiarity(docs, rare_threshold=1).collect()}
+    # corpus counts: alpha=3, beta=1, gamma=1, zzz=1
+    assert got[1].n_tokens == 3
+    assert got[1].mean_token_freq == (3 + 3 + 1) / 3
+    assert got[1].rare_frac == 1 / 3          # beta is rare (count<=1)
+    assert got[3].mean_token_freq == 1.0 and got[3].rare_frac == 1.0

@@ -185,6 +185,34 @@ def q_contamination_check(spark, sf_dir):
     )
 
 
+def q_dedup_paragraphs(spark, sf_dir):
+    """Corpus-level line dedup (RefinedWeb-style boilerplate removal)."""
+    return textstats.dedup_paragraphs(_tbl(spark, sf_dir, "documents"))
+
+
+def q_url_normalize(spark, sf_dir):
+    """Canonical URL normalisation over a deterministic adversarial url mix
+    (mixed case, default ports, fragments, tracking params, trailing
+    slash) synthesised from doc_id identically in both engines."""
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://Host"),
+        (d % 50).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(d % 5 == 0, F.concat(F.lit(":443/path/page?x=1&utm_source=feed&id="), d.cast("string")))
+        .when(d % 5 == 1, F.lit("/a/b#frag"))
+        .when(d % 5 == 2, F.lit(":443"))
+        .when(d % 5 == 3, F.lit("/path?utm_campaign=a&fbclid=xyz&keep=1"))
+        .otherwise(F.lit("/")),
+    )
+    docs = _tbl(spark, sf_dir, "documents").select(url.alias("url"))
+    return textstats.normalize_urls(docs)
+
+
+def q_corpus_familiarity(spark, sf_dir):
+    return textstats.corpus_familiarity(_tbl(spark, sf_dir, "documents"))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_tbl(spark, sf_dir, "documents"))
 
@@ -340,6 +368,9 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "doc_scrub_pii": q_doc_scrub_pii,
     "contamination_check": q_contamination_check,
+    "dedup_paragraphs": q_dedup_paragraphs,
+    "url_normalize": q_url_normalize,
+    "corpus_familiarity": q_corpus_familiarity,
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
     "dedup_incremental_bloom": q_dedup_incremental_bloom,
@@ -577,6 +608,81 @@ ORACLE_SQL = {
         SELECT doc_id, fail IS NULL AS keep, coalesce(fail, 'ok') AS fail_reason,
                CAST(n_words AS BIGINT) AS n_words, mean_word_len
         FROM judged
+    """,
+    "dedup_paragraphs": r"""
+        WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        lines AS (
+            SELECT b.doc_id, u.s.idx AS idx, u.s.line AS line
+            FROM base b,
+                 (SELECT unnest(list_transform(string_split(b.text, chr(10)),
+                                               (s, i) -> struct_pack(idx := i, line := s)))) u(s)
+        ),
+        freq AS (SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+        kept AS (SELECT l.* FROM lines l ANTI JOIN freq f USING (line)),
+        rebuilt AS (
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+                   CAST(count(*) AS BIGINT) AS n_lines_kept
+            FROM kept GROUP BY doc_id
+        ),
+        totals AS (SELECT doc_id,
+                          CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines_total
+                   FROM base)
+        SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+               coalesce(r.n_lines_kept, 0) AS n_lines_kept, t.n_lines_total
+        FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    "url_normalize": r"""
+        WITH raw AS (
+            SELECT 'HTTPS://Host' || CAST(doc_id % 50 AS VARCHAR) || '.Example.COM' ||
+                   CASE doc_id % 5
+                        WHEN 0 THEN ':443/path/page?x=1&utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+                        WHEN 1 THEN '/a/b#frag'
+                        WHEN 2 THEN ':443'
+                        WHEN 3 THEN '/path?utm_campaign=a&fbclid=xyz&keep=1'
+                        ELSE '/' END AS url
+            FROM documents
+        ),
+        s1 AS (SELECT url, regexp_replace(url, '#.*$', '', 'g') AS u FROM raw),
+        s2 AS (SELECT url,
+                      CASE WHEN regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) = ''
+                           THEN url
+                           ELSE lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                                || '://'
+                                || lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+                                || regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g')
+                      END AS u
+               FROM s1),
+        s3 AS (SELECT url,
+                      regexp_replace(regexp_replace(regexp_replace(regexp_replace(u,
+                          '^(https://[^/?#:]*):443$', '\1', 'g'),
+                          '^(https://[^/?#:]*):443([/?#])', '\1\2', 'g'),
+                          '^(http://[^/?#:]*):80$', '\1', 'g'),
+                          '^(http://[^/?#:]*):80([/?#])', '\1\2', 'g') AS u
+               FROM s2),
+        s4 AS (SELECT url,
+                      regexp_replace(regexp_replace(regexp_replace(regexp_replace(u,
+                          '[?&](utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid)=[^&#]*', '?', 'g'),
+                          '\?(\?)+', '?', 'g'),
+                          '\?&', '?', 'g'),
+                          '[?&]$', '', 'g') AS u
+               FROM s3),
+        s5 AS (SELECT url,
+                      regexp_replace(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)/$', '\1', 'g') AS u
+               FROM s4)
+        SELECT url, u AS url_norm, (u <> url) AS changed FROM s5
+    """,
+    "corpus_familiarity": """
+        WITH words AS (
+            SELECT doc_id, unnest(list_filter(
+                       string_split_regex(lower(text), '[ \t\n\r\f]+'), t -> t != '')) AS w
+            FROM documents WHERE text IS NOT NULL
+        ),
+        counts AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY w),
+        j AS (SELECT doc_id, c FROM words JOIN counts USING (w))
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / count(*) AS mean_token_freq,
+               CAST(CAST(sum(CASE WHEN c <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / count(*) AS rare_frac
+        FROM j GROUP BY doc_id
     """,
     "dedup_exact": """
         SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies

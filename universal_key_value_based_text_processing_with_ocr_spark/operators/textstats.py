@@ -429,3 +429,139 @@ def token_count_bpe(docs: DataFrame) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), F.lit(0))).cast("long")
     )
     return docs.select("doc_id", n.alias("n_bpe_tokens"))
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level LINE deduplication (RefinedWeb/Falcon-style): lines
+    appearing in >= ``min_docs`` DISTINCT documents are boilerplate
+    (navigation, footers, cookie banners replicated across a site) and are
+    removed from every document; the survivors reassemble in original
+    order.
+
+    Plan: posexplode -> distinct-doc frequency per exact line -> anti-join
+    the frequent-line set -> groupBy doc reassembly via
+    array_sort(collect_list(struct(idx, line))).  Two shuffles (line key,
+    then doc key), both map-side combinable; the frequent-line set is the
+    only re-used intermediate and AQE broadcasts it when small.  At 100 TB
+    the line-key shuffle dominates and is the unavoidable cost of a
+    cross-document frequency — the same shape as exact dedup, one level
+    finer.
+
+    Output: (id_col, clean_text, n_lines_kept, n_lines_total); documents
+    whose every line was boilerplate keep an empty clean_text.
+    """
+    base = docs.filter(F.col(text_col).isNotNull())
+    lines = base.select(
+        id_col, F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line")
+    )
+    frequent = (
+        lines.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(frequent, "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                lambda s: s.getField("line"),
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_lines_kept"),
+    )
+    totals = base.select(
+        id_col, F.size(F.split(F.col(text_col), "\n")).alias("n_lines_total")
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long").alias("n_lines_kept"),
+        F.col("n_lines_total").cast("long"),
+    )
+
+
+#: tracking query parameters stripped by normalize_urls (the usual
+#: analytics noise that splits one logical page into many crawl urls)
+_TRACKING_PARAM_RE = r"(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid)=[^&#]*"
+
+
+def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Canonical URL normalisation (crawl-dedup prerequisite): lowercase
+    scheme+authority, strip fragments, default ports, tracking parameters
+    (utm_*/fbclid/gclid/...), empty query remnants and a bare trailing
+    slash — so mirror urls of one logical page collapse to one key.
+
+    Pure codegen'd regex projection (no UDF, no shuffle).  Output:
+    (url, url_norm, changed)."""
+    u = F.col(url_col)
+    # 1. drop the fragment
+    u = F.regexp_replace(u, r"#.*$", "")
+    # 2. lowercase scheme://authority (path/query case is significant)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    authority = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 0 + 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    u = F.when(scheme == "", F.col(url_col)).otherwise(F.concat(scheme, F.lit("://"), authority, rest))
+    # 3. strip default ports (two RE2-safe rules per scheme: end-of-string
+    # and followed-by-delimiter — no lookahead, so the DuckDB oracle runs
+    # the identical patterns)
+    u = F.regexp_replace(u, r"^(https://[^/?#:]*):443$", r"$1")
+    u = F.regexp_replace(u, r"^(https://[^/?#:]*):443([/?#])", r"$1$2")
+    u = F.regexp_replace(u, r"^(http://[^/?#:]*):80$", r"$1")
+    u = F.regexp_replace(u, r"^(http://[^/?#:]*):80([/?#])", r"$1$2")
+    # 4. strip tracking params (then tidy separators left behind)
+    u = F.regexp_replace(u, r"[?&]" + _TRACKING_PARAM_RE, "?")
+    u = F.regexp_replace(u, r"\?(\?)+", "?")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"[?&]$", "")
+    # 5. bare trailing slash on the root path
+    u = F.regexp_replace(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)/$", r"$1")
+    return df.select(
+        F.col(url_col).alias("url"),
+        u.alias("url_norm"),
+        (u != F.col(url_col)).alias("changed"),
+    )
+
+
+def corpus_familiarity(docs: DataFrame, rare_threshold: int = 3) -> DataFrame:
+    """Corpus-frequency familiarity features: how much of a document is
+    made of tokens the corpus itself uses often — an engine-exact,
+    training-free stand-in for an LM quality score (rare-token-heavy docs
+    are OCR garbage, lists, or boilerplate codes).
+
+    mean_token_freq = mean over the doc's tokens of each token's total
+    corpus occurrence count; rare_frac = fraction of tokens whose corpus
+    count <= ``rare_threshold``.  Both derive from INTEGER sums (exact in
+    any engine), divided once — the doubles reproduce bit-for-bit.
+
+    Plan: tokenize -> corpus counts (one map-side-combinable groupBy) ->
+    re-join tokens to counts (shuffle on token; skew-safe, token cardinality
+    is large) -> per-doc integer aggregate."""
+    words = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), r"[ \t\n\r\f]+"), lambda w: w != "")
+        ).alias("w"),
+    )
+    counts = words.groupBy("w").agg(F.count("*").alias("c"))
+    joined = words.join(counts, "w")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("c").alias("_s"),
+            F.sum((F.col("c") <= rare_threshold).cast("long")).alias("_r"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("_s").cast("double") / F.col("n_tokens")).alias("mean_token_freq"),
+            (F.col("_r").cast("double") / F.col("n_tokens")).alias("rare_frac"),
+        )
+    )

@@ -70,7 +70,14 @@ def plan_partitions(
       partitions, which at local[2] meant 30 task waves and dragged the
       full-job N->4N efficiency to ~0.79 vs the 0.96 of the 2x-cores
       stage bench.  2x still leaves AQE/speculation room to rebalance a
-      straggling payload tail.
+      straggling payload tail.  Round 4 re-probed 1x vs 2x twice
+      (scripts/sweep_arrow.py, then a same-session A/B on the uniform AND
+      skew fixtures): each window picked a different winner within ±17%,
+      i.e. the choice is inside host drift — MEASURED AMBIGUOUS, do not
+      re-litigate without a quieter host.  The same sweep pinned two real
+      effects: arrow batch 512 >= 1024 > 2048/4096, and disabling
+      python worker reuse costs ~17% at 64 tasks (worker-attach cost —
+      keep reuse on).
     - FLOOR ``n_rows / min_rows_per_partition``: a small resume batch is
       never sprayed over near-empty partitions (sub-100-row tasks are pure
       overhead); tiny inputs never get more partitions than rows.
