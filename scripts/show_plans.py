@@ -72,6 +72,10 @@ def main() -> None:
         ("embedding_near_dup_lsh", "sub-quadratic near-dup: probe-key explode + equi-join on the sign bucket — no CartesianProduct"),
         ("similarity_topk_ivf", "IVF-flat: broadcast centroid assignment (argmax window), candidate scan joined on disjoint cell ids"),
         ("corpus_top_terms", "TakeOrderedAndProject top-n (no single-partition Exchange over the vocabulary)"),
+        ("similarity_topk_lsh", "hyperplane-bucket LSH: the 386 probe keys explode on the BROADCAST query side (Generate under BroadcastExchange); the corpus computes its bucket once and joins by plain equality — never amplified"),
+        ("dedup_paragraphs", "corpus-level line dedup: posexplode -> partial+final distinct-doc count on the line key -> anti-join -> per-doc array_sort reassembly; two map-side-combinable shuffles"),
+        ("multimodal_image_decode", "two Arrow stages (synth bytes -> decode), payload pruned after decode; no shuffle at all"),
+        ("corpus_familiarity", "tokenize -> one combinable count groupBy -> re-join on token -> per-doc integer aggregate"),
     ]
     for name, note in named:
         sections.append((name, note, formatted(api.QUERIES[name](spark, SF))))
