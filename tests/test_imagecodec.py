@@ -107,9 +107,39 @@ def test_bmp_roundtrip():
 
 def test_gif_header():
     dec = ic.decode_gif_header(ic.synth_image(3))  # kind 3 -> gif
-    assert dec["format"] == "gif" and dec["pixels"] is None
+    assert dec["format"] == "gif" and dec["pixels"] is None  # header probe only
     assert dec["width"] == 8 + 3 % 9 and dec["height"] == 8 + 9 % 9
-    assert dec["palette_size"] == 2 and dec["version"] == "87a"
+    assert dec["palette_size"] == 256 and dec["version"] == "87a"
+
+
+def test_gif_lzw_known_answer_dictionary_growth():
+    """Hand-derived LZW stream: codes [CLEAR, 1, 6, END] at min_code_size 2
+    (3-bit codes, LSB-first packed to bytes 0x8C 0x0B by hand).  Code 6 is
+    the not-yet-defined next code — the classic KwKwK case — and must
+    decode to prev + prev[0], giving [1, 1, 1].  Independent of the
+    encoder (which never grows the dictionary), so a symmetric
+    encoder/decoder bug cannot hide here."""
+    assert ic._lzw_decode(2, bytes([0x8C, 0x0B])) == [1, 1, 1]
+
+
+def test_gif_full_decode_roundtrip_and_pattern():
+    """Encoded GIF pixels decode back exactly; spans >254 symbols so the
+    uncompressed encoder's periodic CLEAR path is exercised, and >255
+    compressed bytes so multi-sub-block reassembly is too."""
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    idx = bytes((i * 37 + 11) % 256 for i in range(40 * 30))
+    dec = ic.decode_gif(ic.encode_gif(40, 30, idx, palette))
+    assert dec["width"] == 40 and dec["height"] == 30 and dec["channels"] == 3
+    assert dec["pixels"] == bytes(v for i in idx for v in (i, i, i))
+    # synth kind-3 now carries real pixels matching the analytic pattern
+    d = 7  # 7 % 4 == 3 -> gif
+    g = ic.decode_image(ic.synth_image(d))
+    w, h = 8 + d % 9, 8 + (3 * d) % 9
+    expect = bytes(
+        v for y in range(h) for x in range(w)
+        for v in [(7 * x + 13 * y + 31 * d) % 256] * 3
+    )
+    assert g["pixels"] == expect
 
 
 def test_image_stats_integer_exactness():

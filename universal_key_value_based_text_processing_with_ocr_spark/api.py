@@ -1042,14 +1042,14 @@ ORACLE_SQL = {
         ),
         px AS (
             SELECT d.doc_id, d.kind, d.width, d.height,
-                   CASE WHEN d.kind = 1
+                   CASE WHEN d.kind IN (1, 3)  -- PNG-gray and gray-palette GIF
                         THEN 1000 * ((7 * x.x + 13 * y.y + 31 * d.doc_id) % 256)
                         ELSE 299 * ((7 * x.x + 13 * y.y + 31 * d.doc_id) % 256)
                            + 587 * ((7 * x.x + 13 * y.y + 31 * d.doc_id + 57) % 256)
                            + 114 * ((7 * x.x + 13 * y.y + 31 * d.doc_id + 114) % 256)
                    END AS luma
             FROM dims d, range(0, 16) x(x), range(0, 16) y(y)
-            WHERE x.x < d.width AND y.y < d.height AND d.kind <> 3
+            WHERE x.x < d.width AND y.y < d.height
         ),
         agg AS (
             SELECT doc_id, count(*) AS n, sum(luma) AS s, sum(luma * luma) AS s2,

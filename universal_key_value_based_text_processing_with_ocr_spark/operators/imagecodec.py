@@ -13,9 +13,9 @@ Decoders:
   6 (RGBA), non-interlaced; full IDAT inflate + unfiltering (None/Sub/
   Up/Average/Paeth).
 - BMP: BITMAPINFOHEADER, 24 bpp, BI_RGB (uncompressed), bottom-up rows.
-- GIF: GIF87a/GIF89a logical-screen header + global palette (dimensions,
-  palette size; LZW pixel decode intentionally out of scope — callers get
-  dims/format with pixel stats NULL).
+- GIF: GIF87a/GIF89a single-frame FULL decode — logical-screen header,
+  global/local palette, LZW image data (LSB-first codes, CLEAR/END,
+  12-bit dictionary growth) -> RGB pixels.
 
 Statistics use INTEGER luma accumulation (luma1000 = 299R + 587G + 114B,
 or 1000V for gray) so the sums are exact in any engine's 64-bit integers
@@ -258,15 +258,13 @@ def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
 
 
 # --------------------------------------------------------------------------
-# GIF header decode
+# GIF decode (header + full LZW pixel decode)
 # --------------------------------------------------------------------------
 
 
 def decode_gif_header(payload: bytes) -> dict:
-    """GIF87a/89a logical-screen descriptor + global palette size.
-
-    Pixel decode (LZW) is intentionally out of scope — dims/format real,
-    pixels None."""
+    """GIF87a/89a logical-screen descriptor + global palette size (no
+    pixel decode — the cheap metadata probe)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     width, height = struct.unpack("<HH", payload[6:10])
@@ -284,19 +282,172 @@ def decode_gif_header(payload: bytes) -> dict:
     }
 
 
+def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+    """GIF-flavor LZW decode (LSB-first bit packing, CLEAR/END codes,
+    code size grows to 12 bits as the dictionary fills)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    code_size = min_code_size + 1
+    table: dict[int, list[int]] = {i: [i] for i in range(clear)}
+    next_code = end + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    pos, total = 0, len(data) * 8
+    while True:
+        if pos + code_size > total:
+            break
+        code = 0
+        for i in range(code_size):
+            if (data[(pos + i) >> 3] >> ((pos + i) & 7)) & 1:
+                code |= 1 << i
+        pos += code_size
+        if code == end:
+            break
+        if code == clear:
+            table = {i: [i] for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            table[next_code] = prev + [entry[0]]
+            next_code += 1
+        elif code == next_code:
+            entry = prev + [prev[0]]
+            table[next_code] = entry
+            next_code += 1
+        else:
+            raise ValueError(f"corrupt LZW stream (code {code} > next {next_code})")
+        out.extend(entry)
+        prev = entry
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return out
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Full GIF decode: global/local palette + LZW image data -> RGB.
+
+    Single non-interlaced image frame; extensions skipped; transparency
+    ignored (pixels keep their palette color)."""
+    head = decode_gif_header(payload)
+    width, height = head["width"], head["height"]
+    pos = 13
+    gct = None
+    if head["palette_size"]:
+        gct = payload[pos : pos + 3 * head["palette_size"]]
+        pos += 3 * head["palette_size"]
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        _left, _top, iw, ih = struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
+        flags = payload[pos + 9]
+        pos += 10
+        if flags & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        palette = gct
+        if flags & 0x80:  # local color table
+            n = 2 ** ((flags & 0x07) + 1)
+            palette = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        if palette is None:
+            raise ValueError("GIF image without a color table")
+        min_code_size = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        indices = _lzw_decode(min_code_size, bytes(data))
+        if len(indices) < iw * ih:
+            raise ValueError("GIF pixel data truncated")
+        out = bytearray(iw * ih * 3)
+        for i in range(iw * ih):
+            ci = indices[i] * 3
+            out[3 * i : 3 * i + 3] = palette[ci : ci + 3]
+        return {
+            "format": "gif",
+            "width": iw,
+            "height": ih,
+            "channels": 3,
+            "pixels": bytes(out),
+            "palette_size": head["palette_size"],
+            "version": head["version"],
+        }
+    # no image block: header-only payload (legacy fixtures)
+    return head
+
+
+def encode_gif(width: int, height: int, indices: bytes, palette: bytes) -> bytes:
+    """Single-frame GIF87a from palette indices (fixture source).
+
+    Uses the classic 'uncompressed GIF' encoding: every index emitted as a
+    literal 9-bit code with a CLEAR every 254 symbols, so the decoder's
+    dictionary never forces a code-size change — trivially correct, and
+    the DECODER's dictionary-growth paths are covered separately by the
+    hand-derived LZW known-answer test."""
+    assert len(palette) == 256 * 3, "fixture encoder uses a full 256-entry palette"
+    min_code_size = 8
+    clear, end = 256, 257
+    bits: list[int] = []
+
+    def emit(code: int) -> None:
+        for i in range(9):
+            bits.append((code >> i) & 1)
+
+    emit(clear)
+    for j, idx in enumerate(indices):
+        if j and j % 254 == 0:
+            emit(clear)
+        emit(idx)
+    emit(end)
+    data = bytearray((len(bits) + 7) // 8)
+    for i, bit in enumerate(bits):
+        if bit:
+            data[i >> 3] |= 1 << (i & 7)
+    out = bytearray()
+    out += b"GIF87a"
+    out += struct.pack("<HH", width, height)
+    out += bytes((0x80 | 0x07, 0, 0))  # GCT present, 256 entries
+    out += palette
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    out.append(min_code_size)
+    d = bytes(data)
+    for off in range(0, len(d), 255):
+        chunk = d[off : off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00;"
+    return bytes(out)
+
+
 # --------------------------------------------------------------------------
 # decode dispatch + statistics
 # --------------------------------------------------------------------------
 
 
 def decode_image(payload: bytes) -> dict:
-    """Sniff + decode: PNG / BMP (full pixels), GIF (header only)."""
+    """Sniff + decode: PNG / BMP / GIF, all to full pixel buffers (a GIF
+    with no image block — a bare header — decodes to pixels None)."""
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
-        return decode_gif_header(payload)
+        return decode_gif(payload)
     raise ValueError("unknown image format")
 
 
@@ -344,7 +495,8 @@ def synth_image(doc_id: int) -> bytes:
     The pixel pattern has a closed form the DuckDB oracle recomputes
     analytically (it never decodes a PNG):
 
-        kind   = doc_id % 4   (0: PNG RGB, 1: PNG gray, 2: BMP, 3: GIF)
+        kind   = doc_id % 4   (0: PNG RGB, 1: PNG gray, 2: BMP,
+                               3: GIF gray-palette — analytic luma 1000*v)
         w      = 8 + doc_id % 9;  h = 8 + (3*doc_id) % 9
         px(x, y, c) = (7x + 13y + 31*doc_id + 57c) % 256
 
@@ -354,20 +506,17 @@ def synth_image(doc_id: int) -> bytes:
     d = int(doc_id)
     w, h = 8 + d % 9, 8 + (3 * d) % 9
     kind = d % 4
-    if kind == 3:
-        # GIF87a header + 2-entry global palette + trailer (no image data:
-        # the decoder is header-only by design)
-        packed = 0x80  # GCT present, size bits 0 -> 2 entries
-        return (
-            b"GIF87a"
-            + struct.pack("<HH", w, h)
-            + bytes((packed, 0, 0))
-            + b"\x00\x00\x00\xff\xff\xff"
-            + b";"
-        )
 
     def val(x: int, y: int, c: int) -> int:
         return (7 * x + 13 * y + 31 * d + 57 * c) % 256
+
+    if kind == 3:
+        # real single-frame GIF: grayscale 256-entry palette (palette[i] =
+        # (i,i,i)) with the kind-1 gray pattern as palette indices, so the
+        # oracle's analytic luma is 1000*v exactly like PNG-gray
+        palette = bytes(v for i in range(256) for v in (i, i, i))
+        idx = bytes(val(x, y, 0) for y in range(h) for x in range(w))
+        return encode_gif(w, h, idx, palette)
 
     if kind == 1:
         px = bytes(val(x, y, 0) for y in range(h) for x in range(w))

@@ -5,7 +5,7 @@ metadata structs.  Two tiers:
 
 - ``decode_image_stats``: REAL decode via the pure-stdlib codecs in
   ``imagecodec`` (PNG full IDAT inflate + unfiltering, uncompressed BMP,
-  GIF headers) -> decoded-pixel luminance statistics.  No stub: actual
+  GIF full LZW) -> decoded-pixel luminance statistics.  No stub: actual
   bytes in, actual pixels out.
 - ``decode_image_meta``: the legacy metadata plumbing exercise
   (deterministic fake dims from md5) kept for formats the stdlib codecs
@@ -92,8 +92,9 @@ def synth_images(docs: DataFrame) -> DataFrame:
 
 def decode_image_stats(images: DataFrame) -> DataFrame:
     """REAL image decode -> luminance statistics (stdlib codecs; VERDICT
-    r3 #4).  PNG (all five scanline filters) and uncompressed BMP decode
-    to pixels; GIF decodes header-only (dims real, pixel stats NULL).
+    r3 #4).  PNG (all five scanline filters), uncompressed BMP and
+    single-frame GIF (full LZW) decode to pixels; a GIF with no image
+    block yields dims with pixel stats NULL.
 
     brightness/contrast/min/max derive from exact integer luma sums
     (``imagecodec.image_stats``), so the oracle replays them bit-for-bit
