@@ -172,3 +172,31 @@ def test_synth_image_dispatch_and_stats_match_pattern():
         assert dec["pixels"] == expect
         st = ic.image_stats(dec)
         assert st["contrast"] >= 0 and math.isfinite(st["brightness"])
+
+
+def test_decoders_reject_garbage_without_hanging():
+    """Malformed payloads raise ValueError (or zlib/struct errors) fast —
+    never hang, never return corrupt pixel buffers silently."""
+    import random
+
+    rng = random.Random(99)
+    seeds = [
+        b"", b"BM", b"GIF87a", b"GIF89a\x01\x00", ic.PNG_SIG, ic.PNG_SIG + b"\x00" * 6,
+        bytes(rng.randrange(256) for _ in range(64)),
+    ]
+    # truncations and byte-flips of every valid format
+    for d in (0, 1, 2, 3):
+        full = bytearray(ic.synth_image(d))
+        seeds.append(bytes(full[: len(full) // 2]))
+        flipped = bytearray(full)
+        for _ in range(6):
+            flipped[rng.randrange(len(flipped))] ^= 0xFF
+        seeds.append(bytes(flipped))
+    for payload in seeds:
+        try:
+            dec = ic.decode_image(bytes(payload))
+        except Exception:
+            continue  # rejection is the expected common case
+        # an accepted payload must be internally consistent
+        if dec["pixels"] is not None:
+            assert len(dec["pixels"]) == dec["width"] * dec["height"] * dec["channels"]

@@ -486,3 +486,28 @@ def test_corpus_familiarity_exact_counts(spark):  # noqa: F811
     assert got[1].mean_token_freq == (3 + 3 + 1) / 3
     assert got[1].rare_frac == 1 / 3          # beta is rare (count<=1)
     assert got[3].mean_token_freq == 1.0 and got[3].rare_frac == 1.0
+
+
+# --- as-of join -------------------------------------------------------------
+
+
+def test_asof_join_semantics(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.relational import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 1, 5), (2, 1, 10), (3, 1, 15), (4, 2, 7), (5, 3, 1)],
+        "event_id long, user_id long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 12, 200.0), (2, 7, 300.0)],
+        "user_id long, ts long, value double",
+    )
+    got = {r.event_id: r for r in asof_join(left, right).collect()}
+    assert got[1].value_right == 100.0 and got[1].ts_right == 5   # tie: >= includes
+    assert got[2].value_right == 100.0                            # 12 > 10 excluded
+    assert got[3].value_right == 200.0 and got[3].ts_right == 12  # latest wins
+    assert got[4].value_right == 300.0                            # other key
+    assert got[5].value_right is None and got[5].ts_right is None  # nothing before
+    assert len(got) == 5  # left-join semantics: every left row survives

@@ -185,6 +185,32 @@ def q_contamination_check(spark, sf_dir):
     )
 
 
+def q_events_asof_join(spark, sf_dir):
+    """Point-in-time join: every click gets the user's most recent
+    purchase at-or-before it (relational.asof_join — union + running
+    last(ignorenulls), one shuffle; DuckDB's native ASOF JOIN replays
+    it)."""
+    from pyspark.sql import Window
+
+    ev = _tbl(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    j = relational.asof_join(clicks, purchases, on="user_id", ts_col="ts", right_cols=("value",))
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("value_right").alias("purchase_value"),
+    )
+
+
 def q_dedup_paragraphs(spark, sf_dir):
     """Corpus-level line dedup (RefinedWeb-style boilerplate removal)."""
     return textstats.dedup_paragraphs(_tbl(spark, sf_dir, "documents"))
@@ -368,6 +394,7 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "doc_scrub_pii": q_doc_scrub_pii,
     "contamination_check": q_contamination_check,
+    "events_asof_join": q_events_asof_join,
     "dedup_paragraphs": q_dedup_paragraphs,
     "url_normalize": q_url_normalize,
     "corpus_familiarity": q_corpus_familiarity,
@@ -608,6 +635,24 @@ ORACLE_SQL = {
         SELECT doc_id, fail IS NULL AS keep, coalesce(fail, 'ok') AS fail_reason,
                CAST(n_words AS BIGINT) AS n_words, mean_word_len
         FROM judged
+    """,
+    "events_asof_join": """
+        WITH clicks AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        pur AS (
+            SELECT user_id, ts, value FROM (
+                SELECT user_id, ts, value,
+                       row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'purchase'
+            ) WHERE rn = 1
+        )
+        SELECT c.event_id, c.user_id,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               p.value AS purchase_value
+        FROM clicks c ASOF LEFT JOIN pur p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
     """,
     "dedup_paragraphs": r"""
         WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),

@@ -145,3 +145,51 @@ def events_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     return with_sess.groupBy("user_id").agg(
         F.max("sess_no").cast("long").alias("n_sessions"), F.count("*").alias("n_events")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    right_cols: tuple[str, ...] = ("value",),
+    suffix: str = "_right",
+) -> DataFrame:
+    """AS-OF join: attach to every left row the LATEST right row of the
+    same key with ``right.ts <= left.ts`` (the time-series point-in-time
+    join Spark lacks as a built-in; DuckDB's native ASOF JOIN is the
+    oracle).
+
+    Implemented as union + running ``last(ignorenulls)`` instead of a
+    range join: tag both sides, sort each key's rows by (ts, side) —
+    right rows first on ties, matching ASOF's ``>=`` — and carry the most
+    recent right payload forward with an unbounded-preceding window.  ONE
+    shuffle on the key and a per-key sort, O(n log n) per key; a
+    range-condition join would be O(n_left * n_right) per key and a
+    broadcast-nested-loop at that.  Exactly the merge-scan shape a
+    time-series engine runs, expressed in Catalyst operators.
+
+    Right rows should be unique per (key, ts) — pre-dedupe for a
+    deterministic pick (ties within a ts would otherwise fall to sort
+    order).  Output: all left columns plus ``<ts_col><suffix>`` and
+    ``<c><suffix>`` for each of ``right_cols`` (NULL when no right row
+    precedes the left row)."""
+    rtag = right.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        F.col(ts_col).alias(f"{ts_col}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    )
+    ltag = left.withColumn("_side", F.lit(1))
+    u = ltag.unionByName(rtag, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [f"{ts_col}{suffix}"] + [f"{c}{suffix}" for c in right_cols]
+    out = u
+    for c in carried:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out.filter(F.col("_side") == 1).drop("_side")
