@@ -130,7 +130,12 @@ def main() -> None:
 
     # Queries added after round 2, timed best-of-N but reported OUTSIDE the
     # summed map so the headline total stays comparable round-over-round.
-    new_queries = ["dedup_incremental_bloom", "pages_clean_corpus", "pages_host_stats"]
+    new_queries = [
+        "dedup_incremental_bloom", "pages_clean_corpus", "pages_host_stats",
+        # round 4
+        "similarity_topk_lsh", "multimodal_image_decode", "dedup_paragraphs",
+        "url_normalize", "corpus_familiarity", "events_asof_join",
+    ]
 
     best: dict[str, float] = {}
     counts: dict[str, int] = {}

@@ -167,3 +167,51 @@ def test_dedup_shared_subtrees_use_reused_exchange(spark):  # noqa: F811
         plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
         assert "isFinalPlan=true" in plan
         assert plan.count("ReusedExchange") >= min_reused, plan[:1500]
+
+
+def test_asof_join_single_shuffle_no_nested_loop(spark):  # noqa: F811
+    """asof_join must plan ONE key shuffle + window sort — never the
+    broadcast-nested-loop / cartesian a range-condition join degrades to."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.relational import (
+        asof_join,
+    )
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    left = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    plan = _formatted(asof_join(left, right))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # the union feeds exactly one exchange, hash-partitioned on the key
+    assert plan.count("+- Exchange") + plan.count(":- Exchange") == 1
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_dedup_paragraphs_combinable_aggregates(spark):  # noqa: F811
+    """Line-frequency and reassembly aggregates both keep a partial
+    (map-side) phase; no cartesian anywhere."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        dedup_paragraphs,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _formatted(dedup_paragraphs(docs))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # countDistinct -> partial_count(distinct ...) pair; collect_list via
+    # ObjectHashAggregate with a partial phase
+    assert "partial_count" in plan
+    assert "ObjectHashAggregate" in plan
+
+
+def test_lsh_topk_corpus_side_not_exploded(spark):  # noqa: F811
+    """The multi-probe explode must sit under the broadcast (query) side;
+    already asserted in round-4 fixes but pinned here with the other
+    plan-shape claims."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.similarity import (
+        lsh_bucketed_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(lsh_bucketed_topk(emb))
+    assert plan.count("Generate explode") == 1
+    assert plan.index("Generate explode") > plan.index("BroadcastExchange")
