@@ -244,29 +244,49 @@ def main() -> None:
         for w, row in k.items():
             if w not in kernel or row["docs_per_sec"] > kernel[w]["docs_per_sec"]:
                 kernel[w] = row
-    eff_2_8 = round((levels[8]["docs_per_sec"] / levels[2]["docs_per_sec"]) / 4, 3)
-    eff_8_32 = round((levels[32]["docs_per_sec"] / levels[8]["docs_per_sec"]) / 4, 3)
-    job_eff_2_8 = round((job_levels[8]["docs_per_sec"] / job_levels[2]["docs_per_sec"]) / 4, 3)
-    skew_eff_2_8 = round(
-        (skew_levels[8]["docs_per_sec"] / skew_levels[2]["docs_per_sec"]) / 4, 3
-    ) if 2 in skew_levels and 8 in skew_levels else None
-    kc_2_8 = round((kernel[8]["docs_per_sec"] / kernel[2]["docs_per_sec"]) / 4, 3)
-    kc_8_32 = round((kernel[32]["docs_per_sec"] / kernel[8]["docs_per_sec"]) / 4, 3)
+    # Every ratio is presence-guarded: a FOCUSED invocation (or one whose
+    # prior accumulation was discarded — fresh HEAD, different n_docs,
+    # unreadable json) may hold only a subset of levels, and a KeyError
+    # here after minutes of benchmarking would lose every sample before
+    # the payload write (review finding).
+    def _ratio(d: dict, hi: int, lo: int, div: float = 4.0):
+        if hi in d and lo in d and d[lo]["docs_per_sec"]:
+            return round((d[hi]["docs_per_sec"] / d[lo]["docs_per_sec"]) / div, 3)
+        return None
+
+    eff_2_8 = _ratio(levels, 8, 2)
+    eff_8_32 = _ratio(levels, 32, 8)
+    job_eff_2_8 = _ratio(job_levels, 8, 2)
+    skew_eff_2_8 = _ratio(skew_levels, 8, 2)
+    kc_2_8 = _ratio(kernel, 8, 2)
+    kc_8_32 = _ratio(kernel, 32, 8)
     # plan efficiency relative to what the hardware allows for this kernel
-    norm_2_8 = round(eff_2_8 / kc_2_8, 3) if kc_2_8 else None
-    norm_8_32 = round(eff_8_32 / kc_8_32, 3) if kc_8_32 else None
+    norm_2_8 = round(eff_2_8 / kc_2_8, 3) if eff_2_8 and kc_2_8 else None
+    norm_8_32 = round(eff_8_32 / kc_8_32, 3) if eff_8_32 and kc_8_32 else None
     overhead = {
         str(c): round(levels[c]["docs_per_sec"] / kernel[c]["docs_per_sec"], 3)
         for c in (2, 8, 32)
+        if c in levels and c in kernel and kernel[c]["docs_per_sec"]
     }
 
-    k2, k8, k32 = (kernel[c]["docs_per_sec"] for c in (2, 8, 32))
-    s2, s8, s32 = (levels[c]["docs_per_sec"] for c in (2, 8, 32))
+    k2, k8, k32 = (kernel.get(c, {}).get("docs_per_sec", "-") for c in (2, 8, 32))
+    s2, s8, s32 = (levels.get(c, {}).get("docs_per_sec", "-") for c in (2, 8, 32))
     _sk2 = skew_levels.get(2, {})
     _sk8 = skew_levels.get(8, {})
     skew2_n, skew2_wall, skew2_rate = (_sk2.get(k, "-") for k in ("n", "wall_s", "docs_per_sec"))
     skew8_n, skew8_wall, skew8_rate = (_sk8.get(k, "-") for k in ("n", "wall_s", "docs_per_sec"))
-    o2, o8, o32 = overhead["2"], overhead["8"], overhead["32"]
+    o2, o8, o32 = (overhead.get(str(c), "-") for c in (2, 8, 32))
+    # md table cells tolerate missing levels the same way (focused or
+    # fresh-accumulation invocations measure only a subset)
+    import collections
+
+    # snapshot the REAL measurements for the json payload before wrapping
+    # in placeholder-defaulting views for the md template (defaultdict
+    # access would otherwise materialise "-" rows into the payload and
+    # poison the next invocation's best-per-level merge)
+    payload_levels, payload_job_levels = dict(levels), dict(job_levels)
+    levels = collections.defaultdict(lambda: collections.defaultdict(lambda: "-"), levels)
+    job_levels = collections.defaultdict(lambda: collections.defaultdict(lambda: "-"), job_levels)
     md = f"""# BENCH/BASELINE — measured numbers
 
 Generated by `scripts/scaling_bench.py` on {datetime.date.today().isoformat()}
@@ -389,9 +409,9 @@ Notes
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
     (bench_dir / "BASELINE.md").write_text(md)
-    payload = {"cores": cores, "levels": levels,
+    payload = {"cores": cores, "levels": payload_levels,
                "efficiency_2_to_8": eff_2_8, "efficiency_8_to_32": eff_8_32,
-               "job_levels": job_levels, "job_efficiency_2_to_8": job_eff_2_8,
+               "job_levels": payload_job_levels, "job_efficiency_2_to_8": job_eff_2_8,
                "skew_levels": skew_levels, "skew_efficiency_2_to_8": skew_eff_2_8,
                "kernel_levels": kernel,
                "kernel_ceiling_2_to_8": kc_2_8, "kernel_ceiling_8_to_32": kc_8_32,

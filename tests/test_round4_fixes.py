@@ -464,6 +464,12 @@ def test_normalize_urls_cases(spark):  # noqa: F811
         "https://a.b/": "https://a.b",
         "https://a.b/p?utm_campaign=x&fbclid=y&keep=1": "https://a.b/p?keep=1",
         "https://a.b/p?utm_only=1": "https://a.b/p",
+        # mid-query tracking params must keep the kept params' delimiters
+        # intact (review finding: the old rule produced '?x=1?y=2')
+        "https://a.b/p?x=1&utm_source=f&y=2": "https://a.b/p?x=1&y=2",
+        "https://a.b/p?x=1&gclid=z": "https://a.b/p?x=1",
+        "https://a.b/p?utm_a=1&utm_b=2&y=2": "https://a.b/p?y=2",
+        "https://a.b/p?utm_a=1&x=1&utm_b=2&y=2": "https://a.b/p?x=1&y=2",
         "https://a.b:8443/x": "https://a.b:8443/x",  # non-default port kept
         "no-scheme-at-all": "no-scheme-at-all",       # untouched
     }
@@ -511,3 +517,38 @@ def test_asof_join_semantics(spark):  # noqa: F811
     assert got[4].value_right == 300.0                            # other key
     assert got[5].value_right is None and got[5].ts_right is None  # nothing before
     assert len(got) == 5  # left-join semantics: every left row survives
+
+
+def test_asof_join_ignores_null_ts_right_rows(spark):  # noqa: F811
+    """A right row with ts=NULL can never match (ASOF >= semantics); it
+    must not be carried into every left row by the NULLS-FIRST sort."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.relational import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame([(1, 1, 5)], "event_id long, user_id long, ts long")
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, 10, 100.0)], "user_id long, ts long, value double"
+    )
+    row = asof_join(left, right).collect()[0]
+    assert row.value_right is None and row.ts_right is None
+
+
+def test_decode_image_stats_contains_bad_payloads(spark):  # noqa: F811
+    """One corrupt payload must not fail the stage: it becomes an
+    auditable format='error' row with NULL stats; good rows unaffected."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators import (
+        imagecodec,
+        multimodal,
+    )
+
+    rows = [
+        (1, imagecodec.synth_image(0)),
+        (2, imagecodec.synth_image(3)[:20]),       # truncated GIF
+        (3, b"\xff\xd8\xff\xe0 not decodable"),     # jpeg-ish garbage
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in multimodal.decode_image_stats(df).collect()}
+    assert got[1].format == "png" and got[1].brightness is not None
+    assert got[2].format == "error" and got[2].brightness is None
+    assert got[3].format == "error" and got[3].width is None

@@ -705,8 +705,10 @@ ORACLE_SQL = {
                           '^(http://[^/?#:]*):80([/?#])', '\1\2', 'g') AS u
                FROM s2),
         s4 AS (SELECT url,
-                      regexp_replace(regexp_replace(regexp_replace(regexp_replace(u,
-                          '[?&](utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid)=[^&#]*', '?', 'g'),
+                      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(u,
+                          '&(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid)=[^&#]*', '', 'g'),
+                          '\?(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid)=[^&#]*&', '?', 'g'),
+                          '\?(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid)=[^&#]*$', '', 'g'),
                           '\?(\?)+', '?', 'g'),
                           '\?&', '?', 'g'),
                           '[?&]$', '', 'g') AS u

@@ -591,17 +591,22 @@ class SnapshotTable:
             if not d.is_dir():
                 continue
             if d.name not in referenced_dirs:
+                # unreferenced dirs — even EMPTY ones — are only removed
+                # past the age gate: a concurrent append creates its
+                # data/<snap> dir (briefly empty) before anything is
+                # referenced, and an un-aged rmdir would race it
                 try:
                     newest = max(
                         [d.stat().st_mtime] + [p.stat().st_mtime for p in d.rglob("*")]
                     )
                     if now - newest > self.ORPHAN_AGE_S:
                         shutil.rmtree(d)
-                        continue
                 except OSError:
                     pass
-            # referenced (or young) dirs that became empty after per-file
-            # deletion are pruned immediately — an empty dir carries no data
+                continue
+            # referenced dirs that became empty after per-file deletion
+            # (expire of a superseded compact) are pruned immediately —
+            # their snapshot is committed, nothing in-flight owns them
             try:
                 if not any(d.iterdir()):
                     d.rmdir()

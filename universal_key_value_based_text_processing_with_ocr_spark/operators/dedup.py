@@ -377,6 +377,19 @@ def bloom_sketch(docs: DataFrame, m_bits: int = BLOOM_BITS, k: int = BLOOM_HASHE
     return bloom_sketch_from_fps(fps, m_bits, k)
 
 
+def fps_of(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct content fingerprints (``fp`` column) of a text frame — THE
+    canonical fingerprint projection.  Every producer of the fingerprint
+    side-table (batch job, streaming foreachBatch, backfill, rebuild) MUST
+    go through this helper: a hash change applied anywhere else would make
+    the two writers silently diverge."""
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.md5(text_col).alias("fp"))
+        .distinct()
+    )
+
+
 def bloom_sketch_from_fps(
     fps: DataFrame, m_bits: int = BLOOM_BITS, k: int = BLOOM_HASHES
 ) -> DataFrame:

@@ -338,6 +338,8 @@ def decode_gif(payload: bytes) -> dict:
     gct = None
     if head["palette_size"]:
         gct = payload[pos : pos + 3 * head["palette_size"]]
+        if len(gct) < 3 * head["palette_size"]:
+            raise ValueError("GIF truncated inside the global color table")
         pos += 3 * head["palette_size"]
     while pos < len(payload):
         b = payload[pos]
@@ -441,13 +443,23 @@ def encode_gif(width: int, height: int, indices: bytes, palette: bytes) -> bytes
 
 def decode_image(payload: bytes) -> dict:
     """Sniff + decode: PNG / BMP / GIF, all to full pixel buffers (a GIF
-    with no image block — a bare header — decodes to pixels None)."""
-    if payload[:8] == PNG_SIG:
-        return decode_png(payload)
-    if payload[:2] == b"BM":
-        return decode_bmp(payload)
-    if payload[:6] in (b"GIF87a", b"GIF89a"):
-        return decode_gif(payload)
+    with no image block — a bare header — decodes to pixels None).
+
+    ALWAYS raises ValueError on undecodable input: truncated payloads
+    that would otherwise escape as IndexError / struct.error / zlib.error
+    from the parsers are normalised here, so per-row error containment in
+    callers needs exactly one except clause."""
+    try:
+        if payload[:8] == PNG_SIG:
+            return decode_png(payload)
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return decode_gif(payload)
+    except ValueError:
+        raise
+    except (IndexError, struct.error, zlib.error) as e:
+        raise ValueError(f"truncated/corrupt image payload: {e}") from e
     raise ValueError("unknown image format")
 
 

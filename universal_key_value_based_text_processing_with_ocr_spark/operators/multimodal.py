@@ -108,8 +108,18 @@ def decode_image_stats(images: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                dec = imagecodec.decode_image(bytes(payload))
-                st = imagecodec.image_stats(dec)
+                try:
+                    dec = imagecodec.decode_image(bytes(payload))
+                    st = imagecodec.image_stats(dec)
+                except ValueError:
+                    # per-row containment: one undecodable payload in a
+                    # 100 TB corpus must not fail the whole stage — it
+                    # becomes an auditable format='error' row (mirrors
+                    # the header-only-GIF NULL convention)
+                    dec = {"format": "error", "width": None, "height": None,
+                           "channels": None}
+                    st = {"brightness": None, "contrast": None,
+                          "min_luma": None, "max_luma": None}
                 rows.append(
                     {
                         "doc_id": doc_id,

@@ -174,7 +174,11 @@ def asof_join(
     order).  Output: all left columns plus ``<ts_col><suffix>`` and
     ``<c><suffix>`` for each of ``right_cols`` (NULL when no right row
     precedes the left row)."""
-    rtag = right.select(
+    # A NULL-ts right row can never satisfy ``right.ts <= left.ts`` (ASOF
+    # semantics; the oracle's `>=` never matches NULL) — but Spark's asc
+    # sort puts NULLs FIRST, so without this filter its payload would be
+    # carried into every left row of the key (review finding).
+    rtag = right.filter(F.col(ts_col).isNotNull()).select(
         F.col(on),
         F.col(ts_col),
         F.lit(0).alias("_side"),

@@ -515,8 +515,16 @@ def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     u = F.regexp_replace(u, r"^(https://[^/?#:]*):443([/?#])", r"$1$2")
     u = F.regexp_replace(u, r"^(http://[^/?#:]*):80$", r"$1")
     u = F.regexp_replace(u, r"^(http://[^/?#:]*):80([/?#])", r"$1$2")
-    # 4. strip tracking params (then tidy separators left behind)
-    u = F.regexp_replace(u, r"[?&]" + _TRACKING_PARAM_RE, "?")
+    # 4. strip tracking params, delimiter-preserving (review finding: a
+    # plain [?&]param -> '?' replacement corrupted mid-query params —
+    # '?x=1&utm=f&y=2' became '?x=1?y=2').  Three complete global passes:
+    #   a) any NON-FIRST tracking param drops with its '&'
+    #   b) a FIRST tracking param with a successor hands '?' to it
+    #   c) a tracking param left as the only query drops with its '?'
+    u = F.regexp_replace(u, r"&" + _TRACKING_PARAM_RE, "")
+    u = F.regexp_replace(u, r"\?" + _TRACKING_PARAM_RE + r"&", "?")
+    u = F.regexp_replace(u, r"\?" + _TRACKING_PARAM_RE + r"$", "")
+    # tidy belt (no-ops after the passes above, kept for defense)
     u = F.regexp_replace(u, r"\?(\?)+", "?")
     u = F.regexp_replace(u, r"\?&", "?")
     u = F.regexp_replace(u, r"[?&]$", "")

@@ -123,7 +123,7 @@ def run_extraction_job(
     )
     fp_tbl = SnapshotTable(fp_path or f"{results_path}_fps") if dedup_content else None
     if dedup_content:
-        from ..operators.dedup import drop_content_duplicates
+        from ..operators.dedup import drop_content_duplicates, fps_of
 
         committed_fps = None
         if committed is not None:
@@ -133,9 +133,7 @@ def run_extraction_job(
                 # one-time backfill for tables that predate the fp table:
                 # a single text scan now buys fp-only dedup forever after
                 fp_tbl.append(
-                    committed.filter(F.col("extracted_text").isNotNull())
-                    .select(F.md5("extracted_text").alias("fp"))
-                    .distinct(),
+                    fps_of(committed, "extracted_text"),
                     summary={"op": "backfill", "run_id": run_id},
                 )
                 committed_fps = fp_tbl.read(spark).select("fp")
@@ -166,10 +164,10 @@ def run_extraction_job(
         # mirror may slip through later, never a wrongful drop); read from
         # the just-written batch files — fp maintenance never re-runs the
         # Python stage
+        from ..operators.dedup import fps_of
+
         fp_tbl.append(
-            batch.filter(F.col("extracted_text").isNotNull())
-            .select(F.md5("extracted_text").alias("fp"))
-            .distinct(),
+            fps_of(batch, "extracted_text"),
             summary={"run_id": run_id, "results_snapshot_id": snapshot_id},
         )
 
@@ -248,12 +246,9 @@ def rebuild_fp_table(
     predates fp maintenance or accumulated gaps from interleaved
     ``dedup_content=False`` runs / crashes between results- and fp-commit.
     Returns the new fp snapshot id."""
+    from ..operators.dedup import fps_of
+
     results_tbl = SnapshotTable(results_path)
     fp_tbl = SnapshotTable(fp_path or f"{results_path}_fps")
-    fps = (
-        results_tbl.read(spark)
-        .filter(F.col(text_col).isNotNull())
-        .select(F.md5(text_col).alias("fp"))
-        .distinct()
-    )
+    fps = fps_of(results_tbl.read(spark), text_col)
     return fp_tbl.append(fps, summary={"op": "rebuild"}, _replace=True)

@@ -88,7 +88,7 @@ def streamed_extraction_job(
     commit.
     """
     from ..lakehouse import SnapshotTable
-    from ..operators.dedup import drop_content_duplicates
+    from ..operators.dedup import drop_content_duplicates, fps_of
     from ..operators.extract import extract_pages
     from pyspark.sql import functions as F
 
@@ -113,9 +113,7 @@ def streamed_extraction_job(
                     committed_fps = fp_tbl.read(batch_df.sparkSession).select("fp")
                 else:
                     fp_tbl.append(
-                        committed.filter(F.col("extracted_text").isNotNull())
-                        .select(F.md5("extracted_text").alias("fp"))
-                        .distinct(),
+                        fps_of(committed, "extracted_text"),
                         summary={"op": "backfill", "run_id": run_id},
                     )
                     committed_fps = fp_tbl.read(batch_df.sparkSession).select("fp")
@@ -136,9 +134,7 @@ def streamed_extraction_job(
                 # fp rows commit AFTER the epoch's results snapshot —
                 # crash window leaks a future mirror, never drops a doc
                 fp_tbl.append(
-                    results.filter(F.col("extracted_text").isNotNull())
-                    .select(F.md5("extracted_text").alias("fp"))
-                    .distinct(),
+                    fps_of(results, "extracted_text"),
                     summary={"run_id": run_id, "epoch": epoch_id,
                              "results_snapshot_id": snapshot_id},
                 )
