@@ -200,3 +200,44 @@ def test_decoders_reject_garbage_without_hanging():
         # an accepted payload must be internally consistent
         if dec["pixels"] is not None:
             assert len(dec["pixels"]) == dec["width"] * dec["height"] * dec["channels"]
+
+
+def test_hostile_headers_fail_contained():
+    """Untrusted header dims / compressed bombs must fail as ValueError
+    BEFORE any giant allocation — per-row containment depends on it."""
+    # 54-byte BMP advertising 2^31-1 x 2^31-1
+    info = struct.pack("<IiiHHIIiiII", 40, 2**31 - 1, 2**31 - 1, 1, 24, 0, 0, 0, 0, 0, 0)
+    bomb_bmp = b"BM" + struct.pack("<IHHI", 60, 0, 0, 54) + info + b"\x00" * 6
+    with pytest.raises(ValueError, match="refusing"):
+        ic.decode_bmp(bomb_bmp)
+
+    # PNG advertising huge dims (zlib data irrelevant — dims reject first)
+    ihdr = struct.pack(">IIBBBBB", 2**20, 2**20, 8, 6, 0, 0, 0)
+    big_png = ic.PNG_SIG + ic._chunk(b"IHDR", ihdr) + ic._chunk(b"IDAT", zlib.compress(b"x")) + ic._chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="refusing"):
+        ic.decode_png(big_png)
+
+    # zlib bomb: sane dims, IDAT inflating far past the expected size
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bomb = ic.PNG_SIG + ic._chunk(b"IHDR", ihdr) + ic._chunk(
+        b"IDAT", zlib.compress(b"\x00" * 10_000_000)
+    ) + ic._chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="mismatch"):
+        ic.decode_png(bomb)
+
+    # corrupt LZW: first code after CLEAR is out of table -> ValueError,
+    # not KeyError (reproduced in review)
+    with pytest.raises(ValueError, match="LZW"):
+        # min_code_size 2: CLEAR=4; craft 3-bit codes [4, 7] (7 undefined)
+        ic._lzw_decode(2, bytes([0b00111100]))
+
+    # LZW expansion cap: a 1200-symbol stream against declared 1x1 dims
+    # (the decoder only budgets iw*ih plus one CLEAR-period of slack)
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    gif = bytearray(ic.encode_gif(40, 30, bytes(i % 256 for i in range(1200)), palette))
+    struct.pack_into("<HH", gif, 6, 1, 1)
+    off = 13 + 256 * 3  # image descriptor follows header + 256-entry GCT
+    assert gif[off] == 0x2C
+    struct.pack_into("<HH", gif, off + 5, 1, 1)
+    with pytest.raises(ValueError, match="expands past"):
+        ic.decode_gif(bytes(gif))

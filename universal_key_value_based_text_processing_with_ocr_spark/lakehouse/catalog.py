@@ -193,13 +193,19 @@ class SnapshotTable:
             if between is None:
                 return True
             b = bounds(s, chunk_level=True)
-            return b is None or not (b[1] < lo or b[0] > hi)
+            try:
+                return b is None or not (b[1] < lo or b[0] > hi)
+            except TypeError:
+                return True  # mixed-type bounds (schema drift): never prune
 
         def file_may_match(st: dict) -> bool:
             if between is None or not st:
                 return True
             b = bounds(st, chunk_level=False)
-            return b is None or not (b[1] < lo or b[0] > hi)
+            try:
+                return b is None or not (b[1] < lo or b[0] > hi)
+            except TypeError:
+                return True
 
         files: list[str] = []
         opened = 0
@@ -285,7 +291,11 @@ class SnapshotTable:
     #: prunes on SEVERAL columns (url + warc_ts at minimum for a crawl
     #: table) so every present stats column gets an envelope, not just the
     #: first — exactly Iceberg's per-column ``lower_bounds``/``upper_bounds``.
-    STATS_COLUMNS = ("url", "warc_ts", "doc_id", "user_id", "id")
+    #: ORDER MATTERS for legacy compatibility: the FIRST present column is
+    #: the default/legacy pruning column, so new entries append at the END
+    #: — reordering would silently flip the default for existing tables
+    #: and mix bound types across old and new chunks (review finding).
+    STATS_COLUMNS = ("url", "doc_id", "user_id", "id", "warc_ts")
 
     def _collect_file_stats(self, rel_files: list[str]) -> dict:
         """Per-file row count + min/max of EVERY present stats column, read

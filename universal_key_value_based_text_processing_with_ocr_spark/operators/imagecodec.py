@@ -36,6 +36,21 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 #: PNG color type -> channel count (8-bit depth only)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
+#: decoded-buffer ceiling (bytes): headers are UNTRUSTED, and a 54-byte
+#: payload advertising 2^31 x 2^31 dims (or a zlib bomb) must fail as a
+#: contained ValueError, never as a near-2^63 allocation / MemoryError
+#: that defeats per-row containment.  256 MB ~ a 9000x9000 RGBA frame —
+#: far above anything a crawl-pipeline thumbnail stage should decode.
+MAX_DECODED_BYTES = 1 << 28
+
+
+def _check_decoded_size(width: int, height: int, channels: int) -> None:
+    if width <= 0 or height <= 0 or width * height * channels > MAX_DECODED_BYTES:
+        raise ValueError(
+            f"refusing image of {width}x{height}x{channels} "
+            f"(> {MAX_DECODED_BYTES} decoded bytes or non-positive dims)"
+        )
+
 
 # --------------------------------------------------------------------------
 # PNG encode (fixture source)
@@ -178,9 +193,14 @@ def decode_png(payload: bytes) -> dict:
             f"unsupported PNG (depth={depth} color_type={color_type} interlace={interlace})"
         )
     ch = _PNG_CHANNELS[color_type]
+    _check_decoded_size(width, height, ch)
     stride = width * ch
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    # capped inflate: a zlib bomb must not expand past the advertised
+    # size before the length check can reject it
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected or d.unconsumed_tail or d.decompress(b"", 1):
         raise ValueError("PNG data length mismatch")
     out = bytearray(stride * height)
     prev = bytes(stride)
@@ -222,7 +242,10 @@ def decode_bmp(payload: bytes) -> dict:
         raise ValueError(f"unsupported BMP (bpp={bpp} compression={compression})")
     top_down = height < 0
     height = abs(height)
+    _check_decoded_size(width, height, 3)
     row_size = (width * 3 + 3) & ~3
+    if data_off + row_size * height > len(payload):
+        raise ValueError("BMP pixel data truncated")
     out = bytearray(width * height * 3)
     for y in range(height):
         src_y = y if top_down else height - 1 - y
@@ -282,9 +305,14 @@ def decode_gif_header(payload: bytes) -> dict:
     }
 
 
-def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+def _lzw_decode(min_code_size: int, data: bytes, max_symbols: int | None = None) -> list[int]:
     """GIF-flavor LZW decode (LSB-first bit packing, CLEAR/END codes,
-    code size grows to 12 bits as the dictionary fills)."""
+    code size grows to 12 bits as the dictionary fills).
+
+    ``max_symbols`` bounds the OUTPUT: a crafted stream of n codes can
+    legally expand to ~n^2/2 symbols, so callers pass the pixel count
+    they actually need and a bomb fails as ValueError, not as an
+    unbounded allocation."""
     clear, end = 1 << min_code_size, (1 << min_code_size) + 1
     code_size = min_code_size + 1
     table: dict[int, list[int]] = {i: [i] for i in range(clear)}
@@ -309,6 +337,8 @@ def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
             prev = None
             continue
         if prev is None:
+            if code not in table:
+                raise ValueError(f"corrupt LZW stream (first code {code} not in table)")
             entry = table[code]
         elif code in table:
             entry = table[code]
@@ -321,6 +351,8 @@ def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
         else:
             raise ValueError(f"corrupt LZW stream (code {code} > next {next_code})")
         out.extend(entry)
+        if max_symbols is not None and len(out) > max_symbols:
+            raise ValueError("LZW stream expands past the declared pixel count")
         prev = entry
         if next_code == (1 << code_size) and code_size < 12:
             code_size += 1
@@ -365,6 +397,7 @@ def decode_gif(payload: bytes) -> dict:
             pos += 3 * n
         if palette is None:
             raise ValueError("GIF image without a color table")
+        _check_decoded_size(iw, ih, 3)
         min_code_size = payload[pos]
         pos += 1
         data = bytearray()
@@ -373,7 +406,7 @@ def decode_gif(payload: bytes) -> dict:
             data += payload[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
         pos += 1
-        indices = _lzw_decode(min_code_size, bytes(data))
+        indices = _lzw_decode(min_code_size, bytes(data), max_symbols=iw * ih + 254)
         if len(indices) < iw * ih:
             raise ValueError("GIF pixel data truncated")
         out = bytearray(iw * ih * 3)
@@ -458,7 +491,7 @@ def decode_image(payload: bytes) -> dict:
             return decode_gif(payload)
     except ValueError:
         raise
-    except (IndexError, struct.error, zlib.error) as e:
+    except (IndexError, KeyError, struct.error, zlib.error) as e:
         raise ValueError(f"truncated/corrupt image payload: {e}") from e
     raise ValueError("unknown image format")
 

@@ -109,6 +109,8 @@ def decode_image_stats(images: DataFrame) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
+                    if payload is None:  # fetch failure recorded as NULL
+                        raise ValueError("NULL payload")
                     dec = imagecodec.decode_image(bytes(payload))
                     st = imagecodec.image_stats(dec)
                 except ValueError:

@@ -178,12 +178,21 @@ def asof_join(
     # semantics; the oracle's `>=` never matches NULL) — but Spark's asc
     # sort puts NULLs FIRST, so without this filter its payload would be
     # carried into every left row of the key (review finding).
+    # The right payload travels as ONE struct so the carry is atomic: a
+    # per-column last(ignorenulls) would skip a genuine NULL in the
+    # latest right row and backfill that column from an OLDER row —
+    # returning a (ts_right, value_right) combination that never existed
+    # (review finding, reproduced vs the DuckDB oracle).  The struct is
+    # non-null for every right row even when its members are null, so
+    # last(ignorenulls) picks whole rows only.
     rtag = right.filter(F.col(ts_col).isNotNull()).select(
         F.col(on),
         F.col(ts_col),
         F.lit(0).alias("_side"),
-        F.col(ts_col).alias(f"{ts_col}{suffix}"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.struct(
+            F.col(ts_col).alias(f"{ts_col}{suffix}"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        ).alias("_r"),
     )
     ltag = left.withColumn("_side", F.lit(1))
     u = ltag.unionByName(rtag, allowMissingColumns=True)
@@ -192,8 +201,7 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [f"{ts_col}{suffix}"] + [f"{c}{suffix}" for c in right_cols]
-    out = u
-    for c in carried:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return out.filter(F.col("_side") == 1).drop("_side")
+    out = u.withColumn("_r", F.last("_r", ignorenulls=True).over(w))
+    for c in [f"{ts_col}{suffix}"] + [f"{c}{suffix}" for c in right_cols]:
+        out = out.withColumn(c, F.col("_r").getField(c))
+    return out.filter(F.col("_side") == 1).drop("_side", "_r")

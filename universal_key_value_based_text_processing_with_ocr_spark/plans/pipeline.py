@@ -123,20 +123,9 @@ def run_extraction_job(
     )
     fp_tbl = SnapshotTable(fp_path or f"{results_path}_fps") if dedup_content else None
     if dedup_content:
-        from ..operators.dedup import drop_content_duplicates, fps_of
+        from ..operators.dedup import drop_content_duplicates
 
-        committed_fps = None
-        if committed is not None:
-            if fp_tbl.exists():
-                committed_fps = fp_tbl.read(spark).select("fp")
-            else:
-                # one-time backfill for tables that predate the fp table:
-                # a single text scan now buys fp-only dedup forever after
-                fp_tbl.append(
-                    fps_of(committed, "extracted_text"),
-                    summary={"op": "backfill", "run_id": run_id},
-                )
-                committed_fps = fp_tbl.read(spark).select("fp")
+        committed_fps = ensure_committed_fps(spark, fp_tbl, committed, run_id)
         results = drop_content_duplicates(results, committed_fps=committed_fps)
 
     # SINGLE materialisation: the fused extract stage streams straight into
@@ -233,6 +222,25 @@ def run_extraction_job(
         "resumed": False,
         "wall_ms": int((time.time() - t0) * 1000),
     }
+
+
+def ensure_committed_fps(spark, fp_tbl, committed, run_id: str):
+    """Committed-side fingerprints for content dedup: read the fp
+    side-table, backfilling it ONCE from committed text for tables that
+    predate fp maintenance (a single text scan buys fp-only dedup forever
+    after).  The batch job and the streaming foreachBatch both go through
+    here — two producers of one side-table must enact identical policy
+    (review finding: the block was previously copy-pasted between them)."""
+    from ..operators.dedup import fps_of
+
+    if committed is None:
+        return None
+    if not fp_tbl.exists():
+        fp_tbl.append(
+            fps_of(committed, "extracted_text"),
+            summary={"op": "backfill", "run_id": run_id},
+        )
+    return fp_tbl.read(spark).select("fp")
 
 
 def rebuild_fp_table(

@@ -107,16 +107,11 @@ def streamed_extraction_job(
             pages = pages.join(committed.select("url"), "url", "left_anti")
         results = extract_pages(pages).withColumn("partition_id", F.spark_partition_id())
         if dedup_content:
-            committed_fps = None
-            if committed is not None:
-                if fp_tbl.exists():
-                    committed_fps = fp_tbl.read(batch_df.sparkSession).select("fp")
-                else:
-                    fp_tbl.append(
-                        fps_of(committed, "extracted_text"),
-                        summary={"op": "backfill", "run_id": run_id},
-                    )
-                    committed_fps = fp_tbl.read(batch_df.sparkSession).select("fp")
+            from ..plans.pipeline import ensure_committed_fps
+
+            committed_fps = ensure_committed_fps(
+                batch_df.sparkSession, fp_tbl, committed, run_id
+            )
             results = drop_content_duplicates(results, committed_fps=committed_fps)
         results.persist()
         try:
