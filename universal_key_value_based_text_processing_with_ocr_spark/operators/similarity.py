@@ -195,7 +195,13 @@ def hyperplane_bucket(embedding, planes: list[list[float]]) -> F.Column:
     """LSH bucket: sign bits of the dot products with ±1 hyperplanes,
     packed to an int.  Left-fold aggregate keeps the summation order
     identical to the oracle's list_dot_product, so the sign decision can
-    never diverge between engines."""
+    never diverge between engines.
+
+    MEASURED NEGATIVE RESULT (round 4, don't redo): expanding the dots
+    into explicit element_at arithmetic (640 codegen'd multiply-adds, no
+    HOF) is 4x SLOWER than this fold (3.4 s vs 0.84 s at sf0.1/local[8])
+    — the expression tree defeats whole-stage codegen; the interpreted
+    HOF is the fast form here."""
     key = F.lit(0)
     for i, p in enumerate(planes):
         dot = _dot(F.col(embedding) if isinstance(embedding, str) else embedding,
