@@ -76,6 +76,7 @@ def main() -> None:
         ("dedup_paragraphs", "corpus-level line dedup: posexplode -> partial+final distinct-doc count on the line key -> anti-join -> per-doc array_sort reassembly; two map-side-combinable shuffles"),
         ("multimodal_image_decode", "two Arrow stages (synth bytes -> decode), payload pruned after decode; no shuffle at all"),
         ("corpus_familiarity", "tokenize -> one combinable count groupBy -> re-join on token -> per-doc integer aggregate"),
+        ("events_asof_join", "AS-OF join as union + ONE key exchange + sort + window (atomic struct carry) — the merge-scan shape, never a range nested-loop"),
     ]
     for name, note in named:
         sections.append((name, note, formatted(api.QUERIES[name](spark, SF))))
