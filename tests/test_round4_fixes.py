@@ -552,3 +552,105 @@ def test_decode_image_stats_contains_bad_payloads(spark):  # noqa: F811
     assert got[1].format == "png" and got[1].brightness is not None
     assert got[2].format == "error" and got[2].brightness is None
     assert got[3].format == "error" and got[3].width is None
+
+
+# --- third review pass -------------------------------------------------------
+
+
+def test_compact_conflicts_with_concurrent_append(spark, tmp_path):  # noqa: F811
+    """A replacing commit must not orphan a concurrently-committed append
+    (lost update): compact computed from v1 has to fail once v2 landed."""
+    from universal_key_value_based_text_processing_with_ocr_spark.lakehouse import (
+        ConflictError,
+    )
+
+    t = SnapshotTable(tmp_path / "t")
+    t.append(spark.range(10).selectExpr("id AS doc_id").coalesce(1))
+    expected = t.snapshot_id()
+    compacted = t.read(spark).coalesce(1)
+    # concurrent append lands between compact's read and its commit
+    t.append(spark.range(10, 20).selectExpr("id AS doc_id").coalesce(1))
+    with pytest.raises(ConflictError, match="concurrent append"):
+        t.append(compacted, summary={"op": "compact"}, _replace=True,
+                 _expected_parent=expected)
+    assert t.read(spark).count() == 20  # nothing lost
+    # rerun from current state succeeds and keeps all rows
+    t.compact(spark, target_partitions=1)
+    assert t.read(spark).count() == 20
+
+
+def test_asof_join_null_keys_never_match(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.relational import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame([(1, None, 5)], "event_id long, user_id long, ts long")
+    right = spark.createDataFrame([(None, 1, 9.0)], "user_id long, ts long, value double")
+    row = asof_join(left, right).collect()[0]
+    # SQL equality: NULL = NULL never matches -> NULL payload
+    assert row.value_right is None and row.ts_right is None
+
+
+def test_normalize_urls_schemeless_still_strips_fragment(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators import textstats
+
+    df = spark.createDataFrame([("example.com/a#frag",), ("example.com/p?utm_only=1",)], "url string")
+    got = {r.url: r.url_norm for r in textstats.normalize_urls(df).collect()}
+    assert got["example.com/a#frag"] == "example.com/a"
+    assert got["example.com/p?utm_only=1"] == "example.com/p"
+
+
+def test_dedup_paragraphs_preserves_blank_lines(spark):  # noqa: F811
+    """Blank lines are separators, not boilerplate — even though '' occurs
+    in many documents it must never join the frequent set."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "para one\n\npara two"), (2, "other one\n\nother two"),
+         (3, "shared line\nx"), (4, "shared line\ny")],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r.clean_text for r in textstats.dedup_paragraphs(docs).collect()}
+    assert got[1] == "para one\n\npara two"  # blank line SURVIVES
+    assert got[3] == "x" and got[4] == "y"   # real boilerplate still dropped
+
+
+def test_minhash_lsh_rejects_indivisible_bands(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators import dedup
+
+    docs = spark.createDataFrame([(1, "some text here for shingles ok")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.minhash_lsh_pairs(docs, n_hashes=16, band_size=5)
+
+
+def test_stateful_sessionize_gap_parameter(spark, tmp_path):  # noqa: F811
+    """The streaming gap mirrors events_sessionize(gap_minutes=...) so the
+    batch operator stays the oracle at ANY setting, not only the default."""
+    import pandas as pd
+
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.relational import (
+        events_sessionize,
+    )
+    from universal_key_value_based_text_processing_with_ocr_spark.streaming.stateful import (
+        stateful_sessionize_stream,
+    )
+
+    rows = []
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    for i in range(8):  # events 10 minutes apart
+        rows.append({"event_id": i, "ts": base + pd.Timedelta(minutes=10 * i),
+                     "user_id": 1, "event_type": "click", "value": 1.0, "props": ""})
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # single parquet FILE (the operator streams parent-dir + glob on the
+    # file name, matching the testdata layout)
+    path = str(tmp_path / "ev.parquet")
+    pdf = pd.DataFrame(rows)
+    pq.write_table(pa.Table.from_pandas(pdf), path, coerce_timestamps="us")
+
+    batch = {r.user_id: r.n_sessions for r in
+             events_sessionize(spark.read.parquet(path), gap_minutes=5).collect()}
+    stream = {r.user_id: r.n_sessions for r in
+              stateful_sessionize_stream(spark, path, gap_minutes=5).collect()}
+    assert batch == stream == {1: 8}  # every 10-min gap > 5 opens a session

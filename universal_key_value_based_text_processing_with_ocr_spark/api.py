@@ -662,7 +662,8 @@ ORACLE_SQL = {
                  (SELECT unnest(list_transform(string_split(b.text, chr(10)),
                                                (s, i) -> struct_pack(idx := i, line := s)))) u(s)
         ),
-        freq AS (SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+        freq AS (SELECT line FROM lines WHERE trim(line) <> ''
+                 GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
         kept AS (SELECT l.* FROM lines l ANTI JOIN freq f USING (line)),
         rebuilt AS (
             SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS clean_text,
@@ -690,7 +691,7 @@ ORACLE_SQL = {
         s1 AS (SELECT url, regexp_replace(url, '#.*$', '', 'g') AS u FROM raw),
         s2 AS (SELECT url,
                       CASE WHEN regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) = ''
-                           THEN url
+                           THEN u
                            ELSE lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
                                 || '://'
                                 || lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))

@@ -2,4 +2,4 @@
 resume).  A real Iceberg catalog slots in behind the same API when the
 iceberg-spark-runtime jar is available (not in this container)."""
 
-from .catalog import SnapshotTable
+from .catalog import ConflictError, SnapshotTable

@@ -47,6 +47,12 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 
+class ConflictError(RuntimeError):
+    """A replacing commit (compact/rebuild) found a parent it did not
+    expect: a concurrent append landed between read and commit.  The
+    caller must recompute from the current table state and retry."""
+
+
 class SnapshotTable:
     def __init__(self, path: str | os.PathLike):
         self.path = Path(path)
@@ -174,6 +180,17 @@ class SnapshotTable:
         chunk/file with no envelope for the requested column is always
         kept (unknown bounds must never prune)."""
         lo, hi = between if between is not None else (None, None)
+        if column is None and between is not None:
+            # pin the default column TABLE-WIDE from the first envelope in
+            # the manifest: per-file "first present column" defaults could
+            # differ under schema drift, and comparing one range against
+            # two different columns' bounds silently mis-prunes (review
+            # finding) — with a pinned column, files that lack it are
+            # simply kept
+            for s in self._chunk_summaries(manifest):
+                if "column" in s:
+                    column = s["column"]
+                    break
 
         def bounds(rec: dict, chunk_level: bool):
             """(min, max) of the requested column in a summary/stats record,
@@ -222,7 +239,12 @@ class SnapshotTable:
 
     # -- write path ------------------------------------------------------------
     def append(
-        self, df: DataFrame, summary: dict | None = None, max_retries: int = 20, _replace: bool = False
+        self,
+        df: DataFrame,
+        summary: dict | None = None,
+        max_retries: int = 20,
+        _replace: bool = False,
+        _expected_parent: str | None = None,
     ) -> str:
         """Append df as a new snapshot; returns the snapshot id.
 
@@ -233,7 +255,14 @@ class SnapshotTable:
         compare-and-swap).  A concurrent writer that claimed the same
         sequence first causes EEXIST; this writer then re-reads the new
         parent, rebases its manifest (parent files + its own) and retries,
-        so no committed snapshot is ever orphaned."""
+        so no committed snapshot is ever orphaned.
+
+        A REPLACING commit additionally carries ``_expected_parent`` (the
+        snapshot its replacement rows were computed FROM): if a concurrent
+        append committed in between, blindly replacing would orphan that
+        append's rows (review finding — lost update), so the commit raises
+        ConflictError instead and the caller recomputes (exactly Iceberg's
+        rewrite_data_files validation failure)."""
         snapshot_id = uuid.uuid4().hex[:16]
         data_dir = self.path / "data" / snapshot_id
         df.write.mode("overwrite").parquet(str(data_dir))
@@ -261,6 +290,14 @@ class SnapshotTable:
 
         for _attempt in range(max_retries):
             parent = self.latest_manifest()
+            if _replace and _expected_parent is not None:
+                actual = parent["snapshot_id"] if parent else None
+                if actual != _expected_parent:
+                    raise ConflictError(
+                        f"replacing commit expected parent {_expected_parent} but "
+                        f"found {actual}: a concurrent append landed — recompute "
+                        "the replacement from the current table and retry"
+                    )
             seq = (parent["sequence"] + 1) if parent else 1
             parent_chunks = self._chunk_summaries(parent) if parent else []
             manifest = {
@@ -451,9 +488,15 @@ class SnapshotTable:
         """Rewrite the table into ``target_partitions`` files as a new
         REPLACING snapshot (Iceberg rewrite_data_files analog).  Old data
         files stay on disk for time travel of older snapshots; readers of
-        the new snapshot list only the compacted files."""
+        the new snapshot list only the compacted files.  Raises
+        ConflictError if a concurrent append commits between the read and
+        the replacing commit (its rows would otherwise vanish from the
+        latest snapshot) — rerun compact to pick the new rows up."""
+        expected = self.snapshot_id()
         current = self.read(spark).coalesce(target_partitions)
-        return self.append(current, summary={"op": "compact"}, _replace=True)
+        return self.append(
+            current, summary={"op": "compact"}, _replace=True, _expected_parent=expected
+        )
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Expire all but the last ``keep_last`` snapshots and DELETE data

@@ -286,6 +286,12 @@ def minhash_lsh_pairs(
     # the consumers re-read the shuffle files.  Measured equal-or-faster
     # than .persist() on this query, and it leaves no cached blocks pinned
     # in the session after the caller's terminal action (VERDICT r2 #3).
+    if n_hashes % band_size != 0:
+        # silent truncation would leave trailing signature positions out
+        # of candidate generation — recall quietly lower than configured
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be divisible by band_size ({band_size})"
+        )
     sig = minhash_signatures(docs, n_hashes, shingle_n)
     sig_arr = sig.groupBy("doc_id").agg(
         F.transform(
@@ -632,59 +638,69 @@ def connected_components(
 
     prev_ckpt_handles: list = []
     converged = False
-    for it in range(max_iterations):
-        neighbour_min = (
-            adj.join(labels, adj.doc_b == labels.doc_id)
-            .groupBy(adj.doc_a)
-            .agg(F.min("label").alias("nmin"))
-        )
-        stepped = labels.join(
-            neighbour_min, labels.doc_id == neighbour_min.doc_a, "left"
-        ).select(
-            "doc_id",
-            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
-        )
-        # pointer jump: label <- min(label, label(label)).  Every label value
-        # is itself a node id present in the table (labels start as own ids
-        # and only ever take mins of existing ids), so the self-join is total
-        # and labels stay within the component; label(x) <= x by invariant,
-        # so chains of stale labels collapse geometrically.
-        stepped = stepped.localCheckpoint(eager=True)
-        stepped_handle = _ckpt_rdd(stepped)
-        jumped = (
-            stepped.alias("n")
-            .join(stepped.alias("m"), F.col("n.label") == F.col("m.doc_id"))
-            .select(
-                F.col("n.doc_id").alias("doc_id"),
-                F.least(F.col("n.label"), F.col("m.label")).alias("label"),
+    try:
+        for it in range(max_iterations):
+            neighbour_min = (
+                adj.join(labels, adj.doc_b == labels.doc_id)
+                .groupBy(adj.doc_a)
+                .agg(F.min("label").alias("nmin"))
             )
-        )
-        new_labels = jumped.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        # new_labels is fully materialised: nothing can recompute through
-        # stepped or the previous labels — release their blocks NOW.
-        labels.unpersist()  # round-0 initial labels (CacheManager persist)
-        _release([stepped_handle, *prev_ckpt_handles])
-        prev_ckpt_handles = [_ckpt_rdd(new_labels)]
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    # labels is eagerly materialised (localCheckpoint) — nothing downstream
-    # recomputes through the edge tables, so release their cached blocks now
-    # rather than pinning them for the rest of the session (VERDICT r2 #3).
-    adj.unpersist()
-    edges.unpersist()
+            stepped = labels.join(
+                neighbour_min, labels.doc_id == neighbour_min.doc_a, "left"
+            ).select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+            # pointer jump: label <- min(label, label(label)).  Every label value
+            # is itself a node id present in the table (labels start as own ids
+            # and only ever take mins of existing ids), so the self-join is total
+            # and labels stay within the component; label(x) <= x by invariant,
+            # so chains of stale labels collapse geometrically.
+            stepped = stepped.localCheckpoint(eager=True)
+            stepped_handle = _ckpt_rdd(stepped)
+            jumped = (
+                stepped.alias("n")
+                .join(stepped.alias("m"), F.col("n.label") == F.col("m.doc_id"))
+                .select(
+                    F.col("n.doc_id").alias("doc_id"),
+                    F.least(F.col("n.label"), F.col("m.label")).alias("label"),
+                )
+            )
+            new_labels = jumped.localCheckpoint(eager=True)
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            # new_labels is fully materialised: nothing can recompute through
+            # stepped or the previous labels — release their blocks NOW.
+            labels.unpersist()  # round-0 initial labels (CacheManager persist)
+            _release([stepped_handle, *prev_ckpt_handles])
+            prev_ckpt_handles = [_ckpt_rdd(new_labels)]
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
+    except BaseException:
+        # a mid-loop failure must not leave label-table checkpoint blocks
+        # pinned for the rest of the session (best effort: the handles we
+        # hold; a partially-built round's blocks fall to the ContextCleaner)
+        _release(prev_ckpt_handles)
+        raise
+    finally:
+        # success AND failure: labels (if returned) is eagerly
+        # materialised, nothing downstream recomputes through the edge
+        # tables — their cached blocks never outlive this call (r2 #3)
+        adj.unpersist()
+        edges.unpersist()
     if not converged:
         # Components needing more rounds would silently get wrong (split)
         # cluster ids — surface it.  With pointer jumping this means
-        # diameter > ~2^max_iterations: practically unreachable.
+        # diameter > ~2^max_iterations: practically unreachable.  The
+        # unreturned labels' checkpoint blocks are released first.
+        _release(prev_ckpt_handles)
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} iterations"
         )

@@ -185,7 +185,11 @@ def asof_join(
     # (review finding, reproduced vs the DuckDB oracle).  The struct is
     # non-null for every right row even when its members are null, so
     # last(ignorenulls) picks whole rows only.
-    rtag = right.filter(F.col(ts_col).isNotNull()).select(
+    # NULL join keys must also drop from the right: Window.partitionBy
+    # groups NULLs together, but SQL equality (and the oracle's ASOF ON
+    # l.k = r.k) never matches NULL = NULL — a NULL-key left row gets a
+    # NULL payload, not the NULL-key right rows' carry (review finding).
+    rtag = right.filter(F.col(ts_col).isNotNull() & F.col(on).isNotNull()).select(
         F.col(on),
         F.col(ts_col),
         F.lit(0).alias("_side"),

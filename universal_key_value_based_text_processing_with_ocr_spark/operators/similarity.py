@@ -23,17 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-
-def _dot(a, b) -> F.Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
-def _norm(a) -> F.Column:
-    return F.sqrt(_dot(a, a))
+# THE canonical vector expressions: every similarity operator's oracle
+# comparability depends on the exact left-fold shape, so there is exactly
+# one definition (functions/columns.py) — not a local copy that could
+# silently diverge (review finding).
+from ..functions.columns import dot as _dot
+from ..functions.columns import norm as _norm
 
 
 def cosine_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10) -> DataFrame:

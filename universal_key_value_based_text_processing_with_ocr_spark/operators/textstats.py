@@ -459,8 +459,13 @@ def dedup_paragraphs(
     lines = base.select(
         id_col, F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line")
     )
+    # Blank/whitespace-only lines are SEPARATORS, not boilerplate: they
+    # appear in nearly every document, so without this filter every blank
+    # line would be "frequent" and paragraph structure would be destroyed
+    # corpus-wide (review finding).
     frequent = (
-        lines.groupBy("line")
+        lines.filter(F.trim(F.col("line")) != "")
+        .groupBy("line")
         .agg(F.countDistinct(id_col).alias("nd"))
         .filter(F.col("nd") >= min_docs)
         .select("line")
@@ -507,7 +512,10 @@ def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     authority = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 0 + 1))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
-    u = F.when(scheme == "", F.col(url_col)).otherwise(F.concat(scheme, F.lit("://"), authority, rest))
+    # scheme-less urls keep the FRAGMENT-STRIPPED value (falling back to
+    # the raw column reverted step 1 — review finding); the param/port
+    # rules below are scheme-independent or no-ops for them
+    u = F.when(scheme == "", u).otherwise(F.concat(scheme, F.lit("://"), authority, rest))
     # 3. strip default ports (two RE2-safe rules per scheme: end-of-string
     # and followed-by-delimiter — no lookahead, so the DuckDB oracle runs
     # the identical patterns)

@@ -258,5 +258,8 @@ def rebuild_fp_table(
 
     results_tbl = SnapshotTable(results_path)
     fp_tbl = SnapshotTable(fp_path or f"{results_path}_fps")
+    expected = fp_tbl.snapshot_id()  # ConflictError if a job appends mid-rebuild
     fps = fps_of(results_tbl.read(spark), text_col)
-    return fp_tbl.append(fps, summary={"op": "rebuild"}, _replace=True)
+    return fp_tbl.append(
+        fps, summary={"op": "rebuild"}, _replace=True, _expected_parent=expected
+    )

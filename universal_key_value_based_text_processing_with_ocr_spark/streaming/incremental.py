@@ -16,7 +16,6 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.columns import decimal_sum
 
 
 def streamed_events_window_agg(spark: SparkSession, events_path: str) -> DataFrame:
@@ -35,11 +34,13 @@ def streamed_events_window_agg(spark: SparkSession, events_path: str) -> DataFra
         .option("pathGlobFilter", fname)
         .parquet(parent)
     )
-    agg = (
-        stream.groupBy(F.window(F.col("ts"), "5 minutes").alias("w"), F.col("event_type"))
-        .agg(F.count("*").alias("n"), decimal_sum(F.col("value"), "decimal(18,6)").alias("sum_value"))
-        .select(F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket_start"), "event_type", "n", "sum_value")
-    )
+    # literally the BATCH operator applied to the streaming frame — one
+    # definition of the plan, so bucket width / decimal scale / formatting
+    # can never desynchronise between the twins (review finding: the body
+    # was previously copy-pasted here)
+    from ..operators.relational import events_window_agg
+
+    agg = events_window_agg(stream)
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     q = (
         agg.writeStream.outputMode("complete")

@@ -22,8 +22,25 @@ OUTPUT_SCHEMA = "user_id long, n_sessions long, n_events long"
 STATE_SCHEMA = "last_ns long, n_sessions long, n_events long"
 
 
-def _sessionize_group(key, pdfs, state: GroupState):
-    gap_ns = 1800 * 1_000_000_000  # 30 minutes in ns
+#: session gap in minutes — MUST stay equal to events_sessionize's default
+#: (relational.py) because the batch operator is this one's oracle; thread
+#: a different gap through make_sessionize_group, never by editing either
+#: default alone (review finding: the 30 was a buried literal here).
+DEFAULT_GAP_MINUTES = 30
+
+
+def make_sessionize_group(gap_minutes: int = DEFAULT_GAP_MINUTES):
+    """Build the applyInPandasWithState group function for a given gap —
+    the parameter mirror of events_sessionize(gap_minutes=...)."""
+
+    def _fn(key, pdfs, state):
+        return _sessionize_group(key, pdfs, state, gap_minutes)
+
+    return _fn
+
+
+def _sessionize_group(key, pdfs, state: GroupState, gap_minutes: int = DEFAULT_GAP_MINUTES):
+    gap_ns = gap_minutes * 60 * 1_000_000_000
     if state.exists:
         last_ns, n_sessions, n_events = state.get
     else:
@@ -44,9 +61,13 @@ def _sessionize_group(key, pdfs, state: GroupState):
     )
 
 
-def stateful_sessionize_stream(spark: SparkSession, events_path: str) -> DataFrame:
+def stateful_sessionize_stream(
+    spark: SparkSession, events_path: str, gap_minutes: int = DEFAULT_GAP_MINUTES
+) -> DataFrame:
     """Run sessionization as a stateful streaming query; returns the final
-    per-user counts (update-mode memory sink, AvailableNow drain)."""
+    per-user counts (update-mode memory sink, AvailableNow drain).
+    ``gap_minutes`` mirrors events_sessionize's parameter so the batch
+    operator remains this one's oracle at any setting."""
     import uuid
 
     schema = spark.read.parquet(events_path).schema
@@ -54,7 +75,7 @@ def stateful_sessionize_stream(spark: SparkSession, events_path: str) -> DataFra
     stream = spark.readStream.schema(schema).option("pathGlobFilter", fname).parquet(parent)
 
     out = stream.groupBy("user_id").applyInPandasWithState(
-        _sessionize_group,
+        make_sessionize_group(gap_minutes),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
