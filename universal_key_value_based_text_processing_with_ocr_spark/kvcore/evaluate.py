@@ -127,25 +127,73 @@ def eval_city(value, max_mistakes=5, min_accuracy=0.5):
     return [True, _best_near_100(scores_names), scores_names]
 
 
+#: run-count ceiling for the byte-exact subset enumeration: 2^18 subsets
+#: ~0.35 s worst case.  Beyond it the reference's own enumeration is
+#: effectively non-terminating (2^n, measured 5.6 s at 22 runs and 4x per
+#: +2), so parity on such inputs is untestable and the engine switches to
+#: the bounded search below.
+_NIK_EXACT_MAX_RUNS = 18
+
+#: bounded-mode budget: combos examined before the candidate search stops
+#: (the reference would still be running; truncation is the documented
+#: divergence on these inputs).
+_NIK_BOUNDED_BUDGET = 500_000
+
+
 def eval_nik(value, max_distance=1):
+    """NIK candidate search over subsets of the value's digit runs.
+
+    For values with <= ``_NIK_EXACT_MAX_RUNS`` whitespace runs this is the
+    reference's exact enumeration (all 2^n subsets in (size, lex) order,
+    byte-identical buckets incl. the length/distance reset quirk).  Beyond
+    that the reference hangs — 2^n subsets — so one hostile or merely
+    long line would wedge an executor for days (review finding; the
+    blended parser feeds EVERY line here via the NIK_1 re-scan).  The
+    bounded mode searches only non-empty runs depth-first with a
+    length-prune (a partial concatenation already longer than 17 digits
+    can never reach a candidate) under ``_NIK_BOUNDED_BUDGET``; candidate
+    CONTENT matches the reference, but duplicate multiplicity from empty
+    runs and the enumeration order diverge — on inputs where the
+    reference produces no answer in practical time at all."""
     nik_length = 16
     tree = dictionaries.prov_city_kec()
     digit_runs = [re.sub(r"[^0-9]", "", t) for t in repair_to_digits(value, False).split(" ")]
 
     buckets: dict = {}
-    for r in range(1, len(digit_runs) + 1):
-        for combo in combinations(digit_runs, r):
-            cand = "".join(map(str, combo))
-            dist = abs(nik_length - len(cand))
-            if dist <= max_distance:
-                prefix_ok = any(cand[i : i + 2] in tree for i in range(2))
-                if prefix_ok:
-                    # Quirk: tests LENGTH against a distance-keyed dict, so
-                    # the bucket resets on every hit and keeps only the last
-                    # candidate (evaluators.py:58-60).
-                    if len(cand) not in buckets:
-                        buckets[dist] = []
-                    buckets[dist].append(cand)
+
+    def consider(cand: str) -> None:
+        dist = abs(nik_length - len(cand))
+        if dist <= max_distance:
+            prefix_ok = any(cand[i : i + 2] in tree for i in range(2))
+            if prefix_ok:
+                # Quirk: tests LENGTH against a distance-keyed dict, so
+                # the bucket resets on every hit and keeps only the last
+                # candidate (evaluators.py:58-60).
+                if len(cand) not in buckets:
+                    buckets[dist] = []
+                buckets[dist].append(cand)
+
+    if len(digit_runs) <= _NIK_EXACT_MAX_RUNS:
+        for r in range(1, len(digit_runs) + 1):
+            for combo in combinations(digit_runs, r):
+                consider("".join(map(str, combo)))
+    else:
+        runs = [t for t in digit_runs if t]
+        budget = _NIK_BOUNDED_BUDGET
+
+        def rec(i: int, cur: str) -> None:
+            nonlocal budget
+            for j in range(i, len(runs)):
+                if budget <= 0:
+                    return
+                nxt = cur + runs[j]
+                if len(nxt) > nik_length + max_distance:
+                    continue  # any superset is longer still
+                budget -= 1
+                consider(nxt)
+                rec(j + 1, nxt)
+
+        rec(0, "")
 
     ordered = {k: buckets[k] for k in sorted(buckets)}
     if len(buckets) > 0:
@@ -204,6 +252,12 @@ def eval_birth(value):
     repaired.append(buf)
 
     # Year: if < 1920, repair the leading two digits.
+    # KNOWN QUIRK CRASH (parity contract): a matched year with leading
+    # zeros ('0999') shrinks through int() and this unpack raises
+    # ValueError exactly like the reference — the parity harness pins
+    # crash equivalence, and parse_page_row contains it to a recorded
+    # single-document failure (success=False, 'engine exception'), the
+    # same observable outcome as the reference crashing on that page.
     buf = ""
     if parts[2] < 1920:
         d0, d1, d2, d3 = str(parts[2])
@@ -263,7 +317,10 @@ def ordered_class_pattern(char_lists=()):
         return ""
     first = char_lists[0]
     later_chars = [c for cl in char_lists[1:] for c in cl if c not in first]
-    p = "[{}]".format("|".join(["^" + c for c in later_chars]))
+    # empty later_chars would format an invalid '[]' class and raise
+    # re.error at search time (review finding; the shipped classes never
+    # hit it, but the function is the public rs_p parity surface)
+    p = "[{}]".format("|".join(["^" + c for c in later_chars])) if later_chars else ""
     for cl in char_lists:
         p += "([{}]*)".format("|".join(cl))
     return p

@@ -99,10 +99,17 @@ def _normalise_max_distances(max_distances, key_str_list_list):
 from functools import lru_cache
 
 
-@lru_cache(maxsize=1 << 16)
 def _filter_token(pattern: str, token: str) -> str:
     """Character-class projection of one token (reference
-    postprocessing.py:159), cached on (pattern, token)."""
+    postprocessing.py:159), cached on (pattern, token) for tokens short
+    enough to be worth pinning in a reused worker's memory."""
+    if len(token) > 4096:
+        return "".join(re.findall(pattern, token))
+    return _filter_token_cached(pattern, token)
+
+
+@lru_cache(maxsize=1 << 16)
+def _filter_token_cached(pattern: str, token: str) -> str:
     return "".join(re.findall(pattern, token))
 
 
@@ -258,30 +265,32 @@ def match_keys_in_line(
             [_filter_token(filters[j], tokens[w + j]) for w in range(n_win)]
             for j in range(k)
         ]
+        # window-invariant: one pattern build per key, not per window
+        # (review finding: rebuilding inside the loop was O(n_windows)
+        # redundant work on the vectorised hot path)
+        pattern = r"\s*".join(
+            "({})".format(fuzzy_key_pattern(t, 2)) for t in key_tokens
+        )
         for w in range(n_win):
-            if True:
-                window = [filt[j][w] for j in range(k)]
+            window = [filt[j][w] for j in range(k)]
+            joined_window = whitespace.join(window)
+            scores = []
+            stage = 1  # 0=success, 1=keep going, 2=fail
+            hit = re.search(pattern, joined_window)
+            if hit:
+                scores.append(50)
+                window = list(hit.groups())
                 joined_window = whitespace.join(window)
-                scores = []
-                stage = 1  # 0=success, 1=keep going, 2=fail
-                pattern = r"\s*".join(
-                    "({})".format(fuzzy_key_pattern(t, 2)) for t in key_tokens
-                )
-                hit = re.search(pattern, joined_window)
-                if hit:
-                    scores.append(50)
-                    window = list(hit.groups())
-                    joined_window = whitespace.join(window)
-                else:
+            else:
+                stage = 2
+            if stage == 1:
+                self_dist = [edit_distance(key_tokens[j], window[j]) for j in range(k)]
+                if any(self_dist[j] > limits[j] for j in range(k)):
+                    if name not in found or not found[name][0]:
+                        found[name] = [False, f"distances beyond maximum: {self_dist}"]
                     stage = 2
-                if stage == 1:
-                    self_dist = [edit_distance(key_tokens[j], window[j]) for j in range(k)]
-                    if any(self_dist[j] > limits[j] for j in range(k)):
-                        if name not in found or not found[name][0]:
-                            found[name] = [False, f"distances beyond maximum: {self_dist}"]
-                        stage = 2
-                    else:
-                        scores.append((1 - (sum(self_dist) / len(joined_key))) * 100)
+                else:
+                    scores.append((1 - (sum(self_dist) / len(joined_key))) * 100)
 
             if stage == 1:
                 # Equalise lengths for positional accuracy (pad/truncate).

@@ -7,9 +7,10 @@ available offline, so the engine ships its own implementations with the same
 defaults (substitution cost 1, no transpositions; accuracy = fraction of
 positions with equal items over equal-length sequences).
 
-``edit_distance_many`` is the vectorised batch variant used on the Spark hot
-path: one numpy DP over a stack of candidate windows against one key, which
-replaces the reference's per-window scalar calls.
+``edit_distance_many`` is a vectorised batch variant kept for REFERENCE
+and tests only — the production matcher uses the cached scalar DP, which
+measured ~5x faster at real window sizes (numpy array-setup overhead
+dominates; see the function's docstring).
 """
 
 from __future__ import annotations
@@ -19,15 +20,32 @@ from functools import lru_cache
 import numpy as np
 
 
-@lru_cache(maxsize=1 << 17)
+#: content-keyed cache entry ceiling: operands longer than this are rare,
+#: poor cache currency, and would pin arbitrary document substrings in a
+#: REUSED worker's memory for its whole life (review finding)
+_CACHE_MAX_LEN = 4096
+
+
 def edit_distance(a: str, b: str) -> int:
     """Levenshtein distance, substitution cost 1, no transpositions.
 
     Matches ``nltk.metrics.edit_distance`` defaults (the reference never
-    overrides them).  LRU-cached: the matcher probes a FIXED key set
-    against a heavy-tailed token distribution, so (key, token) pairs repeat
-    across lines and documents — cache hits dominate on real corpora.
+    overrides them).  LRU-cached below ``_CACHE_MAX_LEN``: the matcher
+    probes a FIXED key set against a heavy-tailed token distribution, so
+    (key, token) pairs repeat across lines and documents — cache hits
+    dominate on real corpora; oversized operands compute uncached.
     """
+    if len(a) > _CACHE_MAX_LEN or len(b) > _CACHE_MAX_LEN:
+        return _edit_distance_uncached(a, b)
+    return _edit_distance_cached(a, b)
+
+
+@lru_cache(maxsize=1 << 17)
+def _edit_distance_cached(a: str, b: str) -> int:
+    return _edit_distance_uncached(a, b)
+
+
+def _edit_distance_uncached(a: str, b: str) -> int:
     if a == b:
         return 0
     la, lb = len(a), len(b)
@@ -72,11 +90,11 @@ def accuracy(reference: str, test: str) -> float:
 def edit_distance_many(key: str, candidates: list[str]) -> np.ndarray:
     """Levenshtein distance of one key against many candidate strings.
 
-    Implementation note: candidate windows per line are short and few, so a
-    cached scalar DP beats a vectorised numpy DP (whose array-setup overhead
-    exceeds the arithmetic at these sizes by ~5x; measured in this repo's
-    profile).  The lru_cache on ``edit_distance`` turns the fixed-key x
-    repeated-token workload into mostly cache hits.
+    NOT on the production path (tests/benchmark reference only): candidate
+    windows per line are short and few, so the cached scalar DP in
+    ``edit_distance`` beats this vectorised numpy DP (whose array-setup
+    overhead exceeds the arithmetic at these sizes by ~5x; measured in
+    this repo's profile) — the matcher calls the scalar form.
     """
     return np.fromiter(
         (edit_distance(key, c) for c in candidates), dtype=np.int64, count=len(candidates)

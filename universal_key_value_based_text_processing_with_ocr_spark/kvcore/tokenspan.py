@@ -43,14 +43,23 @@ def split_with_spans(
     accumulation (a run ends exactly at a splitter or EOS; blank runs are
     dropped by both).
     """
+    # length gate: the lru caches live for the whole REUSED Python worker
+    # (worker reuse is deliberately on), and an 8192-entry cache of
+    # arbitrary-length lines (minified HTML, base64 blobs) would pin
+    # multi-GB per executor (review finding).  Long lines are rare AND
+    # poor cache currency — compute them uncached.
+    if len(text) > _CACHE_MAX_LEN:
+        return _split_uncached(text, tuple(splitters))
     return _split_cached(text, tuple(splitters))
 
 
-@lru_cache(maxsize=8192)
-def _split_cached(text: str, splitters: tuple[str, ...]):
-    # Cached per (line, splitters): the sweep probes the SAME line with up
-    # to ~16 specs sharing two splitter sets, so hits dominate.  Callers
-    # treat the returned lists as immutable (slices only).
+#: per-entry ceiling for content-keyed caches: 4 KB covers every realistic
+#: repeated probe line while bounding the worst-case cache footprint to
+#: ~8192 * 3 * 4 KB ~ 100 MB
+_CACHE_MAX_LEN = 4096
+
+
+def _split_uncached(text: str, splitters: tuple[str, ...]):
     tokens: list[str] = []
     spans: list[tuple[int, int]] = []
     for m in _runs_pattern(splitters).finditer(text):
@@ -59,6 +68,14 @@ def _split_cached(text: str, splitters: tuple[str, ...]):
             tokens.append(tok)
             spans.append(m.span())
     return tokens, spans
+
+
+@lru_cache(maxsize=8192)
+def _split_cached(text: str, splitters: tuple[str, ...]):
+    # Cached per (line, splitters): the sweep probes the SAME line with up
+    # to ~16 specs sharing two splitter sets, so hits dominate.  Callers
+    # treat the returned lists as immutable (slices only).
+    return _split_uncached(text, splitters)
 
 
 def snap_to_grid(value: float, points: Sequence[float]) -> float:
