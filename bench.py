@@ -135,6 +135,7 @@ def main() -> None:
         # round 4
         "similarity_topk_lsh", "multimodal_image_decode", "dedup_paragraphs",
         "url_normalize", "corpus_familiarity", "events_asof_join",
+        "mask_repeated_ngrams",
     ]
 
     best: dict[str, float] = {}

@@ -703,3 +703,29 @@ def test_ordered_class_pattern_single_class(spark):  # noqa: F811
 
     p = ordered_class_pattern([["A", "B"]])
     assert re.search(p, "ABBA")  # previously re.error from the '[]' class
+
+
+def test_mask_repeated_ngrams_semantics(spark):  # noqa: F811
+    """8-token spans shared by >=2 docs are masked everywhere; unique text
+    and sub-threshold overlaps survive; an all-boilerplate doc empties."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators import textstats
+
+    blurb = "this content is licensed under the following terms"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {blurb} gamma"),
+            (2, f"{blurb} delta epsilon"),
+            (3, blurb),
+            (4, "totally unique text with no shared spans at all"),
+            (5, "short shared bit"),   # < 8 tokens, shared with 6
+            (6, "short shared bit"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r for r in textstats.mask_repeated_ngrams(docs).collect()}
+    assert got[1].clean_text == "alpha beta gamma" and got[1].n_masked == 8
+    assert got[2].clean_text == "delta epsilon"
+    assert got[3].clean_text == "" and got[3].n_masked == 8
+    assert got[4].clean_text == "totally unique text with no shared spans at all"
+    # sub-n-gram duplicates are exact-dedup territory, not span masking
+    assert got[5].clean_text == "short shared bit" and got[5].n_masked == 0

@@ -185,6 +185,12 @@ def q_contamination_check(spark, sf_dir):
     )
 
 
+def q_mask_repeated_ngrams(spark, sf_dir):
+    """Substring-level dedup: 8-token spans in >= 2 distinct docs masked
+    everywhere (Lee et al. 2022 token-granular dedup)."""
+    return textstats.mask_repeated_ngrams(_tbl(spark, sf_dir, "documents"))
+
+
 def q_events_asof_join(spark, sf_dir):
     """Point-in-time join: every click gets the user's most recent
     purchase at-or-before it (relational.asof_join — union + running
@@ -394,6 +400,7 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "doc_scrub_pii": q_doc_scrub_pii,
     "contamination_check": q_contamination_check,
+    "mask_repeated_ngrams": q_mask_repeated_ngrams,
     "events_asof_join": q_events_asof_join,
     "dedup_paragraphs": q_dedup_paragraphs,
     "url_normalize": q_url_normalize,
@@ -635,6 +642,49 @@ ORACLE_SQL = {
         SELECT doc_id, fail IS NULL AS keep, coalesce(fail, 'ok') AS fail_reason,
                CAST(n_words AS BIGINT) AS n_words, mean_word_len
         FROM judged
+    """,
+    "mask_repeated_ngrams": """
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t != '') AS toks
+            FROM documents WHERE text IS NOT NULL
+        ),
+        -- NB the gram array builds in a PLAIN select: DuckDB 1.0's binder
+        -- rejects outer-column references inside a lambda that lives in a
+        -- lateral subquery (misleading 'Need named argument' error), so
+        -- the lambda-free unnest happens in a second CTE
+        garr AS (
+            SELECT doc_id,
+                   list_filter(list_transform(toks, (t, i) ->
+                       CASE WHEN i + 7 <= len(toks)
+                            THEN struct_pack(s0 := i,
+                                             gram := array_to_string(toks[i:i+7], ' ')) END),
+                       x -> x IS NOT NULL) AS gl
+            FROM base
+        ),
+        grams AS (
+            SELECT a.doc_id, u.g.s0 AS start, u.g.gram AS gram
+            FROM garr a, (SELECT unnest(a.gl)) u(g)
+        ),
+        freq AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        hits AS (SELECT g.doc_id, g.start FROM grams g SEMI JOIN freq USING (gram)),
+        covered AS (SELECT DISTINCT doc_id, start + r.r AS pos FROM hits, range(0, 8) r(r)),
+        positions AS (
+            SELECT b.doc_id, u.s.pos AS pos, u.s.tok AS tok
+            FROM base b,
+                 (SELECT unnest(list_transform(b.toks, (t, i) ->
+                      struct_pack(pos := i, tok := t)))) u(s)
+        ),
+        kept AS (SELECT p.* FROM positions p ANTI JOIN covered c USING (doc_id, pos)),
+        rebuilt AS (
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                   CAST(count(*) AS BIGINT) AS n_kept
+            FROM kept GROUP BY doc_id
+        ),
+        totals AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM base)
+        SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text, t.n_tokens,
+               t.n_tokens - coalesce(r.n_kept, 0) AS n_masked
+        FROM totals t LEFT JOIN rebuilt r USING (doc_id)
     """,
     "events_asof_join": """
         WITH clicks AS (

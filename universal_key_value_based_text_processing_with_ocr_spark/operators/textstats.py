@@ -581,3 +581,75 @@ def corpus_familiarity(docs: DataFrame, rare_threshold: int = 3) -> DataFrame:
             (F.col("_r").cast("double") / F.col("n_tokens")).alias("rare_frac"),
         )
     )
+
+
+def mask_repeated_ngrams(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level dedup (the Lee et al. 2022 'deduplicating training
+    data' operation, token-n-gram granularity): any ``n``-token span that
+    occurs in >= ``min_docs`` DISTINCT documents is masked out of every
+    document; the surviving tokens reassemble in order (single-space
+    joined — whitespace normalisation is part of the contract).
+
+    One level finer than ``dedup_paragraphs``: catches templated sentences
+    and licence blurbs embedded mid-paragraph that line dedup misses.
+
+    Plan: per-doc token array -> positional n-grams in a single row-local
+    higher-order transform (no sequence() descent trap, no Generate blow-
+    up of the text) -> distinct-doc frequency on the gram key -> semi-join
+    back -> covered-position explode -> anti-join -> ordered reassembly.
+    Shuffles: gram key (combinable agg + semi-join) and doc key
+    (reassembly) — same 100 TB shape as exact dedup plus one explode
+    bounded by n x matches.
+
+    Output: (id_col, clean_text, n_tokens, n_masked)."""
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        id_col,
+        F.filter(
+            F.split(F.col(text_col), r"[ \t\n\r\f]+"), lambda t: t != ""
+        ).alias("toks"),
+    )
+    gram_expr = (
+        f"filter(transform(toks, (t, i) -> CASE WHEN i + {n} <= size(toks) "
+        f"THEN struct(i + 1 AS start, array_join(slice(toks, i + 1, {n}), ' ') AS gram) "
+        f"END), x -> x IS NOT NULL)"
+    )
+    grams = base.select(id_col, F.explode(F.expr(gram_expr)).alias("g")).select(
+        id_col, F.col("g.start").alias("start"), F.col("g.gram").alias("gram")
+    )
+    frequent = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    hits = grams.join(frequent, "gram", "left_semi")
+    covered = hits.select(
+        id_col, F.explode(F.expr(f"sequence(start, start + {n} - 1)")).alias("pos")
+    ).distinct()
+    positions = base.select(
+        id_col, F.posexplode("toks").alias("pos0", "tok")
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = positions.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\x20",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.getField("tok"),
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = base.select(id_col, F.size("toks").cast("long").alias("n_tokens"))
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.col("n_tokens"),
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).cast("long").alias("n_masked"),
+    )
