@@ -673,9 +673,18 @@ def test_eval_nik_bounded_on_long_values(spark):  # noqa: F811
     eval_nik(" ".join(f"tok{i}" for i in range(40)))
     eval_nik(" ".join(str(1000 + i) for i in range(40)))
     eval_nik(" ".join("word" for _ in range(60)))  # all-empty digit runs
+    # pass-5 case: thousands of SHORT runs must not regress to
+    # O(budget x n_runs) (was 37 s at 2000 runs with per-candidate-only
+    # budget accounting)
+    eval_nik(" ".join("7" for _ in range(8000)))
     assert time.time() - t0 < 10  # previously days; typically < 2 s
     # exact region: byte-exact reference buckets
     assert eval_nik("3171 0102 9303 0002") == [True, [[0, ["3171010293030002"]]]]
+    # pass-5 parity pin: 19 runs sits INSIDE the exact region (the 2^18
+    # cutoff silently changed this value; the reference computes it in
+    # ~0.6 s, so it must stay byte-exact)
+    v19 = "3171 0102 9303 0002 317101029303000 21 9 9 9 9 9 9 9 9 9 9 9 9 9"
+    assert eval_nik(v19)[1][0][1][0] == "3171999999999999"
 
 
 def test_oversized_inputs_bypass_content_caches(spark):  # noqa: F811
@@ -685,7 +694,10 @@ def test_oversized_inputs_bypass_content_caches(spark):  # noqa: F811
 
     big = "x y " * 40_000  # 160 KB line
     before = textdist._edit_distance_cached.cache_info().currsize
-    assert textdist.edit_distance(big, "abc") == len(big.replace(" ", " ")) - 1 or True
+    # 'abc' shares no characters with big -> distance == len(big): checks
+    # the UNCACHED branch really computes (review pass 5: the previous
+    # assertion was vacuous via an 'or True')
+    assert textdist.edit_distance(big, "abc") == len(big)
     assert textdist._edit_distance_cached.cache_info().currsize == before
 
     before = tokenspan._split_cached.cache_info().currsize

@@ -127,12 +127,14 @@ def eval_city(value, max_mistakes=5, min_accuracy=0.5):
     return [True, _best_near_100(scores_names), scores_names]
 
 
-#: run-count ceiling for the byte-exact subset enumeration: 2^18 subsets
-#: ~0.35 s worst case.  Beyond it the reference's own enumeration is
-#: effectively non-terminating (2^n, measured 5.6 s at 22 runs and 4x per
-#: +2), so parity on such inputs is untestable and the engine switches to
-#: the bounded search below.
-_NIK_EXACT_MAX_RUNS = 18
+#: run-count ceiling for the byte-exact subset enumeration: 2^22 subsets
+#: ~5.6 s worst case — the reference's own practical terminating range
+#: (review pass 5 measured it producing DIFFERENT NIK values at 19-22
+#: runs where an earlier 2^18 cutoff had already switched modes, i.e. a
+#: real parity divergence on inputs the reference handles; beyond ~22
+#: runs its 4x-per-+2-runs growth is effectively non-terminating and
+#: parity is untestable).
+_NIK_EXACT_MAX_RUNS = 22
 
 #: bounded-mode budget: combos examined before the candidate search stops
 #: (the reference would still be running; truncation is the documented
@@ -184,12 +186,17 @@ def eval_nik(value, max_distance=1):
         def rec(i: int, cur: str) -> None:
             nonlocal budget
             for j in range(i, len(runs)):
+                # budget counts every node VISITED, not only feasible
+                # candidates — otherwise N short runs make each node scan
+                # all remaining runs "for free" and total work is
+                # O(budget x N) (review pass 5: 37 s at 2000 single-digit
+                # runs with the old accounting)
                 if budget <= 0:
                     return
+                budget -= 1
                 nxt = cur + runs[j]
                 if len(nxt) > nik_length + max_distance:
                     continue  # any superset is longer still
-                budget -= 1
                 consider(nxt)
                 rec(j + 1, nxt)
 

@@ -103,7 +103,9 @@ def _filter_token(pattern: str, token: str) -> str:
     """Character-class projection of one token (reference
     postprocessing.py:159), cached on (pattern, token) for tokens short
     enough to be worth pinning in a reused worker's memory."""
-    if len(token) > 4096:
+    from .textdist import CONTENT_CACHE_MAX_LEN
+
+    if len(token) > CONTENT_CACHE_MAX_LEN:
         return "".join(re.findall(pattern, token))
     return _filter_token_cached(pattern, token)
 

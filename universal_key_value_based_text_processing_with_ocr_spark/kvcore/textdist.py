@@ -20,10 +20,13 @@ from functools import lru_cache
 import numpy as np
 
 
-#: content-keyed cache entry ceiling: operands longer than this are rare,
-#: poor cache currency, and would pin arbitrary document substrings in a
-#: REUSED worker's memory for its whole life (review finding)
-_CACHE_MAX_LEN = 4096
+#: content-keyed cache entry ceiling — ONE policy for every lru cache
+#: keyed on document substrings (edit_distance operands here, split lines
+#: in tokenspan, projected tokens in matching): operands longer than this
+#: are rare, poor cache currency, and would pin arbitrary document
+#: substrings in a REUSED worker's memory for its whole life
+CONTENT_CACHE_MAX_LEN = 4096
+_CACHE_MAX_LEN = CONTENT_CACHE_MAX_LEN  # back-compat alias
 
 
 def edit_distance(a: str, b: str) -> int:

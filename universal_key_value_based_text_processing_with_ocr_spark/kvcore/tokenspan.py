@@ -53,10 +53,10 @@ def split_with_spans(
     return _split_cached(text, tuple(splitters))
 
 
-#: per-entry ceiling for content-keyed caches: 4 KB covers every realistic
-#: repeated probe line while bounding the worst-case cache footprint to
-#: ~8192 * 3 * 4 KB ~ 100 MB
-_CACHE_MAX_LEN = 4096
+#: per-entry ceiling for content-keyed caches (shared policy constant):
+#: 4 KB covers every realistic repeated probe line while bounding the
+#: worst-case cache footprint to ~8192 * 3 * 4 KB ~ 100 MB
+from .textdist import CONTENT_CACHE_MAX_LEN as _CACHE_MAX_LEN
 
 
 def _split_uncached(text: str, splitters: tuple[str, ...]):
