@@ -1,0 +1,52 @@
+"""Kernel throughput floor (VERDICT r4 #8).
+
+Round 4's cache-gate refactor silently halved single-thread extraction
+throughput (222 -> 112 docs/s) without touching correctness — no test
+noticed.  This floor makes the next innocent-looking kvcore refactor fail
+loudly instead.
+
+The floor is deliberately generous (2x headroom below the healthy rate,
+measured 165-220 docs/s across host-drift extremes; the regressed round-4
+code measured 102-112 docs/s, comfortably below).  Best-of-3 short runs:
+the shared host drifts one-sidedly (contention only ever slows us down),
+so min-wall/max-rate is the stable estimator.
+"""
+
+from __future__ import annotations
+
+import time
+
+from universal_key_value_based_text_processing_with_ocr_spark.operators.extract import (
+    parse_page_row,
+)
+from universal_key_value_based_text_processing_with_ocr_spark.sources.synthdocs import (
+    gen_page_row,
+)
+
+FLOOR_DOCS_PER_SEC = 150.0
+DOCS_PER_RUN = 200
+RUNS = 3
+
+
+def test_single_thread_extraction_floor():
+    rows = [gen_page_row(1234, i) for i in range(DOCS_PER_RUN + 50)]
+    # warmup: populate the lru caches / import side-effects untimed
+    for row in rows[:50]:
+        parse_page_row(row["url"], row["html"], row["text"], row["lang"])
+
+    best = 0.0
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        for row in rows[50:]:
+            parse_page_row(row["url"], row["html"], row["text"], row["lang"])
+        rate = DOCS_PER_RUN / (time.perf_counter() - t0)
+        best = max(best, rate)
+        if best >= FLOOR_DOCS_PER_SEC:
+            break  # early exit: floor met, don't burn CI time
+
+    assert best >= FLOOR_DOCS_PER_SEC, (
+        f"extraction kernel regressed: best-of-{RUNS} {best:.1f} docs/s "
+        f"< floor {FLOOR_DOCS_PER_SEC} (healthy ~200, r4 regression ~110). "
+        "Profile match_keys_in_line's inner loops before touching the gate "
+        "inlining (kvcore/matching.py, VERDICT r4 #1)."
+    )
