@@ -222,10 +222,34 @@ def main() -> None:
     scaling_file = REPO / "BENCH" / "scaling.json"
     if scaling_file.exists():
         scaling = json.loads(scaling_file.read_text())
+        # Compact summary ONLY (VERDICT r4 #2): embedding the whole
+        # accumulated scaling blob grew the line past the driver's tail
+        # capture and round 4's official record lost the query table.
+        # Full detail lives in BENCH/scaling.json.
         out["scaling_efficiency_n_to_4n"] = scaling.get("efficiency_2_to_8")
-        out["scaling"] = scaling
+        out["scaling_summary"] = {
+            k: scaling.get(k)
+            for k in (
+                "job_efficiency_2_to_8",
+                "skew_efficiency_2_to_8",
+                "spark_vs_kernel",
+                "code_version",
+            )
+            if scaling.get(k) is not None
+        }
+        out["scaling_detail_file"] = "BENCH/scaling.json"
     spark.stop()
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # Hard guard on line size: the driver tail-captures ~2 KB; if some
+    # future field bloats the line, shed the non-essential blocks rather
+    # than lose the whole record again.
+    if len(line) > 2000:
+        for k in ("scaling_summary", "new_queries_sec", "sf1_extraction"):
+            out.pop(k, None)
+            line = json.dumps(out)
+            if len(line) <= 2000:
+                break
+    print(line)
 
 
 if __name__ == "__main__":
