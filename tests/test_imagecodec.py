@@ -241,3 +241,44 @@ def test_hostile_headers_fail_contained():
     struct.pack_into("<HH", gif, off + 5, 1, 1)
     with pytest.raises(ValueError, match="expands past"):
         ic.decode_gif(bytes(gif))
+
+
+def test_sniff_image_meta_real_headers():
+    """Header-only sniff agrees with the full decoder on every synth kind."""
+    for d in range(8):  # covers kinds 0-3 twice
+        payload = ic.synth_image(d)
+        meta = ic.sniff_image_meta(payload)
+        full = ic.decode_image(payload)
+        assert meta is not None
+        assert (meta["format"], meta["width"], meta["height"]) == (
+            full["format"], full["width"], full["height"]
+        )
+
+
+def test_sniff_image_meta_rejects_non_images():
+    """A sniff must return None (never raise) on arbitrary crawl bytes —
+    including text that happens to start with a short magic."""
+    assert ic.sniff_image_meta(b"") is None
+    assert ic.sniff_image_meta(b"hello world " * 10) is None
+    # text starting with the 2-byte BMP magic: reserved words are ASCII,
+    # not zero, so the strengthened sniff rejects it
+    assert ic.sniff_image_meta(b"BMW dealers in Berlin: list of addresses") is None
+    # truncated real headers: signature present, dims absent
+    assert ic.sniff_image_meta(ic.PNG_SIG + b"\x00\x00") is None
+    assert ic.sniff_image_meta(b"GIF89a") is None
+    # PNG signature but zero dims
+    ihdr = struct.pack(">IIBBBBB", 0, 5, 8, 0, 0, 0, 0)
+    assert ic.sniff_image_meta(ic.PNG_SIG + ic._chunk(b"IHDR", ihdr)) is None
+
+
+def test_sniff_bmp_core_header_and_topdown():
+    """BITMAPCOREHEADER (12-byte) 16-bit dims and negative-height
+    (top-down) BITMAPINFOHEADER both sniff correctly."""
+    core = (b"BM" + struct.pack("<IHHI", 26, 0, 0, 26)
+            + struct.pack("<IHHHH", 12, 7, 9, 1, 24))
+    meta = ic.sniff_image_meta(core)
+    assert meta == {"format": "bmp", "width": 7, "height": 9}
+    topdown = bytearray(ic.encode_bmp(5, 4, bytes(5 * 4 * 3)))
+    struct.pack_into("<i", topdown, 22, -4)
+    meta = ic.sniff_image_meta(bytes(topdown))
+    assert meta == {"format": "bmp", "width": 5, "height": 4}

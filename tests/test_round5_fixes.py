@@ -1,0 +1,84 @@
+"""Round-5 fix coverage: per-document NIK work budget, chunk-envelope
+TypeError guard, encode_png error contract."""
+
+from __future__ import annotations
+
+import struct
+import time
+
+import pytest
+
+from universal_key_value_based_text_processing_with_ocr_spark.kvcore import evaluate as ev
+from universal_key_value_based_text_processing_with_ocr_spark.operators import imagecodec as ic
+from universal_key_value_based_text_processing_with_ocr_spark.operators.extract import (
+    parse_page_row,
+)
+
+
+@pytest.fixture
+def unarmed_budget():
+    """Leave the module-level budget as found (tests share the module)."""
+    old = ev._nik_doc_budget[0]
+    ev._nik_doc_budget[0] = None
+    yield
+    ev._nik_doc_budget[0] = old
+
+
+def test_nik_budget_unarmed_is_exact(unarmed_budget):
+    # direct library calls never arm the budget: full exact parity
+    assert ev.eval_nik("3171 0102 9303 0002") == [True, [[0, ["3171010293030002"]]]]
+
+
+def test_nik_budget_degrades_within_document(unarmed_budget):
+    """Once a document's budget is spent, later calls use the bounded
+    search instead of re-paying the exponential exact enumeration."""
+    ev.reset_nik_doc_budget()
+    assert ev._nik_doc_budget[0] == ev._NIK_DOC_BUDGET
+
+    # realistic value: tiny cost, budget barely moves, result exact
+    r = ev.eval_nik("3171 0102 9303 0002")
+    assert r == [True, [[0, ["3171010293030002"]]]]
+    assert ev._nik_doc_budget[0] >= ev._NIK_DOC_BUDGET - (1 << 5)
+
+    # drain the budget; the next 22-run call must NOT take ~5.6 s exact
+    ev._nik_doc_budget[0] = 1000
+    hostile = " ".join("7" for _ in range(22))
+    t0 = time.perf_counter()
+    ev.eval_nik(hostile)
+    assert time.perf_counter() - t0 < 1.0
+    assert ev._nik_doc_budget[0] == 0
+
+    # fully spent: bounded search visits zero nodes, returns no candidates
+    assert ev.eval_nik("3171 0102 9303 0002")[0] is False
+
+
+def test_nik_budget_armed_per_page(unarmed_budget):
+    """parse_page_row refills the budget, so one hostile page cannot
+    starve the next page's exact enumeration."""
+    ev._nik_doc_budget[0] = 0
+    parse_page_row("u", None, "PROVINSI DKI JAKARTA\nNIK : 3171010293030002", "ind")
+    assert ev._nik_doc_budget[0] is not None
+    assert ev._nik_doc_budget[0] > 0
+
+
+def test_chunk_envelope_mixed_type_column(tmp_path):
+    """Schema drift re-typing a stats column between files must drop the
+    column from the chunk envelope, not crash the commit (ADVICE r4)."""
+    from universal_key_value_based_text_processing_with_ocr_spark.lakehouse.catalog import (
+        SnapshotTable,
+    )
+
+    cat = SnapshotTable(str(tmp_path / "tbl"))
+    entries = {
+        "f1.parquet": {"rows": 10, "cols": {"a": {"min": 1, "max": 5}, "b": {"min": "x", "max": "y"}}},
+        "f2.parquet": {"rows": 20, "cols": {"a": {"min": 2, "max": 9}, "b": {"min": 3, "max": 7}}},
+    }
+    summary = cat._write_chunk(list(entries), entries)
+    assert summary["cols"]["a"] == [1, 9]
+    assert "b" not in summary["cols"]  # mixed str/int bounds dropped
+    assert summary["rows"] == 30
+
+
+def test_encode_png_rejects_mismatched_buffer():
+    with pytest.raises(ValueError, match="does not match"):
+        ic.encode_png(4, 4, bytes(5), color_type=0)

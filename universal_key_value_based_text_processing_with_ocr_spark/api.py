@@ -307,9 +307,22 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
 
 
 def q_multimodal_image_meta(spark, sf_dir):
+    """Image metadata probe over a MIXED corpus (VERDICT r4 #5): doc_id %
+    3 != 0 rows carry real encoded PNG/BMP/GIF bytes (synth_image) whose
+    dims the sniffer reads from the actual headers (meta_source='header',
+    oracle replays dims analytically from the generator's closed form);
+    doc_id % 3 == 0 rows carry utf-8 text bytes no sniffer recognises,
+    exercising the quarantined fake fallback (meta_source='fake', md5
+    replay).  n_bytes is dropped from the projection — encoded size is
+    zlib-dependent, not SQL-expressible."""
     docs = _tbl(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    images = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    return multimodal.decode_image_meta(images)
+    real = multimodal.synth_images(docs.filter(F.col("doc_id") % 3 != 0))
+    unknown = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return multimodal.decode_image_meta(real.unionByName(unknown)).select(
+        "doc_id", "width", "height", "format", "meta_source"
+    )
 
 
 def q_multimodal_image_decode(spark, sf_dir):
@@ -1127,13 +1140,26 @@ ORACLE_SQL = {
         SELECT vec_a, vec_b, cos FROM cand WHERE cos >= 0.2
     """,
     "multimodal_image_meta": """
+        -- header-sniffed rows: dims replayed analytically from
+        -- imagecodec.synth_image's closed form (w = 8 + d%9,
+        -- h = 8 + 3d%9, format by d%4) — the oracle never parses a header
         SELECT doc_id,
-               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-               CAST(1 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 2048 AS INT) AS fake_width,
-               CAST(1 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 2048 AS INT) AS fake_height,
+               CAST(8 + doc_id % 9 AS INT) AS width,
+               CAST(8 + (3 * doc_id) % 9 AS INT) AS height,
+               CASE WHEN doc_id % 4 IN (0, 1) THEN 'png'
+                    WHEN doc_id % 4 = 2 THEN 'bmp'
+                    ELSE 'gif' END AS format,
+               'header' AS meta_source
+        FROM documents WHERE text IS NOT NULL AND doc_id % 3 <> 0
+        UNION ALL
+        -- unrecognised payloads: quarantined deterministic fake (md5)
+        SELECT doc_id,
+               CAST(1 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 2048 AS INT) AS width,
+               CAST(1 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 2048 AS INT) AS height,
                CASE (('0x' || substr(md5(text), 1, 2))::BIGINT % 3)
-                    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
-        FROM documents WHERE text IS NOT NULL
+                    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+               'fake' AS meta_source
+        FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 0
     """,
     "multimodal_image_decode": """
         -- analytic replay of imagecodec.synth_image's pixel pattern: the

@@ -141,6 +141,24 @@ _NIK_EXACT_MAX_RUNS = 22
 #: divergence on these inputs).
 _NIK_BOUNDED_BUDGET = 500_000
 
+#: per-DOCUMENT work ceiling across ALL eval_nik calls (ADVICE r4): the
+#: blended parser's NIK_1 re-scan feeds every line here, so a hostile page
+#: with thousands of 19-22-run lines costs ~5.6 s EACH under the per-call
+#: exact bound — hours per document.  The document sweep arms this budget
+#: (reset_nik_doc_budget in parse_page_row); every exact enumeration
+#: deducts its 2^n subsets and every bounded search its visited nodes.
+#: Once spent, later calls in the same document fall to the bounded search
+#: (ultimately an empty one) under the same documented-divergence
+#: contract.  Direct library/parity calls never arm it (None = unlimited).
+_NIK_DOC_BUDGET = 1 << 22
+_nik_doc_budget: list = [None]
+
+
+def reset_nik_doc_budget() -> None:
+    """Arm/refill the per-document NIK work budget (called once per page
+    by the document sweep)."""
+    _nik_doc_budget[0] = _NIK_DOC_BUDGET
+
 
 def eval_nik(value, max_distance=1):
     """NIK candidate search over subsets of the value's digit runs.
@@ -175,13 +193,22 @@ def eval_nik(value, max_distance=1):
                     buckets[dist] = []
                 buckets[dist].append(cand)
 
-    if len(digit_runs) <= _NIK_EXACT_MAX_RUNS:
+    doc_left = _nik_doc_budget[0]
+    exact_cost = (1 << len(digit_runs)) if len(digit_runs) <= _NIK_EXACT_MAX_RUNS else None
+    if exact_cost is not None and (doc_left is None or exact_cost <= doc_left):
+        if doc_left is not None:
+            _nik_doc_budget[0] = doc_left - exact_cost
         for r in range(1, len(digit_runs) + 1):
             for combo in combinations(digit_runs, r):
                 consider("".join(map(str, combo)))
     else:
         runs = [t for t in digit_runs if t]
-        budget = _NIK_BOUNDED_BUDGET
+        budget = (
+            _NIK_BOUNDED_BUDGET
+            if doc_left is None
+            else min(_NIK_BOUNDED_BUDGET, doc_left)
+        )
+        budget0 = budget
 
         def rec(i: int, cur: str) -> None:
             nonlocal budget
@@ -201,6 +228,8 @@ def eval_nik(value, max_distance=1):
                 rec(j + 1, nxt)
 
         rec(0, "")
+        if doc_left is not None:
+            _nik_doc_budget[0] = doc_left - (budget0 - budget)
 
     ordered = {k: buckets[k] for k in sorted(buckets)}
     if len(buckets) > 0:

@@ -138,13 +138,23 @@ class SnapshotTable:
                 *(set(e.get("cols", {})) for e in entries.values())
             )
             if shared:
-                summary["cols"] = {
-                    c: [
-                        min(e["cols"][c]["min"] for e in entries.values()),
-                        max(e["cols"][c]["max"] for e in entries.values()),
-                    ]
-                    for c in shared
-                }
+                env = {}
+                for c in shared:
+                    # TypeError guard to match the read path (ADVICE r4):
+                    # schema drift can re-type a stats column between
+                    # snapshots (str vs int bounds for one name) — drop
+                    # that column from the envelope instead of crashing
+                    # the commit; _plan_files already treats a missing
+                    # envelope conservatively (chunk never pruned).
+                    try:
+                        env[c] = [
+                            min(e["cols"][c]["min"] for e in entries.values()),
+                            max(e["cols"][c]["max"] for e in entries.values()),
+                        ]
+                    except TypeError:
+                        continue
+                if env:
+                    summary["cols"] = env
         return summary
 
     def _load_chunk(self, summary: dict) -> dict:

@@ -26,6 +26,7 @@ import pandas as pd
 
 from ..htmlcore import extract_main_lines, page_quality_warnings
 from ..kvcore import ktpspec
+from ..kvcore.evaluate import reset_nik_doc_budget
 
 RESULT_SCHEMA = (
     "url string, lang string, extracted_text string, result_json string, "
@@ -37,6 +38,10 @@ RESULT_SCHEMA = (
 def parse_page_row(url, html, text, lang, configs=None) -> dict:
     """Pure per-row payload: decode + sweep one page.  Shared by the Spark
     stage and the golden-oracle generator (identical bytes by construction)."""
+    # per-document NIK work budget (ADVICE r4): a hostile page with
+    # thousands of many-run digit lines cannot wedge an executor — exact
+    # enumeration degrades to the bounded search once the budget is spent
+    reset_nik_doc_budget()
     if html is not None:
         lines = extract_main_lines(bytes(html))
         extracted_text = "\n".join(lines)

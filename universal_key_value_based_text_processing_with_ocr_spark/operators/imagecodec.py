@@ -113,7 +113,14 @@ def encode_png(
     fixtures use ``y % 5`` so a decoder must invert all five predictors to
     recover the pattern."""
     ch = _PNG_CHANNELS[color_type]
-    assert len(pixels) == width * height * ch, "pixel buffer does not match dims"
+    # ValueError (not assert): asserts strip under `python -O`, which would
+    # let a mismatched buffer silently encode a corrupt PNG — fail fast
+    # with the same error contract as the decoders (ADVICE r4)
+    if len(pixels) != width * height * ch:
+        raise ValueError(
+            f"pixel buffer {len(pixels)} bytes does not match "
+            f"{width}x{height}x{ch} dims"
+        )
     stride = width * ch
     raw = bytearray()
     prev = bytes(stride)
@@ -494,6 +501,51 @@ def decode_image(payload: bytes) -> dict:
     except (IndexError, KeyError, struct.error, zlib.error) as e:
         raise ValueError(f"truncated/corrupt image payload: {e}") from e
     raise ValueError("unknown image format")
+
+
+def sniff_image_meta(payload: bytes) -> dict | None:
+    """Header-only format + dimensions probe — no pixel decode, no
+    allocation proportional to the claimed dims (reference analog: the
+    metadata probe before full decode, ocrfw/preprocessing.py:115-135).
+
+    Returns ``{"format", "width", "height"}`` for recognised PNG / BMP /
+    GIF headers, ``None`` for anything else (jpeg/webp/garbage) — the
+    caller decides the fallback.  Malformed-but-signatured headers
+    (truncated IHDR, zero dims) also return None: a sniff must never
+    raise, it runs on arbitrary crawl bytes."""
+    try:
+        if payload[:8] == PNG_SIG:
+            if len(payload) >= 24 and payload[12:16] == b"IHDR":
+                width, height = struct.unpack(">II", payload[16:24])
+                if width > 0 and height > 0:
+                    return {"format": "png", "width": width, "height": height}
+            return None
+        if payload[:2] == b"BM" and len(payload) >= 22:
+            # 'BM' alone is a 2-byte magic — far too weak against arbitrary
+            # crawl bytes (any text starting "BM" would sniff as an image).
+            # Require the two reserved zero words and a known header size,
+            # like `file`'s magic does.
+            if payload[6:10] != b"\x00\x00\x00\x00":
+                return None
+            (hdr_size,) = struct.unpack("<I", payload[14:18])
+            if hdr_size == 12:  # BITMAPCOREHEADER: 16-bit dims
+                width, height = struct.unpack("<HH", payload[18:22])
+            elif hdr_size in (40, 52, 56, 64, 108, 124) and len(payload) >= 26:
+                width, height = struct.unpack("<ii", payload[18:26])
+            else:
+                return None
+            # negative BMP height = top-down row order; dims still |height|
+            if width > 0 and height != 0:
+                return {"format": "bmp", "width": width, "height": abs(height)}
+            return None
+        if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+            width, height = struct.unpack("<HH", payload[6:10])
+            if width > 0 and height > 0:
+                return {"format": "gif", "width": width, "height": height}
+            return None
+    except (struct.error, IndexError):
+        return None
+    return None
 
 
 def image_stats(decoded: dict) -> dict:
