@@ -197,10 +197,36 @@ def test_dedup_paragraphs_combinable_aggregates(spark):  # noqa: F811
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _formatted(dedup_paragraphs(docs))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    # countDistinct -> partial_count(distinct ...) pair; collect_list via
-    # ObjectHashAggregate with a partial phase
+    # plain count after pair-distinct -> partial_count map-side phase;
+    # collect_list via ObjectHashAggregate with a partial phase
     assert "partial_count" in plan
     assert "ObjectHashAggregate" in plan
+
+
+def test_frequency_aggs_are_skew_capped(spark):  # noqa: F811
+    """VERDICT r4 #6: the distinct-doc frequency in dedup_paragraphs /
+    mask_repeated_ngrams must NOT be a fused groupBy(key).countDistinct
+    (one viral line/gram would pile every (key, doc) pair onto a single
+    reducer).  The skew-safe shape: an exchange hash-partitioned on the
+    (key, doc_id) PAIR for the distinct, then a combinable plain count."""
+    import re
+
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        dedup_paragraphs,
+        mask_repeated_ngrams,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for op, key in ((dedup_paragraphs, "line"), (mask_repeated_ngrams, "gram")):
+        plan = _formatted(op(docs))
+        # no fused distinct aggregate anywhere
+        assert "count(distinct" not in plan.lower(), op.__name__
+        # pair-distinct: an exchange partitioned on BOTH key and doc_id
+        assert re.search(
+            rf"hashpartitioning\({key}#\d+[^)]*doc_id#\d+", plan
+        ), f"{op.__name__}: no (key, doc) pair exchange\n{plan[:2000]}"
+        # the per-key count keeps its map-side partial phase
+        assert "partial_count" in plan, op.__name__
 
 
 def test_lsh_topk_corpus_side_not_exploded(spark):  # noqa: F811

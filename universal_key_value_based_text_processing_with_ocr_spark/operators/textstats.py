@@ -443,14 +443,16 @@ def dedup_paragraphs(
     removed from every document; the survivors reassemble in original
     order.
 
-    Plan: posexplode -> distinct-doc frequency per exact line -> anti-join
-    the frequent-line set -> groupBy doc reassembly via
-    array_sort(collect_list(struct(idx, line))).  Two shuffles (line key,
-    then doc key), both map-side combinable; the frequent-line set is the
-    only re-used intermediate and AQE broadcasts it when small.  At 100 TB
-    the line-key shuffle dominates and is the unavoidable cost of a
-    cross-document frequency — the same shape as exact dedup, one level
-    finer.
+    Plan: posexplode -> skew-safe distinct-doc frequency per exact line
+    ((line, doc) pair-distinct, then combinable count — see inline
+    comment) -> anti-join the frequent-line set -> groupBy doc reassembly
+    via array_sort(collect_list(struct(idx, line))).  Three shuffles
+    (pair key, line key, doc key), the per-line aggregations map-side
+    combinable and the pair-distinct immune to viral-line skew; the
+    frequent-line set is the only re-used intermediate and AQE broadcasts
+    it when small.  At 100 TB the pair shuffle dominates and is the
+    unavoidable cost of a cross-document frequency — the same shape as
+    exact dedup, one level finer.
 
     Output: (id_col, clean_text, n_lines_kept, n_lines_total); documents
     whose every line was boilerplate keep an empty clean_text.
@@ -463,10 +465,21 @@ def dedup_paragraphs(
     # appear in nearly every document, so without this filter every blank
     # line would be "frequent" and paragraph structure would be destroyed
     # corpus-wide (review finding).
+    # Skew-safe exact distinct-doc frequency (VERDICT r4 #6): a fused
+    # groupBy(line).countDistinct(doc) shuffles every (line, doc) pair to
+    # the LINE's reducer — a cookie banner in millions of documents piles
+    # millions of pairs onto one task.  Split it: distinct() on the PAIR
+    # first (exchange hash-partitions on (line, doc), so the hot line's
+    # pairs spread over all reducers), then a plain count per line whose
+    # partial aggregation is map-side combinable (each task emits at most
+    # one partial count per line).  Same exact semantics, one extra —
+    # well-balanced — shuffle instead of one unbounded reducer.
     frequent = (
         lines.filter(F.trim(F.col("line")) != "")
+        .select("line", id_col)
+        .distinct()
         .groupBy("line")
-        .agg(F.countDistinct(id_col).alias("nd"))
+        .agg(F.count(F.lit(1)).alias("nd"))
         .filter(F.col("nd") >= min_docs)
         .select("line")
     )
@@ -603,9 +616,9 @@ def mask_repeated_ngrams(
     higher-order transform (no sequence() descent trap, no Generate blow-
     up of the text) -> distinct-doc frequency on the gram key -> semi-join
     back -> covered-position explode -> anti-join -> ordered reassembly.
-    Shuffles: gram key (combinable agg + semi-join) and doc key
-    (reassembly) — same 100 TB shape as exact dedup plus one explode
-    bounded by n x matches.
+    Shuffles: (gram, doc) pair then gram key (skew-safe combinable
+    frequency + semi-join) and doc key (reassembly) — same 100 TB shape
+    as exact dedup plus one explode bounded by n x matches.
 
     Output: (id_col, clean_text, n_tokens, n_masked)."""
     base = docs.filter(F.col(text_col).isNotNull()).select(
@@ -622,9 +635,15 @@ def mask_repeated_ngrams(
     grams = base.select(id_col, F.explode(F.expr(gram_expr)).alias("g")).select(
         id_col, F.col("g.start").alias("start"), F.col("g.gram").alias("gram")
     )
+    # skew-safe exact distinct-doc frequency — same two-stage shape as
+    # dedup_paragraphs (see comment there): pair-distinct spreads a
+    # viral gram's pairs across reducers, the count-per-gram partial agg
+    # is map-side combinable (VERDICT r4 #6)
     frequent = (
-        grams.groupBy("gram")
-        .agg(F.countDistinct(id_col).alias("nd"))
+        grams.select("gram", id_col)
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
         .filter(F.col("nd") >= min_docs)
         .select("gram")
     )
