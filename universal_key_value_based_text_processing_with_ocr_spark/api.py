@@ -117,6 +117,58 @@ def q_pages_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pages_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming/batch ``--dedup-content`` path end-to-end (VERDICT r4
+    #7): extraction -> fingerprint side-table of the COMMITTED increment
+    (``fps_of``, exactly what ``rebuild_fp_table``/the foreachBatch
+    maintain) -> Bloom sketch + exact-verify flags and the mirror drop
+    over the NEXT increment.
+
+    Committed increment: pages with odd last url digit.  Batch increment:
+    even pages, plus ``mirror://``-prefixed copies of half the committed
+    pages (cross-increment dups — must be dropped via the sketch) and
+    ``copy://``-prefixed copies of half the batch pages (within-batch
+    dups — the window keeps the lexicographically lowest url, which is
+    the copy).  Output per batch row: the Bloom diagnostic columns
+    (replayed bit-for-bit by the oracle, false positives included) and
+    ``kept`` = survived ``drop_content_duplicates``."""
+    from .operators.dedup import bloom_incremental_dedup, drop_content_duplicates, fps_of
+
+    pages = synth_pages_df(spark, GOLDEN_N, seed=GOLDEN_SEED)
+    last = F.substring("url", -1, 1).cast("int") % 2
+    last2 = F.substring("url", -2, 1).cast("int") % 2
+    committed_pages = pages.filter(last == 1)
+    batch_pages = (
+        pages.filter(last == 0)
+        .unionByName(
+            committed_pages.filter(last2 == 0).withColumn(
+                "url", F.concat(F.lit("mirror://"), F.col("url"))
+            )
+        )
+        .unionByName(
+            pages.filter(last == 0).filter(last2 == 0).withColumn(
+                "url", F.concat(F.lit("copy://"), F.col("url"))
+            )
+        )
+    )
+    committed_fps = fps_of(extract_pages(committed_pages), text_col="extracted_text")
+    batch = extract_pages(batch_pages)
+    flags = bloom_incremental_dedup(
+        batch.select("url", F.col("extracted_text").alias("text")),
+        id_col="url",
+        committed_fps=committed_fps,
+    )
+    survivors = drop_content_duplicates(batch, committed_fps=committed_fps).select(
+        "url", F.lit(True).alias("_kept")
+    )
+    return flags.join(survivors, "url", "left").select(
+        "url",
+        "bloom_candidate",
+        "is_dup",
+        F.coalesce(F.col("_kept"), F.lit(False)).alias("kept"),
+    )
+
+
 def q_doc_token_count(spark, sf_dir):
     return textstats.token_count(_tbl(spark, sf_dir, "documents"))
 
@@ -416,6 +468,7 @@ QUERIES = {
     "clean_corpus": q_clean_corpus,
     "pages_clean_corpus": q_pages_clean_corpus,
     "pages_host_stats": q_pages_host_stats,
+    "pages_content_dedup": q_pages_content_dedup,
     "doc_repetition": q_doc_repetition,
     "doc_scrub_pii": q_doc_scrub_pii,
     "contamination_check": q_contamination_check,
@@ -915,6 +968,73 @@ ORACLE_SQL = {
                CAST(sum(n_fields) AS BIGINT) AS total_fields
         FROM '{GOLDEN_EXTRACT}'
         GROUP BY host
+    """,
+    "pages_content_dedup": f"""
+        -- the --dedup-content path replayed over the golden extraction:
+        -- committed-increment fp side-table (odd last url digit), batch =
+        -- even pages + mirror:// copies of half the committed pages +
+        -- copy:// copies of half the batch pages; the Bloom sketch is the
+        -- identical bit-for-bit replay used by dedup_incremental_bloom
+        WITH g AS (SELECT url, extracted_text FROM '{GOLDEN_EXTRACT}'),
+        committed AS (
+            SELECT DISTINCT md5(extracted_text) AS fp FROM g
+            WHERE CAST(substr(url, -1, 1) AS INT) % 2 = 1
+              AND extracted_text IS NOT NULL
+        ),
+        batch AS (
+            SELECT url, extracted_text FROM g
+            WHERE CAST(substr(url, -1, 1) AS INT) % 2 = 0
+            UNION ALL
+            SELECT 'mirror://' || url, extracted_text FROM g
+            WHERE CAST(substr(url, -1, 1) AS INT) % 2 = 1
+              AND CAST(substr(url, -2, 1) AS INT) % 2 = 0
+            UNION ALL
+            SELECT 'copy://' || url, extracted_text FROM g
+            WHERE CAST(substr(url, -1, 1) AS INT) % 2 = 0
+              AND CAST(substr(url, -2, 1) AS INT) % 2 = 0
+        ),
+        bfp AS (
+            SELECT url, md5(extracted_text) AS fp FROM batch
+            WHERE extracted_text IS NOT NULL
+        ),
+        cpos AS (
+            SELECT (('0x' || substr(fp, 1, 8))::BIGINT
+                    + j * (('0x' || substr(fp, 9, 8))::BIGINT * 2 + 1)) % 1048576 AS p
+            FROM committed, generate_series(0, 3) AS gs(j)
+        ),
+        sketch AS (
+            SELECT p // 63 AS word_idx,
+                   bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS word
+            FROM cpos GROUP BY 1
+        ),
+        bpos AS (
+            SELECT url, fp,
+                   (('0x' || substr(fp, 1, 8))::BIGINT
+                    + j * (('0x' || substr(fp, 9, 8))::BIGINT * 2 + 1)) % 1048576 AS p
+            FROM bfp, generate_series(0, 3) AS gs(j)
+        ),
+        hits AS (
+            SELECT url, fp,
+                   COALESCE(word, 0) & (CAST(1 AS BIGINT) << CAST(p % 63 AS INT))
+                     = (CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS hit
+            FROM bpos LEFT JOIN sketch ON word_idx = p // 63
+        ),
+        per_doc AS (
+            SELECT url, fp, bool_and(hit) AS bloom_candidate
+            FROM hits GROUP BY url, fp
+        ),
+        flags AS (
+            SELECT url, fp, bloom_candidate,
+                   (bloom_candidate AND fp IN (SELECT fp FROM committed)) AS is_dup
+            FROM per_doc
+        ),
+        win AS (
+            SELECT url, row_number() OVER (PARTITION BY fp ORDER BY url) AS rn
+            FROM bfp
+        )
+        SELECT f.url, f.bloom_candidate, f.is_dup,
+               (w.rn = 1 AND NOT f.is_dup) AS kept
+        FROM flags f JOIN win w ON f.url = w.url
     """,
     "doc_repetition": r"""
         WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
