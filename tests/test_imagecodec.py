@@ -282,3 +282,39 @@ def test_sniff_bmp_core_header_and_topdown():
     struct.pack_into("<i", topdown, 22, -4)
     meta = ic.sniff_image_meta(bytes(topdown))
     assert meta == {"format": "bmp", "width": 5, "height": 4}
+
+
+def test_sniff_jpeg_sof_dims():
+    """JPEG dims from the SOF0 frame header after an APP0 segment walk."""
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 30, 20)
+        + b"\x03" + bytes(9)
+    )
+    assert ic.sniff_image_meta(jpeg) == {"format": "jpeg", "width": 20, "height": 30}
+    # SOS before any SOF -> None (no dims recoverable)
+    trunc = b"\xff\xd8" + b"\xff\xda" + struct.pack(">H", 4) + bytes(2)
+    assert ic.sniff_image_meta(trunc) is None
+    # desynchronised marker stream -> None, no exception
+    assert ic.sniff_image_meta(b"\xff\xd8garbage here") is None
+
+
+def test_sniff_webp_all_three_chunk_kinds():
+    def riff(tag, body):
+        chunk = tag + struct.pack("<I", len(body)) + body
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    lossy = riff(b"VP8 ", b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 64, 48) + bytes(4))
+    assert ic.sniff_image_meta(lossy) == {"format": "webp", "width": 64, "height": 48}
+
+    bits = (63) | (41 << 14)  # width-1=63, height-1=41
+    lossless = riff(b"VP8L", b"\x2f" + struct.pack("<I", bits) + bytes(8))
+    assert ic.sniff_image_meta(lossless) == {"format": "webp", "width": 64, "height": 42}
+
+    ext = riff(b"VP8X", bytes(4) + (99).to_bytes(3, "little") + (59).to_bytes(3, "little") + bytes(4))
+    assert ic.sniff_image_meta(ext) == {"format": "webp", "width": 100, "height": 60}
+
+    # bad sync / signature bytes -> None
+    bad = riff(b"VP8 ", b"\x00\x00\x00" + b"\xff\xff\xff" + struct.pack("<HH", 64, 48))
+    assert ic.sniff_image_meta(bad) is None

@@ -543,8 +543,75 @@ def sniff_image_meta(payload: bytes) -> dict | None:
             if width > 0 and height > 0:
                 return {"format": "gif", "width": width, "height": height}
             return None
+        if payload[:2] == b"\xff\xd8":
+            return _sniff_jpeg(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            return _sniff_webp(payload)
     except (struct.error, IndexError):
         return None
+    return None
+
+
+def _sniff_jpeg(payload: bytes) -> dict | None:
+    """JPEG dims from the first SOF0-SOF15 marker (JFIF/EXIF segment walk;
+    public marker layout, ITU T.81 §B.2.2).  The pixel DECODE still needs
+    a real library — this reads only the frame header."""
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            return None  # desynchronised marker stream
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers carry no length
+            continue
+        (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if seg_len < 2:
+            return None
+        # SOF0-SOF15 except the DHT/DAC/JPG pseudo-markers C4/C8/CC
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 9 > n:
+                return None
+            height, width = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+            if width > 0 and height > 0:
+                return {"format": "jpeg", "width": width, "height": height}
+            return None
+        if marker in (0xD9, 0xDA):  # EOI / start-of-scan before any SOF
+            return None
+        pos += 2 + seg_len
+    return None
+
+
+def _sniff_webp(payload: bytes) -> dict | None:
+    """WebP dims from the first chunk header: VP8 (lossy frame tag),
+    VP8L (lossless 14-bit packed dims) or VP8X (extended, 24-bit minus
+    one).  Public container layout (RIFF + WebP bitstream specs)."""
+    if len(payload) < 30:
+        return None
+    tag = payload[12:16]
+    if tag == b"VP8 ":
+        # lossy: 3-byte frame tag, then the 0x9d012a sync code, then dims
+        if payload[23:26] != b"\x9d\x01\x2a":
+            return None
+        width, height = struct.unpack("<HH", payload[26:30])
+        width &= 0x3FFF
+        height &= 0x3FFF
+    elif tag == b"VP8L":
+        if payload[20] != 0x2F:  # lossless signature byte
+            return None
+        (bits,) = struct.unpack("<I", payload[21:25])
+        width = (bits & 0x3FFF) + 1
+        height = ((bits >> 14) & 0x3FFF) + 1
+    elif tag == b"VP8X":
+        width = 1 + int.from_bytes(payload[24:27], "little")
+        height = 1 + int.from_bytes(payload[27:30], "little")
+    else:
+        return None
+    if width > 0 and height > 0:
+        return {"format": "webp", "width": width, "height": height}
     return None
 
 
