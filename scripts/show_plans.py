@@ -73,7 +73,9 @@ def main() -> None:
         ("similarity_topk_ivf", "IVF-flat: broadcast centroid assignment (argmax window), candidate scan joined on disjoint cell ids"),
         ("corpus_top_terms", "TakeOrderedAndProject top-n (no single-partition Exchange over the vocabulary)"),
         ("similarity_topk_lsh", "hyperplane-bucket LSH: the 386 probe keys explode on the BROADCAST query side (Generate under BroadcastExchange); the corpus computes its bucket once and joins by plain equality — never amplified"),
-        ("dedup_paragraphs", "corpus-level line dedup: posexplode -> partial+final distinct-doc count on the line key -> anti-join -> per-doc array_sort reassembly; two map-side-combinable shuffles"),
+        ("dedup_paragraphs", "corpus-level line dedup: posexplode -> skew-safe (line, doc) pair-distinct then combinable count -> anti-join -> per-doc array_sort reassembly; a viral line spreads across reducers instead of piling on one"),
+        ("mask_repeated_ngrams", "substring dedup: row-local positional n-grams (one HOF, no text blow-up) -> skew-safe (gram, doc) pair-distinct + combinable count -> semi-join -> covered-position anti-join -> reassembly"),
+        ("pages_content_dedup", "the --dedup-content path: within-batch mirror window + Bloom sketch broadcast probe of the committed fp side-table + exact semi-join for candidates only"),
         ("multimodal_image_decode", "two Arrow stages (synth bytes -> decode), payload pruned after decode; no shuffle at all"),
         ("corpus_familiarity", "tokenize -> one combinable count groupBy -> re-join on token -> per-doc integer aggregate"),
         ("events_asof_join", "AS-OF join as union + ONE key exchange + sort + window (atomic struct carry) — the merge-scan shape, never a range nested-loop"),
