@@ -5,11 +5,13 @@ throughput (222 -> 112 docs/s) without touching correctness — no test
 noticed.  This floor makes the next innocent-looking kvcore refactor fail
 loudly instead.
 
-The floor is deliberately generous (2x headroom below the healthy rate,
-measured 165-220 docs/s across host-drift extremes; the regressed round-4
-code measured 102-112 docs/s, comfortably below).  Best-of-3 short runs:
-the shared host drifts one-sidedly (contention only ever slows us down),
-so min-wall/max-rate is the stable estimator.
+The floor sits between the regression signature (~102-112 docs/s on the
+round-4 code) and the healthy band (165-220 docs/s across host-drift
+extremes) — close enough to the drift low end that a single contended
+run could dip under, so the test takes the best of up to 5 short runs
+(early exit on first pass: healthy code pays one run).  The shared host
+drifts one-sidedly (contention only ever slows us down), so max-rate is
+the stable estimator.
 """
 
 from __future__ import annotations
@@ -25,7 +27,7 @@ from universal_key_value_based_text_processing_with_ocr_spark.sources.synthdocs 
 
 FLOOR_DOCS_PER_SEC = 150.0
 DOCS_PER_RUN = 200
-RUNS = 3
+RUNS = 5
 
 
 def test_single_thread_extraction_floor():

@@ -52,13 +52,32 @@ def test_nik_budget_degrades_within_document(unarmed_budget):
     assert ev.eval_nik("3171 0102 9303 0002")[0] is False
 
 
-def test_nik_budget_armed_per_page(unarmed_budget):
-    """parse_page_row refills the budget, so one hostile page cannot
-    starve the next page's exact enumeration."""
-    ev._nik_doc_budget[0] = 0
-    parse_page_row("u", None, "PROVINSI DKI JAKARTA\nNIK : 3171010293030002", "ind")
-    assert ev._nik_doc_budget[0] is not None
-    assert ev._nik_doc_budget[0] > 0
+def test_nik_budget_armed_per_page_and_restored(unarmed_budget):
+    """Every per-row entry point arms a FRESH budget for its own parse and
+    restores the prior state after (review finding: a bare reset leaked
+    armed, partially-spent state into reused workers, making results
+    depend on worker history)."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.extract import (
+        parse_page_row_blended,
+    )
+
+    doc = "PROVINSI DKI JAKARTA\nNIK : 3171010293030002"
+    for fn in (
+        lambda: parse_page_row("u", None, doc, "ind")["result_json"],
+        lambda: parse_page_row_blended("u", None, doc)["result_json"],
+    ):
+        ev._nik_doc_budget[0] = None
+        baseline = fn()
+        # poisoned global state (as if a prior hostile doc spent
+        # everything): the next document must parse IDENTICALLY — results
+        # may not depend on worker history...
+        ev._nik_doc_budget[0] = 0
+        assert fn() == baseline
+        # ...and the prior state is restored, not clobbered
+        assert ev._nik_doc_budget[0] == 0
+    # direct library calls afterwards see the unarmed default again
+    ev._nik_doc_budget[0] = None
+    assert ev.eval_nik("3171 0102 9303 0002")[0] is True
 
 
 def test_chunk_envelope_mixed_type_column(tmp_path):
@@ -82,3 +101,29 @@ def test_chunk_envelope_mixed_type_column(tmp_path):
 def test_encode_png_rejects_mismatched_buffer():
     with pytest.raises(ValueError, match="does not match"):
         ic.encode_png(4, 4, bytes(5), color_type=0)
+
+
+def test_chunk_envelope_mixed_type_single_column(tmp_path):
+    """The legacy single-column envelope hits the same mixed-type drift as
+    the cols envelope and must also degrade instead of crashing."""
+    from universal_key_value_based_text_processing_with_ocr_spark.lakehouse.catalog import (
+        SnapshotTable,
+    )
+
+    cat = SnapshotTable(str(tmp_path / "tbl"))
+    entries = {
+        "f1.parquet": {"rows": 1, "column": "ts", "min": "2020-01-01", "max": "2020-01-02"},
+        "f2.parquet": {"rows": 2, "column": "ts", "min": 5, "max": 9},
+    }
+    summary = cat._write_chunk(list(entries), entries)
+    assert "min" not in summary and "max" not in summary  # degraded, not crashed
+    assert summary["rows"] == 3
+
+
+def test_sniff_png_rejects_spec_violating_dims():
+    """PNG dims above the spec's 2^31-1 cap are invalid and would overflow
+    the int32 metadata schema — the sniff must return None."""
+    ihdr = struct.pack(">IIBBBBB", 0x80000000, 5, 8, 0, 0, 0, 0)
+    assert ic.sniff_image_meta(ic.PNG_SIG + ic._chunk(b"IHDR", ihdr)) is None
+    ihdr = struct.pack(">IIBBBBB", 5, 0xFFFFFFFF, 8, 0, 0, 0, 0)
+    assert ic.sniff_image_meta(ic.PNG_SIG + ic._chunk(b"IHDR", ihdr)) is None

@@ -153,6 +153,11 @@ def q_pages_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     committed_fps = fps_of(extract_pages(committed_pages), text_col="extracted_text")
     batch = extract_pages(batch_pages)
+    # Deliberately runs BOTH real operators (the diagnostic flags path and
+    # the production drop) even though `kept` is derivable from the flags:
+    # the point of this query is oracle coverage of the actual
+    # drop_content_duplicates composition, at correctness scale the double
+    # sketch is cheap.
     flags = bloom_incremental_dedup(
         batch.select("url", F.col("extracted_text").alias("text")),
         id_col="url",
@@ -498,9 +503,12 @@ QUERIES = {
     "topk_orders": q_topk_orders,
     "fuzzy_nation_join": q_fuzzy_nation_join,
     "anti_join_resume": q_anti_join_resume,
+    # past the driver's 50-entry correctness cap this round (56 queries,
+    # so SIX sit past it: lead_value_association plus the five textstats
+    # below — all green in CORRECTNESS_r04 and re-verified green this
+    # round via scripts/check_correctness.py, which checks all 56; rotate
+    # again next round so no query goes two rounds unchecked)
     "lead_value_association": q_lead_value_association,
-    # past the driver's 50-entry correctness cap this round (all green in
-    # CORRECTNESS_r04; re-verifiable via scripts/check_correctness.py)
     "doc_fingerprint": q_doc_fingerprint,
     "charclass_projection": q_charclass_projection,
     "doc_rolling_fp": q_doc_rolling_fp,

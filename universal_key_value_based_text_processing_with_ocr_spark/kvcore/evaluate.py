@@ -160,6 +160,25 @@ def reset_nik_doc_budget() -> None:
     _nik_doc_budget[0] = _NIK_DOC_BUDGET
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def nik_doc_budget():
+    """Arm the budget for ONE document's parse and restore the prior state
+    after — the arm/restore pair every per-row extraction entry point
+    wraps its parse in (review finding: a bare reset in one entry point
+    leaked armed, partially-spent state into reused workers, making other
+    entry points' results depend on worker history — and left the
+    blended/boxorder paths unprotected entirely)."""
+    prev = _nik_doc_budget[0]
+    _nik_doc_budget[0] = _NIK_DOC_BUDGET
+    try:
+        yield
+    finally:
+        _nik_doc_budget[0] = prev
+
+
 def eval_nik(value, max_distance=1):
     """NIK candidate search over subsets of the value's digit runs.
 

@@ -127,9 +127,19 @@ class SnapshotTable:
         }
         cols = {e.get("column") for e in entries.values()}
         if len(cols) == 1 and None not in cols and all("min" in e for e in entries.values()):
-            summary["column"] = cols.pop()
-            summary["min"] = min(e["min"] for e in entries.values())
-            summary["max"] = max(e["max"] for e in entries.values())
+            # same TypeError guard as the multi-column envelope below: the
+            # legacy single-column bounds can hit the identical mixed-type
+            # schema drift (str-vs-int min/max under one column name) and
+            # must degrade to no-envelope, not crash the commit
+            try:
+                mn = min(e["min"] for e in entries.values())
+                mx = max(e["max"] for e in entries.values())
+            except TypeError:
+                pass
+            else:
+                summary["column"] = cols.pop()
+                summary["min"] = mn
+                summary["max"] = mx
         # multi-column envelope: a column appears in the chunk summary iff
         # EVERY file in the chunk has stats for it (else the chunk-level
         # prune could wrongly discard a file with unknown bounds)

@@ -26,7 +26,7 @@ import pandas as pd
 
 from ..htmlcore import extract_main_lines, page_quality_warnings
 from ..kvcore import ktpspec
-from ..kvcore.evaluate import reset_nik_doc_budget
+from ..kvcore.evaluate import nik_doc_budget
 
 RESULT_SCHEMA = (
     "url string, lang string, extracted_text string, result_json string, "
@@ -38,10 +38,6 @@ RESULT_SCHEMA = (
 def parse_page_row(url, html, text, lang, configs=None) -> dict:
     """Pure per-row payload: decode + sweep one page.  Shared by the Spark
     stage and the golden-oracle generator (identical bytes by construction)."""
-    # per-document NIK work budget (ADVICE r4): a hostile page with
-    # thousands of many-run digit lines cannot wedge an executor — exact
-    # enumeration degrades to the bounded search once the budget is spent
-    reset_nik_doc_budget()
     if html is not None:
         lines = extract_main_lines(bytes(html))
         extracted_text = "\n".join(lines)
@@ -63,7 +59,14 @@ def parse_page_row(url, html, text, lang, configs=None) -> dict:
 
     if extracted_text is not None:
         try:
-            parsed = ktpspec.parse_document(extracted_text, configs=configs, warning=warning)
+            # per-document NIK work budget (ADVICE r4): armed for exactly
+            # this parse and restored after, so a hostile page with
+            # thousands of many-run digit lines cannot wedge an executor,
+            # and no armed state leaks into a reused worker's next call
+            with nik_doc_budget():
+                parsed = ktpspec.parse_document(
+                    extracted_text, configs=configs, warning=warning
+                )
         except Exception as exc:  # malformed-doc guard (engine policy:
             # a poisoned row must not kill a 100 TB job; recorded as failure)
             parsed = {
@@ -209,7 +212,8 @@ def parse_page_row_debug(url, html, text, lang, configs=None, parser: str = "swe
                     blocks = text.split("\n")
                 else:
                     blocks = []
-                full = parse_document_boxorder(blocks, configs=configs)
+                with nik_doc_budget():
+                    full = parse_document_boxorder(blocks, configs=configs)
             else:
                 if html is not None:
                     doc = "\n".join(extract_main_lines(bytes(html)))
@@ -217,7 +221,8 @@ def parse_page_row_debug(url, html, text, lang, configs=None, parser: str = "swe
                     doc = text
                 else:
                     doc = ""
-                full = parse_document_blended(doc, configs=configs)
+                with nik_doc_budget():
+                    full = parse_document_blended(doc, configs=configs)
         except Exception as exc:
             full = {"success": False, "result": {},
                     "all_error_messages": [f"engine exception: {type(exc).__name__}: {exc}"]}
@@ -305,7 +310,8 @@ def parse_page_row_with_config(url, html, text, cfg) -> dict:
             doc = text
         else:
             doc = ""
-        parsed = parse_document_with_config(doc, cfg)
+        with nik_doc_budget():
+            parsed = parse_document_with_config(doc, cfg)
     except Exception:  # poisoned-row policy: same guard as parse_page_row —
         # one malformed document must not abort the whole job
         parsed = {"success": False, "result": {}}
@@ -348,7 +354,8 @@ def parse_page_row_blended(url, html, text, configs=None) -> dict:
             doc = text
         else:
             doc = ""
-        parsed = parse_document_blended(doc, configs=configs)
+        with nik_doc_budget():
+            parsed = parse_document_blended(doc, configs=configs)
     except Exception as exc:
         parsed = {"success": False, "result": {},
                   "all_error_messages": [f"engine exception: {type(exc).__name__}: {exc}"]}
@@ -378,7 +385,8 @@ def parse_page_row_boxorder(url, html, text, configs=None) -> dict:
             blocks = text.split("\n")
         else:
             blocks = []
-        parsed = parse_document_boxorder(blocks, configs=configs)
+        with nik_doc_budget():
+            parsed = parse_document_boxorder(blocks, configs=configs)
     except Exception:  # poisoned-row policy (incl. the reference's
         # UnboundLocalError echo quirk on never-scanned failing specs)
         parsed = {"success": False, "result": {}}

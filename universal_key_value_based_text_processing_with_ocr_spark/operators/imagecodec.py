@@ -509,15 +509,20 @@ def sniff_image_meta(payload: bytes) -> dict | None:
     metadata probe before full decode, ocrfw/preprocessing.py:115-135).
 
     Returns ``{"format", "width", "height"}`` for recognised PNG / BMP /
-    GIF headers, ``None`` for anything else (jpeg/webp/garbage) — the
-    caller decides the fallback.  Malformed-but-signatured headers
-    (truncated IHDR, zero dims) also return None: a sniff must never
+    GIF / JPEG / WebP headers, ``None`` for anything else — the caller
+    decides the fallback.  (JPEG/WebP get header-sniffed dims here even
+    though their pixel DECODE still needs a real library.)
+    Malformed-but-signatured headers (truncated IHDR, zero dims, dims
+    past the PNG spec's 2^31-1 cap) also return None: a sniff must never
     raise, it runs on arbitrary crawl bytes."""
     try:
         if payload[:8] == PNG_SIG:
             if len(payload) >= 24 and payload[12:16] == b"IHDR":
                 width, height = struct.unpack(">II", payload[16:24])
-                if width > 0 and height > 0:
+                # PNG dims are unsigned on the wire but the spec caps them
+                # at 2^31-1; larger values are invalid AND would overflow
+                # the int32 metadata schema (review finding)
+                if 0 < width <= 0x7FFFFFFF and 0 < height <= 0x7FFFFFFF:
                     return {"format": "png", "width": width, "height": height}
             return None
         if payload[:2] == b"BM" and len(payload) >= 22:

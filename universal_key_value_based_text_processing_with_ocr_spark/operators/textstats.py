@@ -475,7 +475,11 @@ def dedup_paragraphs(
     # one partial count per line).  Same exact semantics, one extra —
     # well-balanced — shuffle instead of one unbounded reducer.
     frequent = (
+        # NULL-id rows are excluded to keep countDistinct's NULL semantics
+        # (a NULL document id must not count toward the doc-frequency
+        # threshold — review finding on the pair-distinct rewrite)
         lines.filter(F.trim(F.col("line")) != "")
+        .filter(F.col(id_col).isNotNull())
         .select("line", id_col)
         .distinct()
         .groupBy("line")
@@ -640,7 +644,9 @@ def mask_repeated_ngrams(
     # viral gram's pairs across reducers, the count-per-gram partial agg
     # is map-side combinable (VERDICT r4 #6)
     frequent = (
-        grams.select("gram", id_col)
+        # NULL ids excluded — countDistinct semantics, see dedup_paragraphs
+        grams.filter(F.col(id_col).isNotNull())
+        .select("gram", id_col)
         .distinct()
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("nd"))
