@@ -318,3 +318,114 @@ def test_sniff_webp_all_three_chunk_kinds():
     # bad sync / signature bytes -> None
     bad = riff(b"VP8 ", b"\x00\x00\x00" + b"\xff\xff\xff" + struct.pack("<HH", 64, 48))
     assert ic.sniff_image_meta(bad) is None
+
+
+# --------------------------------------------------------------------------
+# baseline JPEG codec
+# --------------------------------------------------------------------------
+
+
+def test_jpeg_constant_block_gray_is_bit_exact():
+    """Constant 8x8 blocks + unit quantisation: DC-only spectrum, exact
+    integer DC, IDCT returns the constant — the oracle fixtures' setting."""
+    for d in (0, 3, 5, 11):
+        payload = ic.synth_jpeg(d)
+        dec = ic.decode_jpeg(payload)
+        w, h = 8 * (1 + d % 4), 8 * (1 + (3 * d) % 4)
+        assert (dec["width"], dec["height"], dec["channels"]) == (w, h, 1)
+        expect = bytes(
+            (7 * (x // 8) + 13 * (y // 8) + 31 * d) % 256
+            for y in range(h) for x in range(w)
+        )
+        assert dec["pixels"] == expect
+        assert ic.sniff_image_meta(payload) == {"format": "jpeg", "width": w, "height": h}
+        assert ic.decode_image(payload)["format"] == "jpeg"
+
+
+def test_jpeg_gradient_gray_near_lossless_with_unit_quant():
+    import numpy as np
+
+    w, h = 40, 24
+    px = bytes((3 * x + 5 * y) % 256 for y in range(h) for x in range(w))
+    dec = ic.decode_jpeg(ic.encode_jpeg_gray(w, h, px))
+    err = np.abs(
+        np.frombuffer(dec["pixels"], np.uint8).astype(int)
+        - np.frombuffer(px, np.uint8).astype(int)
+    )
+    assert err.max() <= 1  # unit quant: only DCT float rounding remains
+
+
+def test_jpeg_color_444_and_420_roundtrip():
+    import numpy as np
+
+    # constant color: subsampling is exact, only YCbCr rounding remains
+    for sub in ("4:4:4", "4:2:0"):
+        w, h = 19, 13  # odd dims exercise MCU edge padding + crop
+        rgb = bytes([64, 128, 255] * (w * h))
+        dec = ic.decode_jpeg(ic.encode_jpeg_rgb(w, h, rgb, sub))
+        assert (dec["width"], dec["height"], dec["channels"]) == (w, h, 3)
+        a = np.frombuffer(dec["pixels"], np.uint8).reshape(h, w, 3).astype(int)
+        assert np.abs(a - [64, 128, 255]).max() <= 2, sub
+    # photo-ish gradient at 4:2:0: bounded loss
+    w, h = 32, 32
+    rgb = bytes(
+        ((x * 8) % 256, (y * 8) % 256, ((x + y) * 4) % 256)[c]
+        for y in range(h) for x in range(w) for c in range(3)
+    )
+    dec = ic.decode_jpeg(ic.encode_jpeg_rgb(w, h, rgb, "4:2:0"))
+    a = np.frombuffer(dec["pixels"], np.uint8).reshape(h, w, 3).astype(int)
+    b = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(int)
+    assert np.abs(a - b).max() <= 16 and np.abs(a - b).mean() <= 4
+
+
+def test_jpeg_hostile_inputs_contained():
+    good = ic.encode_jpeg_gray(16, 16, bytes(256))
+    # truncated anywhere: ValueError, never IndexError/KeyError
+    for cut in (4, 20, 40, len(good) - 3):
+        with pytest.raises(ValueError):
+            ic.decode_jpeg(good[:cut])
+    # progressive SOF2 rejected explicitly
+    prog = bytearray(good)
+    sof = prog.index(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        ic.decode_jpeg(bytes(prog))
+    # dims bomb: SOF advertising huge dims fails the size cap, no alloc
+    big = bytearray(good)
+    struct.pack_into(">HH", big, sof + 5, 65000, 65000)
+    with pytest.raises(ValueError, match="refusing"):
+        ic.decode_jpeg(bytes(big))
+    # encoder buffer mismatch
+    with pytest.raises(ValueError, match="does not match"):
+        ic.encode_jpeg_gray(8, 8, bytes(5))
+    with pytest.raises(ValueError, match="does not match"):
+        ic.encode_jpeg_rgb(8, 8, bytes(5))
+
+
+def test_jpeg_huffman_tables_are_spec_valid():
+    """The optimised DHT tables must keep the T.81 constraints: canonical
+    codes, <= 16-bit lengths, and the all-ones code never assigned."""
+    payload = ic.encode_jpeg_gray(
+        32, 32, bytes((3 * x + 5 * y) % 256 for y in range(32) for x in range(32))
+    )
+    pos = 2
+    saw_dht = 0
+    while pos + 4 <= len(payload):
+        marker = payload[pos + 1]
+        (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if marker == 0xC4:
+            saw_dht += 1
+            body = payload[pos + 4 : pos + 2 + ln]
+            bits = list(body[1:17])
+            # canonical walk: no assigned code may be the all-ones
+            # pattern of its length (T.81 K.2)
+            code = 0
+            for L in range(1, 17):
+                for _ in range(bits[L - 1]):
+                    assert code != (1 << L) - 1, "all-ones Huffman code assigned"
+                    code += 1
+                code <<= 1
+        if marker == 0xDA:
+            break
+        pos += 2 + ln
+    assert saw_dht == 2  # DC + AC table for the single component

@@ -392,6 +392,17 @@ def q_multimodal_image_decode(spark, sf_dir):
     return multimodal.decode_image_stats(multimodal.synth_images(docs))
 
 
+def q_multimodal_jpeg_decode(spark, sf_dir):
+    """REAL baseline-JPEG decode (pure Python/numpy, ITU T.81): the
+    fixtures are constant-per-8x8-block grayscale JPEGs with all-ones
+    quantisation, which decode BIT-EXACTLY (DC-only spectrum), so the
+    oracle recomputes the decoded luminance stats analytically from the
+    block formula — it contains no JPEG machinery, breaking
+    encoder/decoder bug symmetry like the PNG/BMP/GIF oracle."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return multimodal.decode_image_stats(multimodal.synth_images(docs, kind="jpeg"))
+
+
 def q_multimodal_frame_plan(spark, sf_dir):
     docs = _tbl(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     video = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
@@ -497,17 +508,19 @@ QUERIES = {
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "multimodal_image_meta": q_multimodal_image_meta,
     "multimodal_image_decode": q_multimodal_image_decode,
+    "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
     "multimodal_frame_plan": q_multimodal_frame_plan,
     "pushdown_agg": q_pushdown_agg,
     "argmax_supplier": q_argmax_supplier,
     "topk_orders": q_topk_orders,
     "fuzzy_nation_join": q_fuzzy_nation_join,
+    # past the driver's 50-entry correctness cap this round (57 queries,
+    # so SEVEN sit past it: anti_join_resume, lead_value_association and
+    # the five textstats below — all green in CORRECTNESS_r04 and
+    # re-verified green this round via scripts/check_correctness.py,
+    # which checks all 57; rotate again next round so no query goes two
+    # rounds unchecked)
     "anti_join_resume": q_anti_join_resume,
-    # past the driver's 50-entry correctness cap this round (56 queries,
-    # so SIX sit past it: lead_value_association plus the five textstats
-    # below — all green in CORRECTNESS_r04 and re-verified green this
-    # round via scripts/check_correctness.py, which checks all 56; rotate
-    # again next round so no query goes two rounds unchecked)
     "lead_value_association": q_lead_value_association,
     "doc_fingerprint": q_doc_fingerprint,
     "charclass_projection": q_charclass_projection,
@@ -1330,6 +1343,41 @@ ORACLE_SQL = {
                CAST(a.mn AS DOUBLE) / 1000.0 AS min_luma,
                CAST(a.mx AS DOUBLE) / 1000.0 AS max_luma
         FROM dims d LEFT JOIN agg a USING (doc_id)
+    """,
+    "multimodal_jpeg_decode": """
+        -- analytic replay of imagecodec.synth_jpeg's block pattern: the
+        -- constant-block + unit-quantisation fixtures decode bit-exactly,
+        -- so the oracle needs only the block formula (no JPEG machinery —
+        -- a Huffman/IDCT/dequant bug on the engine side cannot cancel out)
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(1 + doc_id % 4 AS INT) AS nbx,
+                   CAST(1 + (3 * doc_id) % 4 AS INT) AS nby
+            FROM documents
+        ),
+        blk AS (
+            SELECT d.doc_id, d.nbx, d.nby,
+                   1000 * ((7 * x.x + 13 * y.y + 31 * d.doc_id) % 256) AS luma
+            FROM dims d, range(0, 4) x(x), range(0, 4) y(y)
+            WHERE x.x < d.nbx AND y.y < d.nby
+        ),
+        agg AS (
+            SELECT doc_id, 64 * count(*) AS n, 64 * sum(luma) AS s,
+                   64 * sum(luma * luma) AS s2,
+                   min(luma) AS mn, max(luma) AS mx
+            FROM blk GROUP BY doc_id
+        )
+        SELECT d.doc_id, 'jpeg' AS format,
+               CAST(8 * d.nbx AS INT) AS width,
+               CAST(8 * d.nby AS INT) AS height,
+               CAST(1 AS INT) AS channels,
+               (CAST(a.s AS DOUBLE) / a.n) / 1000.0 AS brightness,
+               sqrt(greatest(CAST(a.s2 AS DOUBLE) / a.n
+                             - (CAST(a.s AS DOUBLE) / a.n) * (CAST(a.s AS DOUBLE) / a.n),
+                             0)) / 1000.0 AS contrast,
+               CAST(a.mn AS DOUBLE) / 1000.0 AS min_luma,
+               CAST(a.mx AS DOUBLE) / 1000.0 AS max_luma
+        FROM dims d JOIN agg a USING (doc_id)
     """,
     "multimodal_frame_plan": """
         SELECT doc_id, CAST(f.i AS INT) AS frame_idx

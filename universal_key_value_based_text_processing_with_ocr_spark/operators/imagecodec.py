@@ -16,6 +16,11 @@ Decoders:
 - GIF: GIF87a/GIF89a single-frame FULL decode — logical-screen header,
   global/local palette, LZW image data (LSB-first codes, CLEAR/END,
   12-bit dictionary growth) -> RGB pixels.
+- JPEG: baseline sequential DCT (ITU T.81), 8-bit, gray + YCbCr at any
+  sampling up to 4x4 (4:4:4/4:2:2/4:2:0 covered), restart markers, byte
+  stuffing; pure Python Huffman + numpy IDCT.  Progressive/arithmetic/
+  12-bit streams raise ValueError (the explicit library seam).
+- Header-only ``sniff_image_meta``: the above plus WebP (VP8/VP8L/VP8X).
 
 Statistics use INTEGER luma accumulation (luma1000 = 299R + 587G + 114B,
 or 1000V for gray) so the sums are exact in any engine's 64-bit integers
@@ -496,6 +501,8 @@ def decode_image(payload: bytes) -> dict:
             return decode_bmp(payload)
         if payload[:6] in (b"GIF87a", b"GIF89a"):
             return decode_gif(payload)
+        if payload[:2] == b"\xff\xd8":
+            return decode_jpeg(payload)
     except ValueError:
         raise
     except (IndexError, KeyError, struct.error, zlib.error) as e:
@@ -694,3 +701,595 @@ def synth_image(doc_id: int) -> bytes:
     if kind == 0:
         return encode_png(w, h, px, color_type=2, filter_choice=lambda y: y % 5)
     return encode_bmp(w, h, px)
+
+
+# --------------------------------------------------------------------------
+# Baseline JPEG (ITU T.81 sequential DCT, 8-bit) — pure Python + numpy.
+#
+# Public-spec reimplementation: segment layout per T.81 Annex B, canonical
+# Huffman code construction per C.2, entropy coding per F.1/F.2, IDCT as
+# the orthonormal 8x8 DCT-III (numpy matmul).  The encoder exists as the
+# deterministic fixture source (it writes its OWN optimised Huffman
+# tables into DHT, so no Annex-K constants are transcribed); the decoder
+# reads any baseline stream: gray or YCbCr, 4:4:4 / 4:2:2 / 4:2:0,
+# restart markers, byte stuffing.
+#
+# Exactness contract used by the oracle fixtures: an image whose every
+# 8x8 block is a constant value, encoded with all-ones quantisation
+# tables, decodes BIT-EXACTLY (constant block -> DC-only spectrum, unit
+# quantisation keeps the integer DC, IDCT of a DC-only block is constant
+# to ~1e-12 before rounding).  Real-world photos decode with the normal
+# lossy error; replicated-pixel upsampling is the documented divergence
+# from fancy-upsampling decoders.
+# --------------------------------------------------------------------------
+
+import numpy as _np
+
+
+def _dct_matrix() -> "_np.ndarray":
+    import math
+
+    C = _np.zeros((8, 8))
+    for u in range(8):
+        cu = math.sqrt(1 / 8) if u == 0 else math.sqrt(2 / 8)
+        for x in range(8):
+            C[u, x] = cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return C
+
+
+_DCT_C = _dct_matrix()
+
+#: zigzag scan order, generated (not transcribed): anti-diagonals, even
+#: sums walk bottom-left -> top-right
+_ZIGZAG: list = []
+for _s in range(15):
+    _diag = [(_s - _c, _c) for _c in range(max(0, _s - 7), min(_s, 7) + 1)]
+    _ZIGZAG.extend(reversed(_diag) if _s % 2 else _diag)
+del _s, _diag
+
+#: all-ones luminance quantisation table: mathematically lossless for
+#: constant blocks — the oracle fixtures' setting
+JPEG_UNIT_QUANT = [1] * 64
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (B.1.1.5)
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+
+
+def _huffman_lengths(freqs: dict) -> dict:
+    """Code lengths from symbol frequencies (plain Huffman via heapq),
+    with the libjpeg trick of a reserved always-last dummy symbol so no
+    REAL symbol gets the all-ones code T.81 forbids (K.2)."""
+    import heapq
+
+    items = [(f, i, [sym]) for i, (sym, f) in enumerate(sorted(freqs.items())) if f > 0]
+    items.append((0, -1, ["__reserved__"]))  # dummy: rarest -> deepest code
+    if len(items) == 1:
+        return {"__reserved__": 1}
+    heapq.heapify(items)
+    lengths: dict = {s: 0 for _, _, syms in items for s in syms}
+    n = len(items)
+    while len(items) > 1:
+        f1, i1, s1 = heapq.heappop(items)
+        f2, i2, s2 = heapq.heappop(items)
+        for s in s1 + s2:
+            lengths[s] += 1
+        n += 1
+        heapq.heappush(items, (f1 + f2, n, s1 + s2))
+    if max(lengths.values()) > 16:
+        # fixture symbols never need >16-bit codes; a hostile frequency
+        # profile would — refuse rather than emit an invalid stream
+        raise ValueError("Huffman code length over 16 bits (unsupported profile)")
+    return lengths
+
+
+def _canonical_codes(lengths: dict) -> tuple[dict, list, list]:
+    """(symbol -> (code, length), BITS[1..16], HUFFVAL) per T.81 C.2 —
+    symbols ordered by (length, symbol value), codes assigned counting
+    up.  The dummy symbol sorts LAST within its length (it is a string),
+    receiving the all-ones deepest code, and is then dropped."""
+    by_len: dict = {}
+    for sym, ln in lengths.items():
+        by_len.setdefault(ln, []).append(sym)
+    bits = [0] * 17
+    codes: dict = {}
+    code = 0
+    huffval: list = []
+    for ln in range(1, 17):
+        syms = sorted(
+            by_len.get(ln, []),
+            key=lambda s: (isinstance(s, str), s),  # ints first, dummy last
+        )
+        for sym in syms:
+            if sym != "__reserved__":
+                codes[sym] = (code, ln)
+                bits[ln] += 1
+                huffval.append(sym)
+            code += 1
+        code <<= 1
+    return codes, bits[1:], huffval
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def _blocks_of_plane(plane: "_np.ndarray") -> "_np.ndarray":
+    """(h, w) uint8 plane -> (nby, nbx, 8, 8) float64 blocks, edge-replicated
+    to multiples of 8 (replication keeps constant blocks constant)."""
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        plane = _np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    H, W = plane.shape
+    return (
+        plane.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3).astype(_np.float64)
+    )
+
+
+def _pad_plane_to(plane: "_np.ndarray", bh: int, bw: int) -> "_np.ndarray":
+    """Edge-replicate ``plane`` up to (bh, bw) (MCU coverage padding —
+    replication keeps constant blocks constant, the exactness fixture's
+    requirement)."""
+    h, w = plane.shape
+    return _np.pad(plane, ((0, bh - h), (0, bw - w)), mode="edge")
+
+
+def _plane_qcoefs(plane: "_np.ndarray", quant: list) -> "_np.ndarray":
+    blocks = _blocks_of_plane(plane) - 128.0
+    q = _np.array(quant, dtype=_np.float64).reshape(8, 8)
+    coefs = _np.einsum("ux,abxy,vy->abuv", _DCT_C, blocks, _DCT_C)
+    return _np.rint(coefs / q).astype(_np.int64)
+
+
+def _block_symbols(blk: "_np.ndarray", pred: int) -> tuple:
+    """(dc_cat, dc_diff, [(ac_sym, size, val), ...], new_pred) for one
+    quantised 8x8 block — the F.1.2 run/size symbol stream."""
+    dc = int(blk[0, 0])
+    diff = dc - pred
+    cat = _category(diff)
+    acs: list = []
+    run = 0
+    coeff_list = [int(blk[r, c]) for (r, c) in _ZIGZAG[1:]]
+    last_nz = -1
+    for i, v in enumerate(coeff_list):
+        if v:
+            last_nz = i
+    for i in range(last_nz + 1):
+        v = coeff_list[i]
+        if v == 0:
+            run += 1
+            if run == 16:
+                acs.append((0xF0, 0, 0))
+                run = 0
+            continue
+        size = _category(v)
+        acs.append(((run << 4) | size, size, v))
+        run = 0
+    if last_nz < 62:
+        acs.append((0x00, 0, 0))
+    return cat, diff, acs, dc
+
+
+def _encode_jpeg(
+    width: int, height: int, planes: list, samplings: list, quants: list
+) -> bytes:
+    """Multi-component baseline encoder core.
+
+    ``planes``: uint8 2D arrays, already subsampled to
+    ceil(width*h_i/hmax) x ceil(height*v_i/vmax); component 0 uses
+    quant/Huffman table set 0, all others share set 1 (the conventional
+    luma/chroma split).  Huffman tables are built from the stream's own
+    symbol frequencies (canonical per T.81 C.2, all-ones code reserved)."""
+    ncomp = len(planes)
+    hmax = max(h for h, _ in samplings)
+    vmax = max(v for _, v in samplings)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    qcoefs = []
+    for ci, plane in enumerate(planes):
+        h_i, v_i = samplings[ci]
+        padded = _pad_plane_to(plane, mcuy * 8 * v_i, mcux * 8 * h_i)
+        qcoefs.append(_plane_qcoefs(padded, quants[min(ci, 1)]))
+
+    # pass 1: MCU-ordered symbol stream + per-table-class frequencies
+    ntab = 1 if ncomp == 1 else 2
+    dc_freq = [dict() for _ in range(ntab)]
+    ac_freq = [dict() for _ in range(ntab)]
+    seq: list = []  # (table_class, cat, diff, acs)
+    preds = [0] * ncomp
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(ncomp):
+                h_i, v_i = samplings[ci]
+                tc = min(ci, 1)
+                for by in range(v_i):
+                    for bx in range(h_i):
+                        blk = qcoefs[ci][my * v_i + by, mx * h_i + bx]
+                        cat, diff, acs, preds[ci] = _block_symbols(blk, preds[ci])
+                        dc_freq[tc][cat] = dc_freq[tc].get(cat, 0) + 1
+                        for sym, _sz, _v in acs:
+                            ac_freq[tc][sym] = ac_freq[tc].get(sym, 0) + 1
+                        seq.append((tc, cat, diff, acs))
+
+    dc_tabs = [_canonical_codes(_huffman_lengths(f)) for f in dc_freq]
+    ac_tabs = [_canonical_codes(_huffman_lengths(f)) for f in ac_freq]
+
+    # pass 2: emit
+    bw = _BitWriter()
+    for tc, cat, diff, acs in seq:
+        code, ln = dc_tabs[tc][0][cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+        for sym, size, v in acs:
+            code, ln = ac_tabs[tc][0][sym]
+            bw.write(code, ln)
+            if size:
+                bw.write(v if v >= 0 else v + (1 << size) - 1, size)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    for t in range(ntab):
+        zz_quant = bytes(quants[t][r * 8 + c] for (r, c) in _ZIGZAG)
+        out += seg(0xDB, bytes([t]) + zz_quant)
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for ci in range(ncomp):
+        h_i, v_i = samplings[ci]
+        sof += bytes([ci + 1, (h_i << 4) | v_i, min(ci, 1)])
+    out += seg(0xC0, sof)
+    for t in range(ntab):
+        out += seg(0xC4, bytes([t]) + bytes(dc_tabs[t][1]) + bytes(dc_tabs[t][2]))
+        out += seg(0xC4, bytes([0x10 | t]) + bytes(ac_tabs[t][1]) + bytes(ac_tabs[t][2]))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        t = min(ci, 1)
+        sos += bytes([ci + 1, (t << 4) | t])
+    out += seg(0xDA, sos + bytes([0, 63, 0]))
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_gray(width: int, height: int, pixels: bytes, quant=None) -> bytes:
+    """Baseline grayscale JPEG from an 8-bit row-major buffer.
+
+    ``quant``: 64 ints in NATURAL (row-major) order; default
+    ``JPEG_UNIT_QUANT`` (all ones — lossless for constant blocks, the
+    oracle fixture setting)."""
+    if len(pixels) != width * height:
+        raise ValueError(
+            f"pixel buffer {len(pixels)} bytes does not match {width}x{height}x1 dims"
+        )
+    quant = list(JPEG_UNIT_QUANT if quant is None else quant)
+    plane = _np.frombuffer(pixels, dtype=_np.uint8).reshape(height, width)
+    return _encode_jpeg(width, height, [plane], [(1, 1)], [quant])
+
+
+def encode_jpeg_rgb(
+    width: int,
+    height: int,
+    rgb: bytes,
+    subsampling: str = "4:2:0",
+    quant=None,
+    chroma_quant=None,
+) -> bytes:
+    """Baseline color JPEG: RGB -> BT.601 YCbCr, chroma subsampled by
+    2x2 averaging for 4:2:0 (or kept full for 4:4:4)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(
+            f"pixel buffer {len(rgb)} bytes does not match {width}x{height}x3 dims"
+        )
+    if subsampling not in ("4:2:0", "4:4:4"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    quant = list(JPEG_UNIT_QUANT if quant is None else quant)
+    chroma_quant = list(quant if chroma_quant is None else chroma_quant)
+    a = _np.frombuffer(rgb, dtype=_np.uint8).reshape(height, width, 3).astype(_np.float64)
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    to_u8 = lambda x: _np.clip(_np.rint(x), 0, 255).astype(_np.uint8)
+    if subsampling == "4:4:4":
+        planes = [to_u8(y), to_u8(cb), to_u8(cr)]
+        samplings = [(1, 1), (1, 1), (1, 1)]
+    else:
+        ph, pw = -height % 2, -width % 2
+        def down(p):
+            if ph or pw:
+                p = _np.pad(p, ((0, ph), (0, pw)), mode="edge")
+            return to_u8(
+                (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+            )
+        planes = [to_u8(y), down(cb), down(cr)]
+        samplings = [(2, 2), (1, 1), (1, 1)]
+    return _encode_jpeg(width, height, planes, samplings, [quant, chroma_quant])
+
+
+class _BitReader:
+    """MSB-first entropy-segment reader: un-stuffs 0xFF00, stops at any
+    real marker (leaves it for the caller), raises ValueError on EOF."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        if self.marker is not None:
+            raise ValueError("JPEG entropy data truncated (hit marker)")
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy data truncated (EOF)")
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                self.marker = nxt
+                raise ValueError("JPEG entropy data truncated (hit marker)")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_to_marker(self) -> int | None:
+        """Drop partial bits and consume an RSTn marker if next."""
+        self.acc = 0
+        self.nbits = 0
+        if self.pos + 1 < len(self.data) and self.data[self.pos] == 0xFF:
+            m = self.data[self.pos + 1]
+            if 0xD0 <= m <= 0xD7:
+                self.pos += 2
+                return m
+        return None
+
+
+def _huff_decode(br: "_BitReader", table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.bit()
+        ln += 1
+        sym = table.get((code, ln))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Baseline sequential JPEG -> {format, width, height, channels,
+    pixels} (gray: 1 channel; YCbCr -> RGB: 3 channels; replicated-pixel
+    chroma upsampling).  Raises ValueError on progressive (SOF2),
+    arithmetic, 12-bit, truncated or otherwise undecodable streams —
+    headers are untrusted crawl bytes, so parser index/struct slips are
+    normalised to the decoders' shared ValueError contract."""
+    try:
+        return _decode_jpeg_inner(payload)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, struct.error, StopIteration) as e:
+        raise ValueError(f"truncated/corrupt JPEG payload: {e}") from e
+
+
+def _decode_jpeg_inner(payload: bytes) -> dict:
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qt: dict = {}
+    huff: dict = {}  # (class, id) -> {(code, len): symbol}
+    comps: list = []
+    width = height = None
+    restart_interval = 0
+    pos = 2
+    n = len(payload)
+    scan = None
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker stream desynchronised")
+        marker = payload[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker == 0xD9:
+            break
+        (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0x0F
+                if prec != 0:
+                    raise ValueError("16-bit quantisation tables unsupported")
+                tbl = _np.zeros((8, 8))
+                for k, (r, c) in enumerate(_ZIGZAG):
+                    tbl[r, c] = body[i + 1 + k]
+                qt[tid] = tbl
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nsym = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nsym])
+                table: dict = {}
+                code, vi = 0, 0
+                for ln in range(1, 17):
+                    for _ in range(bits[ln - 1]):
+                        table[(code, ln)] = vals[vi]
+                        code += 1
+                        vi += 1
+                    code <<= 1
+                huff[(cls, tid)] = table
+                i += 17 + nsym
+        elif marker in (0xC0, 0xC1):
+            if body[0] != 8:
+                raise ValueError("only 8-bit baseline JPEG supported")
+            height, width = struct.unpack(">HH", body[1:5])
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG (progressive/arithmetic) unsupported")
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cid)
+                scan.append({**comp, "td": tabs >> 4, "ta": tabs & 0x0F})
+            pos = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    if scan is None or width is None:
+        raise ValueError("JPEG has no SOS/SOF frame")
+    ncomp = len(scan)
+    if ncomp not in (1, 3):
+        raise ValueError(f"unsupported JPEG component count {ncomp}")
+    _check_decoded_size(width, height, 1 if ncomp == 1 else 3)
+
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        raise ValueError("invalid JPEG sampling factors")
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    planes = [
+        _np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=_np.float64)
+        for c in scan
+    ]
+    for c in scan:
+        if c["tq"] not in qt or (0, c["td"]) not in huff or (1, c["ta"]) not in huff:
+            raise ValueError("JPEG scan references a missing table")
+
+    br = _BitReader(payload, pos)
+    preds = [0] * ncomp
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                if br.align_to_marker() is None:
+                    raise ValueError("missing JPEG restart marker")
+                preds = [0] * ncomp
+            for ci, c in enumerate(scan):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = _np.zeros(64)
+                        t = _huff_decode(br, huff[(0, c["td"])])
+                        if t > 11:
+                            raise ValueError("invalid JPEG DC category")
+                        diff = _extend(br.bits(t), t) if t else 0
+                        preds[ci] += diff
+                        blk[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _huff_decode(br, huff[(1, c["ta"])])
+                            if sym == 0x00:
+                                break
+                            run, size = sym >> 4, sym & 0x0F
+                            if sym == 0xF0:
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63 or size == 0:
+                                raise ValueError("invalid JPEG AC run/size")
+                            blk[k] = _extend(br.bits(size), size)
+                            k += 1
+                        grid = _np.zeros((8, 8))
+                        for k2, (r, cc) in enumerate(_ZIGZAG):
+                            grid[r, cc] = blk[k2]
+                        grid *= qt[c["tq"]]
+                        pix = _DCT_C.T @ grid @ _DCT_C + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
+            mcu_count += 1
+
+    # crop + replicate-upsample each plane to (height, width)
+    full = []
+    for ci, c in enumerate(scan):
+        cw = -(-width * c["h"] // hmax)
+        ch = -(-height * c["v"] // vmax)
+        p = planes[ci][:ch, :cw]
+        p = _np.repeat(_np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:height, :width])
+    if ncomp == 1:
+        gray = _np.clip(_np.rint(full[0]), 0, 255).astype(_np.uint8)
+        return {
+            "format": "jpeg", "width": width, "height": height,
+            "channels": 1, "pixels": gray.tobytes(),
+        }
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = _np.stack(
+        [_np.clip(_np.rint(x), 0, 255).astype(_np.uint8) for x in (r, g, b)], axis=-1
+    )
+    return {
+        "format": "jpeg", "width": width, "height": height,
+        "channels": 3, "pixels": rgb.tobytes(),
+    }
+
+
+def synth_jpeg(doc_id: int) -> bytes:
+    """Deterministic grayscale baseline JPEG with a closed-form EXACT
+    decode: dims are multiples of 8, every 8x8 block is the constant
+    val(bx, by) = (7*bx + 13*by + 31*doc_id) % 256, and the quantisation
+    table is all ones — a constant block is DC-only, unit quantisation
+    keeps the integer DC, and the IDCT returns the constant exactly, so
+    the DuckDB oracle recomputes the decoded luminance stats analytically
+    from the block formula without any JPEG machinery (the same
+    symmetry-breaking trick as synth_image's analytic PNG oracle)."""
+    d = int(doc_id)
+    w = 8 * (1 + d % 4)
+    h = 8 * (1 + (3 * d) % 4)
+    px = bytes(
+        (7 * (x // 8) + 13 * (y // 8) + 31 * d) % 256
+        for y in range(h)
+        for x in range(w)
+    )
+    return encode_jpeg_gray(w, h, px)

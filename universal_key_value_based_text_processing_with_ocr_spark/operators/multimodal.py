@@ -3,14 +3,15 @@
 Image/audio/video payloads are carried as ``binary`` columns with typed
 metadata structs.  Two tiers:
 
-- ``decode_image_stats``: REAL decode via the pure-stdlib codecs in
+- ``decode_image_stats``: REAL decode via the pure-Python codecs in
   ``imagecodec`` (PNG full IDAT inflate + unfiltering, uncompressed BMP,
-  GIF full LZW) -> decoded-pixel luminance statistics.  No stub: actual
-  bytes in, actual pixels out.
-- ``decode_image_meta``: the legacy metadata plumbing exercise
-  (deterministic fake dims from md5) kept for formats the stdlib codecs
-  do not cover; ``_decode_image_real`` remains the clearly-marked seam
-  where Pillow/libvips (jpeg/webp) or ffmpeg (audio/video) swap in.
+  GIF full LZW, baseline JPEG Huffman+IDCT) -> decoded-pixel luminance
+  statistics.  No stub: actual bytes in, actual pixels out.
+- ``decode_image_meta``: real header sniffing (PNG/BMP/GIF/JPEG/WebP
+  dims) with the deterministic fake probe quarantined to unrecognised
+  payloads; ``_decode_image_real`` remains the clearly-marked seam where
+  Pillow/libvips (progressive jpeg, webp pixels) or ffmpeg (audio/video)
+  swap in.
 """
 
 from __future__ import annotations
@@ -27,7 +28,12 @@ IMAGE_META_SCHEMA = (
 
 
 def _decode_image_real(payload: bytes):
-    """Production seam: real image decode (Pillow/libvips)."""
+    """Production seam: full-coverage image decode (Pillow/libvips).
+
+    The in-repo codecs now genuinely decode PNG, BMP, GIF and BASELINE
+    JPEG; this seam remains for what they refuse — progressive/arithmetic
+    JPEG, WebP pixels, TIFF, interlaced/16-bit PNG — where a real library
+    swaps in."""
     raise NotImplementedError("image decode requires an image library (not in this container)")
 
 
@@ -58,9 +64,9 @@ def decode_image_meta(images: DataFrame) -> DataFrame:
     pixel decode, O(bytes-to-first-frame-header) per row, reference analog
     ocrfw/preprocessing.py:115-135), tagged ``meta_source='header'``.
     Only truly unrecognised payloads fall back to the deterministic fake
-    probe, tagged ``meta_source='fake'``.  (Pixel DECODE for jpeg/webp
-    still needs Pillow — ``_decode_image_real`` — but metadata no longer
-    does.)  One
+    probe, tagged ``meta_source='fake'``.  (Pixel DECODE needs Pillow —
+    ``_decode_image_real`` — only for formats the in-repo codecs refuse:
+    progressive jpeg, webp, etc.)  One
     mapInPandas pass, payload pruned after decode — the production batch
     shape for the Pillow swap-in."""
     from . import imagecodec
@@ -93,19 +99,24 @@ IMAGE_STATS_SCHEMA = (
 )
 
 
-def synth_images(docs: DataFrame) -> DataFrame:
+def synth_images(docs: DataFrame, kind: str = "mixed") -> DataFrame:
     """(doc_id) -> (doc_id, payload): deterministic REAL image bytes
-    (PNG/BMP/GIF cycling per ``imagecodec.synth_image``) generated
-    distributed via Arrow batches — the fixture source for the decode
-    operator and its oracle."""
-    from . import imagecodec
+    generated distributed via Arrow batches — the fixture source for the
+    decode operators and their oracles.  ``kind='mixed'``: PNG/BMP/GIF
+    cycling (``imagecodec.synth_image``); ``kind='jpeg'``: baseline JPEGs
+    with an exact closed-form decode (``imagecodec.synth_jpeg``)."""
+    if kind not in ("mixed", "jpeg"):
+        raise ValueError(f"unknown synth kind {kind!r}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import imagecodec
+
+        fn = imagecodec.synth_jpeg if kind == "jpeg" else imagecodec.synth_image
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "payload": [imagecodec.synth_image(int(d)) for d in pdf["doc_id"]],
+                    "payload": [fn(int(d)) for d in pdf["doc_id"]],
                 }
             )
 
