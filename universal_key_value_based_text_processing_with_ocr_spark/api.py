@@ -373,13 +373,16 @@ def q_multimodal_image_meta(spark, sf_dir):
     replay).  n_bytes is dropped from the projection — encoded size is
     zlib-dependent, not SQL-expressible."""
     docs = _tbl(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    real = multimodal.synth_images(docs.filter(F.col("doc_id") % 3 != 0))
+    real = multimodal.synth_images(docs.filter(F.col("doc_id") % 3 == 1))
+    real_jpeg = multimodal.synth_images(
+        docs.filter(F.col("doc_id") % 3 == 2), kind="jpeg"
+    )
     unknown = docs.filter(F.col("doc_id") % 3 == 0).select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
-    return multimodal.decode_image_meta(real.unionByName(unknown)).select(
-        "doc_id", "width", "height", "format", "meta_source"
-    )
+    return multimodal.decode_image_meta(
+        real.unionByName(real_jpeg).unionByName(unknown)
+    ).select("doc_id", "width", "height", "format", "meta_source")
 
 
 def q_multimodal_image_decode(spark, sf_dir):
@@ -1291,7 +1294,16 @@ ORACLE_SQL = {
                     WHEN doc_id % 4 = 2 THEN 'bmp'
                     ELSE 'gif' END AS format,
                'header' AS meta_source
-        FROM documents WHERE text IS NOT NULL AND doc_id % 3 <> 0
+        FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 1
+        UNION ALL
+        -- real baseline JPEGs: dims sniffed from the SOF frame header,
+        -- replayed from synth_jpeg's closed form
+        SELECT doc_id,
+               CAST(8 * (1 + doc_id % 4) AS INT) AS width,
+               CAST(8 * (1 + (3 * doc_id) % 4) AS INT) AS height,
+               'jpeg' AS format,
+               'header' AS meta_source
+        FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 2
         UNION ALL
         -- unrecognised payloads: quarantined deterministic fake (md5)
         SELECT doc_id,
