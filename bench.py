@@ -136,6 +136,8 @@ def main() -> None:
         "similarity_topk_lsh", "multimodal_image_decode", "dedup_paragraphs",
         "url_normalize", "corpus_familiarity", "events_asof_join",
         "mask_repeated_ngrams",
+        # round 5
+        "multimodal_jpeg_decode", "pages_content_dedup",
     ]
 
     best: dict[str, float] = {}
