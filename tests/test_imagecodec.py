@@ -429,3 +429,80 @@ def test_jpeg_huffman_tables_are_spec_valid():
             break
         pos += 2 + ln
     assert saw_dht == 2  # DC + AC table for the single component
+
+
+def test_jpeg_single_component_scan_ignores_sampling_factors():
+    """T.81 A.2.2: a one-component scan is non-interleaved — libjpeg-style
+    grayscale files keep 2x2 luma factors in SOF and must NOT decode in
+    MCU-tile order (review finding, was silently scrambled)."""
+    w = h = 32
+    px = bytes((3 * x + 5 * y) % 256 for y in range(h) for x in range(w))
+    payload = bytearray(ic.encode_jpeg_gray(w, h, px))
+    sof = payload.index(b"\xff\xc0")
+    assert payload[sof + 11 : sof + 12] == b"\x11"
+    payload[sof + 11] = 0x22  # claim 2x2 sampling on the single component
+    dec = ic.decode_jpeg(bytes(payload))
+    assert dec["pixels"] == px  # identical decode: factors ignored
+
+
+def test_jpeg_zero_sampling_factor_contained():
+    """hv byte 0x00 on a component must raise ValueError, not
+    ZeroDivisionError (review finding, reproduced stage-killer)."""
+    w = h = 16
+    rgb = bytes([10, 200, 60] * (w * h))
+    payload = bytearray(ic.encode_jpeg_rgb(w, h, rgb, "4:4:4"))
+    sof = payload.index(b"\xff\xc0")
+    payload[sof + 14] = 0x00  # second component's sampling byte
+    with pytest.raises(ValueError):
+        ic.decode_jpeg(bytes(payload))
+
+
+def test_jpeg_non_divisor_sampling_refused():
+    """hmax=3 with a h=2 component needs fractional upsampling — must be
+    refused explicitly (before any entropy decode), not mis-decoded."""
+    w = h = 16
+    rgb = bytes([10, 200, 60] * (w * h))
+    payload = bytearray(ic.encode_jpeg_rgb(w, h, rgb, "4:4:4"))
+    sof = payload.index(b"\xff\xc0")
+    payload[sof + 11] = 0x31  # luma h=3
+    payload[sof + 14] = 0x21  # chroma h=2 under hmax=3: NON-divisor
+    with pytest.raises(ValueError, match="non-divisor"):
+        ic.decode_jpeg(bytes(payload))
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn with DC-predictor resets: constant-block exactness must
+    hold through restart boundaries, gray and 4:2:0 color."""
+    w, h = 32, 16
+    px = bytes((7 * (x // 8) + 13 * (y // 8)) % 256 for y in range(h) for x in range(w))
+    for interval in (1, 3):
+        payload = ic.encode_jpeg_gray(w, h, px, restart_interval=interval)
+        assert b"\xff\xdd" in payload  # DRI present
+        assert any(bytes([0xFF, 0xD0 + i]) in payload for i in range(8))
+        assert ic.decode_jpeg(payload)["pixels"] == px
+    import numpy as np
+
+    rgb = bytes([90, 30, 210] * (w * h))
+    dec = ic.decode_jpeg(ic.encode_jpeg_rgb(w, h, rgb, "4:2:0", restart_interval=1))
+    a = np.frombuffer(dec["pixels"], np.uint8).reshape(h, w, 3).astype(int)
+    assert np.abs(a - [90, 30, 210]).max() <= 2
+
+
+def test_jpeg_422_roundtrip():
+    import numpy as np
+
+    w, h = 21, 11  # odd width exercises the horizontal-pair edge pad
+    rgb = bytes([64, 128, 255] * (w * h))
+    dec = ic.decode_jpeg(ic.encode_jpeg_rgb(w, h, rgb, "4:2:2"))
+    assert (dec["width"], dec["height"], dec["channels"]) == (w, h, 3)
+    a = np.frombuffer(dec["pixels"], np.uint8).reshape(h, w, 3).astype(int)
+    assert np.abs(a - [64, 128, 255]).max() <= 2
+
+
+def test_jpeg_standalone_markers_skipped_consistently():
+    """A TEM (0x01) marker before SOS must not desync the decoder — the
+    sniffer skips it, so the decoder must too (review finding)."""
+    good = ic.encode_jpeg_gray(8, 8, bytes(range(0, 256, 4)))
+    patched = good[:2] + b"\xff\x01" + good[2:]
+    assert ic.sniff_image_meta(patched) == {"format": "jpeg", "width": 8, "height": 8}
+    assert ic.decode_jpeg(patched)["pixels"] == ic.decode_jpeg(good)["pixels"]

@@ -834,13 +834,13 @@ def _category(v: int) -> int:
 
 
 def _blocks_of_plane(plane: "_np.ndarray") -> "_np.ndarray":
-    """(h, w) uint8 plane -> (nby, nbx, 8, 8) float64 blocks, edge-replicated
-    to multiples of 8 (replication keeps constant blocks constant)."""
-    h, w = plane.shape
-    ph, pw = -h % 8, -w % 8
-    if ph or pw:
-        plane = _np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    """(h, w) plane with multiple-of-8 dims -> (nby, nbx, 8, 8) float64
+    blocks.  Padding happens ONCE, in ``_encode_jpeg``'s MCU-coverage
+    ``_pad_plane_to`` (review finding: a second pad branch here was dead
+    code that could silently diverge from the real one)."""
     H, W = plane.shape
+    if H % 8 or W % 8:
+        raise ValueError("plane dims must be multiples of 8 (pad first)")
     return (
         plane.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3).astype(_np.float64)
     )
@@ -891,7 +891,12 @@ def _block_symbols(blk: "_np.ndarray", pred: int) -> tuple:
 
 
 def _encode_jpeg(
-    width: int, height: int, planes: list, samplings: list, quants: list
+    width: int,
+    height: int,
+    planes: list,
+    samplings: list,
+    quants: list,
+    restart_interval: int = 0,
 ) -> bytes:
     """Multi-component baseline encoder core.
 
@@ -899,7 +904,10 @@ def _encode_jpeg(
     ceil(width*h_i/hmax) x ceil(height*v_i/vmax); component 0 uses
     quant/Huffman table set 0, all others share set 1 (the conventional
     luma/chroma split).  Huffman tables are built from the stream's own
-    symbol frequencies (canonical per T.81 C.2, all-ones code reserved)."""
+    symbol frequencies (canonical per T.81 C.2, all-ones code reserved).
+    ``restart_interval`` > 0 writes DRI + RSTn markers every that many
+    MCUs with DC-predictor resets (the error-resilience feature real
+    encoders emit — gives the decoder's restart path a genuine fixture)."""
     ncomp = len(planes)
     hmax = max(h for h, _ in samplings)
     vmax = max(v for _, v in samplings)
@@ -915,10 +923,14 @@ def _encode_jpeg(
     ntab = 1 if ncomp == 1 else 2
     dc_freq = [dict() for _ in range(ntab)]
     ac_freq = [dict() for _ in range(ntab)]
-    seq: list = []  # (table_class, cat, diff, acs)
+    seq: list = []  # (table_class, cat, diff, acs) | "RST" sentinel
     preds = [0] * ncomp
+    mcu_index = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                seq.append("RST")
+                preds = [0] * ncomp  # predictors reset at restart (F.2.1.3)
             for ci in range(ncomp):
                 h_i, v_i = samplings[ci]
                 tc = min(ci, 1)
@@ -930,13 +942,21 @@ def _encode_jpeg(
                         for sym, _sz, _v in acs:
                             ac_freq[tc][sym] = ac_freq[tc].get(sym, 0) + 1
                         seq.append((tc, cat, diff, acs))
+            mcu_index += 1
 
     dc_tabs = [_canonical_codes(_huffman_lengths(f)) for f in dc_freq]
     ac_tabs = [_canonical_codes(_huffman_lengths(f)) for f in ac_freq]
 
     # pass 2: emit
     bw = _BitWriter()
-    for tc, cat, diff, acs in seq:
+    rst_no = 0
+    for item in seq:
+        if item == "RST":
+            bw.flush()  # pad to byte boundary before the marker
+            bw.out += bytes([0xFF, 0xD0 + (rst_no % 8)])
+            rst_no += 1
+            continue
+        tc, cat, diff, acs = item
         code, ln = dc_tabs[tc][0][cat]
         bw.write(code, ln)
         if cat:
@@ -963,6 +983,8 @@ def _encode_jpeg(
     for t in range(ntab):
         out += seg(0xC4, bytes([t]) + bytes(dc_tabs[t][1]) + bytes(dc_tabs[t][2]))
         out += seg(0xC4, bytes([0x10 | t]) + bytes(ac_tabs[t][1]) + bytes(ac_tabs[t][2]))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         t = min(ci, 1)
@@ -973,7 +995,9 @@ def _encode_jpeg(
     return bytes(out)
 
 
-def encode_jpeg_gray(width: int, height: int, pixels: bytes, quant=None) -> bytes:
+def encode_jpeg_gray(
+    width: int, height: int, pixels: bytes, quant=None, restart_interval: int = 0
+) -> bytes:
     """Baseline grayscale JPEG from an 8-bit row-major buffer.
 
     ``quant``: 64 ints in NATURAL (row-major) order; default
@@ -985,7 +1009,9 @@ def encode_jpeg_gray(width: int, height: int, pixels: bytes, quant=None) -> byte
         )
     quant = list(JPEG_UNIT_QUANT if quant is None else quant)
     plane = _np.frombuffer(pixels, dtype=_np.uint8).reshape(height, width)
-    return _encode_jpeg(width, height, [plane], [(1, 1)], [quant])
+    return _encode_jpeg(
+        width, height, [plane], [(1, 1)], [quant], restart_interval=restart_interval
+    )
 
 
 def encode_jpeg_rgb(
@@ -995,14 +1021,16 @@ def encode_jpeg_rgb(
     subsampling: str = "4:2:0",
     quant=None,
     chroma_quant=None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline color JPEG: RGB -> BT.601 YCbCr, chroma subsampled by
-    2x2 averaging for 4:2:0 (or kept full for 4:4:4)."""
+    2x2 averaging for 4:2:0, horizontal pairs for 4:2:2, or kept full
+    for 4:4:4."""
     if len(rgb) != width * height * 3:
         raise ValueError(
             f"pixel buffer {len(rgb)} bytes does not match {width}x{height}x3 dims"
         )
-    if subsampling not in ("4:2:0", "4:4:4"):
+    if subsampling not in ("4:2:0", "4:2:2", "4:4:4"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     quant = list(JPEG_UNIT_QUANT if quant is None else quant)
     chroma_quant = list(quant if chroma_quant is None else chroma_quant)
@@ -1015,6 +1043,14 @@ def encode_jpeg_rgb(
     if subsampling == "4:4:4":
         planes = [to_u8(y), to_u8(cb), to_u8(cr)]
         samplings = [(1, 1), (1, 1), (1, 1)]
+    elif subsampling == "4:2:2":
+        pw = -width % 2
+        def down_h(p):
+            if pw:
+                p = _np.pad(p, ((0, 0), (0, pw)), mode="edge")
+            return to_u8((p[:, 0::2] + p[:, 1::2]) / 2.0)
+        planes = [to_u8(y), down_h(cb), down_h(cr)]
+        samplings = [(2, 1), (1, 1), (1, 1)]
     else:
         ph, pw = -height % 2, -width % 2
         def down(p):
@@ -1025,7 +1061,10 @@ def encode_jpeg_rgb(
             )
         planes = [to_u8(y), down(cb), down(cr)]
         samplings = [(2, 2), (1, 1), (1, 1)]
-    return _encode_jpeg(width, height, planes, samplings, [quant, chroma_quant])
+    return _encode_jpeg(
+        width, height, planes, samplings, [quant, chroma_quant],
+        restart_interval=restart_interval,
+    )
 
 
 class _BitReader:
@@ -1131,6 +1170,13 @@ def _decode_jpeg_inner(payload: bytes) -> dict:
             continue
         if marker == 0xD9:
             break
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            # standalone markers (SOI/TEM/RSTn) carry no length — reading
+            # one as a segment desynchronised the walk while _sniff_jpeg
+            # skipped it correctly (review finding: sniff/decode must
+            # agree on what is a JPEG)
+            pos += 2
+            continue
         (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         body = payload[pos + 4 : pos + 2 + seg_len]
         if marker == 0xDB:
@@ -1189,12 +1235,31 @@ def _decode_jpeg_inner(payload: bytes) -> dict:
     ncomp = len(scan)
     if ncomp not in (1, 3):
         raise ValueError(f"unsupported JPEG component count {ncomp}")
+    if len(comps) != ncomp:
+        # a 3-component frame delivered as separate per-component scans
+        # (non-interleaved baseline) would otherwise silently decode only
+        # the first scan — refuse explicitly (library seam)
+        raise ValueError("multi-scan (non-interleaved) baseline JPEG unsupported")
     _check_decoded_size(width, height, 1 if ncomp == 1 else 3)
 
+    if ncomp == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved — the MCU
+        # is one block and the frame's sampling factors are ignored
+        # (libjpeg keeps 2x2 luma factors when writing grayscale from a
+        # color source; honouring them here scrambled pixels into MCU-tile
+        # order — review finding, reproduced)
+        scan = [{**scan[0], "h": 1, "v": 1}]
+    for c in scan:
+        if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
+            raise ValueError("invalid JPEG sampling factors")
     hmax = max(c["h"] for c in scan)
     vmax = max(c["v"] for c in scan)
-    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
-        raise ValueError("invalid JPEG sampling factors")
+    for c in scan:
+        if hmax % c["h"] or vmax % c["v"]:
+            # legal per T.81 but needs fractional upsampling (e.g. 4:3);
+            # the replicate upsampler below would emit wrong-sized planes
+            # — refuse explicitly rather than mis-decode (review finding)
+            raise ValueError("non-divisor JPEG sampling ratios unsupported")
     mcux = -(-width // (8 * hmax))
     mcuy = -(-height // (8 * vmax))
     planes = [
