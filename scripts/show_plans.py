@@ -97,7 +97,14 @@ def main() -> None:
         "\n(test_dedup_shared_subtrees_use_reused_exchange): executed"
         "\ndedup_ngram_jaccard >= 2 ReusedExchange nodes, dedup_minhash_lsh >= 3 (the test pins these per-query minimums).\n")
     for title, note, plan in sections:
-        out.append(f"\n## {title}\n\n{note}\n\n```\n{plan.strip()}\n```\n")
+        # escape control bytes (e.g. the \x00 salted-key concat literal in
+        # plan text) so the committed artifact stays a TEXT file — raw NULs
+        # made grep/pagers treat EXPLAIN.md as binary (review finding)
+        plan = "".join(
+            ch if ch in "\n\t" or ord(ch) >= 0x20 else f"\\x{ord(ch):02x}"
+            for ch in plan.strip()
+        )
+        out.append(f"\n## {title}\n\n{note}\n\n```\n{plan}\n```\n")
     (REPO / "EXPLAIN.md").write_text("".join(out))
     print(f"wrote EXPLAIN.md ({sum(len(s[2]) for s in sections)} chars of plans)")
     spark.stop()
