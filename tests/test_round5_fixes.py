@@ -13,6 +13,7 @@ from universal_key_value_based_text_processing_with_ocr_spark.operators import i
 from universal_key_value_based_text_processing_with_ocr_spark.operators.extract import (
     parse_page_row,
 )
+from tests.test_spark_pipeline import spark  # noqa: F401  (session fixture)
 
 
 @pytest.fixture
@@ -127,3 +128,47 @@ def test_sniff_png_rejects_spec_violating_dims():
     assert ic.sniff_image_meta(ic.PNG_SIG + ic._chunk(b"IHDR", ihdr)) is None
     ihdr = struct.pack(">IIBBBBB", 5, 0xFFFFFFFF, 8, 0, 0, 0, 0)
     assert ic.sniff_image_meta(ic.PNG_SIG + ic._chunk(b"IHDR", ihdr)) is None
+
+
+def test_c4_line_clean_rules(spark):  # noqa: F811
+    """Every C4 rule branch on crafted pages: terminal punctuation,
+    min-words-per-line, javascript line drop, lorem-ipsum / brace / null
+    page gates, sentence-count proxy, and the kept-line reassembly."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        c4_line_clean,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog.\n"
+        "short line.\n"                       # < 5 words -> dropped
+        "no terminal punctuation on this line\n"  # no [.!?"] -> dropped
+        "is this a question with enough words?\n"
+        'he said "quote ends the line here"\n'
+        "please enable javascript to read this article now.\n"  # js -> dropped
+        "one more proper sentence closes the page!"
+    )
+    rows = [
+        (0, good),
+        (1, "lorem ipsum dolor sit amet and more filler here.\n" * 5),
+        (2, "var x = function() { return 1; }\n" + good),
+        (3, "only one good sentence lives on this page today.\n"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in c4_line_clean(df).collect()}
+
+    assert out[0].keep and out[0].fail_reason == "ok" and out[0].n_lines_kept == 4
+    assert out[0].clean_text == (
+        "the quick brown fox jumps over the lazy dog.\n"
+        "is this a question with enough words?\n"
+        'he said "quote ends the line here"\n'
+        "one more proper sentence closes the page!"
+    )
+    assert not out[1].keep and out[1].fail_reason == "lorem_ipsum"
+    assert not out[2].keep and out[2].fail_reason == "brace"
+    assert not out[3].keep and out[3].fail_reason == "too_few_sentences"
+    assert out[3].n_lines_kept == 1
+    assert not out[4].keep and out[4].fail_reason == "null_text"
+    assert out[4].n_lines_kept == 0 and out[4].clean_text is None
+    assert not out[5].keep and out[5].fail_reason == "too_few_sentences"

@@ -302,6 +302,33 @@ def q_corpus_familiarity(spark, sf_dir):
     return textstats.corpus_familiarity(_tbl(spark, sf_dir, "documents"))
 
 
+def q_c4_line_clean(spark, sf_dir):
+    """C4 line-level cleaning over a deterministic multi-line page derived
+    from ``documents`` (the synthetic corpus is single-line and
+    punctuation-free, so the query first rewrites it into a page shape
+    that exercises every rule branch — sentence lines of varying word
+    counts via ``value`` -> ``value.\\n``, plus per-``doc_id % 7`` injected
+    brace / lorem-ipsum / javascript markers; the oracle applies the
+    identical rewrite)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    marker = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("\nsee { code"))
+        .when(F.col("doc_id") % 7 == 1, F.lit("\nthis page is lorem ipsum filler text."))
+        .when(
+            F.col("doc_id") % 7 == 2,
+            F.lit("\nenable javascript to view the full value. table now."),
+        )
+        .otherwise(F.lit(""))
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.replace(F.col("text"), F.lit("value"), F.lit("value.\n")), marker).alias(
+            "text"
+        ),
+    )
+    return textstats.c4_line_clean(pages)
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_tbl(spark, sf_dir, "documents"))
 
@@ -496,6 +523,7 @@ QUERIES = {
     "dedup_paragraphs": q_dedup_paragraphs,
     "url_normalize": q_url_normalize,
     "corpus_familiarity": q_corpus_familiarity,
+    "c4_line_clean": q_c4_line_clean,
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
     "dedup_incremental_bloom": q_dedup_incremental_bloom,
@@ -879,6 +907,45 @@ ORACLE_SQL = {
                CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / count(*) AS mean_token_freq,
                CAST(CAST(sum(CASE WHEN c <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / count(*) AS rare_frac
         FROM j GROUP BY doc_id
+    """,
+    # the page rewrite mirrors q_c4_line_clean exactly; the lambda lives in
+    # a plain SELECT (never a lateral subquery — DuckDB 1.0 binder trap,
+    # see mask_repeated_ngrams), and the word split uses the explicit
+    # [ \t]+ class shared with the engine so tokenisation agrees
+    "c4_line_clean": r"""
+        WITH pages AS (
+            SELECT doc_id,
+                   replace(text, 'value', 'value.' || chr(10)) ||
+                   CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'see { code'
+                        WHEN doc_id % 7 = 1 THEN chr(10) || 'this page is lorem ipsum filler text.'
+                        WHEN doc_id % 7 = 2 THEN chr(10) || 'enable javascript to view the full value. table now.'
+                        ELSE '' END AS text
+            FROM documents
+        ),
+        kept AS (
+            SELECT doc_id, text, lower(text) AS low,
+                   list_filter(string_split(text, chr(10)), l ->
+                       regexp_matches(trim(l), '[.!?"]$')
+                       AND len(list_filter(string_split_regex(trim(l), '[ \t]+'), t -> t != '')) >= 5
+                       AND NOT contains(lower(l), 'javascript')
+                   ) AS kl
+            FROM pages
+        ),
+        judged AS (
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN 'null_text'
+                        WHEN contains(low, 'lorem ipsum') THEN 'lorem_ipsum'
+                        WHEN contains(low, '{') THEN 'brace'
+                        WHEN len(kl) < 3 THEN 'too_few_sentences'
+                   END AS fail,
+                   CASE WHEN text IS NULL THEN 0 ELSE len(kl) END AS nk,
+                   kl
+            FROM kept
+        )
+        SELECT doc_id, fail IS NULL AS keep, coalesce(fail, 'ok') AS fail_reason,
+               CAST(nk AS BIGINT) AS n_lines_kept,
+               CASE WHEN fail IS NULL THEN array_to_string(kl, chr(10)) END AS clean_text
+        FROM judged
     """,
     "dedup_exact": """
         SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies

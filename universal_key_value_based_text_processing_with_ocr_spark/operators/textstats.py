@@ -678,3 +678,55 @@ def mask_repeated_ngrams(
         F.col("n_tokens"),
         (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).cast("long").alias("n_masked"),
     )
+
+
+def c4_line_clean(
+    docs: DataFrame,
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2, the public
+    rule list): keep only lines that end in terminal punctuation
+    (``. ! ? "``) and have >= ``min_words_per_line`` words and do not
+    mention "javascript"; then gate the PAGE on the boilerplate markers
+    ("lorem ipsum", a ``{`` anywhere — code, not prose) and on having at
+    least ``min_kept_lines`` surviving lines (the paper's >=3-sentence
+    rule, with kept-line count as the sentence proxy since every kept line
+    ends in a sentence terminator).
+
+    -> (id, keep, fail_reason, n_lines_kept, clean_text) where clean_text
+    is the kept lines rejoined (NULL on dropped pages).
+
+    Everything is row-local higher-order-function work inside one
+    codegen'd projection — no explode, no shuffle, no Python: at 100 TB
+    this is a pure scan the optimizer fuses with whatever sits downstream.
+    The per-line word count reuses the explicit ``[ \\t]+`` whitespace
+    class (not ``\\s``) so the Java, RE2/DuckDB and Python tokenisations
+    agree (see ``repetition_stats``)."""
+    # trim(l) appears twice (terminal-punct test + word split); both sit in
+    # the same lambda so codegen evaluates the row once per line either way.
+    kept = F.expr(
+        "filter(split(text, '\\n'), l -> "
+        "  trim(l) RLIKE '[.!?\"]$' "
+        "  AND size(filter(split(trim(l), '[ \\\\t]+'), t -> t != '')) "
+        f"      >= {int(min_words_per_line)} "
+        "  AND NOT lower(l) LIKE '%javascript%')"
+    )
+    low = F.lower(F.col("text"))
+    fail = (
+        F.when(F.col("text").isNull(), "null_text")
+        .when(low.contains("lorem ipsum"), "lorem_ipsum")
+        .when(low.contains("{"), "brace")
+        .when(F.size(kept) < min_kept_lines, "too_few_sentences")
+    )
+    return docs.select(
+        id_col,
+        fail.isNull().alias("keep"),
+        F.coalesce(fail, F.lit("ok")).alias("fail_reason"),
+        F.when(F.col("text").isNull(), F.lit(0))
+        .otherwise(F.size(kept))
+        .cast("long")
+        .alias("n_lines_kept"),
+        F.when(fail.isNull(), F.array_join(kept, "\n")).alias("clean_text"),
+    )
