@@ -302,6 +302,77 @@ def q_corpus_familiarity(spark, sf_dir):
     return textstats.corpus_familiarity(_tbl(spark, sf_dir, "documents"))
 
 
+def _warc_fixture_dir(sf_dir: str) -> str:
+    """Materialise (once) a deterministic 8-shard WARC fixture derived from
+    ``documents.parquet`` and return its directory.
+
+    Every field of every record is a pure function of ``doc_id``/``text``
+    (url, date, status, shard routing, gzip-vs-plain per shard), so the
+    analytic oracle can reconstruct the expected scan output straight from
+    the ``documents`` view without ever running the parser — writer and
+    parser bugs cannot cancel (the symmetry-breaking trick the image-codec
+    oracle uses)."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from .sources import warc as warcmod
+
+    src = str(Path(sf_dir) / "documents.parquet")
+    key = hashlib.md5(src.encode()).hexdigest()[:10]
+    out = Path(tempfile.gettempdir()) / f"ukv_warc_{key}"
+    tbl = pq.read_table(src, columns=["doc_id", "text"])
+    marker = out / "_OK"
+    if marker.exists() and marker.read_text() == str(tbl.num_rows):
+        return str(out)
+    out.mkdir(parents=True, exist_ok=True)
+    shards: list[list[dict]] = [[] for _ in range(8)]
+    for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        i = int(doc_id)
+        if i % 13 == 0:
+            status, reason, body = 404, "Not Found", b"not found"
+        else:
+            status, reason, body = 200, "OK", (text or "").encode("utf-8")
+        date = (
+            f"2024-01-01T{(i // 3600) % 24:02d}:{(i // 60) % 60:02d}:{i % 60:02d}Z"
+        )
+        shards[i % 8].append(
+            {
+                "url": f"https://warc.example/{i}",
+                "date": date,
+                "payload": warcmod.build_http_response(body, status, reason),
+            }
+        )
+    for s, records in enumerate(shards):
+        gz = s % 2 == 1
+        name = f"part-{s}.warc" + (".gz" if gz else "")
+        warcmod.write_warc(str(out / name), records, gzip_file=gz)
+    marker.write_text(str(tbl.num_rows))
+    return str(out)
+
+
+def q_warc_scan(spark, sf_dir):
+    """Distributed WARC archive scan (the Common Crawl ingest shape):
+    binaryFile one-task-per-archive -> narrow mapInPandas parse of WARC
+    records + HTTP payloads, half the shards whole-file gzipped.  Output
+    is oracled analytically from ``documents`` (see _warc_fixture_dir)."""
+    from .sources.warc import scan_warc
+
+    fixture = _warc_fixture_dir(sf_dir)
+    scanned = scan_warc(spark, fixture + "/part-*", response_only=True)
+    return scanned.select(
+        F.regexp_extract("path", r"part-(\d+)\.warc", 1).cast("int").alias("shard"),
+        "url",
+        "warc_date",
+        "http_status",
+        "content_type",
+        "n_payload_bytes",
+        "payload_text",
+    )
+
+
 def q_c4_line_clean(spark, sf_dir):
     """C4 line-level cleaning over a deterministic multi-line page derived
     from ``documents`` (the synthetic corpus is single-line and
@@ -524,6 +595,7 @@ QUERIES = {
     "url_normalize": q_url_normalize,
     "corpus_familiarity": q_corpus_familiarity,
     "c4_line_clean": q_c4_line_clean,
+    "warc_scan": q_warc_scan,
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
     "dedup_incremental_bloom": q_dedup_incremental_bloom,
@@ -907,6 +979,22 @@ ORACLE_SQL = {
                CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / count(*) AS mean_token_freq,
                CAST(CAST(sum(CASE WHEN c <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / count(*) AS rare_frac
         FROM j GROUP BY doc_id
+    """,
+    # reconstructs the WARC fixture's expected scan output analytically
+    # from documents (never runs the parser — see _warc_fixture_dir)
+    "warc_scan": """
+        SELECT CAST(doc_id % 8 AS INT) AS shard,
+               'https://warc.example/' || doc_id AS url,
+               '2024-01-01T' || lpad(CAST((doc_id // 3600) % 24 AS VARCHAR), 2, '0')
+                   || ':' || lpad(CAST((doc_id // 60) % 60 AS VARCHAR), 2, '0')
+                   || ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z' AS warc_date,
+               CAST(CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END AS INT) AS http_status,
+               'text/plain; charset=utf-8' AS content_type,
+               CAST(octet_length(encode(
+                   CASE WHEN doc_id % 13 = 0 THEN 'not found' ELSE coalesce(text, '') END
+               )) AS BIGINT) AS n_payload_bytes,
+               CASE WHEN doc_id % 13 = 0 THEN 'not found' ELSE coalesce(text, '') END AS payload_text
+        FROM documents
     """,
     # the page rewrite mirrors q_c4_line_clean exactly; the lambda lives in
     # a plain SELECT (never a lateral subquery — DuckDB 1.0 binder trap,
