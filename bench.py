@@ -137,7 +137,8 @@ def main() -> None:
         "url_normalize", "corpus_familiarity", "events_asof_join",
         "mask_repeated_ngrams",
         # round 5
-        "multimodal_jpeg_decode", "pages_content_dedup",
+        "multimodal_jpeg_decode", "pages_content_dedup", "c4_line_clean",
+        "warc_scan", "wet_roundtrip",
     ]
 
     best: dict[str, float] = {}

@@ -138,3 +138,42 @@ def test_scan_warc_spark(spark, tmp_path):  # noqa: F811
     assert sorted(r.payload_text for r in rows)[0] == "body 0/0"
     # all records (warcinfo included) when response_only=False
     assert W.scan_warc(spark, str(tmp_path) + "/part-*").count() == 15
+
+
+def test_export_wet_roundtrip_spark(spark, tmp_path):  # noqa: F811
+    """Distributed WET sink -> scan round-trip: executor-written shards,
+    deterministic bytes across runs, empty partitions still write (stale
+    layout cannot leak), and unicode/NULL-ish text survives."""
+    import pyspark.sql.functions as F
+
+    rows = [
+        (f"wet://t/{i}", f"2024-02-02T00:00:{i:02d}Z", f"tëxt {i}\nline2" if i else "")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "url string, date string, text string")
+    out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+
+    man = W.export_wet(df, out1, shards=4).collect()
+    assert len(man) == 4  # every partition writes, even empty ones
+    assert sum(m.n_records for m in man) == 10
+
+    back = W.scan_wet(spark, out1 + "/part-*").orderBy("url").collect()
+    assert [r.url for r in back] == sorted(r[0] for r in rows)
+    by_url = {r.url: r for r in back}
+    assert by_url["wet://t/1"].payload_text == "tëxt 1\nline2"
+    assert by_url["wet://t/1"].n_payload_bytes == len("tëxt 1\nline2".encode())
+    assert by_url["wet://t/0"].payload_text == ""
+
+    # byte-determinism: a second export of the same frame is identical
+    W.export_wet(df, out2, shards=4).count()
+    import pathlib
+
+    a_files = sorted(pathlib.Path(out1).iterdir())
+    b_files = sorted(pathlib.Path(out2).iterdir())
+    assert [f.name for f in a_files] == [f.name for f in b_files]
+    assert all(x.read_bytes() == y.read_bytes() for x, y in zip(a_files, b_files))
+
+    # overwrite with a frame that leaves some shards empty: old rows gone
+    small = df.filter(F.col("url") == "wet://t/3")
+    W.export_wet(small, out1, shards=4).count()
+    assert W.scan_wet(spark, out1 + "/part-*").count() == 1

@@ -373,6 +373,43 @@ def q_warc_scan(spark, sf_dir):
     )
 
 
+def q_wet_roundtrip(spark, sf_dir):
+    """Distributed WET sink -> scan round-trip in one job: documents ->
+    8 executor-written conversion-record archives (``export_wet``, the
+    distributed sink — no driver collect) -> ``scan_wet`` back to typed
+    rows.  The oracle reconstructs the expected records analytically from
+    ``documents``, so a sink/scan bug pair cannot cancel unless it is
+    byte-exact in both directions AND matches the independent analytic
+    projection."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from .sources.warc import export_wet, scan_wet
+
+    key = hashlib.md5(str(Path(sf_dir) / "documents.parquet").encode()).hexdigest()[:10]
+    out = str(Path(tempfile.gettempdir()) / f"ukv_wet_{key}")
+    docs = _tbl(spark, sf_dir, "documents")
+    recs = docs.select(
+        F.concat(F.lit("wet://doc/"), F.col("doc_id")).alias("url"),
+        F.concat(
+            F.lit("2024-02-02T"),
+            F.lpad(((F.col("doc_id") / 3600).cast("long") % 24).cast("string"), 2, "0"),
+            F.lit(":"),
+            F.lpad(((F.col("doc_id") / 60).cast("long") % 60).cast("string"), 2, "0"),
+            F.lit(":"),
+            F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0"),
+            F.lit("Z"),
+        ).alias("date"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+    )
+    # the sink is lazy; the manifest action commits the shards before the
+    # scan plan reads them back (every partition writes even when empty,
+    # so a stale previous layout cannot leak rows)
+    export_wet(recs, out, shards=8).count()
+    return scan_wet(spark, out + "/part-*")
+
+
 def q_c4_line_clean(spark, sf_dir):
     """C4 line-level cleaning over a deterministic multi-line page derived
     from ``documents`` (the synthetic corpus is single-line and
@@ -596,6 +633,7 @@ QUERIES = {
     "corpus_familiarity": q_corpus_familiarity,
     "c4_line_clean": q_c4_line_clean,
     "warc_scan": q_warc_scan,
+    "wet_roundtrip": q_wet_roundtrip,
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
     "dedup_incremental_bloom": q_dedup_incremental_bloom,
@@ -614,15 +652,15 @@ QUERIES = {
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
     "multimodal_frame_plan": q_multimodal_frame_plan,
     "pushdown_agg": q_pushdown_agg,
+    # past the driver's 50-entry correctness cap this round (60 queries,
+    # so TEN sit past it: the three simple relational queries and
+    # anti_join_resume / lead_value_association plus the five textstats
+    # below — all green in CORRECTNESS_r04 and re-verified green this
+    # round via scripts/check_correctness.py, which checks all 60; rotate
+    # again next round so no query goes two rounds unchecked)
     "argmax_supplier": q_argmax_supplier,
     "topk_orders": q_topk_orders,
     "fuzzy_nation_join": q_fuzzy_nation_join,
-    # past the driver's 50-entry correctness cap this round (57 queries,
-    # so SEVEN sit past it: anti_join_resume, lead_value_association and
-    # the five textstats below — all green in CORRECTNESS_r04 and
-    # re-verified green this round via scripts/check_correctness.py,
-    # which checks all 57; rotate again next round so no query goes two
-    # rounds unchecked)
     "anti_join_resume": q_anti_join_resume,
     "lead_value_association": q_lead_value_association,
     "doc_fingerprint": q_doc_fingerprint,
@@ -994,6 +1032,19 @@ ORACLE_SQL = {
                    CASE WHEN doc_id % 13 = 0 THEN 'not found' ELSE coalesce(text, '') END
                )) AS BIGINT) AS n_payload_bytes,
                CASE WHEN doc_id % 13 = 0 THEN 'not found' ELSE coalesce(text, '') END AS payload_text
+        FROM documents
+    """,
+    # analytic reconstruction of the WET sink->scan round-trip: the
+    # expected conversion records are derived straight from documents, so
+    # a writer/parser bug pair only cancels if both directions are
+    # byte-exact AND agree with this independent projection
+    "wet_roundtrip": """
+        SELECT 'wet://doc/' || doc_id AS url,
+               '2024-02-02T' || lpad(CAST((doc_id // 3600) % 24 AS VARCHAR), 2, '0')
+                   || ':' || lpad(CAST((doc_id // 60) % 60 AS VARCHAR), 2, '0')
+                   || ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z' AS warc_date,
+               CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_payload_bytes,
+               coalesce(text, '') AS payload_text
         FROM documents
     """,
     # the page rewrite mirrors q_c4_line_clean exactly; the lambda lives in

@@ -306,3 +306,78 @@ def scan_warc(spark: SparkSession, path_glob: str, response_only: bool = False) 
             )
 
     return files.mapInPandas(parse, schema=WARC_SCAN_SCHEMA)
+
+
+def write_wet(path: str, records: Iterable[dict], gzip_file: bool = False) -> int:
+    """Write a WET archive (the Common Crawl *extracted-text* sibling of
+    WARC: same container, ``conversion`` records whose payload is the
+    plain text).  Each record: ``{"url", "date", "text"}``."""
+    return write_warc(
+        path,
+        (
+            {
+                "url": r["url"],
+                "date": r["date"],
+                "payload": (r.get("text") or "").encode("utf-8"),
+                "warc_type": "conversion",
+            }
+            for r in records
+        ),
+        gzip_file=gzip_file,
+        warcinfo="software: ukv-spark-warc-writer/1.0\r\nformat: WET",
+    )
+
+
+def scan_wet(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Distributed WET scan -> (url, warc_date, n_payload_bytes,
+    payload_text): the conversion records only, same file-granular
+    parallelism as ``scan_warc``."""
+    return (
+        scan_warc(spark, path_glob)
+        .filter(F.col("warc_type") == "conversion")
+        .select("url", "warc_date", "n_payload_bytes", "payload_text")
+    )
+
+
+EXPORT_MANIFEST_SCHEMA = "path string, n_records long, n_bytes long"
+
+
+def export_wet(
+    df: DataFrame, out_dir: str, shards: int = 8, shard_col: str = "url", gzip_files: bool = True
+) -> DataFrame:
+    """Distributed WET sink: partition ``df`` (columns url, date, text)
+    into ``shards`` archives written from the executors; returns the lazy
+    manifest (path, n_records, n_bytes) — run an action on it to commit.
+
+    Scale shape: one archive per partition, written where the data sits —
+    no driver collect.  ``out_dir`` must be a filesystem every executor
+    can reach (shared mount / fuse; in local mode any dir).  Rows are
+    sorted by ``shard_col`` inside each shard and gzip uses mtime=0, so
+    re-runs are byte-identical; every partition writes its file even when
+    empty, so stale files from a previous layout cannot survive an
+    overwrite."""
+    import os
+
+    import pandas as pd
+    from pyspark import TaskContext
+
+    parted = df.repartition(shards, F.col(shard_col)).sortWithinPartitions(shard_col)
+
+    def write_shard(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        pid = TaskContext.get().partitionId()
+        name = f"part-{pid:05d}.warc" + (".gz" if gzip_files else "")
+        path = os.path.join(out_dir, name)
+        records = []
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                records.append(
+                    {"url": row["url"], "date": row["date"], "text": row["text"]}
+                )
+        os.makedirs(out_dir, exist_ok=True)
+        n = write_wet(path, records, gzip_file=gzip_files)
+        yield pd.DataFrame(
+            [(path, n - 1, os.path.getsize(path))],
+            columns=["path", "n_records", "n_bytes"],
+        )
+
+    return parted.mapInPandas(write_shard, schema=EXPORT_MANIFEST_SCHEMA)
