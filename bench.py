@@ -138,7 +138,7 @@ def main() -> None:
         "mask_repeated_ngrams",
         # round 5
         "multimodal_jpeg_decode", "pages_content_dedup", "c4_line_clean",
-        "warc_scan", "wet_roundtrip",
+        "warc_scan", "wet_roundtrip", "dsir_importance", "doc_keywords",
     ]
 
     best: dict[str, float] = {}

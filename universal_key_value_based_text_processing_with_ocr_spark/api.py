@@ -302,6 +302,31 @@ def q_corpus_familiarity(spark, sf_dir):
     return textstats.corpus_familiarity(_tbl(spark, sf_dir, "documents"))
 
 
+def q_dsir_importance(spark, sf_dir):
+    """DSIR importance weighting of the corpus toward a deterministic
+    target slice (``doc_id % 10 == 0`` standing in for the curated
+    corpus).  The oracle replays the md5 bucket hash and compares the
+    integer-exact columns; the float ``log_ratio_weight`` is dropped here
+    (summed logs are not bit-reproducible cross-engine) and is asserted
+    against an independent numpy recomputation in pytest instead."""
+    from .operators import importance
+
+    docs = _tbl(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    return importance.dsir_importance(docs, target, buckets=1024).select(
+        "doc_id", "n_grams", "target_mass", "raw_mass"
+    )
+
+
+def q_doc_keywords(spark, sf_dir):
+    """Top-3 keywords per document by the integer tf*(N-df) surrogate —
+    the whole ranking is integer-exact, so the oracle compares every
+    column including the ranks."""
+    from .operators import importance
+
+    return importance.doc_keywords(_tbl(spark, sf_dir, "documents"), k=3)
+
+
 def _warc_fixture_dir(sf_dir: str) -> str:
     """Materialise (once) a deterministic 8-shard WARC fixture derived from
     ``documents.parquet`` and return its directory.
@@ -631,6 +656,8 @@ QUERIES = {
     "dedup_paragraphs": q_dedup_paragraphs,
     "url_normalize": q_url_normalize,
     "corpus_familiarity": q_corpus_familiarity,
+    "dsir_importance": q_dsir_importance,
+    "doc_keywords": q_doc_keywords,
     "c4_line_clean": q_c4_line_clean,
     "warc_scan": q_warc_scan,
     "wet_roundtrip": q_wet_roundtrip,
@@ -650,14 +677,15 @@ QUERIES = {
     "multimodal_image_meta": q_multimodal_image_meta,
     "multimodal_image_decode": q_multimodal_image_decode,
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
+    # past the driver's 50-entry correctness cap this round (62 queries,
+    # so TWELVE sit past it: frame_plan + the four simple relational
+    # queries, anti_join_resume / lead_value_association, and the five
+    # textstats at the end — all officially green in CORRECTNESS_r04 and
+    # re-verified green this round via scripts/check_correctness.py,
+    # which checks all 62; rotate again next round so no query goes two
+    # rounds unchecked)
     "multimodal_frame_plan": q_multimodal_frame_plan,
     "pushdown_agg": q_pushdown_agg,
-    # past the driver's 50-entry correctness cap this round (60 queries,
-    # so TEN sit past it: the three simple relational queries and
-    # anti_join_resume / lead_value_association plus the five textstats
-    # below — all green in CORRECTNESS_r04 and re-verified green this
-    # round via scripts/check_correctness.py, which checks all 60; rotate
-    # again next round so no query goes two rounds unchecked)
     "argmax_supplier": q_argmax_supplier,
     "topk_orders": q_topk_orders,
     "fuzzy_nation_join": q_fuzzy_nation_join,
@@ -1017,6 +1045,70 @@ ORACLE_SQL = {
                CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / count(*) AS mean_token_freq,
                CAST(CAST(sum(CASE WHEN c <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / count(*) AS rare_frac
         FROM j GROUP BY doc_id
+    """,
+    # replays the DSIR featurisation bit-for-bit: same token class, same
+    # md5 bucket hash (15 hex digits -> bigint % 1024), same target slice;
+    # integer mass columns only (the float log-ratio weight is asserted in
+    # pytest against numpy — summed logs don't hash across engines).
+    # DuckDB range(1, n) is empty for n <= 1 (unlike Spark's descending
+    # sequence), so no short-array guard is needed here; the lambda lives
+    # in a plain SELECT per the DuckDB 1.0 lateral-binder trap.
+    "dsir_importance": """
+        WITH toks AS (
+            SELECT doc_id, list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '') AS t
+            FROM documents WHERE text IS NOT NULL
+        ),
+        glists AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) AS gl
+            FROM toks
+        ),
+        grams AS (SELECT doc_id, unnest(gl) AS g FROM glists),
+        feat AS (
+            SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % 1024 AS bucket,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM grams GROUP BY doc_id, bucket
+        ),
+        tc AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS t_c
+               FROM feat WHERE doc_id % 10 = 0 GROUP BY bucket),
+        rc AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS r_c FROM feat GROUP BY bucket),
+        agg AS (
+            SELECT f.doc_id,
+                   CAST(sum(cnt) AS BIGINT) AS n_grams,
+                   CAST(sum(cnt * coalesce(t_c, 0)) AS BIGINT) AS target_mass,
+                   CAST(sum(cnt * r_c) AS BIGINT) AS raw_mass
+            FROM feat f LEFT JOIN tc USING (bucket) JOIN rc USING (bucket)
+            GROUP BY f.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(n_grams, 0) AS n_grams,
+               coalesce(target_mass, 0) AS target_mass,
+               coalesce(raw_mass, 0) AS raw_mass
+        FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+    # integer-exact ranking: score = tf * (N - df) never touches a float,
+    # so ranks, ties (broken by keyword asc) and every column reproduce
+    "doc_keywords": """
+        WITH words AS (
+            SELECT doc_id, unnest(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '')) AS keyword
+            FROM documents WHERE text IS NOT NULL
+        ),
+        tf AS (SELECT doc_id, keyword, CAST(count(*) AS BIGINT) AS tf
+               FROM words GROUP BY doc_id, keyword),
+        df AS (SELECT keyword, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY keyword),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        s AS (
+            SELECT doc_id, keyword, tf, df, tf * (n_docs - df) AS score,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY tf * (n_docs - df) DESC, keyword ASC) AS rank
+            FROM tf JOIN df USING (keyword) CROSS JOIN n
+        )
+        SELECT doc_id, CAST(rank AS INT) AS rank, keyword, tf, df,
+               CAST(score AS BIGINT) AS score
+        FROM s WHERE rank <= 3
     """,
     # reconstructs the WARC fixture's expected scan output analytically
     # from documents (never runs the parser — see _warc_fixture_dir)

@@ -1,0 +1,199 @@
+"""Corpus-level importance weighting and keyword scoring.
+
+Two training-data-curation operators that score documents against the
+corpus (or a target corpus) rather than in isolation:
+
+- ``dsir_importance``: Data Selection via Importance Resampling (Xie et
+  al. 2023, "Data Selection for Language Models via Importance
+  Resampling") — hashed word-bigram features, per-bucket log-ratio of
+  target vs raw corpus frequencies, per-document importance weight
+  ``sum_b cnt_b * log(p_target(b) / p_raw(b))`` with add-1 smoothing.
+- ``doc_keywords``: per-document top-k keyword extraction by an
+  integer-exact tf-idf surrogate ``tf * (N - df)`` (linear idf), fully
+  reproducible across engines because no float ever enters the ranking.
+
+Scale shape (both): tokenise/explode -> map-side-combinable hash
+aggregations; the only broadcast is the bucket-ratio table (``buckets``
+rows) resp. nothing, and the only shuffles are keyed on (doc, feature)
+and (feature) — the same two combinable exchanges as corpus_familiarity.
+No UDFs anywhere; everything is codegen'd JVM expression work.
+
+The hashed feature bucket reuses the dedup hash seam (``dedup._md5_long``)
+so the DuckDB oracle replays the bucketing bit-for-bit on the md5 path
+while production can flip to xxhash64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _md5_long
+
+#: word-token split shared verbatim with the oracles: lowercase
+#: alphanumeric runs (language-neutral, identical under Java regex and
+#: DuckDB's RE2 — no classes that differ between the engines).
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _word_bigrams(docs: DataFrame, id_col: str) -> DataFrame:
+    """(id, gram): adjacent lowercase word pairs, one row per occurrence.
+
+    The sequence() guard matters: Spark's ``sequence(1, 0)`` DESCENDS
+    instead of returning an empty array, so docs with fewer than two
+    tokens must short-circuit to array() explicitly.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda w: w != ""
+    )
+    grams = F.expr(
+        "CASE WHEN size(_toks) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(_toks) - 1), "
+        "     i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1))) END"
+    )
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.col(id_col), toks.alias("_toks"))
+        .select(id_col, F.explode(grams).alias("gram"))
+    )
+
+
+def hashed_ngram_features(
+    docs: DataFrame, buckets: int = 1024, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, bucket, cnt): word-bigram occurrence counts hashed into
+    ``buckets`` feature buckets (the DSIR featurisation)."""
+    return (
+        _word_bigrams(docs, id_col)
+        .select(id_col, F.pmod(_md5_long(F.col("gram")), F.lit(buckets)).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    buckets: int = 1024,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document DSIR importance weights of ``raw`` docs toward the
+    ``target`` corpus distribution.
+
+    Returns one row per raw document (featureless docs — NULL text or <2
+    tokens — kept with zero masses and weight 0.0):
+
+    - ``n_grams``: total bigram occurrences in the doc (BIGINT)
+    - ``target_mass`` / ``raw_mass``: integer-exact dot products of the
+      doc's bucket counts with the target/raw corpus bucket counts —
+      engine-reproducible fidelity signals (a doc made of target-frequent
+      buckets has high target_mass)
+    - ``log_ratio_weight``: the actual DSIR weight
+      ``sum_b cnt_b * [ln((t_b+1)/(T+K)) - ln((r_b+1)/(R+K))]`` (float;
+      excluded from cross-engine oracles because summed logs are not
+      bit-reproducible across engines)
+
+    Plan: two map-side-combinable feature aggs, a ``buckets``-row ratio
+    table broadcast onto the per-doc features, one final per-doc agg —
+    no shuffle keyed on anything wider than (doc, bucket).
+    """
+    rawf = hashed_ngram_features(raw, buckets, id_col)
+    tgtf = hashed_ngram_features(target, buckets, id_col)
+
+    r_c = rawf.groupBy("bucket").agg(F.sum("cnt").alias("r_c"))
+    t_c = tgtf.groupBy("bucket").agg(F.sum("cnt").alias("t_c"))
+    totals = (
+        r_c.agg(F.sum("r_c").alias("r_total"))
+        .crossJoin(t_c.agg(F.sum("t_c").alias("t_total")))
+    )
+    ratio = (
+        r_c.join(t_c, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            "r_c",
+            F.coalesce("t_c", F.lit(0)).alias("t_c"),
+            (
+                F.log((F.coalesce("t_c", F.lit(0)) + 1) / (F.col("t_total") + buckets))
+                - F.log((F.col("r_c") + 1) / (F.col("r_total") + buckets))
+            ).alias("log_lambda"),
+        )
+    )
+
+    per_doc = (
+        rawf.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.sum(F.col("cnt") * F.col("t_c")).alias("target_mass"),
+            F.sum(F.col("cnt") * F.col("r_c")).alias("raw_mass"),
+            F.sum(F.col("cnt") * F.col("log_lambda")).alias("log_ratio_weight"),
+        )
+    )
+    return (
+        raw.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("target_mass", F.lit(0)).cast("long").alias("target_mass"),
+            F.coalesce("raw_mass", F.lit(0)).cast("long").alias("raw_mass"),
+            F.coalesce("log_ratio_weight", F.lit(0.0)).alias("log_ratio_weight"),
+        )
+    )
+
+
+def doc_keywords(docs: DataFrame, k: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Top-``k`` keywords per document by the integer tf-idf surrogate
+    ``score = tf * (N - df)`` (N = corpus document count, df = number of
+    docs containing the term; linear idf in place of ln(N/df) so the
+    ranking is integer-exact and reproduces bit-for-bit in any engine —
+    ties broken by term ascending).
+
+    Returns (id, rank, keyword, tf, df, score), rank 1..k.
+
+    Plan: tf agg on (doc, term) [combinable]; df = count over the tf
+    pairs — NOT count(distinct doc) over raw occurrences, so a viral term
+    never piles its occurrences onto one reducer (the skew-safe
+    pair-distinct-then-count shape shared with dedup_paragraphs); one
+    term-keyed join; per-doc top-k via WindowGroupLimit (rank pushdown —
+    no full sort of the score table).
+    """
+    from pyspark.sql.window import Window
+
+    words = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda w: w != "")
+            ).alias("keyword"),
+        )
+    )
+    tf = words.groupBy(id_col, "keyword").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("keyword").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "keyword")
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "keyword",
+            "tf",
+            "df",
+            (F.col("tf") * (F.col("n_docs") - F.col("df"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("keyword"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            F.col("rank").cast("int").alias("rank"),
+            "keyword",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("score").cast("long").alias("score"),
+        )
+    )
