@@ -80,6 +80,10 @@ def main() -> None:
         ("multimodal_jpeg_decode", "baseline-JPEG decode: same two-Arrow-stage no-shuffle shape as the PNG/BMP/GIF decode"),
         ("corpus_familiarity", "tokenize -> one combinable count groupBy -> re-join on token -> per-doc integer aggregate"),
         ("events_asof_join", "AS-OF join as union + ONE key exchange + sort + window (atomic struct carry) — the merge-scan shape, never a range nested-loop"),
+        ("c4_line_clean", "C4 line-level cleaning: one codegen'd row-local HOF projection — no explode, no shuffle, no Python"),
+        ("warc_scan", "WARC archive scan: binaryFile file-granular tasks -> one narrow mapInPandas parse; projection fuses onto it, nothing shuffles"),
+        ("dsir_importance", "DSIR: combinable (doc, bucket) feature aggs; the bucket ratio table reaches the features via BroadcastHashJoin; totals are 1-row cross joins"),
+        ("doc_keywords", "keyword top-k: skew-safe pair-distinct df + term-keyed join + WindowGroupLimit rank pushdown (no full sort of the score table)"),
     ]
     for name, note in named:
         sections.append((name, note, formatted(api.QUERIES[name](spark, SF))))

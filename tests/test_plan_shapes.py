@@ -241,3 +241,38 @@ def test_lsh_topk_corpus_side_not_exploded(spark):  # noqa: F811
     plan = _plan(lsh_bucketed_topk(emb))
     assert plan.count("Generate explode") == 1
     assert plan.index("Generate explode") > plan.index("BroadcastExchange")
+
+
+def test_dsir_feature_aggs_combinable_ratio_broadcast(spark):  # noqa: F811
+    """The per-doc feature agg keeps a map-side partial phase and the
+    bucket ratio table (<= `buckets` rows) reaches the features via a
+    BroadcastHashJoin on bucket — never a shuffled join keyed wider than
+    (doc, bucket).  The only nested-loop joins allowed are the 1-row
+    totals cross joins."""
+    from pyspark.sql import functions as F
+
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.importance import (
+        dsir_importance,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _formatted(dsir_importance(docs, docs.filter(F.col("doc_id") % 10 == 0)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_doc_keywords_topk_is_window_group_limit(spark):  # noqa: F811
+    """Per-doc top-k must go through WindowGroupLimit (rank-limit pushdown
+    before the per-partition sort) and document frequency must keep its
+    map-side partial phase — no fused count(distinct."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.importance import (
+        doc_keywords,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _formatted(doc_keywords(docs, k=3))
+    assert "WindowGroupLimit" in plan
+    assert "count(distinct" not in plan.lower()
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan

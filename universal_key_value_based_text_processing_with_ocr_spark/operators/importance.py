@@ -36,36 +36,48 @@ from .dedup import _md5_long
 TOKEN_SPLIT = "[^a-z0-9]+"
 
 
-def _word_bigrams(docs: DataFrame, id_col: str) -> DataFrame:
+def _word_bigrams(docs: DataFrame, id_col: str, keep_empty: bool = False) -> DataFrame:
     """(id, gram): adjacent lowercase word pairs, one row per occurrence.
 
     The sequence() guard matters: Spark's ``sequence(1, 0)`` DESCENDS
     instead of returning an empty array, so docs with fewer than two
     tokens must short-circuit to array() explicitly.
+
+    ``keep_empty`` switches to ``explode_outer`` so featureless docs
+    (NULL text or <2 tokens) survive as one NULL-gram row — the cheap way
+    to keep every doc in a downstream per-doc aggregate without a second
+    scan + join against the input.
     """
     toks = F.filter(
-        F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda w: w != ""
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), TOKEN_SPLIT),
+        lambda w: w != "",
     )
     grams = F.expr(
         "CASE WHEN size(_toks) < 2 THEN array() "
         "ELSE transform(sequence(1, size(_toks) - 1), "
         "     i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1))) END"
     )
-    return (
-        docs.filter(F.col("text").isNotNull())
-        .select(F.col(id_col), toks.alias("_toks"))
-        .select(id_col, F.explode(grams).alias("gram"))
+    exploder = F.explode_outer if keep_empty else F.explode
+    return docs.select(F.col(id_col), toks.alias("_toks")).select(
+        id_col, exploder(grams).alias("gram")
     )
 
 
 def hashed_ngram_features(
-    docs: DataFrame, buckets: int = 1024, id_col: str = "doc_id"
+    docs: DataFrame, buckets: int = 1024, id_col: str = "doc_id", keep_empty: bool = False
 ) -> DataFrame:
     """(id, bucket, cnt): word-bigram occurrence counts hashed into
-    ``buckets`` feature buckets (the DSIR featurisation)."""
+    ``buckets`` feature buckets (the DSIR featurisation).  With
+    ``keep_empty``, featureless docs carry one (id, NULL, 1) row."""
     return (
-        _word_bigrams(docs, id_col)
-        .select(id_col, F.pmod(_md5_long(F.col("gram")), F.lit(buckets)).alias("bucket"))
+        _word_bigrams(docs, id_col, keep_empty)
+        .select(
+            id_col,
+            F.when(
+                F.col("gram").isNotNull(),
+                F.pmod(_md5_long(F.col("gram")), F.lit(buckets)),
+            ).alias("bucket"),
+        )
         .groupBy(id_col, "bucket")
         .agg(F.count("*").alias("cnt"))
     )
@@ -95,12 +107,15 @@ def dsir_importance(
 
     Plan: two map-side-combinable feature aggs, a ``buckets``-row ratio
     table broadcast onto the per-doc features, one final per-doc agg —
-    no shuffle keyed on anything wider than (doc, bucket).
+    no shuffle keyed on anything wider than (doc, bucket).  Featureless
+    docs ride the same pipeline as a NULL-bucket feature row
+    (explode_outer), so keeping every doc costs no extra scan or join.
     """
-    rawf = hashed_ngram_features(raw, buckets, id_col)
+    rawf = hashed_ngram_features(raw, buckets, id_col, keep_empty=True)
     tgtf = hashed_ngram_features(target, buckets, id_col)
 
-    r_c = rawf.groupBy("bucket").agg(F.sum("cnt").alias("r_c"))
+    real = F.col("bucket").isNotNull()
+    r_c = rawf.filter(real).groupBy("bucket").agg(F.sum("cnt").alias("r_c"))
     t_c = tgtf.groupBy("bucket").agg(F.sum("cnt").alias("t_c"))
     totals = (
         r_c.agg(F.sum("r_c").alias("r_total"))
@@ -120,25 +135,24 @@ def dsir_importance(
         )
     )
 
-    per_doc = (
-        rawf.join(F.broadcast(ratio), "bucket")
+    # left join: the NULL-bucket rows of featureless docs match nothing
+    # and contribute zeros below, so every raw doc lands in the output
+    return (
+        rawf.join(F.broadcast(ratio), "bucket", "left")
         .groupBy(id_col)
         .agg(
-            F.sum("cnt").alias("n_grams"),
-            F.sum(F.col("cnt") * F.col("t_c")).alias("target_mass"),
-            F.sum(F.col("cnt") * F.col("r_c")).alias("raw_mass"),
-            F.sum(F.col("cnt") * F.col("log_lambda")).alias("log_ratio_weight"),
-        )
-    )
-    return (
-        raw.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
-            F.coalesce("target_mass", F.lit(0)).cast("long").alias("target_mass"),
-            F.coalesce("raw_mass", F.lit(0)).cast("long").alias("raw_mass"),
-            F.coalesce("log_ratio_weight", F.lit(0.0)).alias("log_ratio_weight"),
+            F.sum(F.when(real, F.col("cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_grams"),
+            F.sum(F.col("cnt") * F.coalesce("t_c", F.lit(0)))
+            .cast("long")
+            .alias("target_mass"),
+            F.sum(F.col("cnt") * F.coalesce("r_c", F.lit(0)))
+            .cast("long")
+            .alias("raw_mass"),
+            F.sum(F.col("cnt") * F.coalesce("log_lambda", F.lit(0.0))).alias(
+                "log_ratio_weight"
+            ),
         )
     )
 
