@@ -139,6 +139,7 @@ def main() -> None:
         # round 5
         "multimodal_jpeg_decode", "pages_content_dedup", "c4_line_clean",
         "warc_scan", "wet_roundtrip", "dsir_importance", "doc_keywords",
+        "gopher_quality",
     ]
 
     best: dict[str, float] = {}

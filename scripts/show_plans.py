@@ -84,6 +84,7 @@ def main() -> None:
         ("warc_scan", "WARC archive scan: binaryFile file-granular tasks -> one narrow mapInPandas parse; projection fuses onto it, nothing shuffles"),
         ("dsir_importance", "DSIR: combinable (doc, bucket) feature aggs; the bucket ratio table reaches the features via BroadcastHashJoin; totals are 1-row cross joins"),
         ("doc_keywords", "keyword top-k: skew-safe pair-distinct df + term-keyed join + WindowGroupLimit rank pushdown (no full sort of the score table)"),
+        ("gopher_quality", "Gopher shape rules: one codegen'd row-local projection — single-division ratios, no explode, no shuffle, no Python"),
     ]
     for name, note in named:
         sections.append((name, note, formatted(api.QUERIES[name](spark, SF))))

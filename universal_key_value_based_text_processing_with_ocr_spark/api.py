@@ -302,6 +302,28 @@ def q_corpus_familiarity(spark, sf_dir):
     return textstats.corpus_familiarity(_tbl(spark, sf_dir, "documents"))
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher document-shape rules over a deterministic page derivation
+    that exercises every fail branch (the synthetic corpus is single-line
+    prose, so per ``doc_id % 5`` the query rewrites it: 0 = every word a
+    bullet line (too_many_bullets), 1 = a 30-char ``#`` run
+    (too_many_symbols), 2 = an appended ``...`` line (too_many_ellipses —
+    symbol ratio stays under 0.1 because every doc has >= 10 words),
+    3 = 30 appended digit words (too_few_alpha_words), 4 = unchanged
+    (keep).  The oracle applies the identical rewrite."""
+    docs = _tbl(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    text = F.col("text")
+    page = (
+        F.when(m == 0, F.concat(F.lit("- "), F.replace(text, F.lit(" "), F.lit("\n- "))))
+        .when(m == 1, F.concat(text, F.lit(" "), F.repeat(F.lit("#"), 30)))
+        .when(m == 2, F.concat(text, F.lit("\n...")))
+        .when(m == 3, F.concat(text, F.repeat(F.lit(" 0 1 2 3 4 5 6 7 8 9"), 3)))
+        .otherwise(text)
+    )
+    return textstats.gopher_quality(docs.select("doc_id", page.alias("text")))
+
+
 def q_dsir_importance(spark, sf_dir):
     """DSIR importance weighting of the corpus toward a deterministic
     target slice (``doc_id % 10 == 0`` standing in for the curated
@@ -626,7 +648,6 @@ QUERIES = {
     "custom_config_extract": q_custom_config_extract,
     "extract_fields_blended": q_extract_fields_blended,
     "extract_fields_boxorder": q_extract_fields_boxorder,
-    "doc_token_count": q_doc_token_count,
     "doc_token_count_bpe": q_doc_token_count_bpe,
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
@@ -656,6 +677,7 @@ QUERIES = {
     "dedup_paragraphs": q_dedup_paragraphs,
     "url_normalize": q_url_normalize,
     "corpus_familiarity": q_corpus_familiarity,
+    "gopher_quality": q_gopher_quality,
     "dsir_importance": q_dsir_importance,
     "doc_keywords": q_doc_keywords,
     "c4_line_clean": q_c4_line_clean,
@@ -677,13 +699,14 @@ QUERIES = {
     "multimodal_image_meta": q_multimodal_image_meta,
     "multimodal_image_decode": q_multimodal_image_decode,
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
-    # past the driver's 50-entry correctness cap this round (62 queries,
-    # so TWELVE sit past it: frame_plan + the four simple relational
-    # queries, anti_join_resume / lead_value_association, and the five
-    # textstats at the end — all officially green in CORRECTNESS_r04 and
-    # re-verified green this round via scripts/check_correctness.py,
-    # which checks all 62; rotate again next round so no query goes two
-    # rounds unchecked)
+    # past the driver's 50-entry correctness cap this round (63 queries,
+    # so THIRTEEN sit past it: frame_plan + the four simple relational
+    # queries, anti_join_resume / lead_value_association, and the six
+    # stable textstats at the end — all unchanged since r4, officially
+    # green in CORRECTNESS_r04, and re-verified green this round via
+    # scripts/check_correctness.py, which checks all 63; every query NEW
+    # or CHANGED in round 5 sits inside the checked window; rotate again
+    # next round so no query goes two rounds unchecked)
     "multimodal_frame_plan": q_multimodal_frame_plan,
     "pushdown_agg": q_pushdown_agg,
     "argmax_supplier": q_argmax_supplier,
@@ -696,6 +719,9 @@ QUERIES = {
     "doc_rolling_fp": q_doc_rolling_fp,
     "doc_winnowing_fp": q_doc_winnowing_fp,
     "doc_normalize": q_doc_normalize,
+    # rotated out this round to make room for multimodal_jpeg_decode in
+    # the checked window (unchanged since r1, green r1-r4)
+    "doc_token_count": q_doc_token_count,
 }
 
 
@@ -1045,6 +1071,66 @@ ORACLE_SQL = {
                CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / count(*) AS mean_token_freq,
                CAST(CAST(sum(CASE WHEN c <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / count(*) AS rare_frac
         FROM j GROUP BY doc_id
+    """,
+    # identical page rewrite as the Spark query; every ratio is one
+    # integer count divided once then rounded, so doubles and the
+    # keep/fail cascade reproduce exactly; lambdas reference only their
+    # own parameters (the DuckDB 1.0 lateral-binder trap does not apply
+    # in plain SELECTs)
+    "gopher_quality": r"""
+        WITH pages AS (
+            SELECT doc_id, CASE doc_id % 5
+                WHEN 0 THEN '- ' || replace(text, ' ', chr(10) || '- ')
+                WHEN 1 THEN text || ' ' || repeat('#', 30)
+                WHEN 2 THEN text || chr(10) || '...'
+                WHEN 3 THEN text || repeat(' 0 1 2 3 4 5 6 7 8 9', 3)
+                ELSE text END AS text
+            FROM documents
+        ),
+        base AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(text, '[ \t\n\r\f]+'), w -> w != '') AS words,
+                   list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                               l -> l != '') AS lines
+            FROM pages
+        ),
+        c AS (
+            SELECT doc_id, text,
+                   len(words) AS n_words,
+                   len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+                   length(text) - length(replace(text, '#', '')) AS n_hash,
+                   (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell,
+                   len(lines) AS n_lines,
+                   len(list_filter(lines, l -> regexp_matches(l, '^[-*•]'))) AS n_bullet,
+                   len(list_filter(lines, l -> regexp_matches(l, '\.\.\.$'))) AS n_ell_end
+            FROM base
+        ),
+        r AS (
+            SELECT doc_id, text, n_words,
+                   round((n_hash + n_ell) / CAST(nullif(n_words, 0) AS DOUBLE), 6) AS symbol_word_ratio,
+                   round(n_bullet / CAST(nullif(n_lines, 0) AS DOUBLE), 6) AS bullet_line_frac,
+                   round(n_ell_end / CAST(nullif(n_lines, 0) AS DOUBLE), 6) AS ellipsis_line_frac,
+                   round(n_alpha / CAST(nullif(n_words, 0) AS DOUBLE), 6) AS alpha_word_frac
+            FROM c
+        )
+        SELECT doc_id,
+               CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+               symbol_word_ratio, bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+               CASE WHEN text IS NULL THEN false
+                    WHEN n_words = 0 THEN false
+                    WHEN symbol_word_ratio > 0.1 THEN false
+                    WHEN bullet_line_frac > 0.9 THEN false
+                    WHEN ellipsis_line_frac > 0.3 THEN false
+                    WHEN alpha_word_frac < 0.8 THEN false
+                    ELSE true END AS keep,
+               CASE WHEN text IS NULL THEN 'null_text'
+                    WHEN n_words = 0 THEN 'no_words'
+                    WHEN symbol_word_ratio > 0.1 THEN 'too_many_symbols'
+                    WHEN bullet_line_frac > 0.9 THEN 'too_many_bullets'
+                    WHEN ellipsis_line_frac > 0.3 THEN 'too_many_ellipses'
+                    WHEN alpha_word_frac < 0.8 THEN 'too_few_alpha_words'
+                    ELSE 'ok' END AS fail_reason
+        FROM r
     """,
     # replays the DSIR featurisation bit-for-bit: same token class, same
     # md5 bucket hash (15 hex digits -> bigint % 1024), same target slice;

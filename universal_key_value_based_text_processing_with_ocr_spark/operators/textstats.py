@@ -416,6 +416,73 @@ def quality_filter(docs: DataFrame, min_words: int = 15, max_mean_word_len: floa
     )
 
 
+def gopher_quality(
+    docs: DataFrame,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+) -> DataFrame:
+    """The Gopher document-shape rules (Rae et al. 2021 §A1.1) that
+    ``quality_filter`` does not already cover: symbol-to-word ratio
+    (``#`` and ``...``), fraction of lines starting with a bullet,
+    fraction of lines ending with an ellipsis, and fraction of words
+    containing at least one alphabetic character.
+
+    -> (doc_id, n_words, symbol_word_ratio, bullet_line_frac,
+    ellipsis_line_frac, alpha_word_frac, keep, fail_reason).
+
+    Every ratio is one integer count divided once (bit-reproducible in
+    any engine), and everything is row-local codegen'd expression work —
+    no explode, no shuffle, no Python; the whole operator fuses into a
+    single scan at any corpus size.  Word split reuses the whitespace
+    class shared with ``corpus_familiarity``; line fractions are over
+    non-blank lines.
+    """
+    text = F.col("text")
+    words = F.filter(F.split(text, r"[ \t\n\r\f]+"), lambda w: w != "")
+    n_words = F.size(words)
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    # '#' count via class strip; '...' count via non-overlapping replace
+    n_hash = F.length(F.regexp_replace(text, "[^#]", ""))
+    n_ellipsis = (
+        (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
+    ).cast("long")
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), F.trim), lambda l: l != ""
+    )
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike("^[-*•]")))
+    n_ell_end = F.size(F.filter(lines, lambda l: l.rlike("\\.\\.\\.$")))
+
+    safe_words = F.when(n_words > 0, n_words.cast("double"))
+    safe_lines = F.when(n_lines > 0, n_lines.cast("double"))
+    symbol_ratio = F.round((n_hash + n_ellipsis) / safe_words, 6)
+    bullet_frac = F.round(n_bullet / safe_lines, 6)
+    ell_frac = F.round(n_ell_end / safe_lines, 6)
+    alpha_frac = F.round(n_alpha_words / safe_words, 6)
+
+    fail = (
+        F.when(text.isNull(), "null_text")
+        .when(n_words == 0, "no_words")
+        .when(symbol_ratio > max_symbol_word_ratio, "too_many_symbols")
+        .when(bullet_frac > max_bullet_line_frac, "too_many_bullets")
+        .when(ell_frac > max_ellipsis_line_frac, "too_many_ellipses")
+        .when(alpha_frac < min_alpha_word_frac, "too_few_alpha_words")
+    )
+    return docs.select(
+        "doc_id",
+        # size(null) is -1, not NULL — map null text to 0 explicitly
+        F.when(text.isNull(), F.lit(0)).otherwise(n_words).cast("long").alias("n_words"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ell_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        fail.isNull().alias("keep"),
+        F.coalesce(fail, F.lit("ok")).alias("fail_reason"),
+    )
+
+
 # GPT-2-flavoured pre-tokeniser regex (no lookaheads, so it behaves
 # identically on Java regex and RE2-based engines): contractions, letter
 # runs, digit runs, punctuation runs, whitespace runs.
