@@ -276,3 +276,44 @@ def test_doc_keywords_topk_is_window_group_limit(spark):  # noqa: F811
     assert "count(distinct" not in plan.lower()
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_has_no_exchange_on_either_side(spark):  # noqa: F811
+    """The whole point of bucketed_colocated_join: after the bucketed
+    writes, the SortMergeJoin reads bucket i vs bucket i directly — NO
+    Exchange below the join (the only allowed Exchange is the tiny
+    post-join segment agg), both scans flagged Bucketed."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.relational import (
+        bucketed_colocated_join,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    with_smj = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = bucketed_colocated_join(spark, orders, customer, table_prefix="colo_test")
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", with_smj)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2
+    join_subtree = plan[plan.index("SortMergeJoin"):]
+    assert "Exchange" not in join_subtree
+    # exactly one Exchange total: the 5-group final agg above the join
+    assert plan.count("Exchange") == 1
+
+
+def test_semdedup_centroids_broadcast_pairs_join_on_cluster(spark):  # noqa: F811
+    """SemDeDup's assignment stage must broadcast the tiny centroid table
+    and the quadratic stage must be a key-equi self-join on the cluster id
+    — never a global CartesianProduct."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.similarity import (
+        semdedup,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _formatted(semdedup(emb))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan

@@ -541,6 +541,15 @@ def q_embedding_near_dup(spark, sf_dir):
     return similarity.embedding_near_dup(_tbl(spark, sf_dir, "embeddings"), threshold=0.2)
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster-then-prune semantic dedup —
+    hash-sampled centroids, within-cluster cosine threshold, keep the
+    member farthest from its centroid out of each duplicate group.  The
+    O(N^2/k) within-cluster stage is the published complexity; the oracle
+    replays clustering + ranking + pruning in pure SQL."""
+    return similarity.semdedup(_tbl(spark, sf_dir, "embeddings"), n_centroids=16, tau=0.3)
+
+
 def q_embedding_near_dup_lsh(spark, sf_dir):
     return similarity.embedding_near_dup_lsh(_tbl(spark, sf_dir, "embeddings"), threshold=0.2)
 
@@ -596,6 +605,16 @@ def q_multimodal_frame_plan(spark, sf_dir):
 
 def q_pushdown_agg(spark, sf_dir):
     return relational.pushdown_agg(_tbl(spark, sf_dir, "lineitem"))
+
+
+def q_bucketed_join(spark, sf_dir):
+    """Co-located join via bucketed tables: both sides written
+    bucketBy(8, custkey), joined with NO Exchange on either side (the
+    amortised-shuffle strategy for a join that recurs at 100 TB;
+    exchange-free plan asserted in tests/test_plan_shapes.py)."""
+    return relational.bucketed_colocated_join(
+        spark, _tbl(spark, sf_dir, "orders"), _tbl(spark, sf_dir, "customer")
+    )
 
 
 def q_argmax_supplier(spark, sf_dir):
@@ -694,6 +713,7 @@ QUERIES = {
     "similarity_topk": q_similarity_topk,
     "similarity_topk_lsh": q_similarity_topk_lsh,
     "similarity_topk_ivf": q_similarity_topk_ivf,
+    "semdedup": q_semdedup,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "multimodal_image_meta": q_multimodal_image_meta,
@@ -709,6 +729,7 @@ QUERIES = {
     # next round so no query goes two rounds unchecked)
     "multimodal_frame_plan": q_multimodal_frame_plan,
     "pushdown_agg": q_pushdown_agg,
+    "bucketed_join": q_bucketed_join,
     "argmax_supplier": q_argmax_supplier,
     "topk_orders": q_topk_orders,
     "fuzzy_nation_join": q_fuzzy_nation_join,
@@ -1640,6 +1661,38 @@ ORACLE_SQL = {
         )
         SELECT query_id, neighbor_id, rank FROM topk WHERE rank <= 10
     """,
+    "semdedup": """
+        -- SemDeDup replay: same hash-sampled centroids as the IVF oracle,
+        -- paper's keep-the-outlier rank (similarity to centroid ASC),
+        -- drop a member iff a lower-ranked cluster-mate has cos >= tau
+        WITH cent AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+        ),
+        sims AS (
+            SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, c.cid,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce), 9) AS csim
+            FROM embeddings e CROSS JOIN cent c
+        ),
+        assigned AS (
+            SELECT vec_id, emb, cid, csim,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+            FROM sims
+        ),
+        ranked AS (
+            SELECT vec_id, emb, cid AS cluster, csim,
+                   row_number() OVER (PARTITION BY cid ORDER BY csim ASC, vec_id ASC) AS rank
+            FROM assigned WHERE rn = 1
+        ),
+        dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM ranked a JOIN ranked b
+              ON a.cluster = b.cluster AND a.rank < b.rank
+            WHERE round(list_cosine_similarity(a.emb, b.emb), 9) >= 0.3
+        )
+        SELECT r.vec_id, r.cluster
+        FROM ranked r ANTI JOIN dropped d ON r.vec_id = d.vec_id
+    """,
     "embedding_near_dup": """
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
@@ -1780,6 +1833,12 @@ ORACLE_SQL = {
         FROM (SELECT doc_id, octet_length(encode(text)) % 300 + 1 AS n_frames
               FROM documents WHERE text IS NOT NULL) v,
              unnest(range(0, v.n_frames, 30)) AS f(i)
+    """,
+    "bucketed_join": """
+        SELECT c_mktsegment, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c_mktsegment
     """,
     "pushdown_agg": """
         SELECT l_returnflag, l_linestatus,

@@ -209,3 +209,64 @@ def asof_join(
     for c in [f"{ts_col}{suffix}"] + [f"{c}{suffix}" for c in right_cols]:
         out = out.withColumn(c, F.col("_r").getField(c))
     return out.filter(F.col("_side") == 1).drop("_side", "_r")
+
+
+def bucketed_colocated_join(
+    spark,
+    orders: DataFrame,
+    customer: DataFrame,
+    buckets: int = 8,
+    table_prefix: str = "colo",
+) -> DataFrame:
+    """Co-located join via bucketed tables — the 100 TB join strategy the
+    one-shot queries can't show: when BOTH sides of a recurring join are
+    written ``bucketBy(k, key)``, every subsequent join on that key reads
+    bucket i against bucket i directly and Catalyst plans a SortMergeJoin
+    with NO Exchange on either side (asserted in
+    tests/test_plan_shapes.py).  On a fact table joined every run, this
+    converts a full shuffle of the big side PER QUERY into a one-time
+    shuffle at ingest — the classic amortisation a petabyte lakehouse
+    lives on (same idea as Hive/Iceberg bucket transforms).
+
+    Writes both inputs as bucketed session-catalog parquet tables
+    (``<prefix>_orders`` / ``<prefix>_customer``, one file per bucket via
+    an explicit pre-write repartition, sortBy for merge-ready runs), then
+    returns the per-market-segment order rollup joined WITHOUT a shuffle.
+    DECIMAL-exact money sum, one cast to double at the end (oracle
+    policy)."""
+    # A fresh session with an in-memory catalog does not know about table
+    # locations a PREVIOUS session left in the warehouse dir, so
+    # mode("overwrite") alone raises LOCATION_ALREADY_EXISTS.  Drop the
+    # catalog entry, then clear any orphaned location (local-mode concern
+    # only: a production deployment has a persistent metastore, where DROP
+    # TABLE removes the managed location itself).
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in (f"{table_prefix}_orders", f"{table_prefix}_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    o = orders.select("o_custkey", "o_orderkey", "o_totalprice")
+    c = customer.select("c_custkey", "c_mktsegment")
+    (
+        o.repartition(buckets, "o_custkey")
+        .write.mode("overwrite")
+        .bucketBy(buckets, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable(f"{table_prefix}_orders")
+    )
+    (
+        c.repartition(buckets, "c_custkey")
+        .write.mode("overwrite")
+        .bucketBy(buckets, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable(f"{table_prefix}_customer")
+    )
+    ob = spark.table(f"{table_prefix}_orders")
+    cb = spark.table(f"{table_prefix}_customer")
+    joined = ob.join(cb, ob["o_custkey"] == cb["c_custkey"])
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        decimal_sum(F.col("o_totalprice")).alias("total_price"),
+    )

@@ -363,3 +363,93 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    tau: float = 0.2,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication in embedding space — cluster the corpus, then inside
+    each cluster drop every example whose cosine similarity to a
+    better-ranked cluster member reaches ``tau``.
+
+    Published rule, made engine-deterministic:
+
+    1. Cluster: the paper uses k-means; this uses the same deterministic
+       hash-sampled centroids as ``ivf_topk`` (smallest ``md5(vec_id)``) so
+       any engine replays the assignment bit-for-bit.  Every vector joins
+       its most-cosine-similar centroid — ONE broadcast of the tiny
+       centroid table + a per-row argmax, no iteration, no training state.
+    2. Rank within a cluster by similarity to the centroid ASCENDING
+       (vec_id breaks ties): the paper keeps the example FARTHEST from the
+       centroid out of each duplicate group ("keep outliers"), so the
+       farthest member ranks first.
+    3. Drop a member iff some lower-ranked (more-outlying) member of the
+       same cluster has cosine >= ``tau`` with it.  Survivors are returned
+       with their cluster id.
+
+    Scale shape (100 TB): centroid assignment is broadcast + narrow argmax;
+    members shuffle ONCE on the cluster id; the pairwise stage is quadratic
+    only WITHIN a cluster — total work O(N^2 / k) by design (the published
+    algorithm's own complexity), so k grows with the corpus to hold the
+    per-cluster candidate set constant; cell balance under hash-sampled
+    centroids is audited in tests (max cell <= 4x mean on the fixture).
+
+    Cosines are rounded to 9 decimals before any comparison or ranking so
+    float summation-order noise can never flip a rank or a tau test
+    between engines (same policy as ``ivf_topk``).
+    """
+    cent = (
+        embeddings.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    )
+    sims = embeddings.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        F.round(
+            _dot(F.col("embedding"), F.col("ce"))
+            / (_norm(F.col("embedding")) * _norm(F.col("ce"))),
+            9,
+        ).alias("csim"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid").asc())
+    members = (
+        sims.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("cluster"), "csim")
+    )
+    # paper: keep the member farthest from the centroid -> rank ascending
+    w_rank = Window.partitionBy("cluster").orderBy(F.col("csim").asc(), F.col("vec_id").asc())
+    ranked = members.withColumn("rank", F.row_number().over(w_rank))
+    a = ranked.select(
+        F.col("cluster"), F.col("rank").alias("rank_a"),
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"),
+    )
+    b = ranked.select(
+        F.col("cluster"), F.col("rank").alias("rank_b"),
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"),
+    )
+    # within-cluster pairs only: the join key IS the cluster id, so this
+    # is one co-partitioned self-join, never a global cross join
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("rank_a") < F.col("rank_b"))
+        .filter(
+            F.round(
+                _dot(F.col("e_a"), F.col("e_b"))
+                / (_norm(F.col("e_a")) * _norm(F.col("e_b"))),
+                9,
+            )
+            >= tau
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        ranked.join(dropped, "vec_id", "left_anti")
+        .select("vec_id", "cluster")
+    )
