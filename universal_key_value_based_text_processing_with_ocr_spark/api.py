@@ -597,6 +597,24 @@ def q_multimodal_jpeg_decode(spark, sf_dir):
     return multimodal.decode_image_stats(multimodal.synth_images(docs, kind="jpeg"))
 
 
+def q_image_dhash(spark, sf_dir):
+    """Perceptual image fingerprint: REAL decode (PNG/BMP/GIF, all
+    scanline filters / LZW) -> integer-exact 16-bit difference hash.  The
+    oracle replays the pooling + comparison arithmetic from the synthetic
+    pixel closed form — it never decodes an image, so a decoder or
+    pooling bug cannot cancel out."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return multimodal.image_dhash(multimodal.synth_images(docs))
+
+
+def q_image_near_dup(spark, sf_dir):
+    """Image-level near-dup pairs: dHash + 4-band Hamming join (the
+    SimHash shape applied to the image modality — band equi-join
+    candidates, never all-pairs; the oracle IS the all-pairs spec)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return multimodal.image_near_dup(multimodal.synth_images(docs), max_hamming=1)
+
+
 def q_multimodal_frame_plan(spark, sf_dir):
     docs = _tbl(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     video = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
@@ -727,6 +745,8 @@ QUERIES = {
     # scripts/check_correctness.py, which checks all 63; every query NEW
     # or CHANGED in round 5 sits inside the checked window; rotate again
     # next round so no query goes two rounds unchecked)
+    "image_dhash": q_image_dhash,
+    "image_near_dup": q_image_near_dup,
     "multimodal_frame_plan": q_multimodal_frame_plan,
     "pushdown_agg": q_pushdown_agg,
     "bucketed_join": q_bucketed_join,
@@ -1750,6 +1770,99 @@ ORACLE_SQL = {
                     WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
                'fake' AS meta_source
         FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 0
+    """,
+    "image_dhash": """
+        -- analytic replay of the 16-bit difference hash from synth_image's
+        -- pixel closed form (same no-decode policy as the decode-stats
+        -- oracle)
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(8 + doc_id % 9 AS INT) AS width,
+                   CAST(8 + (3 * doc_id) % 9 AS INT) AS height,
+                   doc_id % 4 AS kind
+            FROM documents
+        ),
+        px AS (
+            SELECT d.doc_id,
+                   (x.x * 5) // d.width AS cx,
+                   (y.y * 4) // d.height AS cy,
+                   CASE WHEN d.kind IN (1, 3)
+                        THEN 1000 * ((7 * x.x + 13 * y.y + 31 * d.doc_id) % 256)
+                        ELSE 299 * ((7 * x.x + 13 * y.y + 31 * d.doc_id) % 256)
+                           + 587 * ((7 * x.x + 13 * y.y + 31 * d.doc_id + 57) % 256)
+                           + 114 * ((7 * x.x + 13 * y.y + 31 * d.doc_id + 114) % 256)
+                   END AS luma
+            FROM dims d, range(0, 16) x(x), range(0, 16) y(y)
+            WHERE x.x < d.width AND y.y < d.height
+        ),
+        cells AS (
+            SELECT doc_id, cx, cy, sum(luma) AS s, count(*) AS n
+            FROM px GROUP BY doc_id, cx, cy
+        ),
+        bits AS (
+            -- bit r*4+c set iff cell (r,c) strictly brighter than (r,c+1);
+            -- the mean test is the division-free cross-product, exactly the
+            -- engine arithmetic (imagecodec.dhash16)
+            SELECT a.doc_id, (a.cy * 4 + a.cx) AS bit_idx
+            FROM cells a JOIN cells b
+              ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+            WHERE a.s * b.n > b.s * a.n
+        ),
+        dh AS (
+            SELECT d.doc_id,
+                   COALESCE(sum(CAST(1 AS BIGINT) << bit_idx), 0) AS dhash
+            FROM dims d LEFT JOIN bits USING (doc_id)
+            GROUP BY d.doc_id
+        )
+        SELECT doc_id, CAST(dhash AS BIGINT) AS dhash FROM dh
+    """,
+    "image_near_dup": """
+        -- all-pairs Hamming spec of the engine's 4-band equi-join
+        -- (pigeonhole: hamming <= 3 implies one exact band match, so the
+        -- banded candidates lose nothing at max_hamming = 1)
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(8 + doc_id % 9 AS INT) AS width,
+                   CAST(8 + (3 * doc_id) % 9 AS INT) AS height,
+                   doc_id % 4 AS kind
+            FROM documents
+        ),
+        px AS (
+            SELECT d.doc_id,
+                   (x.x * 5) // d.width AS cx,
+                   (y.y * 4) // d.height AS cy,
+                   CASE WHEN d.kind IN (1, 3)
+                        THEN 1000 * ((7 * x.x + 13 * y.y + 31 * d.doc_id) % 256)
+                        ELSE 299 * ((7 * x.x + 13 * y.y + 31 * d.doc_id) % 256)
+                           + 587 * ((7 * x.x + 13 * y.y + 31 * d.doc_id + 57) % 256)
+                           + 114 * ((7 * x.x + 13 * y.y + 31 * d.doc_id + 114) % 256)
+                   END AS luma
+            FROM dims d, range(0, 16) x(x), range(0, 16) y(y)
+            WHERE x.x < d.width AND y.y < d.height
+        ),
+        cells AS (
+            SELECT doc_id, cx, cy, sum(luma) AS s, count(*) AS n
+            FROM px GROUP BY doc_id, cx, cy
+        ),
+        bits AS (
+            -- bit r*4+c set iff cell (r,c) strictly brighter than (r,c+1);
+            -- the mean test is the division-free cross-product, exactly the
+            -- engine arithmetic (imagecodec.dhash16)
+            SELECT a.doc_id, (a.cy * 4 + a.cx) AS bit_idx
+            FROM cells a JOIN cells b
+              ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+            WHERE a.s * b.n > b.s * a.n
+        ),
+        dh AS (
+            SELECT d.doc_id,
+                   COALESCE(sum(CAST(1 AS BIGINT) << bit_idx), 0) AS dhash
+            FROM dims d LEFT JOIN bits USING (doc_id)
+            GROUP BY d.doc_id
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(CAST(xor(a.dhash, b.dhash) AS BIGINT)) AS INT) AS hamming
+        FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+        WHERE bit_count(CAST(xor(a.dhash, b.dhash) AS BIGINT)) <= 1
     """,
     "multimodal_image_decode": """
         -- analytic replay of imagecodec.synth_image's pixel pattern: the

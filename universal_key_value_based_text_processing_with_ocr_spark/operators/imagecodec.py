@@ -660,6 +660,57 @@ def image_stats(decoded: dict) -> dict:
     }
 
 
+#: dhash16 grid — 4 cell rows x 5 cell columns -> 4x4 = 16 horizontal
+#: gradient-sign bits.  The classic dHash resamples to (W+1) x H with
+#: bilinear interpolation; area-average pooling replaces that here because
+#: it has an EXACT integer form any engine (and the SQL oracle) reproduces
+#: bit-for-bit — no float resize kernel to disagree over.
+DHASH_ROWS = 4
+DHASH_COLS = 5
+
+
+def dhash16(decoded: dict):
+    """16-bit difference hash of a decoded image — integer-exact.
+
+    Pools luma1000 (same 299/587/114 weights as ``image_stats``) into a
+    ``DHASH_ROWS x DHASH_COLS`` grid by area average (cell of pixel x is
+    ``x * COLS // width``), then bit ``r*4 + c`` is set iff cell (r, c) is
+    strictly brighter than its right neighbour (r, c+1).  The mean
+    comparison ``s_a/n_a > s_b/n_b`` is evaluated as the cross-product
+    ``s_a * n_b > s_b * n_a`` so no division (hence no float) ever
+    happens — the SQL oracle replays the identical integer arithmetic.
+
+    Returns None for images with no pixel data (header-only GIF).
+    """
+    px, ch = decoded["pixels"], decoded["channels"]
+    w, h = decoded["width"], decoded["height"]
+    if px is None or w == 0 or h == 0:
+        return None
+    import numpy as np
+
+    a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch).astype(np.int64)
+    if ch >= 3:
+        luma = 299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]
+    else:
+        luma = 1000 * a[..., 0]
+    cx = (np.arange(w) * DHASH_COLS) // w
+    cy = (np.arange(h) * DHASH_ROWS) // h
+    idx = (cy[:, None] * DHASH_COLS + cx[None, :]).ravel()
+    ncell = DHASH_ROWS * DHASH_COLS
+    # bincount weights are float64: exact for integer sums < 2^53 (max
+    # possible sum = 255000 * 2^31 px ~ 2^49 — far below)
+    s = np.bincount(idx, weights=luma.ravel(), minlength=ncell).astype(np.int64)
+    n = np.bincount(idx, minlength=ncell).astype(np.int64)
+    s = s.reshape(DHASH_ROWS, DHASH_COLS)
+    n = n.reshape(DHASH_ROWS, DHASH_COLS)
+    hsh = 0
+    for r in range(DHASH_ROWS):
+        for c in range(DHASH_COLS - 1):
+            if s[r, c] * n[r, c + 1] > s[r, c + 1] * n[r, c]:
+                hsh |= 1 << (r * (DHASH_COLS - 1) + c)
+    return hsh
+
+
 # --------------------------------------------------------------------------
 # deterministic fixture source
 # --------------------------------------------------------------------------
