@@ -164,3 +164,107 @@ def test_image_near_dup_band_join_equals_bruteforce(spark):  # noqa: F811
         if ham <= 1:
             want.add((a, b, ham))
     assert got == want
+
+
+def test_mojibake_map_matches_real_codecs_and_repairs(spark):  # noqa: F811
+    """Every MOJIBAKE_MAP entry must be the REAL cp1252 misreading of the
+    char's UTF-8 bytes (ftfy ground truth), and the Spark replace chain
+    must repair a genuinely double-encoded string byte-for-byte."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        MOJIBAKE_MAP,
+        fix_mojibake,
+    )
+
+    for moji, ch in MOJIBAKE_MAP:
+        assert ch.encode("utf-8").decode("cp1252") == moji, (moji, ch)
+    # longest-first ordering so 3-char punctuation never half-repairs
+    lens = [len(m) for m, _ in MOJIBAKE_MAP]
+    assert lens == sorted(lens, reverse=True)
+
+    originals = [
+        "café crème — à la carte… “quoted” it’s 5°C «über» straße ñoño",
+        "no mojibake here at all",
+        "l’élève était déçu – 3€",
+    ]
+    # real corruption via the actual codecs (skip chars the map documents
+    # as excluded: their cp1252 read hits control bytes)
+    rows = []
+    for i, s in enumerate(originals):
+        try:
+            corrupted = s.encode("utf-8").decode("cp1252")
+        except UnicodeDecodeError:
+            corrupted = s.encode("utf-8").decode("latin-1")
+        rows.append((i, corrupted, s))
+    df = spark.createDataFrame(
+        [(i, c) for i, c, _ in rows], schema="doc_id long, text string"
+    )
+    got = {r.doc_id: (r.text, r.n_chars_fixed) for r in fix_mojibake(df).collect()}
+    for i, corrupted, original in rows:
+        # à is excluded from the map (NBSP tail): the repair must restore
+        # every covered char and only those
+        expected = corrupted
+        from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+            MOJIBAKE_MAP as MM,
+        )
+        for m, ch in MM:
+            expected = expected.replace(m, ch)
+        assert got[i][0] == expected
+        assert got[i][1] == len(corrupted) - len(expected)
+    # the fully-covered string round-trips exactly
+    assert got[2][0] == originals[2]
+    assert got[1] == ("no mojibake here at all", 0)
+
+
+def test_lexical_diversity_matches_counter(spark):  # noqa: F811
+    from collections import Counter
+
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        lexical_diversity,
+    )
+
+    fixtures = [
+        (0, "the cat sat on the mat"),
+        (1, "a a a a"),
+        (2, "  "),
+        (3, None),
+        (4, "Unique words only here"),
+        (5, "Tab\tand\nnewline   splits ok tab"),
+    ]
+    df = spark.createDataFrame(fixtures, schema="doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_types, r.n_hapax, r.ttr) for r in lexical_diversity(df).collect()}
+    for doc_id, text in fixtures:
+        if text is None:
+            assert got[doc_id] == (None, None, None, None)
+            continue
+        toks = text.lower().strip().split()
+        if not toks:
+            assert got[doc_id] == (0, 0, 0, None)
+            continue
+        c = Counter(toks)
+        hapax = sum(1 for v in c.values() if v == 1)
+        assert got[doc_id] == (
+            len(toks), len(c), hapax, round(len(c) / len(toks), 9)
+        ), (doc_id, got[doc_id])
+
+
+def test_host_blocklist_fail_open_and_broadcast(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        host_blocklist_filter,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "https://Bad.example.com/x"),
+            (1, "https://good.example.com/y"),
+            (2, "not a url"),
+            (3, "ftp://BAD.EXAMPLE.COM:21/z"),
+            (4, None),
+        ],
+        schema="doc_id long, url string",
+    )
+    out = host_blocklist_filter(df, ["bad.example.com"])
+    kept = {r.doc_id for r in out.collect()}
+    assert kept == {1, 2, 4}  # blocked host dropped in any case/port form,
+    # unparseable and NULL urls kept (fail-open)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

@@ -621,6 +621,55 @@ def q_multimodal_frame_plan(spark, sf_dir):
     return multimodal.frame_sample_plan(video, every_n=30)
 
 
+def q_doc_lexical_diversity(spark, sf_dir):
+    """Vocabulary-richness features (tokens/types/hapaxes/TTR) — row-local
+    higher-order expressions, no explode/shuffle; the oracle is the
+    explode + group-by spec."""
+    return textstats.lexical_diversity(_tbl(spark, sf_dir, "documents"))
+
+
+BLOCKED_HOSTS = [
+    "host7.example.com", "host13.example.com",
+    "host21.example.com", "host42.example.com",
+]
+
+
+def q_url_blocklist(spark, sf_dir):
+    """UT1-style host-blocklist gate: broadcast anti-join on the url host;
+    unparseable urls are kept (fail-open), exercised by the %97 rows."""
+    d = F.col("doc_id")
+    url = F.when(d % 97 == 0, F.lit("not-a-url")).otherwise(
+        F.concat(
+            F.lit("https://Host"), (d % 50).cast("string"),
+            F.lit(".example.com/page/"), d.cast("string"),
+        )
+    )
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    return textstats.host_blocklist_filter(docs, BLOCKED_HOSTS).select(
+        "doc_id", "url", "host"
+    )
+
+
+def q_fix_mojibake(spark, sf_dir):
+    """ftfy-style double-encoding repair: deterministic cp1252-mojibake
+    injection (both engines derive the identical corrupted column), then
+    the ordered replace-chain repair; ground truth vs Python's real
+    codecs is pinned in pytest."""
+    d = F.col("doc_id")
+    text = F.col("text")
+    corrupted = (
+        F.when(d % 3 == 0, F.replace(text, F.lit("a"), F.lit("Ã©")))
+        .when(d % 3 == 1, F.replace(text, F.lit("o"), F.lit("â€™")))
+        .otherwise(text)
+    )
+    docs = (
+        _tbl(spark, sf_dir, "documents")
+        .filter(text.isNotNull())
+        .select("doc_id", corrupted.alias("text"))
+    )
+    return textstats.fix_mojibake(docs)
+
+
 def q_pushdown_agg(spark, sf_dir):
     return relational.pushdown_agg(_tbl(spark, sf_dir, "lineitem"))
 
@@ -745,6 +794,9 @@ QUERIES = {
     # scripts/check_correctness.py, which checks all 63; every query NEW
     # or CHANGED in round 5 sits inside the checked window; rotate again
     # next round so no query goes two rounds unchecked)
+    "doc_lexical_diversity": q_doc_lexical_diversity,
+    "url_blocklist": q_url_blocklist,
+    "fix_mojibake": q_fix_mojibake,
     "image_dhash": q_image_dhash,
     "image_near_dup": q_image_near_dup,
     "multimodal_frame_plan": q_multimodal_frame_plan,
@@ -1770,6 +1822,70 @@ ORACLE_SQL = {
                     WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
                'fake' AS meta_source
         FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 0
+    """,
+    "doc_lexical_diversity": r"""
+        WITH nonempty AS (
+            SELECT doc_id, trim(lower(text)) AS t FROM documents
+            WHERE text IS NOT NULL AND length(trim(text)) > 0
+        ),
+        toks AS (
+            SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS tok
+            FROM nonempty
+        ),
+        freq AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+        per AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax
+            FROM freq GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, n_types, n_hapax,
+               round(CAST(n_types AS DOUBLE) / n_tokens, 9) AS ttr
+        FROM per
+        UNION ALL
+        SELECT doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+        FROM documents WHERE text IS NULL
+        UNION ALL
+        SELECT doc_id, 0, 0, 0, CAST(NULL AS DOUBLE)
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) = 0
+    """,
+    "url_blocklist": """
+        WITH u AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 97 = 0 THEN 'not-a-url'
+                        ELSE 'https://Host' || CAST(doc_id % 50 AS VARCHAR)
+                             || '.example.com/page/' || CAST(doc_id AS VARCHAR)
+                   END AS url
+            FROM documents
+        ),
+        t AS (
+            SELECT doc_id, url,
+                   CASE WHEN regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1) = ''
+                        THEN NULL
+                        ELSE lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+                   END AS host
+            FROM u
+        )
+        -- fail-open: unparseable hosts KEPT (anti-join semantics, not NOT IN)
+        SELECT doc_id, url, host FROM t
+        WHERE host IS NULL OR host NOT IN
+              ('host7.example.com', 'host13.example.com',
+               'host21.example.com', 'host42.example.com')
+    """,
+    "fix_mojibake": """
+        -- the replace chain is GENERATED from textstats.MOJIBAKE_MAP
+        -- (mojibake_sql_chain), so it cannot drift from the engine
+        WITH c AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN replace(text, 'a', 'Ã©')
+                        WHEN doc_id % 3 = 1 THEN replace(text, 'o', 'â€™')
+                        ELSE text END AS text
+            FROM documents WHERE text IS NOT NULL
+        )
+        SELECT doc_id, replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(text, 'â€œ', '“'), 'â€˜', '‘'), 'â€™', '’'), 'â€“', '–'), 'â€”', '—'), 'â‚¬', '€'), 'â€¦', '…'), 'Ã©', 'é'), 'Ã¨', 'è'), 'Ãª', 'ê'), 'Ã«', 'ë'), 'Ã¢', 'â'), 'Ã¤', 'ä'), 'Ã§', 'ç'), 'Ã´', 'ô'), 'Ã¶', 'ö'), 'Ã»', 'û'), 'Ã¼', 'ü'), 'Ã¹', 'ù'), 'Ã¯', 'ï'), 'Ã®', 'î'), 'Ã³', 'ó'), 'Ã¡', 'á'), 'Ãº', 'ú'), 'Ã±', 'ñ'), 'Â°', '°'), 'Â«', '«'), 'Â»', '»') AS text,
+               CAST(length(text) - length(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(text, 'â€œ', '“'), 'â€˜', '‘'), 'â€™', '’'), 'â€“', '–'), 'â€”', '—'), 'â‚¬', '€'), 'â€¦', '…'), 'Ã©', 'é'), 'Ã¨', 'è'), 'Ãª', 'ê'), 'Ã«', 'ë'), 'Ã¢', 'â'), 'Ã¤', 'ä'), 'Ã§', 'ç'), 'Ã´', 'ô'), 'Ã¶', 'ö'), 'Ã»', 'û'), 'Ã¼', 'ü'), 'Ã¹', 'ù'), 'Ã¯', 'ï'), 'Ã®', 'î'), 'Ã³', 'ó'), 'Ã¡', 'á'), 'Ãº', 'ú'), 'Ã±', 'ñ'), 'Â°', '°'), 'Â«', '«'), 'Â»', '»')) AS BIGINT) AS n_chars_fixed
+        FROM c
     """,
     "image_dhash": """
         -- analytic replay of the 16-bit difference hash from synth_image's

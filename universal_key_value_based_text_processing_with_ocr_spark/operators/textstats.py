@@ -797,3 +797,142 @@ def c4_line_clean(
         .alias("n_lines_kept"),
         F.when(fail.isNull(), F.array_join(kept, "\n")).alias("clean_text"),
     )
+
+
+def lexical_diversity(docs: DataFrame) -> DataFrame:
+    """Per-document lexical-diversity features: token/type/hapax counts and
+    type-token ratio — the vocabulary-richness quality signal (low TTR =
+    template/boilerplate pages, a standard pretraining filter feature).
+
+    Entirely row-local higher-order expressions: tokens are lowercased
+    whitespace splits, types via array_distinct, hapaxes counted over the
+    SORTED token array (an element is a hapax iff it differs from both
+    sorted neighbours) — no explode, no shuffle, whole-stage codegen'd.
+    The SQL oracle is the explode + group-by spec of the same counts.
+    TTR is a single division of exact longs, rounded to 9 decimals."""
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    empty = F.col("text").isNull() | (F.length(F.trim(F.col("text"))) == 0)
+    s = F.array_sort(toks)
+    hapax = F.expr(
+        "aggregate(sequence(0, size(_sorted) - 1), 0L, (acc, i) -> acc + "
+        "IF((i = 0 OR _sorted[i] != _sorted[i-1]) AND "
+        "(i = size(_sorted) - 1 OR _sorted[i] != _sorted[i+1]), 1L, 0L))"
+    )
+    base = docs.withColumn("_sorted", F.when(~empty, s))
+    return base.select(
+        "doc_id",
+        F.when(F.col("text").isNull(), F.lit(None).cast("long"))
+        .when(empty, F.lit(0))
+        .otherwise(F.size("_sorted").cast("long"))
+        .alias("n_tokens"),
+        F.when(F.col("text").isNull(), F.lit(None).cast("long"))
+        .when(empty, F.lit(0))
+        .otherwise(F.size(F.array_distinct("_sorted")).cast("long"))
+        .alias("n_types"),
+        F.when(F.col("text").isNull(), F.lit(None).cast("long"))
+        .when(empty, F.lit(0))
+        .otherwise(hapax)
+        .alias("n_hapax"),
+        F.when(
+            ~empty,
+            F.round(
+                F.size(F.array_distinct("_sorted")).cast("double") / F.size("_sorted"), 9
+            ),
+        ).alias("ttr"),
+    )
+
+
+def host_blocklist_filter(
+    docs: DataFrame, blocked_hosts: list[str], url_col: str = "url"
+) -> DataFrame:
+    """URL-blocklist gate (the UT1/adult-blocklist stage every web corpus
+    runs first — RefinedWeb §3.1, C4's bad-words analog at host level):
+    drop every document whose url host appears in the blocklist.
+
+    The blocklist rides as a BROADCAST anti-join build side (at real
+    scale it is a few MB of hosts — never a shuffle of the corpus); host
+    extraction is one codegen'd regex.  Rows whose host cannot be parsed
+    are KEPT (fail-open, matching the reference pipeline's
+    quarantine-don't-drop posture) — the SQL oracle must replicate that
+    with an explicit host IS NULL arm (plain NOT IN would three-value
+    them away)."""
+    host = F.lower(F.regexp_extract(F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
+    host = F.when(host == "", F.lit(None)).otherwise(host)
+    bl = docs.sparkSession.createDataFrame(
+        [(h.lower(),) for h in blocked_hosts], schema="host string"
+    )
+    tagged = docs.withColumn("host", host)
+    return tagged.join(F.broadcast(bl), "host", "left_anti")
+
+
+#: ordered mojibake -> char repair table: UTF-8 bytes of the char read back
+#: as cp1252 (THE classic double-encoding corruption; ftfy's core case).
+#: Longest sequences first so 3-byte punctuation repairs before any 2-byte
+#: prefix could touch it.  Chars whose UTF-8 tail lands on cp1252 control
+#: bytes or invisible chars (” \\x9d, à NBSP, í SHY) are EXCLUDED so the
+#: table — and the generated SQL oracle — stays printable; a byte-level
+#: production pass would cover them (documented seam).
+MOJIBAKE_MAP: list[tuple[str, str]] = [
+    ("â€œ", "“"),  # â€œ -> "
+    ("â€˜", "‘"),  # â€˜ -> '
+    ("â€™", "’"),  # â€™ -> '
+    ("â€“", "–"),  # â€“ -> –
+    ("â€”", "—"),  # â€” -> —
+    ("â‚¬", "€"),  # â‚¬ -> €
+    ("â€¦", "…"),  # â€¦ -> …
+    ("Ã©", "é"),  # Ã© -> é
+    ("Ã¨", "è"),  # Ã¨ -> è
+    ("Ãª", "ê"),  # Ãª -> ê
+    ("Ã«", "ë"),  # Ã« -> ë
+    ("Ã¢", "â"),  # Ã¢ -> â
+    ("Ã¤", "ä"),  # Ã¤ -> ä
+    ("Ã§", "ç"),  # Ã§ -> ç
+    ("Ã´", "ô"),  # Ã´ -> ô
+    ("Ã¶", "ö"),  # Ã¶ -> ö
+    ("Ã»", "û"),  # Ã» -> û
+    ("Ã¼", "ü"),  # Ã¼ -> ü
+    ("Ã¹", "ù"),  # Ã¹ -> ù
+    ("Ã¯", "ï"),  # Ã¯ -> ï
+    ("Ã®", "î"),  # Ã® -> î
+    ("Ã³", "ó"),  # Ã³ -> ó
+    ("Ã¡", "á"),  # Ã¡ -> á
+    ("Ãº", "ú"),  # Ãº -> ú
+    ("Ã±", "ñ"),  # Ã± -> ñ
+    ("Â°", "°"),  # Â° -> °
+    ("Â«", "«"),  # Â« -> «
+    ("Â»", "»"),  # Â» -> »
+]
+
+
+def fix_mojibake(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repair UTF-8-read-as-cp1252 double-encoding (ftfy's headline case,
+    standard in every web-text cleaning stack): one ordered chain of
+    literal replaces over MOJIBAKE_MAP, longest sequences first — pure
+    codegen'd string expressions, no UDF, no shuffle.
+
+    The ground truth (s.encode('utf-8').decode('cp1252') corrupts,
+    fix_mojibake repairs back to s) is pinned in pytest against Python's
+    real codecs; the SQL oracle runs the identical replace chain.
+    Returns the input columns with ``<text_col>`` repaired plus
+    ``n_chars_fixed`` (chars recovered; every repair shrinks the string,
+    so it is the pre/post length delta)."""
+    fixed = F.col(text_col)
+    for moji, ch in MOJIBAKE_MAP:
+        fixed = F.replace(fixed, F.lit(moji), F.lit(ch))
+    before = F.length(F.col(text_col))
+    return docs.withColumn("_fixed", fixed).select(
+        *[c for c in docs.columns if c != text_col],
+        F.col("_fixed").alias(text_col),
+        (before - F.length("_fixed")).cast("long").alias("n_chars_fixed"),
+    )
+
+
+def mojibake_sql_chain(col_expr: str) -> str:
+    """The DuckDB oracle's replace chain for ``fix_mojibake`` — generated
+    from the SAME MOJIBAKE_MAP so the two engines cannot drift."""
+    out = col_expr
+    for moji, ch in MOJIBAKE_MAP:
+        m = moji.replace("'", "''")
+        c = ch.replace("'", "''")
+        out = f"replace({out}, '{m}', '{c}')"
+    return out
