@@ -268,3 +268,37 @@ def test_host_blocklist_fail_open_and_broadcast(spark):  # noqa: F811
     # unparseable and NULL urls kept (fail-open)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_jsonl_corrupt_record_quarantine(spark, tmp_path):  # noqa: F811
+    """A truncated/garbage line must land in the quarantine frame, never
+    fail the scan; clean rows round-trip typed; schema is mandatory."""
+    from universal_key_value_based_text_processing_with_ocr_spark.sources.jsonl import (
+        scan_jsonl,
+        split_corrupt,
+        write_jsonl,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "hello\nworld", "en"), (1, None, "und"), (2, 'quotes " and \\ stuff', "en")],
+        schema="doc_id long, text string, lang string",
+    )
+    out = str(tmp_path / "shards")
+    write_jsonl(df, out, shards=2, shard_col="doc_id", gzip_files=False)
+    # plant a half-written record and a non-JSON line in a new shard
+    (tmp_path / "shards" / "part-junk.json").write_text(
+        '{"doc_id": 7, "text": "tr\n<<<not json>>>\n'
+    )
+    scanned = scan_jsonl(spark, out, "doc_id long, text string, lang string")
+    clean, bad = split_corrupt(scanned)
+    got = {r.doc_id: (r.text, r.lang) for r in clean.collect()}
+    assert got == {
+        0: ("hello\nworld", "en"),
+        1: (None, "und"),
+        2: ('quotes " and \\ stuff', "en"),
+    }
+    raws = sorted(r.raw for r in bad.collect())
+    assert len(raws) == 2 and raws[0].startswith("<<<not json")
+
+    with pytest.raises(ValueError, match="explicit DDL schema"):
+        scan_jsonl(spark, out, "  ")

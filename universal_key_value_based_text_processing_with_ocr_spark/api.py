@@ -621,6 +621,30 @@ def q_multimodal_frame_plan(spark, sf_dir):
     return multimodal.frame_sample_plan(video, every_n=30)
 
 
+def q_jsonl_roundtrip(spark, sf_dir):
+    """Distributed JSONL sink -> explicit-schema scan round-trip in one
+    job (sources/jsonl.py): documents -> 8 executor-written jsonl.gz
+    shards -> PERMISSIVE scan with corrupt-record quarantine -> typed
+    rows.  The oracle projects the same rows straight from the parquet,
+    so an escape/encode bug in either direction surfaces as a hash
+    mismatch (JSON must round-trip newlines, unicode, and NULLs
+    exactly)."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from .sources.jsonl import scan_jsonl, split_corrupt, write_jsonl
+
+    key = hashlib.md5(str(Path(sf_dir) / "documents.parquet").encode()).hexdigest()[:10]
+    out = str(Path(tempfile.gettempdir()) / f"ukv_jsonl_{key}")
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    write_jsonl(docs, out, shards=8, shard_col="doc_id")
+    clean, _bad = split_corrupt(
+        scan_jsonl(spark, out, "doc_id long, text string, lang string, n_chars long")
+    )
+    return clean
+
+
 def q_doc_lexical_diversity(spark, sf_dir):
     """Vocabulary-richness features (tokens/types/hapaxes/TTR) — row-local
     higher-order expressions, no explode/shuffle; the oracle is the
@@ -794,6 +818,7 @@ QUERIES = {
     # scripts/check_correctness.py, which checks all 63; every query NEW
     # or CHANGED in round 5 sits inside the checked window; rotate again
     # next round so no query goes two rounds unchecked)
+    "jsonl_roundtrip": q_jsonl_roundtrip,
     "doc_lexical_diversity": q_doc_lexical_diversity,
     "url_blocklist": q_url_blocklist,
     "fix_mojibake": q_fix_mojibake,
@@ -1822,6 +1847,9 @@ ORACLE_SQL = {
                     WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
                'fake' AS meta_source
         FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 0
+    """,
+    "jsonl_roundtrip": """
+        SELECT doc_id, text, lang, n_chars FROM documents
     """,
     "doc_lexical_diversity": r"""
         WITH nonempty AS (

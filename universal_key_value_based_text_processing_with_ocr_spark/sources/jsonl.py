@@ -1,0 +1,83 @@
+"""JSONL (newline-delimited JSON) source/sink — the interchange format web
+training pipelines actually move corpora in (Common Crawl derivatives,
+RedPajama/Dolma shards are jsonl.gz).
+
+Spark-first: the sink is the NATIVE distributed json writer (one shard per
+partition, gzip-codec'd, written from the executors — never a driver
+collect) and the source is the native json reader pinned to an EXPLICIT
+schema.  The wrapper exists to enforce the two at-scale contracts the raw
+one-liners silently break:
+
+- **No schema inference.**  ``spark.read.json`` without a schema runs a
+  full extra pass over the corpus to infer one — at 100 TB that doubles
+  the scan, and a single odd shard can flip a column's inferred type and
+  break every downstream cast.  ``scan_jsonl`` therefore REQUIRES a DDL
+  schema string.
+- **Corrupt-record quarantine, not stage failure.**  Real jsonl.gz shards
+  contain truncated lines, stray carriage returns, and half-written
+  records from upstream crashes.  ``scan_jsonl`` reads PERMISSIVE with a
+  ``_corrupt_record`` column and ``split_corrupt`` separates clean rows
+  from an auditable quarantine frame (same posture as the WARC parser's
+  hardened record loop, sources/warc.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def write_jsonl(
+    df: DataFrame, out_dir: str, shards: int = 8, shard_col: str | None = None,
+    gzip_files: bool = True,
+) -> None:
+    """Distributed JSONL sink: ``shards`` files written by the executors
+    via the native json writer (mode overwrite).  ``shard_col`` hash-
+    routes rows to shards for locality-stable layouts; without it, an
+    AQE-coalesced round-robin repartition balances shard sizes."""
+    parted = (
+        df.repartition(shards, F.col(shard_col)) if shard_col else df.repartition(shards)
+    )
+    w = parted.write.mode("overwrite")
+    if gzip_files:
+        w = w.option("compression", "gzip")
+    w.json(out_dir)
+
+
+def scan_jsonl(spark: SparkSession, path_glob: str, schema: str) -> DataFrame:
+    """Explicit-schema JSONL scan with corrupt-record quarantine.
+
+    ``schema`` is a DDL string of the EXPECTED columns; the frame returned
+    carries them plus ``_corrupt_record`` (NULL for clean rows, the raw
+    line for rows that failed to parse or type-check).  PERMISSIVE mode:
+    a bad line yields one quarantined row, never a task failure."""
+    if not schema or not schema.strip():
+        raise ValueError(
+            "scan_jsonl requires an explicit DDL schema: schema inference "
+            "is a full extra corpus scan and type-unstable across shards"
+        )
+    full = f"{schema}, {CORRUPT_COL} string"
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path_glob)
+    )
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean_rows_without_quarantine_col, quarantine_frame).
+
+    The quarantine frame carries ``raw`` (the offending line) AND the
+    typed columns (NULL or partially parsed) — partly for the audit, and
+    necessarily: Spark refuses a JSON scan whose referenced columns are
+    ONLY ``_corrupt_record`` (QUERY_ONLY_CORRUPT_RECORD_COLUMN), so the
+    quarantine projection must keep at least one data column anyway."""
+    clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    data_cols = [c for c in df.columns if c != CORRUPT_COL]
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw"), *data_cols
+    )
+    return clean, bad
