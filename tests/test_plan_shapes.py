@@ -317,3 +317,35 @@ def test_semdedup_centroids_broadcast_pairs_join_on_cluster(spark):  # noqa: F81
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_fineweb_pipeline_single_scan_fused(spark):  # noqa: F811
+    """The five-gate cascade over a PLAIN text column must fuse into ONE
+    corpus scan with only two exchanges: the blocklist broadcast and the
+    dedup hash partitioning (plus AQE bookkeeping) — and it must actually
+    compile (whole-stage codegen, no 64 KB fallback)."""
+    from pyspark.sql import functions as F
+
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        fineweb_pipeline,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.concat(F.lit("https://h"), (F.col("doc_id") % 9).cast("string"),
+                     F.lit(".x.com/")).alias("url"),
+            "text",
+        )
+    )
+    df = fineweb_pipeline(docs, ["h3.x.com"])
+    plan = _plan(df)
+    assert plan.count("FileScan parquet") == 1  # one corpus scan, gates fused
+    assert "BroadcastExchange" in plan
+    # exactly one hash-partitioning exchange: the dedup window
+    assert plan.count("Exchange hashpartitioning") == 1
+    df.collect()  # execute: a 64 KB codegen overflow would ERROR-log here
+    final = _plan(df)  # AQE final plan marks codegen'd stages with *(id)
+    assert "isFinalPlan=true" in final and "*(" in final

@@ -302,3 +302,31 @@ def test_jsonl_corrupt_record_quarantine(spark, tmp_path):  # noqa: F811
 
     with pytest.raises(ValueError, match="explicit DDL schema"):
         scan_jsonl(spark, out, "  ")
+
+
+def test_fineweb_pipeline_stage_semantics(spark):  # noqa: F811
+    """Hand-built pages, one per drop reason, plus two exact duplicates:
+    only the clean survivor set comes out, duplicate keeps smallest id."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        fineweb_pipeline,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog today.\n"
+        "the quick brown fox jumps over the lazy dog again.\n"
+        "and the dog is very happy about all of it."
+    )
+    rows = [
+        (0, "https://blocked.example.com/a", good),           # url drop
+        (1, "https://ok.example.com/b", "zz qq ww rr tt"),    # lang 'und' drop
+        (2, "https://ok.example.com/c", "the cat sat."),      # quality too_few_words
+        (3, "https://ok.example.com/d", good + " " + "#" * 50),  # gopher symbols
+        (4, "https://ok.example.com/e", good + "\nthis has lorem ipsum inside."),  # c4
+        (5, "https://ok.example.com/f", good),                # survivor
+        (6, "https://ok.example.com/g", good),                # exact dup of 5
+        (7, "https://ok.example.com/h", good.replace("dog", "cat")),  # survivor
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, url string, text string")
+    out = {r.doc_id: r.clean_text for r in fineweb_pipeline(df, ["blocked.example.com"]).collect()}
+    assert set(out) == {5, 7}
+    assert out[5] == good  # every line ends in '.', all lines kept

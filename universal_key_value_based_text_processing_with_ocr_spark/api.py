@@ -621,6 +621,57 @@ def q_multimodal_frame_plan(spark, sf_dir):
     return multimodal.frame_sample_plan(video, every_n=30)
 
 
+#: constant duplicate page for the fineweb fixture's dedup branch — three
+#: sentence lines that pass every gate, so all %12==5 docs collapse to one
+FINEWEB_DUP_PAGE = (
+    "the cat and the dog sat on the mat with a value.\n"
+    "the cat and the dog sat on the mat with a value.\n"
+    "the cat and the dog sat on the mat with a value."
+)
+
+
+def q_fineweb_pipeline(spark, sf_dir):
+    """The FineWeb recipe end-to-end: URL blocklist -> lang gate -> Gopher
+    quality -> Gopher shape -> C4 line clean -> exact dedup, composed in
+    ONE plan (textstats.fineweb_pipeline).  The fixture derives a page mix
+    that fires every stage's drop branch (doc_id % 12 classes) and is
+    MATERIALISED to parquet first: inlining the derivation CASE into the
+    ~30 text references of the fused gate cascade overflows Janino's 64 KB
+    codegen method limit (interpreted fallback — correct but slow); at
+    corpus scale text is a plain scan column, which is exactly what the
+    materialisation restores.  The oracle replays derivation + all five
+    gates + dedup in SQL."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    key = hashlib.md5(str(Path(sf_dir) / "documents.parquet").encode()).hexdigest()[:10]
+    staged = str(Path(tempfile.gettempdir()) / f"ukv_fineweb_{key}")
+    d = F.col("doc_id")
+    base = F.replace(F.col("text"), F.lit("value"), F.lit("value.\n"))
+    derived = (
+        F.when(d % 12 == 0, F.lit("zz qq ww zz qq ww arbol zanahoria"))
+        .when(d % 12 == 1, F.concat(base, F.lit("\nsee { code")))
+        .when(d % 12 == 2, F.concat(base, F.lit("\nthis page is lorem ipsum filler text.")))
+        .when(d % 12 == 3, F.lit("the cat sat."))
+        .when(d % 12 == 4, F.concat(base, F.lit(" "), F.repeat(F.lit("#"), 60)))
+        .when(d % 12 == 5, F.lit(FINEWEB_DUP_PAGE))
+        .otherwise(base)
+    )
+    url = F.concat(
+        F.lit("https://host"), (d % 50).cast("string"),
+        F.lit(".example.com/p/"), d.cast("string"),
+    )
+    (
+        _tbl(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", url.alias("url"), derived.alias("text"))
+        .write.mode("overwrite")
+        .parquet(staged)
+    )
+    return textstats.fineweb_pipeline(spark.read.parquet(staged), BLOCKED_HOSTS)
+
+
 def q_jsonl_roundtrip(spark, sf_dir):
     """Distributed JSONL sink -> explicit-schema scan round-trip in one
     job (sources/jsonl.py): documents -> 8 executor-written jsonl.gz
@@ -818,6 +869,7 @@ QUERIES = {
     # scripts/check_correctness.py, which checks all 63; every query NEW
     # or CHANGED in round 5 sits inside the checked window; rotate again
     # next round so no query goes two rounds unchecked)
+    "fineweb_pipeline": q_fineweb_pipeline,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "doc_lexical_diversity": q_doc_lexical_diversity,
     "url_blocklist": q_url_blocklist,
@@ -1847,6 +1899,106 @@ ORACLE_SQL = {
                     WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
                'fake' AS meta_source
         FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 0
+    """,
+    "fineweb_pipeline": r"""
+        WITH pages AS (
+            SELECT doc_id,
+                   'https://host' || CAST(doc_id % 50 AS VARCHAR)
+                       || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+                   CASE WHEN doc_id % 12 = 0 THEN 'zz qq ww zz qq ww arbol zanahoria'
+                        WHEN doc_id % 12 = 1 THEN replace(text, 'value', 'value.' || chr(10))
+                                                  || chr(10) || 'see { code'
+                        WHEN doc_id % 12 = 2 THEN replace(text, 'value', 'value.' || chr(10))
+                                                  || chr(10) || 'this page is lorem ipsum filler text.'
+                        WHEN doc_id % 12 = 3 THEN 'the cat sat.'
+                        WHEN doc_id % 12 = 4 THEN replace(text, 'value', 'value.' || chr(10))
+                                                  || ' ' || repeat('#', 60)
+                        WHEN doc_id % 12 = 5 THEN 'the cat and the dog sat on the mat with a value.' || chr(10) || 'the cat and the dog sat on the mat with a value.' || chr(10) || 'the cat and the dog sat on the mat with a value.'
+                        ELSE replace(text, 'value', 'value.' || chr(10)) END AS text
+            FROM documents WHERE text IS NOT NULL
+        ),
+        -- stage 1: URL host blocklist (every fixture url parses, so NOT IN
+        -- matches the engine's anti-join exactly)
+        urlkept AS (
+            SELECT * FROM pages
+            WHERE lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+                  NOT IN ('host7.example.com', 'host13.example.com',
+                          'host21.example.com', 'host42.example.com')
+        ),
+        -- stage 2: language gate (lang_pred != 'und' == any stopword hit)
+        langkept AS (
+            SELECT * FROM urlkept
+            WHERE (' ' || lower(text) || ' ' LIKE '% the %' OR ' ' || lower(text) || ' ' LIKE '% and %'
+                OR ' ' || lower(text) || ' ' LIKE '% of %' OR ' ' || lower(text) || ' ' LIKE '% to %'
+                OR ' ' || lower(text) || ' ' LIKE '% is %' OR ' ' || lower(text) || ' ' LIKE '% yang %'
+                OR ' ' || lower(text) || ' ' LIKE '% dan %' OR ' ' || lower(text) || ' ' LIKE '% di %'
+                OR ' ' || lower(text) || ' ' LIKE '% untuk %' OR ' ' || lower(text) || ' ' LIKE '% dengan %')
+        ),
+        -- stage 3: Gopher quality-rule gate (quality_filter keep)
+        qfeats AS (
+            SELECT *, 
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE length(string_split_regex(trim(text), '\s+')) END AS n_words,
+                   length(regexp_replace(text, '\s', '', 'g')) AS n_chars_ns,
+                   length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
+            FROM langkept
+        ),
+        qkept AS (
+            SELECT doc_id, url, text FROM qfeats
+            WHERE NOT (n_words < 15
+                   OR n_chars_ns / CAST(nullif(n_words, 0) AS DOUBLE) < 2.0
+                   OR n_chars_ns / CAST(nullif(n_words, 0) AS DOUBLE) > 12.0
+                   OR n_digits / CAST(nullif(length(text), 0) AS DOUBLE) > 0.3)
+                  -- stopword rule already satisfied by the language gate
+        ),
+        -- stage 4: Gopher document-shape gate
+        gfeats AS (
+            SELECT doc_id, url, text,
+                   list_filter(string_split_regex(text, '[ \t\n\r\f]+'), w -> w != '') AS words,
+                   list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                               l -> l != '') AS lines
+            FROM qkept
+        ),
+        gc AS (
+            SELECT doc_id, url, text,
+                   len(words) AS n_words,
+                   len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+                   length(text) - length(replace(text, '#', '')) AS n_hash,
+                   (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell,
+                   len(lines) AS n_lines,
+                   len(list_filter(lines, l -> regexp_matches(l, '^[-*•]'))) AS n_bullet,
+                   len(list_filter(lines, l -> regexp_matches(l, '\.\.\.$'))) AS n_ell_end
+            FROM gfeats
+        ),
+        gkept AS (
+            SELECT doc_id, url, text FROM gc
+            WHERE n_words > 0
+              AND round((n_hash + n_ell) / CAST(nullif(n_words, 0) AS DOUBLE), 6) <= 0.1
+              AND round(n_bullet / CAST(nullif(n_lines, 0) AS DOUBLE), 6) <= 0.9
+              AND round(n_ell_end / CAST(nullif(n_lines, 0) AS DOUBLE), 6) <= 0.3
+              AND round(n_alpha / CAST(nullif(n_words, 0) AS DOUBLE), 6) >= 0.8
+        ),
+        -- stage 5: C4 line cleaning
+        c4 AS (
+            SELECT doc_id, url, lower(text) AS low,
+                   list_filter(string_split(text, chr(10)), l ->
+                       regexp_matches(trim(l), '[.!?"]$')
+                       AND len(list_filter(string_split_regex(trim(l), '[ \t]+'), t -> t != '')) >= 5
+                       AND NOT contains(lower(l), 'javascript')
+                   ) AS kl
+            FROM gkept
+        ),
+        cleaned AS (
+            SELECT doc_id, url, array_to_string(kl, chr(10)) AS clean_text
+            FROM c4
+            WHERE NOT contains(low, 'lorem ipsum')
+              AND NOT contains(low, '{')
+              AND len(kl) >= 3
+        )
+        -- stage 6: exact dedup, smallest doc_id survives
+        SELECT doc_id, url, clean_text
+        FROM cleaned
+        QUALIFY row_number() OVER (PARTITION BY md5(clean_text) ORDER BY doc_id) = 1
     """,
     "jsonl_roundtrip": """
         SELECT doc_id, text, lang, n_chars FROM documents

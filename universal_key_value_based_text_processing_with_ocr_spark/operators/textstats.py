@@ -53,8 +53,10 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
-    """Stopword-hit language ID: en vs ind vs und (n-gram-free heuristic)."""
+def lang_id(docs: DataFrame, extra_cols: tuple = ()) -> DataFrame:
+    """Stopword-hit language ID: en vs ind vs und (n-gram-free heuristic).
+    ``extra_cols`` are carried through so a composed pipeline can chain
+    gates on one scan without re-joining on doc_id."""
     padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
 
     def hits(words):
@@ -73,6 +75,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
     return docs.select(
         "doc_id",
+        *extra_cols,
         en.cast("int").alias("en_hits"),
         ind.cast("int").alias("id_hits"),
         pred.alias("lang_pred"),
@@ -380,7 +383,8 @@ def corpus_top_terms(docs: DataFrame, n: int = 50) -> DataFrame:
 
 
 def quality_filter(docs: DataFrame, min_words: int = 15, max_mean_word_len: float = 12.0,
-                   min_mean_word_len: float = 2.0, max_digit_ratio: float = 0.3) -> DataFrame:
+                   min_mean_word_len: float = 2.0, max_digit_ratio: float = 0.3,
+                   extra_cols: tuple = ()) -> DataFrame:
     """Gopher-style document quality gate (Rae et al. 2021 rule family):
     word count, mean word length and digit-ratio thresholds plus a
     stopword-presence check -> (doc_id, keep, fail_reason).
@@ -409,6 +413,7 @@ def quality_filter(docs: DataFrame, min_words: int = 15, max_mean_word_len: floa
     )
     return docs.select(
         "doc_id",
+        *extra_cols,
         fail.isNull().alias("keep"),
         F.coalesce(fail, F.lit("ok")).alias("fail_reason"),
         n_words.cast("long").alias("n_words"),
@@ -422,6 +427,7 @@ def gopher_quality(
     max_bullet_line_frac: float = 0.9,
     max_ellipsis_line_frac: float = 0.3,
     min_alpha_word_frac: float = 0.8,
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """The Gopher document-shape rules (Rae et al. 2021 §A1.1) that
     ``quality_filter`` does not already cover: symbol-to-word ratio
@@ -472,6 +478,7 @@ def gopher_quality(
     )
     return docs.select(
         "doc_id",
+        *extra_cols,
         # size(null) is -1, not NULL — map null text to 0 explicitly
         F.when(text.isNull(), F.lit(0)).otherwise(n_words).cast("long").alias("n_words"),
         symbol_ratio.alias("symbol_word_ratio"),
@@ -752,6 +759,7 @@ def c4_line_clean(
     min_words_per_line: int = 5,
     min_kept_lines: int = 3,
     id_col: str = "doc_id",
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """C4-style line-level cleaning (Raffel et al. 2020 §2.2, the public
     rule list): keep only lines that end in terminal punctuation
@@ -789,6 +797,7 @@ def c4_line_clean(
     )
     return docs.select(
         id_col,
+        *extra_cols,
         fail.isNull().alias("keep"),
         F.coalesce(fail, F.lit("ok")).alias("fail_reason"),
         F.when(F.col("text").isNull(), F.lit(0))
@@ -936,3 +945,47 @@ def mojibake_sql_chain(col_expr: str) -> str:
         c = ch.replace("'", "''")
         out = f"replace({out}, '{m}', '{c}')"
     return out
+
+
+def fineweb_pipeline(
+    docs: DataFrame, blocked_hosts: list[str], url_col: str = "url"
+) -> DataFrame:
+    """The FineWeb recipe (Penedo et al. 2024) end-to-end in ONE plan:
+    URL blocklist -> language gate -> Gopher quality rules -> Gopher
+    document-shape rules -> C4 line cleaning -> exact dedup of the
+    cleaned text.  Each published stage is the repo's own oracle-checked
+    operator, chained via ``extra_cols`` column carry — every gate is a
+    row-local projection, so Catalyst fuses the whole cascade into a
+    SINGLE scan of the corpus followed by exactly two exchanges (the
+    broadcast of the host blocklist and the dedup hash partitioning);
+    the plan shape is asserted in tests/test_plan_shapes.py.
+
+    Survivors: (doc_id, url, clean_text) — the C4-cleaned text, one
+    representative (smallest doc_id) per exact-duplicate group."""
+    s1 = host_blocklist_filter(docs, blocked_hosts, url_col)
+    s2 = (
+        lang_id(s1, extra_cols=(url_col, "text"))
+        .filter(F.col("lang_pred").isNotNull() & (F.col("lang_pred") != "und"))
+        .select("doc_id", url_col, "text")
+    )
+    s3 = (
+        quality_filter(s2, extra_cols=(url_col, "text"))
+        .filter("keep")
+        .select("doc_id", url_col, "text")
+    )
+    s4 = (
+        gopher_quality(s3, extra_cols=(url_col, "text"))
+        .filter("keep")
+        .select("doc_id", url_col, "text")
+    )
+    s5 = (
+        c4_line_clean(s4, extra_cols=(url_col,))
+        .filter("keep")
+        .select("doc_id", url_col, "clean_text")
+    )
+    w = Window.partitionBy(F.md5(F.col("clean_text"))).orderBy(F.col("doc_id").asc())
+    return (
+        s5.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", url_col, "clean_text")
+    )
