@@ -140,6 +140,10 @@ def main() -> None:
         "multimodal_jpeg_decode", "pages_content_dedup", "c4_line_clean",
         "warc_scan", "wet_roundtrip", "dsir_importance", "doc_keywords",
         "gopher_quality",
+        # round 5, second session
+        "doc_lexical_diversity", "url_blocklist", "fix_mojibake",
+        "jsonl_roundtrip", "bucketed_join", "fineweb_pipeline",
+        "image_dhash", "image_near_dup", "semdedup",
     ]
 
     best: dict[str, float] = {}

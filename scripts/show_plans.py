@@ -85,6 +85,14 @@ def main() -> None:
         ("dsir_importance", "DSIR: combinable (doc, bucket) feature aggs; the bucket ratio table reaches the features via BroadcastHashJoin; totals are 1-row cross joins"),
         ("doc_keywords", "keyword top-k: skew-safe pair-distinct df + term-keyed join + WindowGroupLimit rank pushdown (no full sort of the score table)"),
         ("gopher_quality", "Gopher shape rules: one codegen'd row-local projection — single-division ratios, no explode, no shuffle, no Python"),
+        ("semdedup", "SemDeDup: broadcast centroid assignment (argmax window) -> within-cluster-only pair join on the cluster id (never a global cross join) -> distinct-drop anti-join"),
+        ("bucketed_join", "co-located join over bucketed tables: both scans Bucketed: true, SortMergeJoin with NO Exchange below it — the only exchange is the 5-group final agg"),
+        ("image_near_dup", "perceptual image dedup: Arrow decode+dhash stage -> 4-band explode (8-byte keys only) -> band equi-join -> distinct pairs + bit_count filter"),
+        ("fineweb_pipeline", "five published gates fused into ONE corpus scan (blocklist broadcast anti-join + codegen'd row-local cascade) -> single dedup exchange with WindowGroupLimit"),
+        ("doc_lexical_diversity", "lexical diversity: one codegen'd row-local HOF projection (sorted-neighbour hapax test) — no explode, no shuffle"),
+        ("url_blocklist", "UT1-style host gate: codegen'd host extraction + BroadcastHashJoin LeftAnti — the corpus never shuffles"),
+        ("fix_mojibake", "mojibake repair: one codegen'd 28-step replace chain — no UDF, no shuffle"),
+        ("jsonl_roundtrip", "native distributed jsonl.gz sink -> explicit-schema PERMISSIVE scan with corrupt-record quarantine"),
     ]
     for name, note in named:
         sections.append((name, note, formatted(api.QUERIES[name](spark, SF))))

@@ -804,35 +804,35 @@ def q_stateful_sessionize(spark, sf_dir):
 
 
 QUERIES = {
+    # ------------------------------------------------------------------
+    # ORDERING CONTRACT: the driver oracle-checks only the FIRST 50
+    # entries.  Round-5 rotation: every query NEW or CHANGED in round 5
+    # (both sessions: the jpeg/warc/wet/dsir/keywords/gopher batch and the
+    # semdedup/dhash/fineweb/jsonl/blocklist/mojibake/lexdiv/bucketed
+    # batch) sits inside the window, as do the four gate queries whose
+    # operators grew the extra_cols passthrough (doc_langid,
+    # quality_filter, gopher_quality, c4_line_clean) and the five that
+    # were replica-only in round 4.  The 22 past the cap are ALL unchanged
+    # since round 4 and were green in the round-4 driver run (or earlier);
+    # scripts/check_correctness.py still checks all 72 every round.
+    # Rotate again whenever queries are added.
+    # ------------------------------------------------------------------
     "extract_fields": q_extract_fields,
     "html_main_lines": q_html_main_lines,
     "custom_config_extract": q_custom_config_extract,
     "extract_fields_blended": q_extract_fields_blended,
     "extract_fields_boxorder": q_extract_fields_boxorder,
-    "doc_token_count_bpe": q_doc_token_count_bpe,
-    "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
-    # Round-5 rotation (VERDICT r4 #3): the driver oracle-checks only the
-    # FIRST 50 entries of queries().  These five were green in r3 but fell
-    # past the cap when round 4 appended new queries mid-list, so they sit
-    # up front this round; the five simplest long-green textstats queries
-    # (fingerprints, charclass, normalize — green in r1-r4) rotate to the
-    # back of the dict.  Rotate again whenever new queries are added.
     "distance_bucket_group": q_distance_bucket_group,
     "events_window_agg": q_events_window_agg,
     "events_sessionize": q_events_sessionize,
     "streamed_window_agg": q_streamed_window_agg,
     "stateful_sessionize": q_stateful_sessionize,
-    "corpus_top_terms": q_corpus_top_terms,
     "quality_filter": q_quality_filter,
-    "doc_sample_stratified": q_doc_sample_stratified,
     "clean_corpus": q_clean_corpus,
     "pages_clean_corpus": q_pages_clean_corpus,
     "pages_host_stats": q_pages_host_stats,
     "pages_content_dedup": q_pages_content_dedup,
-    "doc_repetition": q_doc_repetition,
-    "doc_scrub_pii": q_doc_scrub_pii,
-    "contamination_check": q_contamination_check,
     "mask_repeated_ngrams": q_mask_repeated_ngrams,
     "events_asof_join": q_events_asof_join,
     "dedup_paragraphs": q_dedup_paragraphs,
@@ -844,31 +844,6 @@ QUERIES = {
     "c4_line_clean": q_c4_line_clean,
     "warc_scan": q_warc_scan,
     "wet_roundtrip": q_wet_roundtrip,
-    "dedup_exact": q_dedup_exact,
-    "dedup_incremental": q_dedup_incremental,
-    "dedup_incremental_bloom": q_dedup_incremental_bloom,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_minhash": q_dedup_minhash,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_clusters": q_dedup_clusters,
-    "similarity_topk": q_similarity_topk,
-    "similarity_topk_lsh": q_similarity_topk_lsh,
-    "similarity_topk_ivf": q_similarity_topk_ivf,
-    "semdedup": q_semdedup,
-    "embedding_near_dup": q_embedding_near_dup,
-    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-    "multimodal_image_meta": q_multimodal_image_meta,
-    "multimodal_image_decode": q_multimodal_image_decode,
-    "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
-    # past the driver's 50-entry correctness cap this round (63 queries,
-    # so THIRTEEN sit past it: frame_plan + the four simple relational
-    # queries, anti_join_resume / lead_value_association, and the six
-    # stable textstats at the end — all unchanged since r4, officially
-    # green in CORRECTNESS_r04, and re-verified green this round via
-    # scripts/check_correctness.py, which checks all 63; every query NEW
-    # or CHANGED in round 5 sits inside the checked window; rotate again
-    # next round so no query goes two rounds unchecked)
     "fineweb_pipeline": q_fineweb_pipeline,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "doc_lexical_diversity": q_doc_lexical_diversity,
@@ -876,9 +851,36 @@ QUERIES = {
     "fix_mojibake": q_fix_mojibake,
     "image_dhash": q_image_dhash,
     "image_near_dup": q_image_near_dup,
+    "bucketed_join": q_bucketed_join,
+    "semdedup": q_semdedup,
+    "dedup_exact": q_dedup_exact,
+    "dedup_incremental": q_dedup_incremental,
+    "dedup_incremental_bloom": q_dedup_incremental_bloom,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
+    "similarity_topk": q_similarity_topk,
+    "similarity_topk_lsh": q_similarity_topk_lsh,
+    "similarity_topk_ivf": q_similarity_topk_ivf,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "multimodal_image_meta": q_multimodal_image_meta,
+    "multimodal_image_decode": q_multimodal_image_decode,
+    "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
+    # ---------------- past the driver's 50-entry cap -------------------
+    # all unchanged since round 4 and green in the round-4 driver run;
+    # re-verified green this round by scripts/check_correctness.py (72/72)
+    "doc_token_count_bpe": q_doc_token_count_bpe,
+    "doc_quality": q_doc_quality,
+    "corpus_top_terms": q_corpus_top_terms,
+    "doc_sample_stratified": q_doc_sample_stratified,
+    "doc_repetition": q_doc_repetition,
+    "doc_scrub_pii": q_doc_scrub_pii,
+    "contamination_check": q_contamination_check,
+    "dedup_simhash": q_dedup_simhash,
+    "embedding_near_dup": q_embedding_near_dup,
     "multimodal_frame_plan": q_multimodal_frame_plan,
     "pushdown_agg": q_pushdown_agg,
-    "bucketed_join": q_bucketed_join,
     "argmax_supplier": q_argmax_supplier,
     "topk_orders": q_topk_orders,
     "fuzzy_nation_join": q_fuzzy_nation_join,
@@ -889,8 +891,6 @@ QUERIES = {
     "doc_rolling_fp": q_doc_rolling_fp,
     "doc_winnowing_fp": q_doc_winnowing_fp,
     "doc_normalize": q_doc_normalize,
-    # rotated out this round to make room for multimodal_jpeg_decode in
-    # the checked window (unchanged since r1, green r1-r4)
     "doc_token_count": q_doc_token_count,
 }
 
