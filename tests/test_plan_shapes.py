@@ -349,3 +349,29 @@ def test_fineweb_pipeline_single_scan_fused(spark):  # noqa: F811
     df.collect()  # execute: a 64 KB codegen overflow would ERROR-log here
     final = _plan(df)  # AQE final plan marks codegen'd stages with *(id)
     assert "isFinalPlan=true" in final and "*(" in final
+
+
+def test_partitioned_scan_prunes_directories(spark, tmp_path):  # noqa: F811
+    """A filter on the partition column must become a PartitionFilters
+    entry (directory pruning) — NOT a PushedFilters data-file predicate —
+    and only the matching partition's files may be read."""
+    from universal_key_value_based_text_processing_with_ocr_spark.sources.partitioned import (
+        scan_partition,
+        write_partitioned,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = str(tmp_path / "bylang")
+    write_partitioned(docs, out, "lang")
+    df = scan_partition(spark, out, "lang", "en")
+    plan = _formatted(df)
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "lang" in pf and "en" in pf
+    # the partition column is directory metadata: it must NOT appear as a
+    # data-file pushed filter (the scan may omit the section entirely)
+    if "PushedFilters:" in plan:
+        pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+        assert "lang" not in pushed
+    # all rows really come from the one directory
+    langs = {r.lang for r in df.select("lang").distinct().collect()}
+    assert langs == {"en"}

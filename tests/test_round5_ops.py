@@ -330,3 +330,23 @@ def test_fineweb_pipeline_stage_semantics(spark):  # noqa: F811
     out = {r.doc_id: r.clean_text for r in fineweb_pipeline(df, ["blocked.example.com"]).collect()}
     assert set(out) == {5, 7}
     assert out[5] == good  # every line ends in '.', all lines kept
+
+
+def test_nfc_normalize_equivalence_and_nulls(spark):  # noqa: F811
+    """unicodedata NFC in the Arrow stage: decomposed sequences compose,
+    already-NFC strings flag was_nfc True, NULLs pass through."""
+    import unicodedata
+
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        nfc_normalize,
+    )
+
+    decomposed = "café naïve Å"
+    rows = [(0, decomposed), (1, "plain ascii"), (2, None), (3, "café")]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    got = {r.doc_id: (r.text, r.was_nfc) for r in nfc_normalize(df).collect()}
+    assert got[0] == (unicodedata.normalize("NFC", decomposed), False)
+    assert got[0][0] == "café naïve Å"
+    assert got[1] == ("plain ascii", True)
+    assert got[2] == (None, None)
+    assert got[3] == ("café", True)

@@ -621,6 +621,47 @@ def q_multimodal_frame_plan(spark, sf_dir):
     return multimodal.frame_sample_plan(video, every_n=30)
 
 
+def q_partitioned_scan(spark, sf_dir):
+    """Hive-layout partitioned sink + pruned scan: documents written
+    partitionBy(lang), then ONLY the lang='en' directory is read back —
+    the filter becomes a PartitionFilters entry and no other partition's
+    files are opened (asserted in tests/test_plan_shapes.py).  NULL langs
+    round-trip through the default partition (exercised: the slice keeps
+    n_chars so values, not just counts, are hash-checked)."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from .sources.partitioned import scan_partition, write_partitioned
+
+    key = hashlib.md5(str(Path(sf_dir) / "documents.parquet").encode()).hexdigest()[:10]
+    out = str(Path(tempfile.gettempdir()) / f"ukv_part_{key}")
+    write_partitioned(_tbl(spark, sf_dir, "documents"), out, "lang")
+    return scan_partition(spark, out, "lang", "en").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+
+
+def q_doc_nfc_normalize(spark, sf_dir):
+    """Unicode NFC canonicalisation (the pre-fingerprint normalise): a
+    deterministic decomposed-form corruption (combining acute/diaeresis),
+    repaired by Python's unicodedata in an Arrow stage and checked
+    byte-for-byte against DuckDB's independent nfc_normalize."""
+    d = F.col("doc_id")
+    text = F.col("text")
+    corrupted = (
+        F.when(d % 4 == 0, F.replace(text, F.lit("e"), F.lit("é")))
+        .when(d % 4 == 1, F.replace(text, F.lit("a"), F.lit("ä")))
+        .otherwise(text)
+    )
+    docs = (
+        _tbl(spark, sf_dir, "documents")
+        .filter(text.isNotNull())
+        .select("doc_id", corrupted.alias("text"))
+    )
+    return textstats.nfc_normalize(docs)
+
+
 #: constant duplicate page for the fineweb fixture's dedup branch — three
 #: sentence lines that pass every gate, so all %12==5 docs collapse to one
 FINEWEB_DUP_PAGE = (
@@ -846,6 +887,8 @@ QUERIES = {
     "wet_roundtrip": q_wet_roundtrip,
     "fineweb_pipeline": q_fineweb_pipeline,
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    "partitioned_scan": q_partitioned_scan,
+    "doc_nfc_normalize": q_doc_nfc_normalize,
     "doc_lexical_diversity": q_doc_lexical_diversity,
     "url_blocklist": q_url_blocklist,
     "fix_mojibake": q_fix_mojibake,
@@ -857,10 +900,8 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "dedup_incremental_bloom": q_dedup_incremental_bloom,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
-    "similarity_topk": q_similarity_topk,
     "similarity_topk_lsh": q_similarity_topk_lsh,
     "similarity_topk_ivf": q_similarity_topk_ivf,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -870,6 +911,8 @@ QUERIES = {
     # ---------------- past the driver's 50-entry cap -------------------
     # all unchanged since round 4 and green in the round-4 driver run;
     # re-verified green this round by scripts/check_correctness.py (72/72)
+    "dedup_minhash": q_dedup_minhash,
+    "similarity_topk": q_similarity_topk,
     "doc_token_count_bpe": q_doc_token_count_bpe,
     "doc_quality": q_doc_quality,
     "corpus_top_terms": q_corpus_top_terms,
@@ -1899,6 +1942,23 @@ ORACLE_SQL = {
                     WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
                'fake' AS meta_source
         FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 0
+    """,
+    "partitioned_scan": """
+        SELECT doc_id, text, lang, n_chars FROM documents WHERE lang = 'en'
+    """,
+    "doc_nfc_normalize": """
+        -- independent NFC implementation (DuckDB's ICU-backed
+        -- nfc_normalize) vs the engine's unicodedata — byte-for-byte
+        WITH c AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 0 THEN replace(text, 'e', 'e' || chr(769))
+                        WHEN doc_id % 4 = 1 THEN replace(text, 'a', 'a' || chr(776))
+                        ELSE text END AS text
+            FROM documents WHERE text IS NOT NULL
+        )
+        SELECT doc_id, nfc_normalize(text) AS text,
+               text = nfc_normalize(text) AS was_nfc
+        FROM c
     """,
     "fineweb_pipeline": r"""
         WITH pages AS (

@@ -10,10 +10,16 @@ __spark_entry__.oracle_sql().
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.columns import md5_long
+
+if TYPE_CHECKING:  # pandas only enters at runtime inside the Arrow stage
+    import pandas as pd
 
 EN_STOPWORDS = ["the", "and", "of", "to", "is"]
 ID_STOPWORDS = ["yang", "dan", "di", "untuk", "dengan"]
@@ -989,3 +995,48 @@ def fineweb_pipeline(
         .filter(F.col("_rn") == 1)
         .select("doc_id", url_col, "clean_text")
     )
+
+
+def nfc_normalize(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode NFC normalisation — the canonicalisation every dedup/hash
+    stage needs BEFORE fingerprinting (a decomposed 'e'+COMBINING ACUTE
+    and a precomposed 'é' are different bytes but the same text; without
+    NFC they dodge exact dedup and double vocabulary entries).
+
+    This is deliberately a PYTHON (Arrow-batched mapInPandas) stage — the
+    one operator family where the JVM expression library genuinely has no
+    equivalent (Spark exposes no ICU normalizer built-in), i.e. the
+    documented UDF-is-the-slow-path exception.  unicodedata.normalize is
+    the reference implementation of the Unicode standard algorithm, and
+    the DuckDB oracle's independent ``nfc_normalize`` must agree
+    byte-for-byte — a genuine cross-engine check of the normaliser.
+    Returns input columns with ``<text_col>`` normalised plus
+    ``was_nfc`` (False where normalisation changed the string)."""
+    import unicodedata
+
+    cols = docs.columns
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd  # executor-side: the module-level name is type-only
+
+        for pdf in batches:
+            normed = [
+                None if t is None else unicodedata.normalize("NFC", t)
+                for t in pdf[text_col]
+            ]
+            out = pdf.copy()
+            out[text_col] = pd.Series(normed, index=pdf.index, dtype=object)
+            out["was_nfc"] = pd.Series(
+                [
+                    None if t is None else (t == n)
+                    for t, n in zip(pdf[text_col], normed)
+                ],
+                index=pdf.index,
+                dtype=object,
+            )
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
+    ) + ", was_nfc boolean"
+    return docs.mapInPandas(gen, schema=schema)
