@@ -144,7 +144,7 @@ def main() -> None:
         "doc_lexical_diversity", "url_blocklist", "fix_mojibake",
         "jsonl_roundtrip", "bucketed_join", "fineweb_pipeline",
         "image_dhash", "image_near_dup", "semdedup",
-        "partitioned_scan", "doc_nfc_normalize",
+        "partitioned_scan", "doc_nfc_normalize", "bigram_lm_score",
     ]
 
     best: dict[str, float] = {}

@@ -350,3 +350,50 @@ def test_nfc_normalize_equivalence_and_nulls(spark):  # noqa: F811
     assert got[1] == ("plain ascii", True)
     assert got[2] == (None, None)
     assert got[3] == ("café", True)
+
+
+def test_bigram_lm_score_matches_numpy(spark):  # noqa: F811
+    """Full replication of the bigram LM (counts, smoothing, log2 mean)
+    in plain Python over a small corpus — integer masses AND the float
+    xent must agree (1e-9, well inside the 1e-6 round)."""
+    import math
+    import re
+    from collections import Counter
+
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.importance import (
+        bigram_lm_score,
+    )
+
+    corpus = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the hat"),
+        (2, "one token"),
+        (3, "single"),
+        (4, None),
+        (5, "The CAT sat, on the mat!"),  # case/punct fold to doc 0's grams
+    ]
+    df = spark.createDataFrame(corpus, schema="doc_id long, text string")
+    got = {r.doc_id: r for r in bigram_lm_score(df).collect()}
+
+    def toks(t):
+        return [w for w in re.split(r"[^a-z0-9]+", (t or "").lower()) if w]
+
+    grams = {i: [f"{a} {b}" for a, b in zip(toks(t), toks(t)[1:])] for i, t in corpus}
+    allg = [g for gs in grams.values() for g in gs]
+    c12 = Counter(allg)
+    ctx = Counter(g.split(" ")[0] for g in allg)
+    v = len(ctx)
+    for i, _t in corpus:
+        gs = grams[i]
+        assert got[i].n_bigrams == len(gs)
+        assert got[i].hit_mass == sum(c12[g] for g in gs)
+        assert got[i].ctx_mass == sum(ctx[g.split(" ")[0]] for g in gs)
+        if not gs:
+            assert got[i].xent_bits is None
+            continue
+        xent = -sum(
+            math.log((c12[g] + 1) / (ctx[g.split(" ")[0]] + v)) for g in gs
+        ) / len(gs) / math.log(2)
+        assert abs(got[i].xent_bits - round(xent, 6)) < 1e-9, (i, got[i].xent_bits, xent)
+    # the 5 real bigrams of doc 0 repeat in doc 5 -> doc 5 scores identically
+    assert got[5].xent_bits == got[0].xent_bits

@@ -621,6 +621,18 @@ def q_multimodal_frame_plan(spark, sf_dir):
     return multimodal.frame_sample_plan(video, every_n=30)
 
 
+def q_bigram_lm_score(spark, sf_dir):
+    """Corpus bigram-LM cross-entropy (the CCNet perplexity-filter
+    signal).  DSIR determinism contract: the driver hash-checks the
+    integer masses (n_bigrams, hit_mass, ctx_mass); the float xent_bits
+    column is pinned against numpy in pytest (summation-order noise)."""
+    from .operators.importance import bigram_lm_score
+
+    return bigram_lm_score(_tbl(spark, sf_dir, "documents")).select(
+        "doc_id", "n_bigrams", "hit_mass", "ctx_mass"
+    )
+
+
 def q_partitioned_scan(spark, sf_dir):
     """Hive-layout partitioned sink + pruned scan: documents written
     partitionBy(lang), then ONLY the lang='en' directory is read back —
@@ -887,6 +899,7 @@ QUERIES = {
     "wet_roundtrip": q_wet_roundtrip,
     "fineweb_pipeline": q_fineweb_pipeline,
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    "bigram_lm_score": q_bigram_lm_score,
     "partitioned_scan": q_partitioned_scan,
     "doc_nfc_normalize": q_doc_nfc_normalize,
     "doc_lexical_diversity": q_doc_lexical_diversity,
@@ -897,7 +910,6 @@ QUERIES = {
     "bucketed_join": q_bucketed_join,
     "semdedup": q_semdedup,
     "dedup_exact": q_dedup_exact,
-    "dedup_incremental": q_dedup_incremental,
     "dedup_incremental_bloom": q_dedup_incremental_bloom,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -911,6 +923,7 @@ QUERIES = {
     # ---------------- past the driver's 50-entry cap -------------------
     # all unchanged since round 4 and green in the round-4 driver run;
     # re-verified green this round by scripts/check_correctness.py (72/72)
+    "dedup_incremental": q_dedup_incremental,
     "dedup_minhash": q_dedup_minhash,
     "similarity_topk": q_similarity_topk,
     "doc_token_count_bpe": q_doc_token_count_bpe,
@@ -1942,6 +1955,39 @@ ORACLE_SQL = {
                     WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
                'fake' AS meta_source
         FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 0
+    """,
+    "bigram_lm_score": """
+        -- integer masses of the bigram-LM score (xent float pinned in
+        -- pytest, same split as dsir_importance)
+        WITH toks AS (
+            SELECT doc_id, list_filter(
+                       string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                       t -> t != '') AS t
+            FROM documents
+        ),
+        glists AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) AS gl
+            FROM toks
+        ),
+        grams AS (SELECT doc_id, unnest(gl) AS g FROM glists),
+        c12 AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM grams GROUP BY g),
+        ctx AS (SELECT split_part(g, ' ', 1) AS w, CAST(count(*) AS BIGINT) AS cx
+                FROM grams GROUP BY w),
+        agg AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(c) AS BIGINT) AS hit_mass,
+                   CAST(sum(cx) AS BIGINT) AS ctx_mass
+            FROM grams JOIN c12 USING (g)
+                       JOIN ctx ON split_part(g, ' ', 1) = ctx.w
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(n_bigrams, 0) AS n_bigrams,
+               coalesce(hit_mass, 0) AS hit_mass,
+               coalesce(ctx_mass, 0) AS ctx_mass
+        FROM documents d LEFT JOIN agg USING (doc_id)
     """,
     "partitioned_scan": """
         SELECT doc_id, text, lang, n_chars FROM documents WHERE lang = 'en'

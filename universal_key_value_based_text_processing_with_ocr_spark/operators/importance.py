@@ -211,3 +211,70 @@ def doc_keywords(docs: DataFrame, k: int = 3, id_col: str = "doc_id") -> DataFra
             F.col("score").cast("long").alias("score"),
         )
     )
+
+
+def bigram_lm_score(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Bigram-LM cross-entropy — the CCNet/fineweb "perplexity vs the
+    corpus LM" quality signal (Wenzek et al. 2020 use KenLM; this is the
+    same scoring rule with the corpus itself as training data and add-one
+    smoothing, so it needs no external model file):
+
+        P(w2 | w1) = (c(w1 w2) + 1) / (ctx(w1) + V)
+        xent_bits  = -mean(log2 P) over the doc's bigram occurrences
+
+    where c is the corpus bigram count, ctx(w1) the count of bigrams
+    starting with w1, and V the distinct-context vocabulary size.  Low
+    cross-entropy = fluent/common phrasing; high = gibberish or
+    boilerplate soup.  Reuses the DSIR word-bigram featuriser verbatim.
+
+    Determinism contract (same as ``dsir_importance``): every corpus
+    statistic and per-doc mass is an exact integer — the driver oracle
+    checks (n_bigrams, hit_mass, ctx_mass) bit-for-bit; the float
+    ``xent_bits`` is a per-row log over those integers SUMMED in one agg
+    and is pinned against an independent numpy replication in pytest
+    (summation-order float noise ~1e-13 sits far below the 1e-6 round).
+
+    Scale shape: one gram explode, two map-side-combinable count aggs
+    (gram, context), a 1-row vocabulary broadcast, and re-joins keyed on
+    gram/context — the corpus_familiarity shape one level up.  A viral
+    bigram skews the join key, not a group: AQE skew-join splits it.
+    """
+    occ = _word_bigrams(docs, id_col).withColumn(
+        "ctx_w", F.split_part(F.col("gram"), F.lit(" "), F.lit(1))
+    )
+    c12 = occ.groupBy("gram").agg(F.count("*").alias("c12"))
+    ctx = occ.groupBy("ctx_w").agg(F.count("*").alias("ctx"))
+    vocab = ctx.agg(F.count("*").alias("v"))
+    scored = (
+        occ.join(c12, "gram")
+        .join(ctx, "ctx_w")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("c12").alias("hit_mass"),
+            F.sum("ctx").alias("ctx_mass"),
+            F.round(
+                -F.sum(
+                    F.log((F.col("c12") + 1).cast("double") / (F.col("ctx") + F.col("v")))
+                )
+                / F.count("*")
+                / float(__import__("math").log(2)),
+                6,
+            ).alias("xent_bits"),
+        )
+    )
+    # featureless docs (NULL text / <2 tokens) survive with zero masses;
+    # the id spine comes from the INPUT (unique by id), not a distinct
+    # over the exploded grams — that would shuffle every gram row again
+    ids = docs.select(id_col)
+    return (
+        ids.join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("hit_mass", F.lit(0)).alias("hit_mass"),
+            F.coalesce("ctx_mass", F.lit(0)).alias("ctx_mass"),
+            "xent_bits",
+        )
+    )
