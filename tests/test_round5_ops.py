@@ -397,3 +397,28 @@ def test_bigram_lm_score_matches_numpy(spark):  # noqa: F811
         assert abs(got[i].xent_bits - round(xent, 6)) < 1e-9, (i, got[i].xent_bits, xent)
     # the 5 real bigrams of doc 0 repeat in doc 5 -> doc 5 scores identically
     assert got[5].xent_bits == got[0].xent_bits
+
+
+def test_pack_sequences_contiguous_and_chunk_math(spark):  # noqa: F811
+    """Per shard: intervals tile the stream exactly (each start equals the
+    previous end), chunk ids match the offset arithmetic, zero-token docs
+    are zero-width."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        pack_sequences,
+    )
+
+    rows = [(i, ("tok " * ((i * 7) % 950)).strip() or None) for i in range(200)]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = pack_sequences(df, chunk_tokens=256, shards=4).toPandas()
+    assert len(out) == 200
+    for shard, g in out.groupby("shard"):
+        g = g.sort_values("doc_id")
+        expected_start = 0
+        for r in g.itertuples():
+            assert r.start_off == expected_start, (shard, r.doc_id)
+            expected_start += r.n_tokens
+            assert r.first_chunk == r.start_off // 256
+            last_tok = max(r.start_off + r.n_tokens - 1, r.start_off)
+            assert r.last_chunk == last_tok // 256
+            if r.n_tokens == 0:
+                assert r.first_chunk == r.last_chunk

@@ -621,6 +621,15 @@ def q_multimodal_frame_plan(spark, sf_dir):
     return multimodal.frame_sample_plan(video, every_n=30)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-chunk packing plan (512-token chunks over 8
+    hash shards): per-doc offset intervals and spanned chunk ids, all
+    integer window arithmetic — bit-reproducible in any engine."""
+    return textstats.pack_sequences(
+        _tbl(spark, sf_dir, "documents"), chunk_tokens=512, shards=8
+    )
+
+
 def q_bigram_lm_score(spark, sf_dir):
     """Corpus bigram-LM cross-entropy (the CCNet perplexity-filter
     signal).  DSIR determinism contract: the driver hash-checks the
@@ -899,6 +908,7 @@ QUERIES = {
     "wet_roundtrip": q_wet_roundtrip,
     "fineweb_pipeline": q_fineweb_pipeline,
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    "pack_sequences": q_pack_sequences,
     "bigram_lm_score": q_bigram_lm_score,
     "partitioned_scan": q_partitioned_scan,
     "doc_nfc_normalize": q_doc_nfc_normalize,
@@ -1955,6 +1965,27 @@ ORACLE_SQL = {
                     WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
                'fake' AS meta_source
         FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 0
+    """,
+    "pack_sequences": r"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                        ELSE length(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+                       AS n_tokens,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, shard, n_tokens,
+                   CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM base
+        )
+        SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+               cum - n_tokens AS start_off,
+               (cum - n_tokens) // 512 AS first_chunk,
+               greatest(cum - 1, cum - n_tokens) // 512 AS last_chunk
+        FROM c
     """,
     "bigram_lm_score": """
         -- integer masses of the bigram-LM score (xent float pinned in

@@ -1040,3 +1040,59 @@ def nfc_normalize(docs: DataFrame, text_col: str = "text") -> DataFrame:
         f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
     ) + ", was_nfc boolean"
     return docs.mapInPandas(gen, schema=schema)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    chunk_tokens: int = 2048,
+    shards: int = 32,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style concat-and-chunk packing plan — the step that turns a
+    cleaned corpus into fixed-length training sequences: documents are
+    concatenated in a deterministic order and the stream is cut every
+    ``chunk_tokens`` tokens; a document is described by its token offset
+    interval and the chunk ids it spans.
+
+    Distributed form: the corpus is hash-split into ``shards``
+    independent streams (md5(id) % shards — deterministic, engine-
+    replayable, and balanced under sorted ingestion), each stream packs
+    by a window cumulative sum ordered by id.  ONE shuffle, integer-only
+    arithmetic, any engine reproduces it bit-for-bit.  At 100 TB each
+    shard is a partition-local running sum — the window never sees more
+    than corpus/shards tokens.
+
+    -> (id, shard, n_tokens, start_off, first_chunk, last_chunk):
+    offsets are per-shard token positions; ``last_chunk`` is the chunk
+    holding the document's final token (== first_chunk when it fits in
+    one).  Empty/NULL docs carry n_tokens 0 and sit at their
+    predecessor's boundary (zero-width interval, last_chunk =
+    first_chunk)."""
+    trimmed = F.trim(F.col("text"))
+    n = (
+        F.when(F.col("text").isNull() | (F.length(trimmed) == 0), F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .cast("long")
+    )
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("long"),
+        F.lit(shards),
+    )
+    base = docs.select(F.col(id_col), n.alias("n_tokens"), shard.alias("shard"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("start_off")
+    return base.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        start,
+        F.floor((cum - F.col("n_tokens")) / chunk_tokens).cast("long").alias("first_chunk"),
+        F.floor(
+            F.greatest(cum - 1, cum - F.col("n_tokens")) / chunk_tokens
+        ).cast("long").alias("last_chunk"),
+    )

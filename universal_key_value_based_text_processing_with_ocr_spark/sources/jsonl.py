@@ -51,30 +51,42 @@ def scan_jsonl(spark: SparkSession, path_glob: str, schema: str) -> DataFrame:
 
     ``schema`` is a DDL string of the EXPECTED columns; the frame returned
     carries them plus ``_corrupt_record`` (NULL for clean rows, the raw
-    line for rows that failed to parse or type-check).  PERMISSIVE mode:
-    a bad line yields one quarantined row, never a task failure."""
+    line for rows that failed to parse or type-check).  PERMISSIVE: a bad
+    line yields one quarantined row, never a task failure.
+
+    Implementation detail that matters downstream: this reads through the
+    TEXT source + ``from_json`` rather than ``spark.read.json``.  The
+    native json scan refuses any plan whose referenced columns collapse to
+    just ``_corrupt_record`` (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — which is
+    exactly what Catalyst's column pruning produces for the obvious
+    ``clean.count()`` / ``bad.count()`` audit queries, so the one-liner
+    breaks the moment anyone counts the quarantine.  ``from_json`` is an
+    ordinary expression with no such restriction, parses the same Jackson
+    path, and the text source decodes .gz shards transparently.  Blank
+    lines are dropped (the native reader's behaviour; the json writer
+    never emits them)."""
     if not schema or not schema.strip():
         raise ValueError(
             "scan_jsonl requires an explicit DDL schema: schema inference "
             "is a full extra corpus scan and type-unstable across shards"
         )
     full = f"{schema}, {CORRUPT_COL} string"
-    return (
-        spark.read.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path_glob)
+    raw = spark.read.text(path_glob).filter(F.length(F.trim(F.col("value"))) > 0)
+    parsed = raw.select(
+        F.from_json(
+            F.col("value"),
+            full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("j")
     )
+    return parsed.select("j.*")
 
 
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean_rows_without_quarantine_col, quarantine_frame).
 
-    The quarantine frame carries ``raw`` (the offending line) AND the
-    typed columns (NULL or partially parsed) — partly for the audit, and
-    necessarily: Spark refuses a JSON scan whose referenced columns are
-    ONLY ``_corrupt_record`` (QUERY_ONLY_CORRUPT_RECORD_COLUMN), so the
-    quarantine projection must keep at least one data column anyway."""
+    The quarantine frame carries ``raw`` (the offending line) plus the
+    typed columns (NULL or partially parsed) for the audit."""
     clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     data_cols = [c for c in df.columns if c != CORRUPT_COL]
     bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
