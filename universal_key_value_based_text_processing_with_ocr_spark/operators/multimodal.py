@@ -233,14 +233,31 @@ def image_near_dup(images: DataFrame, max_hamming: int = 1) -> DataFrame:
     The scale path mirrors SimHash text dedup: split the 16-bit dhash
     into four 4-bit bands; two hashes within Hamming distance 3 must
     agree EXACTLY on at least one band (pigeonhole), so candidates come
-    from four equi-joins on (band_id, band_value) — never an all-pairs
+    from an equi-join on (band_id, band_value) — never an all-pairs
     comparison — then the true Hamming distance filters to
-    ``max_hamming`` (must be <= 3 for the band guarantee; the oracle's
-    cross join + bit_count is the spec).  Corpus-scale shape: one explode
-    (4x amplification of an 8-byte key, not the payload), one shuffle on
-    the band key, distinct pair dedup.
+    ``max_hamming`` (<= 3 for the band guarantee; the oracle's cross
+    join + bit_count is the spec).  Returns (doc_a, doc_b, hamming),
+    doc_a < doc_b.
 
-    Returns (doc_a, doc_b, hamming), doc_a < doc_b."""
+    Physical-shape notes (both alternatives MEASURED, round 5):
+
+    - The decode+dhash Python stage is referenced by both sides of the
+      self-join and Arrow stages never canonicalize equal, so
+      ReuseExchange cannot collapse them — the decode runs twice.  The
+      "fix" of grouping by band and exploding pairs row-locally (the
+      jaccard bounded-group pattern) decodes once but builds every
+      bucket's k(k-1)/2 pair structs in INTERPRETED nested-lambda
+      evaluation — 2.5x slower end-to-end on collision-heavy buckets
+      (13.8s vs 4.5s at sf0.1).  The codegen'd streaming join wins even
+      paying the second decode.
+    - At production scale neither happens: the 16-byte/row hash table is
+      what you BANK (the dedup fp-side-table pattern) — decode once at
+      ingest, join from the banked table ever after.
+    - The explicit repartition + merge hint keep the join co-partitioned
+      SMJ at any scale: both sides ARE the same corpus-sized table, so
+      an AQE broadcast conversion is a toy-scale artifact (and a
+      broadcast exchange could never be reused by the other side).
+    """
     from pyspark.sql import functions as F
 
     if not 0 <= max_hamming <= 3:
@@ -261,6 +278,7 @@ def image_near_dup(images: DataFrame, max_hamming: int = 1) -> DataFrame:
             )
         ).alias("bv"),
     ).select("doc_id", "dhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    bands = bands.repartition("band", "val").hint("shuffle_merge")
     a = bands.select(
         F.col("band"), F.col("val"),
         F.col("doc_id").alias("doc_a"), F.col("dhash").alias("h_a"),
@@ -269,7 +287,7 @@ def image_near_dup(images: DataFrame, max_hamming: int = 1) -> DataFrame:
         F.col("band"), F.col("val"),
         F.col("doc_id").alias("doc_b"), F.col("dhash").alias("h_b"),
     )
-    pairs = (
+    return (
         a.join(b, ["band", "val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
@@ -280,4 +298,3 @@ def image_near_dup(images: DataFrame, max_hamming: int = 1) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return pairs
