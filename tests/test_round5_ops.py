@@ -422,3 +422,45 @@ def test_pack_sequences_contiguous_and_chunk_math(spark):  # noqa: F811
             assert r.last_chunk == last_tok // 256
             if r.n_tokens == 0:
                 assert r.first_chunk == r.last_chunk
+
+
+def test_wav_codec_hostile_inputs_and_containment(spark):  # noqa: F811
+    """Truncated/oversized/misdeclared RIFF payloads raise contained
+    ValueError (never a huge allocation); the Arrow stage turns them into
+    auditable error rows; stereo and chunk-order variants decode."""
+    import struct
+
+    from universal_key_value_based_text_processing_with_ocr_spark.operators import audiocodec as ac
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.multimodal import (
+        decode_audio_stats,
+    )
+
+    good = ac.synth_wav(3)
+    # stereo round trip
+    st = ac.decode_wav(ac.encode_wav(44100, [1, -1, 100, -100], channels=2))
+    assert st["channels"] == 2 and st["n_frames"] == 2
+
+    hostile = [
+        b"",  # empty
+        b"RIFF" + b"\x00" * 4,  # truncated header
+        b"RIFX" + good[4:],  # wrong magic
+        good[:30],  # truncated mid-fmt
+        # data chunk declaring more bytes than exist
+        good[:40] + struct.pack("<I", 2 ** 31) + good[44:],
+        # absurd declared sample count via forged data length
+        b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 0xFFFFFFF0),
+        # float PCM (format 3): the compressed/float library seam
+        b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVEfmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4,
+    ]
+    for h in hostile:
+        with pytest.raises(ValueError):
+            ac.decode_wav(h)
+
+    rows = [(0, bytearray(good)), (1, bytearray(b"not audio at all")), (2, None)]
+    df = spark.createDataFrame(rows, schema="doc_id long, payload binary")
+    got = {r.doc_id: r.format for r in decode_audio_stats(df).collect()}
+    assert got == {0: "wav", 1: "error", 2: "error"}

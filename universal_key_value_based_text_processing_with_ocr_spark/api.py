@@ -615,6 +615,16 @@ def q_image_near_dup(spark, sf_dir):
     return multimodal.image_near_dup(multimodal.synth_images(docs), max_hamming=1)
 
 
+def q_multimodal_audio_decode(spark, sf_dir):
+    """REAL stdlib WAV decode (third modality): deterministic RIFF/PCM16
+    clips per doc_id -> chunk-walking parse -> integer-exact signal
+    stats.  The oracle recomputes the stats analytically from the
+    sawtooth closed form — it never parses a RIFF header, so a codec bug
+    cannot cancel out (the image-decode policy applied to audio)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return multimodal.decode_audio_stats(multimodal.synth_audio(docs))
+
+
 def q_multimodal_frame_plan(spark, sf_dir):
     docs = _tbl(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     video = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
@@ -891,7 +901,6 @@ QUERIES = {
     "streamed_window_agg": q_streamed_window_agg,
     "stateful_sessionize": q_stateful_sessionize,
     "quality_filter": q_quality_filter,
-    "clean_corpus": q_clean_corpus,
     "pages_clean_corpus": q_pages_clean_corpus,
     "pages_host_stats": q_pages_host_stats,
     "pages_content_dedup": q_pages_content_dedup,
@@ -917,6 +926,7 @@ QUERIES = {
     "fix_mojibake": q_fix_mojibake,
     "image_dhash": q_image_dhash,
     "image_near_dup": q_image_near_dup,
+    "multimodal_audio_decode": q_multimodal_audio_decode,
     "bucketed_join": q_bucketed_join,
     "semdedup": q_semdedup,
     "dedup_exact": q_dedup_exact,
@@ -933,6 +943,7 @@ QUERIES = {
     # ---------------- past the driver's 50-entry cap -------------------
     # all unchanged since round 4 and green in the round-4 driver run;
     # re-verified green this round by scripts/check_correctness.py (72/72)
+    "clean_corpus": q_clean_corpus,
     "dedup_incremental": q_dedup_incremental,
     "dedup_minhash": q_dedup_minhash,
     "similarity_topk": q_similarity_topk,
@@ -2372,6 +2383,33 @@ ORACLE_SQL = {
                              0)) / 1000.0 AS contrast,
                CAST(a.mn AS DOUBLE) / 1000.0 AS min_luma,
                CAST(a.mx AS DOUBLE) / 1000.0 AS max_luma
+        FROM dims d JOIN agg a USING (doc_id)
+    """,
+    "multimodal_audio_decode": """
+        -- analytic replay of audiocodec.synth_wav's sawtooth closed form:
+        -- the oracle never parses a RIFF header
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(1 + doc_id % 2 AS INT) AS channels,
+                   CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+                   600 + 150 * (doc_id % 4) AS n
+            FROM documents
+        ),
+        smp AS (
+            SELECT d.doc_id, ((31 * d.doc_id + 7 * i.i) % 4096) - 2048 AS v
+            FROM dims d, range(0, 1050) i(i)
+            WHERE i.i < d.n
+        ),
+        agg AS (
+            SELECT doc_id, count(*) AS n, sum(abs(v)) AS sum_abs,
+                   sum(v * v) AS sum_sq, max(abs(v)) AS peak
+            FROM smp GROUP BY doc_id
+        )
+        SELECT d.doc_id, 'wav' AS format, d.channels, d.sample_rate,
+               CAST(d.n // d.channels AS BIGINT) AS n_frames,
+               CAST(a.sum_abs AS BIGINT) AS sum_abs,
+               CAST(a.peak AS BIGINT) AS peak,
+               sqrt(CAST(a.sum_sq AS DOUBLE) / a.n) AS rms
         FROM dims d JOIN agg a USING (doc_id)
     """,
     "multimodal_frame_plan": """

@@ -298,3 +298,77 @@ def image_near_dup(images: DataFrame, max_hamming: int = 1) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+AUDIO_STATS_SCHEMA = (
+    "doc_id long, format string, channels int, sample_rate int, n_frames long, "
+    "sum_abs long, peak long, rms double"
+)
+
+
+def synth_audio(docs: DataFrame) -> DataFrame:
+    """(doc_id) -> (doc_id, payload): deterministic REAL RIFF/PCM16 bytes
+    (``audiocodec.synth_wav``), generated distributed via Arrow batches —
+    the audio fixture source (the synth_images analog)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import audiocodec
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [audiocodec.synth_wav(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+def decode_audio_stats(audio: DataFrame) -> DataFrame:
+    """REAL WAV decode -> integer-exact signal statistics (the third
+    modality, same contract as the image decode: stdlib RIFF/PCM16 parse
+    with hostile-input hardening, per-row error containment to an
+    auditable format='error' row, one Arrow pass with the payload pruned
+    after decode).  sum_abs/peak are exact integers; rms is one sqrt over
+    exact sums, so the analytic oracle replays everything bit-for-bit
+    from the synthesis closed form.  Compressed formats (mp3/ogg) raise
+    at the documented seam in ``audiocodec.decode_wav`` and surface as
+    error rows, exactly like undecodable images."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import audiocodec
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    if payload is None:
+                        raise ValueError("NULL payload")
+                    dec = audiocodec.decode_wav(bytes(payload))
+                    st = audiocodec.audio_stats(dec)
+                    rows.append(
+                        {
+                            "doc_id": doc_id, "format": "wav",
+                            "channels": dec["channels"],
+                            "sample_rate": dec["sample_rate"],
+                            "n_frames": dec["n_frames"], **st,
+                        }
+                    )
+                except ValueError:
+                    rows.append(
+                        {
+                            "doc_id": doc_id, "format": "error",
+                            "channels": None, "sample_rate": None,
+                            "n_frames": None, "sum_abs": None,
+                            "peak": None, "rms": None,
+                        }
+                    )
+            out = pd.DataFrame(
+                rows,
+                columns=["doc_id", "format", "channels", "sample_rate",
+                         "n_frames", "sum_abs", "peak", "rms"],
+            )
+            for c in ("channels", "sample_rate", "n_frames", "sum_abs", "peak", "rms"):
+                out[c] = out[c].astype(object).where(out[c].notna(), None)
+            yield out
+
+    return audio.select("doc_id", "payload").mapInPandas(gen, schema=AUDIO_STATS_SCHEMA)
