@@ -145,7 +145,7 @@ def main() -> None:
         "jsonl_roundtrip", "bucketed_join", "fineweb_pipeline",
         "image_dhash", "image_near_dup", "semdedup",
         "partitioned_scan", "doc_nfc_normalize", "bigram_lm_score",
-        "pack_sequences", "multimodal_audio_decode",
+        "pack_sequences", "multimodal_audio_decode", "mixture_sample",
     ]
 
     best: dict[str, float] = {}

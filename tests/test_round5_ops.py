@@ -464,3 +464,33 @@ def test_wav_codec_hostile_inputs_and_containment(spark):  # noqa: F811
     df = spark.createDataFrame(rows, schema="doc_id long, payload binary")
     got = {r.doc_id: r.format for r in decode_audio_stats(df).collect()}
     assert got == {0: "wav", 1: "error", 2: "error"}
+
+
+def test_mixture_sample_hits_targets_and_is_deterministic(spark):  # noqa: F811
+    """Kept token mass per source approaches min(tokens_s, T_s); a source
+    whose target exceeds its mass keeps EVERY doc; two runs identical."""
+    from pyspark.sql import functions as F
+
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        mixture_sample,
+    )
+
+    rows = []
+    for i in range(600):
+        src = f"s{i % 3}"
+        rows.append((i, src, "tok " * (10 + i % 20)))
+    rows += [(1000 + i, "tiny", "tok tok tok") for i in range(5)]  # tiny source
+    df = spark.createDataFrame(
+        [(i, s, t.strip()) for i, s, t in rows], schema="doc_id long, source string, text string"
+    )
+    w = F.when(F.col("source") == "tiny", F.lit(50)).otherwise(F.lit(1))
+    out = mixture_sample(df, budget_tokens=4000, weight=w).toPandas()
+    out2 = mixture_sample(df, budget_tokens=4000, weight=w).toPandas()
+    assert sorted(out.doc_id) == sorted(out2.doc_id)  # deterministic
+    # tiny source: target = 4000*50/53 >> 15 tokens -> keeps all 5 docs
+    assert (out.source == "tiny").sum() == 5
+    # each big source: target ~ 4000/53 ~ 75 tokens of ~3900 -> sparse but
+    # non-empty sample, and kept mass can never exceed ~2x target
+    for srcn in ("s0", "s1", "s2"):
+        kept = out[out.source == srcn].n_tokens.sum()
+        assert 0 < kept < 400, (srcn, kept)

@@ -631,6 +631,18 @@ def q_multimodal_frame_plan(spark, sf_dir):
     return multimodal.frame_sample_plan(video, every_n=30)
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Dolma-style token-budget mixture sampling: per-source targets from
+    integer weights (1 + N % 5 over the synthetic srcN sources — five
+    weight classes, and at budget 20k five sources land ABOVE their token
+    mass so both the keep-all and the hash-subsample branches fire),
+    deterministic hash keep-rule, all integer cross-multiplication."""
+    w = 1 + F.substring(F.col("source"), 4, 10).cast("long") % 5
+    return textstats.mixture_sample(
+        _tbl(spark, sf_dir, "documents"), budget_tokens=20_000, weight=w
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """GPT-style concat-and-chunk packing plan (512-token chunks over 8
     hash shards): per-doc offset intervals and spanned chunk ids, all
@@ -908,7 +920,6 @@ QUERIES = {
     "events_asof_join": q_events_asof_join,
     "dedup_paragraphs": q_dedup_paragraphs,
     "url_normalize": q_url_normalize,
-    "corpus_familiarity": q_corpus_familiarity,
     "gopher_quality": q_gopher_quality,
     "dsir_importance": q_dsir_importance,
     "doc_keywords": q_doc_keywords,
@@ -917,6 +928,7 @@ QUERIES = {
     "wet_roundtrip": q_wet_roundtrip,
     "fineweb_pipeline": q_fineweb_pipeline,
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    "mixture_sample": q_mixture_sample,
     "pack_sequences": q_pack_sequences,
     "bigram_lm_score": q_bigram_lm_score,
     "partitioned_scan": q_partitioned_scan,
@@ -943,6 +955,7 @@ QUERIES = {
     # ---------------- past the driver's 50-entry cap -------------------
     # all unchanged since round 4 and green in the round-4 driver run;
     # re-verified green this round by scripts/check_correctness.py (72/72)
+    "corpus_familiarity": q_corpus_familiarity,
     "clean_corpus": q_clean_corpus,
     "dedup_incremental": q_dedup_incremental,
     "dedup_minhash": q_dedup_minhash,
@@ -1976,6 +1989,29 @@ ORACLE_SQL = {
                     WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
                'fake' AS meta_source
         FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 0
+    """,
+    "mixture_sample": r"""
+        WITH base AS (
+            SELECT doc_id, source,
+                   CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                        ELSE length(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        ),
+        per_source AS (
+            SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tokens_s,
+                   CAST(1 + CAST(substr(source, 4) AS BIGINT) % 5 AS BIGINT) AS w
+            FROM base GROUP BY source
+        ),
+        rates AS (
+            SELECT source, tokens_s,
+                   CAST(20000 AS BIGINT) * w // (SELECT sum(w) FROM per_source) AS t_s
+            FROM per_source
+        )
+        SELECT b.doc_id, b.source, b.n_tokens
+        FROM base b JOIN rates r USING (source)
+        WHERE ((('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1048576)
+               * r.tokens_s) < r.t_s * 1048576
     """,
     "pack_sequences": r"""
         WITH base AS (

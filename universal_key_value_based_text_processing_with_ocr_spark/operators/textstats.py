@@ -1096,3 +1096,60 @@ def pack_sequences(
             F.greatest(cum - 1, cum - F.col("n_tokens")) / chunk_tokens
         ).cast("long").alias("last_chunk"),
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    weight: F.Column,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Token-budget mixture sampling (the Dolma/Pile recipe step: hit a
+    total token budget with a TARGET SOURCE MIXTURE, not whatever ratio
+    the crawl happened to have).
+
+    ``weight`` is an integer column expression over ``source_col`` giving
+    each source's mixture part; source s receives a token target
+    ``T_s = budget * w_s // sum(w)`` and keeps each of its documents with
+    probability ``min(1, T_s / tokens_s)`` — decided DETERMINISTICALLY by
+    hash so the sample is reproducible and resume-stable:
+
+        keep  iff  (md5_60bit(id) % scale) * tokens_s  <  T_s * scale
+
+    Pure integer cross-multiplication — no float rate, no boundary
+    disagreement between engines (values stay < 2^63 up to corpus sizes
+    of ~2^42 tokens per source at the default scale).
+
+    Physical shape: ONE map-side-combinable per-source token agg (tiny:
+    |sources| rows), a 1-row weight-total cross join, a broadcast join of
+    the rate table back onto the corpus, then a row-local keep filter —
+    the corpus itself never shuffles.  Returns kept rows:
+    (id, source, n_tokens)."""
+    trimmed = F.trim(F.col("text"))
+    n = (
+        F.when(F.col("text").isNull() | (F.length(trimmed) == 0), F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .cast("long")
+    )
+    base = docs.select(F.col(id_col), F.col(source_col), n.alias("n_tokens"))
+    per_source = base.groupBy(source_col).agg(F.sum("n_tokens").alias("tokens_s")).select(
+        source_col, "tokens_s", weight.cast("long").alias("w")
+    )
+    wtot = per_source.agg(F.sum("w").alias("w_total"))
+    rates = per_source.crossJoin(F.broadcast(wtot)).select(
+        source_col,
+        "tokens_s",
+        # exact LONG division (DIV), not double-division-then-cast — a
+        # petabyte budget times a weight would lose low bits in a double
+        F.expr(f"CAST({budget_tokens} AS BIGINT) * w DIV w_total").alias("t_s"),
+    )
+    return (
+        base.join(F.broadcast(rates), source_col)
+        .filter(
+            md5_long(F.col(id_col).cast("string")) % scale * F.col("tokens_s")
+            < F.col("t_s") * scale
+        )
+        .select(id_col, source_col, "n_tokens")
+    )
