@@ -93,6 +93,11 @@ def main() -> None:
         ("url_blocklist", "UT1-style host gate: codegen'd host extraction + BroadcastHashJoin LeftAnti — the corpus never shuffles"),
         ("fix_mojibake", "mojibake repair: one codegen'd 28-step replace chain — no UDF, no shuffle"),
         ("jsonl_roundtrip", "native distributed jsonl.gz sink -> explicit-schema PERMISSIVE scan with corrupt-record quarantine"),
+        ("multimodal_audio_decode", "audio modality: two Arrow stages (synth RIFF bytes -> chunk-walk decode), payload pruned after decode, no shuffle"),
+        ("pack_sequences", "sequence packing: hash-shard key + per-shard window cumulative sum — integer-only, one shuffle"),
+        ("mixture_sample", "token-budget mixture sampling: tiny combinable per-source agg + 1-row weight total + broadcast rate table; the corpus never shuffles"),
+        ("bigram_lm_score", "bigram LM: one gram explode, combinable gram/context count aggs, broadcast 1-row vocab, score re-joins keyed on gram/context"),
+        ("partitioned_scan", "hive-partitioned sink + scan: the lang filter is a PartitionFilters directory-pruning entry, not a data-file predicate"),
     ]
     for name, note in named:
         sections.append((name, note, formatted(api.QUERIES[name](spark, SF))))
