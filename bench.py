@@ -146,6 +146,7 @@ def main() -> None:
         "image_dhash", "image_near_dup", "semdedup",
         "partitioned_scan", "doc_nfc_normalize", "bigram_lm_score",
         "pack_sequences", "multimodal_audio_decode", "mixture_sample",
+        "chunk_documents",
     ]
 
     best: dict[str, float] = {}

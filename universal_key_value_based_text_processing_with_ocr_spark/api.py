@@ -631,6 +631,15 @@ def q_multimodal_frame_plan(spark, sf_dir):
     return multimodal.frame_sample_plan(video, every_n=30)
 
 
+def q_chunk_documents(spark, sf_dir):
+    """RAG/long-doc context chunking: 16-token windows advancing by 12
+    (4-token overlap), final window keeps the remainder — row-local
+    slices, one posexplode, no shuffle."""
+    return textstats.chunk_documents(
+        _tbl(spark, sf_dir, "documents"), chunk_tokens=16, overlap=4
+    )
+
+
 def q_mixture_sample(spark, sf_dir):
     """Dolma-style token-budget mixture sampling: per-source targets from
     integer weights (1 + N % 5 over the synthetic srcN sources — five
@@ -918,7 +927,6 @@ QUERIES = {
     "mask_repeated_ngrams": q_mask_repeated_ngrams,
     "events_asof_join": q_events_asof_join,
     "dedup_paragraphs": q_dedup_paragraphs,
-    "url_normalize": q_url_normalize,
     "gopher_quality": q_gopher_quality,
     "dsir_importance": q_dsir_importance,
     "doc_keywords": q_doc_keywords,
@@ -927,6 +935,7 @@ QUERIES = {
     "wet_roundtrip": q_wet_roundtrip,
     "fineweb_pipeline": q_fineweb_pipeline,
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    "chunk_documents": q_chunk_documents,
     "mixture_sample": q_mixture_sample,
     "pack_sequences": q_pack_sequences,
     "bigram_lm_score": q_bigram_lm_score,
@@ -954,6 +963,7 @@ QUERIES = {
     # ---------------- past the driver's 50-entry cap -------------------
     # all unchanged since round 4 and green in the round-4 driver run;
     # re-verified green this round by scripts/check_correctness.py (72/72)
+    "url_normalize": q_url_normalize,
     "pages_host_stats": q_pages_host_stats,
     "corpus_familiarity": q_corpus_familiarity,
     "clean_corpus": q_clean_corpus,
@@ -1989,6 +1999,27 @@ ORACLE_SQL = {
                     WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
                'fake' AS meta_source
         FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 0
+    """,
+    "chunk_documents": r"""
+        WITH base AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents
+            WHERE text IS NOT NULL AND length(trim(text)) > 0
+        ),
+        idx AS (
+            SELECT b.doc_id, b.t, i.i AS chunk_idx
+            FROM base b, range(0, 256) i(i)
+            WHERE i.i <= (len(b.t) - 1) // 12
+        ),
+        c AS (
+            SELECT doc_id, chunk_idx,
+                   list_slice(t, chunk_idx * 12 + 1, chunk_idx * 12 + 16) AS ck
+            FROM idx
+        )
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(len(ck) AS BIGINT) AS n_chunk_tokens,
+               array_to_string(ck, ' ') AS chunk_text
+        FROM c
     """,
     "mixture_sample": r"""
         WITH base AS (

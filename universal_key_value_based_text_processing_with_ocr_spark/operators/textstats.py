@@ -1153,3 +1153,44 @@ def mixture_sample(
         )
         .select(id_col, source_col, "n_tokens")
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking — the context-window splitter
+    every RAG index and long-document training pipeline runs: windows of
+    ``chunk_tokens`` whitespace tokens advancing by ``chunk_tokens -
+    overlap``, the final window keeping its tail remainder.
+
+    Row-local: tokens come from ONE split, window slices from one
+    transform over the start-index sequence, then a single posexplode —
+    output amplification is the unavoidable ~1/(1-overlap/chunk) text
+    duplication of the technique itself, and nothing shuffles.
+    -> (id, chunk_idx, n_chunk_tokens, chunk_text); empty/NULL docs yield
+    no rows (nothing to index)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nonempty = docs.filter(F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0))
+    base = nonempty.select(F.col(id_col), toks.alias("_t"))
+    # start indices 0, step, 2*step, ... while start < n; slice is 1-based
+    chunks = F.expr(
+        f"transform(sequence(0, CAST(floor((size(_t) - 1) / {step}) AS INT)), "
+        f"           i -> slice(_t, i * {step} + 1, {chunk_tokens}))"
+    )
+    # drop trailing windows fully covered by the previous one (start >= n)
+    # — sequence() above already stops at the last start < n
+    return (
+        base.select(id_col, F.posexplode(chunks).alias("chunk_idx", "_c"))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size("_c").cast("long").alias("n_chunk_tokens"),
+            F.array_join("_c", " ").alias("chunk_text"),
+        )
+    )
