@@ -902,13 +902,17 @@ QUERIES = {
     # entries.  Round-5 rotation: every query NEW or CHANGED in round 5
     # (both sessions: the jpeg/warc/wet/dsir/keywords/gopher batch and the
     # semdedup/dhash/fineweb/jsonl/blocklist/mojibake/lexdiv/bucketed
-    # batch) sits inside the window, as do the four gate queries whose
-    # operators grew the extra_cols passthrough (doc_langid,
-    # quality_filter, gopher_quality, c4_line_clean) and the five that
-    # were replica-only in round 4.  The 22 past the cap are ALL unchanged
-    # since round 4 and were green in the round-4 driver run (or earlier);
-    # scripts/check_correctness.py still checks all 72 every round.
-    # Rotate again whenever queries are added.
+    # batch plus the second-session additions: semdedup, image dhash +
+    # near-dup, fineweb_pipeline, jsonl/partitioned sinks, blocklist,
+    # mojibake, NFC, lexical diversity, bigram LM, mixture sampling,
+    # sequence packing, chunking, audio decode, bucketed join) sits inside
+    # the window, as do the four gate queries whose operators grew the
+    # extra_cols passthrough (doc_langid, quality_filter, gopher_quality,
+    # c4_line_clean) and the five that were replica-only in round 4.  The
+    # 29 past the cap are ALL unchanged since round 4 and were green in
+    # the round-4 driver run (or earlier); scripts/check_correctness.py
+    # still checks all 79 every round.  Rotate again whenever queries are
+    # added.
     # ------------------------------------------------------------------
     "extract_fields": q_extract_fields,
     "html_main_lines": q_html_main_lines,

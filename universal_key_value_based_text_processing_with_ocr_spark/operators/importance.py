@@ -25,6 +25,8 @@ while production can flip to xxhash64.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -259,7 +261,7 @@ def bigram_lm_score(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     F.log((F.col("c12") + 1).cast("double") / (F.col("ctx") + F.col("v")))
                 )
                 / F.count("*")
-                / float(__import__("math").log(2)),
+                / math.log(2),
                 6,
             ).alias("xent_bits"),
         )
