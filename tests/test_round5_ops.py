@@ -494,3 +494,111 @@ def test_mixture_sample_hits_targets_and_is_deterministic(spark):  # noqa: F811
     for srcn in ("s0", "s1", "s2"):
         kept = out[out.source == srcn].n_tokens.sum()
         assert 0 < kept < 400, (srcn, kept)
+
+
+# --------------------------------------------------------------------------
+# session 3: warc_cdx / html_meta / bm25_score
+# --------------------------------------------------------------------------
+
+
+def test_warc_cdx_offsets_are_seekable(tmp_path):
+    """The CDX contract: record_offset must let a reader seek straight to
+    one record WITHOUT scanning the archive.  Parse the archive once for
+    offsets, then re-parse each record from data[offset:] alone and check
+    it yields the same record first."""
+    from universal_key_value_based_text_processing_with_ocr_spark.sources import warc as w
+
+    recs = [
+        {
+            "url": f"https://cdx.example/{i}",
+            "date": f"2024-01-01T00:00:{i:02d}Z",
+            "payload": w.build_http_response(
+                b"x" * (i * 7 % 53), 200 if i % 3 else 404,
+                "OK" if i % 3 else "Not Found",
+            ),
+        }
+        for i in range(12)
+    ]
+    path = str(tmp_path / "seek.warc")
+    w.write_warc(path, recs)
+    data = open(path, "rb").read()
+    parsed = list(w.iter_warc_records(data))
+    assert len(parsed) == 13  # warcinfo + 12
+    for rec in parsed:
+        again = next(iter(w.iter_warc_records(data[rec["offset"]:])))
+        assert again["headers"] == rec["headers"]
+        assert again["payload"] == rec["payload"]
+
+
+def test_html_meta_on_real_synth_pages(spark):  # noqa: F811
+    """extract_html_meta over the REAL synthetic crawl html (not the
+    oracle's constructed variants): every page with an html payload must
+    yield title == 'doc {id}' (render_html's title), no description/og
+    (the synth pages define none), and noindex False."""
+    from pyspark.sql import functions as F
+
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        extract_html_meta,
+    )
+    from universal_key_value_based_text_processing_with_ocr_spark.sources.pages import (
+        synth_pages_df,
+    )
+
+    pages = synth_pages_df(spark, 80, seed=7).select(
+        "url", F.expr("decode(html, 'UTF-8')").alias("html_str")
+    )
+    out = extract_html_meta(pages).collect()
+    with_html = [r for r in out if r.html_str is not None]
+    assert len(with_html) >= 60
+    for r in with_html:
+        assert r.title is not None and r.title.startswith("doc ")
+        assert r.meta_description is None
+        assert r.og_title is None
+        assert r.noindex is False
+    for r in out:
+        if r.html_str is None:
+            assert r.title is None
+
+
+def test_bm25_float_matches_numpy_replication(spark):  # noqa: F811
+    """The float bm25 column (excluded from the driver oracle, DSIR
+    determinism split) pinned against an independent numpy/pure-Python
+    replication of Robertson-Spärck Jones BM25 over the same tokeniser."""
+    import math
+    import re
+
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.importance import (
+        bm25_score,
+    )
+
+    docs = [
+        (0, "join hash join shuffle the big join plan"),
+        (1, "broadcast the small side broadcast broadcast"),
+        (2, "nothing relevant here at all"),
+        (3, None),
+        (4, "hash"),
+        (5, "join " * 50),
+    ]
+    terms = ["join", "hash", "shuffle", "broadcast"]
+    df = spark.createDataFrame(docs, schema="doc_id long, text string")
+    got = {r.doc_id: r for r in bm25_score(df, terms).collect()}
+
+    toks = {
+        i: [t for t in re.split(r"[^a-z0-9]+", (txt or "").lower()) if t]
+        for i, txt in docs
+    }
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfreq = {q: sum(1 for t in toks.values() if q in t) for q in terms}
+    k1, b = 1.2, 0.75
+    for i, tlist in toks.items():
+        expect = 0.0
+        for q in terms:
+            tf = tlist.count(q)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - dfreq[q] + 0.5) / (dfreq[q] + 0.5))
+            expect += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(tlist) / avgdl))
+        assert abs(got[i].bm25 - round(expect, 6)) < 2e-6, (i, got[i].bm25, expect)
+        assert got[i].doclen == len(tlist)
+        assert got[i].tf_mass == sum(tlist.count(q) for q in terms)

@@ -896,6 +896,95 @@ def q_stateful_sessionize(spark, sf_dir):
     return stateful_sessionize_stream(spark, f"{sf_dir}/events.parquet")
 
 
+def q_warc_cdx(spark, sf_dir):
+    """CDX crawl index built distributed from the WARC shards: per record
+    (shard, url, date, byte offset, payload size, content digest) — the
+    lookup table Common Crawl publishes next to every crawl so a reader
+    can seek straight to one record.  ``record_offset`` comes from the
+    scan's byte accounting; the oracle reconstructs every offset CLOSED
+    FORM from the writer's record layout (header arithmetic over url and
+    body lengths — verified digit-exact), so a parser that miscounts even
+    one CRLF diverges on every subsequent record of the shard.  The
+    digest is JVM-side md5 over the payload bytes."""
+    from .sources.warc import scan_warc
+
+    fixture = _warc_fixture_dir(sf_dir)
+    scanned = scan_warc(spark, fixture + "/part-*", response_only=True)
+    return scanned.select(
+        F.regexp_extract("path", r"part-(\d+)\.warc", 1).cast("int").alias("shard"),
+        "url",
+        "warc_date",
+        "record_offset",
+        "n_payload_bytes",
+        F.md5(F.encode("payload_text", "UTF-8")).alias("digest"),
+    )
+
+
+def q_html_meta(spark, sf_dir):
+    """Head-metadata extraction (title / meta description / og:title /
+    canonical / charset / robots-noindex) over a page corpus covering the
+    attribute-layout variants real crawls produce: attribute order
+    swapped, single vs double quotes, uppercase tags, whitespace runs,
+    unquoted charset, missing tags.  Both engines build the SAME page
+    string from ``documents`` (the c4_line_clean fixture pattern), then
+    extract with their OWN regex engine (Java vs RE2) — the cross-check
+    is of the extraction expressions, not a replay."""
+    docs = _tbl(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 8
+    title = F.concat(F.lit("Doc "), F.col("doc_id"))
+    desc = F.concat(F.lit("summary "), F.col("doc_id") * 7 % 1000)
+    og = F.concat(F.lit("OG "), F.col("doc_id"))
+    canon = F.concat(F.lit("https://canon.example/"), F.col("doc_id"))
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit('<html><head><title>'), title, F.lit('</title>'),
+            F.lit('<meta name="description" content="'), desc, F.lit('">'),
+            F.lit('<meta property="og:title" content="'), og, F.lit('">'),
+            F.lit('<link rel="canonical" href="'), canon, F.lit('">'),
+            F.lit('<meta charset="utf-8"></head><body>x</body></html>')))
+        .when(m == 1, F.concat(  # attribute order swapped
+            F.lit('<html><head><title>'), title, F.lit('</title>'),
+            F.lit('<meta content="'), desc, F.lit('" name="description">'),
+            F.lit('<meta content="'), og, F.lit('" property="og:title">'),
+            F.lit('<link href="'), canon, F.lit('" rel="canonical"></head></html>')))
+        .when(m == 2, F.concat(  # single-quoted attributes
+            F.lit("<html><head><title>"), title, F.lit("</title>"),
+            F.lit("<meta name='description' content='"), desc, F.lit("'>"),
+            F.lit('</head></html>')))
+        .when(m == 3, F.concat(  # uppercase tag/attribute names
+            F.lit('<HTML><HEAD><TITLE>'), title, F.lit('</TITLE>'),
+            F.lit('<META NAME="description" CONTENT="'), desc, F.lit('">'),
+            F.lit('</HEAD></HTML>')))
+        .when(m == 4, F.concat(  # no description; extra title attrs
+            F.lit('<html><head><title id="t">'), title, F.lit('</title></head></html>')))
+        .when(m == 5, F.concat(  # whitespace/newline runs inside tags
+            F.lit('<html><head><title>  '), title, F.lit('  </title>'),
+            F.lit('<meta\n  name="description"\n  content="'), desc, F.lit('">'),
+            F.lit('</head></html>')))
+        .when(m == 6, F.concat(  # unquoted charset + robots noindex
+            F.lit('<html><head><title>'), title, F.lit('</title>'),
+            F.lit('<meta charset=iso-8859-1 >'),
+            F.lit('<meta name="robots" content="noarchive,noindex">'),
+            F.lit('</head></html>')))
+        .otherwise(F.lit('<html><body><p>no head at all</p></body></html>'))
+    )
+    pages = docs.select("doc_id", html.alias("html_str"))
+    return textstats.extract_html_meta(pages).drop("html_str")
+
+
+def q_bm25_score(spark, sf_dir):
+    """BM25 keyword relevance of every document to one query (corpus
+    triage: "rank the corpus for docs about X").  DSIR determinism
+    contract: the driver hash-checks the exact-integer retrieval masses
+    (doclen, n_hit_terms, tf_mass); the float bm25 column is pinned
+    against an independent numpy replication in pytest."""
+    from .operators.importance import bm25_score
+
+    return bm25_score(
+        _tbl(spark, sf_dir, "documents"), ["join", "hash", "shuffle", "broadcast"]
+    ).select("doc_id", "doclen", "n_hit_terms", "tf_mass")
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ORDERING CONTRACT: the driver oracle-checks only the FIRST 50
@@ -908,11 +997,12 @@ QUERIES = {
     # sequence packing, chunking, audio decode, bucketed join) sits inside
     # the window, as do the four gate queries whose operators grew the
     # extra_cols passthrough (doc_langid, quality_filter, gopher_quality,
-    # c4_line_clean) and the five that were replica-only in round 4.  The
-    # 29 past the cap are ALL unchanged since round 4 and were green in
-    # the round-4 driver run (or earlier); scripts/check_correctness.py
-    # still checks all 79 every round.  Rotate again whenever queries are
-    # added.
+    # c4_line_clean) and the five that were replica-only in round 4, and
+    # the third-session additions (warc_cdx, html_meta, bm25_score, plus
+    # warc_scan whose scan schema grew record_offset).  The 32 past the
+    # cap are ALL unchanged since round 4 and were green in the round-4
+    # driver run (or earlier); scripts/check_correctness.py still checks
+    # all 82 every round.  Rotate again whenever queries are added.
     # ------------------------------------------------------------------
     "extract_fields": q_extract_fields,
     "html_main_lines": q_html_main_lines,
@@ -953,11 +1043,11 @@ QUERIES = {
     "multimodal_audio_decode": q_multimodal_audio_decode,
     "bucketed_join": q_bucketed_join,
     "semdedup": q_semdedup,
-    "dedup_exact": q_dedup_exact,
+    "warc_cdx": q_warc_cdx,
+    "html_meta": q_html_meta,
+    "bm25_score": q_bm25_score,
     "dedup_incremental_bloom": q_dedup_incremental_bloom,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_clusters": q_dedup_clusters,
     "similarity_topk_lsh": q_similarity_topk_lsh,
     "similarity_topk_ivf": q_similarity_topk_ivf,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -966,7 +1056,10 @@ QUERIES = {
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
     # ---------------- past the driver's 50-entry cap -------------------
     # all unchanged since round 4 and green in the round-4 driver run;
-    # re-verified green this round by scripts/check_correctness.py (72/72)
+    # re-verified green every round by scripts/check_correctness.py
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "url_normalize": q_url_normalize,
     "pages_host_stats": q_pages_host_stats,
     "corpus_familiarity": q_corpus_familiarity,
@@ -1498,6 +1591,143 @@ ORACLE_SQL = {
                CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_payload_bytes,
                coalesce(text, '') AS payload_text
         FROM documents
+    """,
+    # CLOSED-FORM offset reconstruction: every WARC record's byte size is
+    # header arithmetic over (url length, body length, status), so the
+    # expected offset of record k is the warcinfo size (231) plus a
+    # window SUM of the sizes before it in the shard.  The parser's byte
+    # accounting never informs this side — a single miscounted CRLF
+    # diverges every later offset in the shard.  Constants verified
+    # byte-for-byte against the writer: warcinfo record = 231; response
+    # record = 222 + len(url) + digits(P) + P where the HTTP payload
+    # P = (78 for "200 OK" | 85 for "404 Not Found") + digits(M) + M over
+    # body length M.
+    "warc_cdx": """
+        WITH rec AS (
+            SELECT doc_id,
+                   CAST(doc_id % 8 AS INT) AS shard,
+                   'https://warc.example/' || doc_id AS url,
+                   '2024-01-01T' || lpad(CAST((doc_id // 3600) % 24 AS VARCHAR), 2, '0')
+                       || ':' || lpad(CAST((doc_id // 60) % 60 AS VARCHAR), 2, '0')
+                       || ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z' AS warc_date,
+                   CASE WHEN doc_id % 13 = 0 THEN 'not found'
+                        ELSE coalesce(text, '') END AS body,
+                   doc_id % 13 = 0 AS is404
+            FROM documents
+        ),
+        sized AS (
+            SELECT *,
+                   CAST(octet_length(encode(body)) AS BIGINT) AS m,
+                   (CASE WHEN is404 THEN 85 ELSE 78 END)
+                       + length(CAST(octet_length(encode(body)) AS VARCHAR))
+                       + octet_length(encode(body)) AS p
+            FROM rec
+        ),
+        full_rec AS (
+            SELECT *, 222 + length(url) + length(CAST(p AS VARCHAR)) + p AS rec_size
+            FROM sized
+        )
+        SELECT shard, url, warc_date,
+               CAST(231 + coalesce(SUM(rec_size) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS record_offset,
+               m AS n_payload_bytes,
+               md5(body) AS digest
+        FROM full_rec
+    """,
+    # same page-construction expressions as the Spark side, then DuckDB's
+    # OWN RE2 engine runs the shared regex dialect — the cross-check is
+    # of the extraction patterns under two regex engines, not a replay
+    "html_meta": r"""
+        WITH pages AS (
+            SELECT doc_id,
+                   CASE doc_id % 8
+                     WHEN 0 THEN '<html><head><title>Doc ' || doc_id || '</title>'
+                         || '<meta name="description" content="summary ' || (doc_id * 7) % 1000 || '">'
+                         || '<meta property="og:title" content="OG ' || doc_id || '">'
+                         || '<link rel="canonical" href="https://canon.example/' || doc_id || '">'
+                         || '<meta charset="utf-8"></head><body>x</body></html>'
+                     WHEN 1 THEN '<html><head><title>Doc ' || doc_id || '</title>'
+                         || '<meta content="summary ' || (doc_id * 7) % 1000 || '" name="description">'
+                         || '<meta content="OG ' || doc_id || '" property="og:title">'
+                         || '<link href="https://canon.example/' || doc_id || '" rel="canonical"></head></html>'
+                     WHEN 2 THEN '<html><head><title>Doc ' || doc_id || '</title>'
+                         || '<meta name=''description'' content=''summary ' || (doc_id * 7) % 1000 || '''>'
+                         || '</head></html>'
+                     WHEN 3 THEN '<HTML><HEAD><TITLE>Doc ' || doc_id || '</TITLE>'
+                         || '<META NAME="description" CONTENT="summary ' || (doc_id * 7) % 1000 || '">'
+                         || '</HEAD></HTML>'
+                     WHEN 4 THEN '<html><head><title id="t">Doc ' || doc_id || '</title></head></html>'
+                     WHEN 5 THEN '<html><head><title>  Doc ' || doc_id || '  </title>'
+                         || '<meta' || chr(10) || '  name="description"' || chr(10)
+                         || '  content="summary ' || (doc_id * 7) % 1000 || '">'
+                         || '</head></html>'
+                     WHEN 6 THEN '<html><head><title>Doc ' || doc_id || '</title>'
+                         || '<meta charset=iso-8859-1 >'
+                         || '<meta name="robots" content="noarchive,noindex">'
+                         || '</head></html>'
+                     ELSE '<html><body><p>no head at all</p></body></html>'
+                   END AS h
+            FROM documents
+        )
+        SELECT doc_id,
+               nullif(trim(regexp_extract(h, '(?i)<title[^>]*>([^<]*)</title>', 1)), '') AS title,
+               coalesce(
+                   nullif(regexp_extract(h, '(?i)<meta\s[^>]*name="description"[^>]*\scontent="([^"]*)"', 1), ''),
+                   nullif(regexp_extract(h, '(?i)<meta\s[^>]*name="description"[^>]*\scontent=''([^'']*)''', 1), ''),
+                   nullif(regexp_extract(h, '(?i)<meta\s[^>]*content="([^"]*)"[^>]*\sname="description"', 1), ''),
+                   nullif(regexp_extract(h, '(?i)<meta\s[^>]*content=''([^'']*)''[^>]*\sname="description"', 1), ''),
+                   nullif(regexp_extract(h, '(?i)<meta\s[^>]*name=''description''[^>]*\scontent="([^"]*)"', 1), ''),
+                   nullif(regexp_extract(h, '(?i)<meta\s[^>]*name=''description''[^>]*\scontent=''([^'']*)''', 1), '')
+               ) AS meta_description,
+               coalesce(
+                   nullif(regexp_extract(h, '(?i)<meta\s[^>]*property="og:title"[^>]*\scontent="([^"]*)"', 1), ''),
+                   nullif(regexp_extract(h, '(?i)<meta\s[^>]*property="og:title"[^>]*\scontent=''([^'']*)''', 1), ''),
+                   nullif(regexp_extract(h, '(?i)<meta\s[^>]*content="([^"]*)"[^>]*\sproperty="og:title"', 1), ''),
+                   nullif(regexp_extract(h, '(?i)<meta\s[^>]*content=''([^'']*)''[^>]*\sproperty="og:title"', 1), ''),
+                   nullif(regexp_extract(h, '(?i)<meta\s[^>]*property=''og:title''[^>]*\scontent="([^"]*)"', 1), ''),
+                   nullif(regexp_extract(h, '(?i)<meta\s[^>]*property=''og:title''[^>]*\scontent=''([^'']*)''', 1), '')
+               ) AS og_title,
+               coalesce(
+                   nullif(regexp_extract(h, '(?i)<link\s[^>]*rel="canonical"[^>]*\shref="([^"]*)"', 1), ''),
+                   nullif(regexp_extract(h, '(?i)<link\s[^>]*href="([^"]*)"[^>]*\srel="canonical"', 1), '')
+               ) AS canonical_url,
+               coalesce(
+                   nullif(regexp_extract(h, '(?i)<meta\s+charset="([a-zA-Z0-9_-]+)"', 1), ''),
+                   nullif(regexp_extract(h, '(?i)<meta\s+charset=([a-zA-Z0-9_-]+)[\s/>]', 1), '')
+               ) AS charset,
+               regexp_matches(h, '(?i)<meta\s[^>]*name="robots"[^>]*\scontent="[^"]*noindex') AS noindex
+        FROM pages
+    """,
+    # integer retrieval masses of the BM25 score (float pinned in pytest,
+    # the dsir_importance determinism split)
+    "bm25_score": """
+        WITH toks AS (
+            SELECT doc_id, list_filter(
+                       string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                       t -> t != '') AS t
+            FROM documents
+        ),
+        hits AS (
+            SELECT doc_id, unnest(t) AS term FROM toks
+        ),
+        per_term AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM hits
+            WHERE term IN ('join', 'hash', 'shuffle', 'broadcast')
+            GROUP BY doc_id, term
+        ),
+        agg AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+                   CAST(sum(tf) AS BIGINT) AS tf_mass
+            FROM per_term GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(t.t) AS INT) AS doclen,
+               coalesce(n_hit_terms, 0) AS n_hit_terms,
+               coalesce(tf_mass, 0) AS tf_mass
+        FROM toks t LEFT JOIN agg USING (doc_id)
     """,
     # the page rewrite mirrors q_c4_line_clean exactly; the lambda lives in
     # a plain SELECT (never a lateral subquery — DuckDB 1.0 binder trap,

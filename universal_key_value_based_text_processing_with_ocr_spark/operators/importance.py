@@ -280,3 +280,93 @@ def bigram_lm_score(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             "xent_bits",
         )
     )
+
+
+def bm25_score(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 relevance of every document to one term query (Robertson &
+    Spärck Jones probabilistic ranking — the scoring rule behind Lucene
+    and every "find training docs about X" corpus triage query):
+
+        score = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+        idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))
+
+    Reference analog: the engine's fuzzy key-dictionary RANKING (pick the
+    best-matching key for a token window, kvcore/matching.py) lifted to
+    corpus level: rank every document against a keyword dictionary.
+
+    Determinism contract (the ``dsir_importance`` split): the driver
+    oracle hash-checks the exact-integer retrieval masses per doc —
+    ``doclen`` (token count), ``n_hit_terms`` (distinct query terms
+    present), ``tf_mass`` (total query-term occurrences) — while the
+    float ``bm25`` column (one division chain over those integers plus
+    the two corpus scalars) is pinned against an independent numpy
+    replication in pytest.
+
+    Scale shape: tokens are exploded ONLY after an array_intersect guard
+    against the (tiny, plan-inlined) query list, so the explode emits at
+    most |query| rows per doc instead of doclen; df and avgdl are a
+    q-row and a 1-row broadcast; the per-doc agg is map-side combinable.
+    Nothing in the plan grows with corpus vocabulary.
+    """
+    terms = sorted({t.lower() for t in query_terms if t})
+    if not terms:
+        raise ValueError("bm25_score needs at least one non-empty query term")
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), TOKEN_SPLIT),
+        lambda w: w != "",
+    )
+    qlit = F.array(*[F.lit(t) for t in terms])
+    base = docs.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+    ).select(
+        id_col,
+        F.size("_toks").alias("doclen"),
+        # keep ONLY query-term occurrences before the explode: the hot
+        # path never materialises the full token stream as rows
+        F.filter("_toks", lambda w: F.array_contains(qlit, w)).alias("_hits"),
+    )
+    # corpus scalars: N + avgdl in ONE tiny agg (broadcast, 1 row)
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.sum("doclen").alias("len_mass")
+    )
+    hits = base.select(id_col, "doclen", F.explode("_hits").alias("term"))
+    df_tbl = hits.groupBy("term").agg(F.count_distinct(F.col(id_col)).alias("df"))
+    per_term = (
+        hits.groupBy(id_col, "doclen", "term")
+        .agg(F.count("*").alias("tf"))
+        .join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("len_mass").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("doclen") / avgdl))
+    )
+    scored = per_term.groupBy(id_col).agg(
+        F.count("*").alias("n_hit_terms"),
+        F.sum("tf").alias("tf_mass"),
+        F.round(F.sum(contrib), 6).alias("bm25"),
+    )
+    # id spine from the input: zero-hit docs score 0, never vanish
+    return (
+        base.select(id_col, "doclen")
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            "doclen",
+            F.coalesce("n_hit_terms", F.lit(0)).alias("n_hit_terms"),
+            F.coalesce("tf_mass", F.lit(0)).alias("tf_mass"),
+            F.coalesce("bm25", F.lit(0.0)).alias("bm25"),
+        )
+    )

@@ -1194,3 +1194,58 @@ def chunk_documents(
             F.array_join("_c", " ").alias("chunk_text"),
         )
     )
+
+
+def extract_html_meta(df: DataFrame, html_col: str = "html_str") -> DataFrame:
+    """Head-metadata extraction from raw HTML: ``<title>``, meta
+    description, ``og:title``, canonical link, declared charset, and the
+    robots-noindex gate — the per-page fields every crawl pipeline
+    indexes next to the extracted main text (and the first thing a
+    dataset card reports about a web corpus).
+
+    Reference analog: the key->value field extraction over OCR'd
+    documents (kvcore/matching.py key dictionaries) specialised to the
+    fixed key dictionary HTML itself defines (title/meta/link tags).
+
+    Pure codegen'd regex projection — no UDF, no shuffle, fuses onto the
+    scan.  Pattern dialect is the RE2-safe subset shared with the DuckDB
+    oracle: no backreferences (quote style is handled by explicit
+    single-/double-quote alternates), no dot-matches-newline (``[^<]``/
+    ``[^"]`` classes instead), ``(?i)`` casefold supported by both.
+    Attribute order (name-first vs content-first) is covered by a
+    coalesce over both orders; empty extracts normalise to NULL.
+    """
+    h = F.coalesce(F.col(html_col), F.lit(""))
+
+    def _first(*pats: str) -> F.Column:
+        alts = [F.nullif(F.regexp_extract(h, p, 1), F.lit("")) for p in pats]
+        return F.coalesce(*alts) if len(alts) > 1 else alts[0]
+
+    dq, sq = '"([^"]*)"', "'([^']*)'"
+    meta_named = lambda attr, name: [  # noqa: E731 — local pattern builder
+        rf'(?i)<meta\s[^>]*{attr}="{name}"[^>]*\scontent={q}' for q in (dq, sq)
+    ] + [
+        rf'(?i)<meta\s[^>]*content={q}[^>]*\s{attr}="{name}"' for q in (dq, sq)
+    ] + [
+        rf"(?i)<meta\s[^>]*{attr}='{name}'[^>]*\scontent={q}" for q in (dq, sq)
+    ]
+    return df.select(
+        "*",
+        F.nullif(
+            F.trim(F.regexp_extract(h, r"(?i)<title[^>]*>([^<]*)</title>", 1)),
+            F.lit(""),
+        ).alias("title"),
+        _first(*meta_named("name", "description")).alias("meta_description"),
+        _first(*meta_named("property", "og:title")).alias("og_title"),
+        _first(
+            r'(?i)<link\s[^>]*rel="canonical"[^>]*\shref="([^"]*)"',
+            r'(?i)<link\s[^>]*href="([^"]*)"[^>]*\srel="canonical"',
+        ).alias("canonical_url"),
+        _first(
+            r'(?i)<meta\s+charset="([a-zA-Z0-9_-]+)"',
+            r"(?i)<meta\s+charset=([a-zA-Z0-9_-]+)[\s/>]",
+        ).alias("charset"),
+        h.rlike(r'(?i)<meta\s[^>]*name="robots"[^>]*\scontent="[^"]*noindex').alias(
+            "noindex"
+        ),
+    )

@@ -242,7 +242,8 @@ def parse_http_response(payload: bytes) -> dict:
 
 WARC_SCAN_SCHEMA = (
     "path string, warc_type string, url string, warc_date string, "
-    "http_status int, content_type string, n_payload_bytes long, payload_text string"
+    "http_status int, content_type string, n_payload_bytes long, payload_text string, "
+    "record_offset long"
 )
 
 
@@ -255,7 +256,10 @@ def scan_warc(spark: SparkSession, path_glob: str, response_only: bool = False) 
     and nothing shuffles until the first wide operator the caller adds.
     ``payload_text`` is the HTTP body decoded UTF-8 (lossy ``replace`` on
     bad bytes, like the extraction stage's decode fallback); non-response
-    records carry their raw payload text."""
+    records carry their raw payload text.  ``record_offset`` is the byte
+    offset of the record's ``WARC/1.0`` line in the (inflated, for
+    whole-file-gzip archives) member stream — the field a CDX index stores
+    so a reader can seek straight to one record."""
     import pandas as pd
 
     files = spark.read.format("binaryFile").load(path_glob).select("path", "content")
@@ -289,6 +293,7 @@ def scan_warc(spark: SparkSession, path_glob: str, response_only: bool = False) 
                             ctype,
                             len(body),
                             body.decode("utf-8", "replace"),
+                            rec["offset"],
                         )
                     )
             yield pd.DataFrame(
@@ -302,6 +307,7 @@ def scan_warc(spark: SparkSession, path_glob: str, response_only: bool = False) 
                     "content_type",
                     "n_payload_bytes",
                     "payload_text",
+                    "record_offset",
                 ],
             )
 
