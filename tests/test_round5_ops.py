@@ -602,3 +602,229 @@ def test_bm25_float_matches_numpy_replication(spark):  # noqa: F811
         assert abs(got[i].bm25 - round(expect, 6)) < 2e-6, (i, got[i].bm25, expect)
         assert got[i].doclen == len(tlist)
         assert got[i].tf_mass == sum(tlist.count(q) for q in terms)
+
+
+# --------------------------------------------------------------------------
+# session 3b: link graph / fixed-point pagerank / anchor text
+# --------------------------------------------------------------------------
+
+
+def _pagerank_py(edges, n_iter=3, scale=10**12, d=85):
+    """Independent dict-based replication of the fixed-point recurrence
+    (pure Python ints, no DataFrames): rank' = ((100-d)*scale//100)//n +
+    d*(contribs + pool//n)//100 with rank//outdeg integer contributions
+    and uniform dangling redistribution."""
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    out = {h: 0 for h in nodes}
+    for s, _ in edges:
+        out[s] += 1
+    n = len(nodes)
+    rank = {h: scale // n for h in nodes}
+    for _ in range(n_iter):
+        contrib = {h: 0 for h in nodes}
+        for s, t in edges:
+            contrib[t] += rank[s] // out[s]
+        pool = sum(rank[h] for h in nodes if out[h] == 0)
+        rank = {
+            h: ((100 - d) * scale // 100) // n
+            + d * (contrib[h] + pool // n) // 100
+            for h in nodes
+        }
+    return rank, out
+
+
+def test_pagerank_matches_python_replication(spark):  # noqa: F811
+    """Spark fixed-point PageRank vs the pure-Python replication on a
+    small graph WITH dangling nodes and an isolated sink — bit-exact."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.linkgraph import (
+        SCALE,
+        pagerank_hosts,
+    )
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("d", "e"),  # e is dangling (no out-edges)
+        ("f", "g"),              # g dangling too; f only links out
+    ]
+    df = spark.createDataFrame(edges, schema="src_host string, dst_host string")
+    got = {r.host: (r.outdeg, r.rank_fp) for r in pagerank_hosts(df, n_iter=4).collect()}
+    want_rank, want_out = _pagerank_py(edges, n_iter=4, scale=SCALE)
+    assert set(got) == set(want_rank)
+    for h in want_rank:
+        assert got[h] == (want_out[h], want_rank[h]), (h, got[h], want_rank[h])
+    # truncation-aware conservation: mass never exceeds SCALE and loses
+    # at most ~1 unit per integer division per iteration
+    total = sum(r for _, r in got.values())
+    assert SCALE * 0.999 < total <= SCALE
+
+
+def test_pagerank_partitioning_invariance(spark):  # noqa: F811
+    """Same graph at 1 vs 16 shuffle partitions -> identical ranks (the
+    point of integer arithmetic: grouped sums are order-independent)."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.linkgraph import (
+        pagerank_hosts,
+    )
+
+    edges = [(f"h{i}", f"h{(i * 7 + 3) % 23}") for i in range(200)]
+    edges = [(s, t) for s, t in edges if s != t]
+    df = spark.createDataFrame(sorted(set(edges)), schema="src_host string, dst_host string")
+    a = {r.host: r.rank_fp for r in pagerank_hosts(df.coalesce(1), n_iter=3).collect()}
+    b = {
+        r.host: r.rank_fp
+        for r in pagerank_hosts(df.repartition(16, "src_host"), n_iter=3).collect()
+    }
+    assert a == b
+
+
+def test_extract_outlinks_variants(spark):  # noqa: F811
+    """One page exercising every resolution rule: absolute kept,
+    root-relative resolved, javascript/mailto/protocol-relative/
+    path-relative/fragment dropped, nofollow flagged, empty anchor NULL,
+    host lowercased."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.linkgraph import (
+        extract_outlinks,
+    )
+
+    html = (
+        '<a href="https://Other.Example/x">Go  here</a>'
+        "<a href='https://single.example/y' rel=\"nofollow\">quoted</a>"
+        '<a href="/rel/path">rel</a>'
+        '<a href="javascript:void(0)">js</a>'
+        '<a href="mailto:a@b">mail</a>'
+        '<a href="//proto.example/z">proto</a>'
+        '<a href="sub/page.html">pathrel</a>'
+        '<a href="#frag">frag</a>'
+        '<a href="https://empty.example/e"> </a>'
+    )
+    df = spark.createDataFrame(
+        [("https://src.example/p/1", html)], schema="url string, html_str string"
+    )
+    rows = {r.dst_url: r for r in extract_outlinks(df).collect()}
+    assert set(rows) == {
+        "https://Other.Example/x",
+        "https://single.example/y",
+        "https://src.example/rel/path",
+        "https://empty.example/e",
+    }
+    assert rows["https://Other.Example/x"].dst_host == "other.example"
+    assert rows["https://Other.Example/x"].anchor == "Go  here"
+    assert rows["https://Other.Example/x"].nofollow is False
+    assert rows["https://single.example/y"].nofollow is True
+    assert rows["https://src.example/rel/path"].dst_host == "src.example"
+    assert rows["https://empty.example/e"].anchor is None
+    for r in rows.values():
+        assert r.src_host == "src.example"
+
+
+def test_anchor_topk_tiebreak(spark):  # noqa: F811
+    """Equal-count anchor tokens rank token-ascending; rank cuts at k."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.linkgraph import (
+        anchor_text_stats,
+    )
+
+    links = [
+        ("t.example", "zeta alpha"),
+        ("t.example", "alpha beta"),
+        ("t.example", "beta gamma delta"),
+        ("u.example", None),
+    ]
+    df = spark.createDataFrame(
+        [("s", "s.example", "https://" + h + "/", h, a, False) for h, a in links],
+        schema="src_url string, src_host string, dst_url string, "
+        "dst_host string, anchor string, nofollow boolean",
+    )
+    got = [(r.token, r.n, r.rk) for r in anchor_text_stats(df, top_k=3)
+           .where("dst_host = 't.example'").orderBy("rk").collect()]
+    # alpha=2, beta=2, delta=1, gamma=1, zeta=1 -> top3: alpha, beta, delta
+    assert got == [("alpha", 2, 1), ("beta", 2, 2), ("delta", 1, 3)]
+
+
+def test_parse_robots_group_semantics(spark):  # noqa: F811
+    """RFC 9309 grouping: consecutive User-agent lines share the rule
+    block; a User-agent line after rules starts a new group; comments
+    and blank lines vanish; sitemap rows carry agent NULL."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.robots import (
+        parse_robots,
+    )
+
+    body = (
+        "# policy\n"
+        "User-agent: A\n"
+        "User-agent: B\n"
+        "Disallow: /x\n"
+        "\n"
+        "User-agent: C\n"
+        "Allow: /y\n"
+        "Crawl-delay: 7\n"
+        "Sitemap: https://s.example/map.xml\n"
+    )
+    df = spark.createDataFrame([("s.example", body)], schema="host string, robots_txt string")
+    rows = parse_robots(df).collect()
+    rules = {(r.agent, r.directive, r.pattern) for r in rows}
+    assert ("a", "disallow", "/x") in rules
+    assert ("b", "disallow", "/x") in rules
+    assert ("c", "allow", "/y") in rules
+    assert ("c", "crawl-delay", "7") in rules
+    assert (None, "sitemap", "https://s.example/map.xml") in rules
+    assert ("a", "allow", "/y") not in rules  # group 2 rules never leak to group 1
+    assert len([r for r in rows if r.directive == "disallow"]) == 2  # A and B copies
+
+
+def test_apply_robots_precedence(spark):  # noqa: F811
+    """Longest match wins; Allow beats Disallow on ties; * wildcard and
+    $ anchor compile; empty Disallow is no rule; exact agent group
+    shadows *; unknown host defaults allowed; duplicate URLs each keep
+    their own row."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.robots import (
+        apply_robots,
+        parse_robots,
+    )
+
+    body = (
+        "User-agent: *\n"
+        "Disallow: /a\n"
+        "Allow: /a/b\n"
+        "Disallow: /*.gif$\n"
+        "Disallow: /t\n"
+        "Allow: /t\n"
+        "User-agent: databot\n"
+        "Disallow: /only\n"
+    )
+    robots = spark.createDataFrame(
+        [("r.example", body), ("empty.example", "User-agent: *\nDisallow:\n")],
+        schema="host string, robots_txt string",
+    )
+    rules = parse_robots(robots)
+    urls = [
+        "https://r.example/a/x",        # disallow /a
+        "https://r.example/a/b/c",      # allow /a/b (longer)
+        "https://r.example/img/pic.gif",  # disallow wildcard+anchor
+        "https://r.example/img/pic.gif.html",  # $ anchor -> no match -> allowed
+        "https://r.example/t/z",        # tie -> allow
+        "https://r.example/free",       # no rule -> allowed
+        "https://empty.example/any",    # empty disallow -> allowed
+        "https://norobots.example/any", # host absent -> allowed
+        "https://r.example/a/x",        # duplicate URL: second row survives
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], schema="url string")
+    out = apply_robots(df, rules, agent="somebot").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.url, []).append((r.allowed, r.rule_pattern, r.rule_directive))
+    assert got["https://r.example/a/x"] == [(False, "/a", "disallow")] * 2
+    assert got["https://r.example/a/b/c"] == [(True, "/a/b", "allow")]
+    assert got["https://r.example/img/pic.gif"] == [(False, "/*.gif$", "disallow")]
+    assert got["https://r.example/img/pic.gif.html"] == [(True, None, None)]
+    assert got["https://r.example/t/z"] == [(True, "/t", "allow")]
+    assert got["https://r.example/free"] == [(True, None, None)]
+    assert got["https://empty.example/any"] == [(True, None, None)]
+    assert got["https://norobots.example/any"] == [(True, None, None)]
+    # exact agent group shadows *
+    only = apply_robots(
+        spark.createDataFrame([("https://r.example/only/f",), ("https://r.example/a/x",)], schema="url string"),
+        rules, agent="databot",
+    ).collect()
+    by_url = {r.url: r for r in only}
+    assert by_url["https://r.example/only/f"].allowed is False
+    # databot group has no /a rule, and * group is shadowed -> allowed
+    assert by_url["https://r.example/a/x"].allowed is True

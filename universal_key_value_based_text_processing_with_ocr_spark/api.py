@@ -985,6 +985,214 @@ def q_bm25_score(spark, sf_dir):
     ).select("doc_id", "doclen", "n_hit_terms", "tf_mass")
 
 
+def _link_pages(spark, sf_dir):
+    """Deterministic link-page fixture over ``documents``: every doc is a
+    page on host ``h{doc_id % 59}.example`` carrying one follow link to
+    ``h{(doc_id*7+1) % 61}.example`` (dst space 61 > src space 59, so
+    hosts h59/h60 are DANGLING — dst-only), one single-quoted
+    rel=nofollow link to ``h{(doc_id*11+2) % 61}.example``, one
+    root-relative self link, and three links a graph build must drop
+    (javascript:, protocol-relative, mailto:)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def host(e):
+        return F.concat(F.lit("h"), e.cast("string"), F.lit(".example"))
+
+    html = F.concat(
+        F.lit('<html><body><p>corpus page</p><a href="https://'),
+        host((did * 7 + 1) % 61), F.lit("/p/"), did.cast("string"),
+        F.lit('">spark shuffle '), (did % 13).cast("string"),
+        F.lit("</a> mid text <a href='https://"),
+        host((did * 11 + 2) % 61),
+        F.lit("/q' rel=\"nofollow\">web graph "), (did % 5).cast("string"),
+        F.lit('</a><a href="/local/'), did.cast("string"),
+        F.lit('">self link</a>'),
+        F.lit('<a href="javascript:void(0)">js</a>'),
+        F.lit('<a href="//cdn.example/x">cdn</a>'),
+        F.lit('<a href="mailto:a@b.example">mail</a></body></html>'),
+    )
+    return docs.select(
+        F.concat(
+            F.lit("https://"), host(did % 59), F.lit("/p/"), did.cast("string")
+        ).alias("url"),
+        html.alias("html_str"),
+    )
+
+
+def q_outlink_extract(spark, sf_dir):
+    """<a href> extraction + URL resolution over the deterministic link
+    fixture: absolute http(s) kept, root-relative resolved against the
+    page host, javascript/mailto/protocol-relative dropped, nofollow
+    flagged.  Both engines build the SAME page string, then extract with
+    their OWN regex engine (Java vs RE2) — a cross-check of the
+    extraction expressions, like html_meta."""
+    from .operators.linkgraph import extract_outlinks
+
+    return extract_outlinks(_link_pages(spark, sf_dir))
+
+
+def q_host_pagerank(spark, sf_dir):
+    """Fixed-point integer PageRank (3 iterations, d=0.85) over the host
+    graph extracted from the link fixture — extraction -> host rollup ->
+    iterative join/agg, the canonical cluster workload for web-corpus
+    quality priors (Common Crawl ships host ranks next to every crawl).
+    The oracle rebuilds the edge list CLOSED FORM (independent of the
+    extraction path, which outlink_extract already cross-checks) and
+    unrolls the same integer recurrence — grouped sums are over BIGINTs,
+    so the comparison is bit-exact, no float sum-order ambiguity."""
+    from .operators.linkgraph import extract_outlinks, host_graph, pagerank_hosts
+
+    links = extract_outlinks(_link_pages(spark, sf_dir))
+    return pagerank_hosts(host_graph(links), n_iter=3)
+
+
+def q_anchor_topk(spark, sf_dir):
+    """Top-3 anchor tokens per TARGET host (what the rest of the web
+    calls a host — the classic relevance signal), deterministic
+    (count desc, token asc) tie-break; nofollow anchors count (they
+    describe the target even if crawlers don't follow)."""
+    from .operators.linkgraph import anchor_text_stats, extract_outlinks
+
+    return anchor_text_stats(extract_outlinks(_link_pages(spark, sf_dir)))
+
+
+def q_robots_gate(spark, sf_dir):
+    """Retroactive robots.txt audit (RFC 9309): parse per-host robots
+    bodies into typed rule rows (window-function group semantics, no
+    UDF), then gate every URL by longest-pattern-wins / Allow-beats-
+    Disallow / exact-agent-group-over-``*`` — with ``*`` wildcards and
+    ``$`` end-anchors compiled to regexes IN THE PLAN.  Fixture: 23
+    hosts; k%3==0 publish a ``*`` group (prefix, wildcard-anchor, and
+    equal-length tie rules) and the even ones ALSO a databot group
+    (exact-agent precedence); k%3==1 publish an allow-all file (empty
+    Disallow); k%3==2 have no robots.txt.  The oracle is an INDEPENDENT
+    closed-form derivation of every (host-class, path-class) outcome —
+    it never parses robots.txt nor translates a pattern."""
+    from .operators.robots import apply_robots, parse_robots
+
+    docs = _tbl(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    k = did % 23
+
+    def rhost(e):
+        return F.concat(F.lit("h"), e.cast("string"), F.lit(".robots.example"))
+
+    star_group = (
+        "# corpus crawler policy\n\n"
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "Allow: /private/pub\n"
+        "Disallow: /*.json$\n"
+        "Disallow: /dup\n"
+        "Allow: /dup\n"
+    )
+    databot_group = (
+        "\nUser-agent: databot\n"
+        "User-agent: otherbot\n"
+        "Disallow: /\n"
+        "Allow: /open\n"
+        "Crawl-delay: 2\n"
+    )
+    hosts = docs.select(k.cast("int").alias("k")).distinct()
+    robots = hosts.where(F.col("k") % 3 != 2).select(
+        rhost(F.col("k")).alias("host"),
+        F.when(
+            F.col("k") % 3 == 0,
+            F.concat(
+                F.lit(star_group),
+                F.when(F.col("k") % 2 == 0, F.lit(databot_group)).otherwise(
+                    F.lit("")
+                ),
+                F.concat(
+                    F.lit("Sitemap: https://"),
+                    rhost(F.col("k")),
+                    F.lit("/sitemap.xml\n"),
+                ),
+            ),
+        )
+        .otherwise(F.lit("User-agent: *\nDisallow:\nCrawl-delay: 1\n"))
+        .alias("robots_txt"),
+    )
+    m = did % 7
+    path = (
+        F.when(m == 0, F.lit("/"))
+        .when(m == 1, F.concat(F.lit("/private/x"), did.cast("string")))
+        .when(m == 2, F.concat(F.lit("/private/pub/y"), did.cast("string")))
+        .when(m == 3, F.concat(F.lit("/open/data"), did.cast("string")))
+        .when(m == 4, F.concat(F.lit("/api/f"), did.cast("string"), F.lit(".json")))
+        .when(m == 5, F.concat(F.lit("/page?from=/private&id="), did.cast("string")))
+        .otherwise(F.concat(F.lit("/dup/t"), did.cast("string")))
+    )
+    urls = docs.select(
+        F.concat(F.lit("https://"), rhost(k), path).alias("url")
+    )
+    gated = apply_robots(urls, parse_robots(robots), agent="databot")
+    return gated.select(
+        "url", "host", "path", "rule_pattern", "rule_directive", "allowed"
+    )
+
+
+def _pagerank_oracle_sql(n_iter: int = 3) -> str:
+    """Unrolled fixed-point PageRank oracle: the same integer recurrence
+    as operators/linkgraph.pagerank_hosts, one CTE trio per iteration.
+    DuckDB sums BIGINT into HUGEINT, so every aggregate is cast back."""
+    from .operators.linkgraph import SCALE
+
+    sql = f"""
+        WITH e AS (
+            SELECT DISTINCT
+                   'h' || CAST(doc_id % 59 AS VARCHAR) || '.example' AS src_host,
+                   'h' || CAST((doc_id * 7 + 1) % 61 AS VARCHAR) || '.example' AS dst_host
+            FROM documents
+            WHERE doc_id % 59 != (doc_id * 7 + 1) % 61
+        ),
+        nodes AS (
+            SELECT DISTINCT host FROM (
+                SELECT src_host AS host FROM e
+                UNION ALL SELECT dst_host FROM e
+            )
+        ),
+        od AS (
+            SELECT src_host AS host, CAST(count(*) AS BIGINT) AS outdeg
+            FROM e GROUP BY 1
+        ),
+        spine AS (
+            SELECT n.host, coalesce(od.outdeg, 0) AS outdeg
+            FROM nodes n LEFT JOIN od USING (host)
+        ),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n_hosts FROM spine),
+        r0 AS (
+            SELECT host, outdeg, n_hosts,
+                   CAST({SCALE} AS BIGINT) // n_hosts AS rank_fp
+            FROM spine, nn
+        )"""
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        sql += f""",
+        c{i} AS (
+            SELECT e.dst_host AS host,
+                   CAST(sum(rank_fp // outdeg) AS BIGINT) AS contrib
+            FROM {prev} JOIN e ON {prev}.host = e.src_host
+            WHERE outdeg > 0 GROUP BY 1
+        ),
+        p{i} AS (
+            SELECT CAST(coalesce(sum(
+                       CASE WHEN outdeg = 0 THEN rank_fp ELSE 0 END
+                   ), 0) AS BIGINT) AS pool
+            FROM {prev}
+        ),
+        r{i} AS (
+            SELECT {prev}.host, {prev}.outdeg, {prev}.n_hosts,
+                   ((CAST(15 AS BIGINT) * {SCALE}) // 100) // n_hosts
+                   + (85 * (coalesce(c{i}.contrib, 0) + (p{i}.pool // n_hosts))) // 100
+                       AS rank_fp
+            FROM {prev} LEFT JOIN c{i} ON {prev}.host = c{i}.host, p{i}
+        )"""
+        prev = f"r{i}"
+    return sql + f"\n        SELECT host, outdeg, rank_fp FROM {prev}"
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ORDERING CONTRACT: the driver oracle-checks only the FIRST 50
@@ -1046,17 +1254,24 @@ QUERIES = {
     "warc_cdx": q_warc_cdx,
     "html_meta": q_html_meta,
     "bm25_score": q_bm25_score,
+    "outlink_extract": q_outlink_extract,
+    "host_pagerank": q_host_pagerank,
+    "anchor_topk": q_anchor_topk,
+    "robots_gate": q_robots_gate,
     "dedup_incremental_bloom": q_dedup_incremental_bloom,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "similarity_topk_lsh": q_similarity_topk_lsh,
-    "similarity_topk_ivf": q_similarity_topk_ivf,
-    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "multimodal_image_meta": q_multimodal_image_meta,
     "multimodal_image_decode": q_multimodal_image_decode,
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
     # ---------------- past the driver's 50-entry cap -------------------
-    # all unchanged since round 4 and green in the round-4 driver run;
-    # re-verified green every round by scripts/check_correctness.py
+    # all unchanged since round 4 and green in the round-4 driver run
+    # (dedup_minhash_lsh, similarity_topk_lsh/ivf, embedding_near_dup_lsh
+    # rotated out to admit the link-graph family + robots gate — their
+    # operators are untouched since their r4 green rows); re-verified
+    # green every round by scripts/check_correctness.py
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "similarity_topk_lsh": q_similarity_topk_lsh,
+    "similarity_topk_ivf": q_similarity_topk_ivf,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
@@ -1728,6 +1943,167 @@ ORACLE_SQL = {
                coalesce(n_hit_terms, 0) AS n_hit_terms,
                coalesce(tf_mass, 0) AS tf_mass
         FROM toks t LEFT JOIN agg USING (doc_id)
+    """,
+    # same page-construction expressions as _link_pages, then DuckDB's
+    # OWN RE2 engine extracts the <a> tags — cross-check of the
+    # extraction + resolution expressions under two regex engines
+    "outlink_extract": r"""
+        WITH pages AS (
+            SELECT doc_id,
+                   'https://h' || CAST(doc_id % 59 AS VARCHAR) || '.example/p/'
+                       || CAST(doc_id AS VARCHAR) AS src_url,
+                   '<html><body><p>corpus page</p><a href="https://h'
+                       || CAST((doc_id * 7 + 1) % 61 AS VARCHAR) || '.example/p/'
+                       || CAST(doc_id AS VARCHAR)
+                       || '">spark shuffle ' || CAST(doc_id % 13 AS VARCHAR)
+                       || '</a> mid text <a href=''https://h'
+                       || CAST((doc_id * 11 + 2) % 61 AS VARCHAR)
+                       || '.example/q'' rel="nofollow">web graph '
+                       || CAST(doc_id % 5 AS VARCHAR)
+                       || '</a><a href="/local/' || CAST(doc_id AS VARCHAR)
+                       || '">self link</a>'
+                       || '<a href="javascript:void(0)">js</a>'
+                       || '<a href="//cdn.example/x">cdn</a>'
+                       || '<a href="mailto:a@b.example">mail</a></body></html>' AS h
+            FROM documents
+        ),
+        dq AS (
+            SELECT src_url, unnest(regexp_extract_all(
+                       h, '(?i)<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)', 0)) AS tag
+            FROM pages
+        ),
+        sq AS (
+            SELECT src_url, unnest(regexp_extract_all(
+                       h, '(?i)<a\s[^>]*href=''([^'']*)''[^>]*>([^<]*)', 0)) AS tag
+            FROM pages
+        ),
+        tags AS (
+            SELECT src_url, tag,
+                   regexp_extract(tag, '(?i)<a\s[^>]*href="([^"]*)"', 1) AS href,
+                   regexp_extract(tag, '(?i)<a\s[^>]*href="[^"]*"[^>]*>([^<]*)', 1) AS anchor
+            FROM dq
+            UNION ALL
+            SELECT src_url, tag,
+                   regexp_extract(tag, '(?i)<a\s[^>]*href=''([^'']*)''', 1) AS href,
+                   regexp_extract(tag, '(?i)<a\s[^>]*href=''[^'']*''[^>]*>([^<]*)', 1) AS anchor
+            FROM sq
+        ),
+        resolved AS (
+            SELECT src_url,
+                   regexp_extract(src_url, '^(https?://[^/]+)', 1) AS src_base,
+                   CASE WHEN regexp_matches(href, '^(?i)https?://') THEN href
+                        WHEN href LIKE '/%' AND href NOT LIKE '//%'
+                            THEN regexp_extract(src_url, '^(https?://[^/]+)', 1) || href
+                        ELSE NULL END AS dst_url,
+                   nullif(trim(anchor), '') AS anchor,
+                   regexp_matches(tag, '(?i)\srel="[^"]*nofollow') AS nofollow
+            FROM tags
+        )
+        SELECT src_url,
+               regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host,
+               dst_url,
+               lower(regexp_extract(dst_url, '^(?i)https?://([^/]+)', 1)) AS dst_host,
+               anchor, nofollow
+        FROM resolved
+        WHERE dst_url IS NOT NULL AND src_base != ''
+    """,
+    # closed-form edge list (independent of the extraction path, which
+    # outlink_extract cross-checks) + the unrolled fixed-point integer
+    # PageRank recurrence — bit-exact, no float sum-order ambiguity
+    "host_pagerank": _pagerank_oracle_sql(3),
+    # anchors per target host reconstructed closed form: the follow link
+    # carries 'spark shuffle {id%13}', the nofollow one 'web graph
+    # {id%5}' (nofollow anchors still describe the target), the
+    # root-relative self link 'self link'; dropped links carry none
+    "anchor_topk": """
+        WITH links AS (
+            SELECT 'h' || CAST((doc_id * 7 + 1) % 61 AS VARCHAR) || '.example' AS dst_host,
+                   'spark shuffle ' || CAST(doc_id % 13 AS VARCHAR) AS anchor
+            FROM documents
+            UNION ALL
+            SELECT 'h' || CAST((doc_id * 11 + 2) % 61 AS VARCHAR) || '.example',
+                   'web graph ' || CAST(doc_id % 5 AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'h' || CAST(doc_id % 59 AS VARCHAR) || '.example', 'self link'
+            FROM documents
+        ),
+        toks AS (
+            SELECT dst_host, unnest(list_filter(
+                       string_split_regex(lower(coalesce(anchor, '')), '[^a-z0-9]+'),
+                       t -> t != '')) AS token
+            FROM links
+        ),
+        counts AS (
+            SELECT dst_host, token, CAST(count(*) AS BIGINT) AS n
+            FROM toks GROUP BY dst_host, token
+        )
+        SELECT dst_host, token, n, rk FROM (
+            SELECT *, CAST(row_number() OVER (
+                       PARTITION BY dst_host ORDER BY n DESC, token ASC
+                   ) AS INT) AS rk
+            FROM counts
+        ) WHERE rk <= 3
+    """,
+    # INDEPENDENT closed-form derivation of every (host-class,
+    # path-class) robots outcome — never parses a robots.txt, never
+    # translates a pattern.  Host classes: k%3==0 even -> databot group
+    # (Disallow / len 1, Allow /open len 5); k%3==0 odd -> '*' fallback
+    # (Disallow /private 8, Allow /private/pub 12, Disallow /*.json$ 8,
+    # equal-length Allow/Disallow /dup tie -> Allow); k%3==1 allow-all
+    # (empty Disallow = no rule); k%3==2 no robots.txt.
+    "robots_gate": """
+        WITH u AS (
+            SELECT doc_id,
+                   CAST(doc_id % 23 AS BIGINT) AS k,
+                   CAST(doc_id % 7 AS BIGINT) AS m
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, k, m,
+                   'h' || CAST(k AS VARCHAR) || '.robots.example' AS host,
+                   CASE m
+                     WHEN 0 THEN '/'
+                     WHEN 1 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+                     WHEN 2 THEN '/private/pub/y' || CAST(doc_id AS VARCHAR)
+                     WHEN 3 THEN '/open/data' || CAST(doc_id AS VARCHAR)
+                     WHEN 4 THEN '/api/f' || CAST(doc_id AS VARCHAR) || '.json'
+                     WHEN 5 THEN '/page'
+                     ELSE '/dup/t' || CAST(doc_id AS VARCHAR)
+                   END AS path,
+                   CASE m
+                     WHEN 5 THEN '/page?from=/private&id=' || CAST(doc_id AS VARCHAR)
+                     WHEN 0 THEN '/'
+                     WHEN 1 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+                     WHEN 2 THEN '/private/pub/y' || CAST(doc_id AS VARCHAR)
+                     WHEN 3 THEN '/open/data' || CAST(doc_id AS VARCHAR)
+                     WHEN 4 THEN '/api/f' || CAST(doc_id AS VARCHAR) || '.json'
+                     ELSE '/dup/t' || CAST(doc_id AS VARCHAR)
+                   END AS urlpath
+            FROM u
+        )
+        SELECT 'https://' || host || urlpath AS url,
+               host, path,
+               CASE
+                 WHEN k % 3 != 0 THEN NULL
+                 WHEN k % 2 = 0 THEN CASE WHEN m = 3 THEN '/open' ELSE '/' END
+                 ELSE CASE m WHEN 1 THEN '/private' WHEN 2 THEN '/private/pub'
+                             WHEN 4 THEN '/*.json$' WHEN 6 THEN '/dup'
+                             ELSE NULL END
+               END AS rule_pattern,
+               CASE
+                 WHEN k % 3 != 0 THEN NULL
+                 WHEN k % 2 = 0 THEN CASE WHEN m = 3 THEN 'allow' ELSE 'disallow' END
+                 ELSE CASE m WHEN 1 THEN 'disallow' WHEN 2 THEN 'allow'
+                             WHEN 4 THEN 'disallow' WHEN 6 THEN 'allow'
+                             ELSE NULL END
+               END AS rule_directive,
+               CASE
+                 WHEN k % 3 != 0 THEN TRUE
+                 WHEN k % 2 = 0 THEN m = 3
+                 ELSE m NOT IN (1, 4)
+               END AS allowed
+        FROM c
     """,
     # the page rewrite mirrors q_c4_line_clean exactly; the lambda lives in
     # a plain SELECT (never a lateral subquery — DuckDB 1.0 binder trap,
