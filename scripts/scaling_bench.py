@@ -164,15 +164,43 @@ def kernel_parallel_calibration(n_docs: int, levels=(2, 8, 32)) -> dict:
     return out
 
 
+#: everything the measured job executes: the extraction kernel, the plan
+#: layer (salted repartition, full job incl. snapshot commit), the
+#: synthetic source, bench's session builder, and this harness.  Files
+#: OUTSIDE these paths (new operators, api queries, docs) cannot change
+#: the measurement, so they must not reset the accumulated bests.
+_MEASURED_PATHS = (
+    "universal_key_value_based_text_processing_with_ocr_spark/kvcore",
+    "universal_key_value_based_text_processing_with_ocr_spark/htmlcore",
+    "universal_key_value_based_text_processing_with_ocr_spark/operators/extract.py",
+    "universal_key_value_based_text_processing_with_ocr_spark/plans",
+    "universal_key_value_based_text_processing_with_ocr_spark/sources/pages.py",
+    "universal_key_value_based_text_processing_with_ocr_spark/sources/synthdocs.py",
+    "universal_key_value_based_text_processing_with_ocr_spark/sources/__init__.py",
+    "universal_key_value_based_text_processing_with_ocr_spark/lakehouse",
+    "scripts/scaling_bench.py",
+)
+
+
 def _code_version() -> str:
-    """HEAD commit of the repo: accumulated bests are only comparable when
-    the measured code is identical, so the merge is keyed on this."""
-    try:
-        out = subprocess.run(["git", "rev-parse", "HEAD"], cwd=str(REPO),
-                             capture_output=True, text=True, timeout=30)
-        return out.stdout.strip() or "unknown"
-    except Exception:
-        return "unknown"
+    """Content hash of the MEASURED code paths (working tree, not HEAD):
+    accumulated bests are only comparable when the code the job actually
+    runs is bit-identical.  Keying on file content instead of the repo
+    commit means unrelated commits (new operators, docs) don't discard
+    the accumulated sample, while any edit to the measured path does."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for root in _MEASURED_PATHS:
+        p = REPO / root
+        files = sorted(p.rglob("*.py")) if p.is_dir() else [p]
+        for f in files:
+            h.update(str(f.relative_to(REPO)).encode())
+            try:
+                h.update(f.read_bytes())
+            except OSError:
+                h.update(b"<unreadable>")
+    return "measured-" + h.hexdigest()[:20]
 
 
 def main() -> None:

@@ -828,3 +828,80 @@ def test_apply_robots_precedence(spark):  # noqa: F811
     assert by_url["https://r.example/only/f"].allowed is False
     # databot group has no /a rule, and * group is shadowed -> allowed
     assert by_url["https://r.example/a/x"].allowed is True
+
+
+def test_classifier_oov_bias_and_sigmoid(spark):  # noqa: F811
+    """OOV tokens contribute nothing; empty/NULL docs score exactly the
+    bias; logit is the exact integer dot product; the float prob column
+    equals math.sigmoid of the fixed-point logit; label thresholds at
+    0."""
+    import math
+
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.classifier import (
+        WEIGHT_SCALE,
+        classify_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "good good bad unknown"),
+            (1, "unknown words only"),
+            (2, None),
+            (3, "bad bad bad good"),
+        ],
+        schema="doc_id long, text string",
+    )
+    weights = spark.createDataFrame(
+        [("good", 700_000), ("bad", -400_000)], schema="token string, weight_fp long"
+    )
+    out = {r.doc_id: r for r in classify_documents(docs, weights, bias_fp=100_000).collect()}
+    assert (out[0].n_scored, out[0].logit_fp) == (3, 700_000 * 2 - 400_000 + 100_000)
+    assert (out[1].n_scored, out[1].logit_fp) == (0, 100_000)
+    assert (out[2].n_scored, out[2].logit_fp) == (0, 100_000)
+    assert (out[3].n_scored, out[3].logit_fp) == (4, -400_000 * 3 + 700_000 + 100_000)
+    for r in out.values():
+        want = 1.0 / (1.0 + math.exp(-r.logit_fp / WEIGHT_SCALE))
+        assert abs(r.prob - want) < 1e-12, (r.doc_id, r.prob, want)
+        assert r.label is (r.logit_fp >= 0)
+
+
+def test_classifier_weight_table_broadcasts(spark):  # noqa: F811
+    """The vocabulary join must be a broadcast: no shuffle of the corpus
+    on token."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.classifier import (
+        classify_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(50)], schema="doc_id long, text string"
+    )
+    weights = spark.createDataFrame(
+        [("alpha", 1), ("beta", 2)], schema="token string, weight_fp long"
+    )
+    plan = classify_documents(docs, weights)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_inverted_index_positions_and_stoplist(spark):  # noqa: F811
+    """Positions index the FILTERED token list; tf/df exact; terms over
+    max_df dropped entirely; posting arrays sorted."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.invindex import (
+        build_inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat -- sat; the CAT"),   # 'the' twice, 'cat' twice
+            (1, "the dog"),
+            (2, "the cat"),
+        ],
+        schema="doc_id long, text string",
+    )
+    out = build_inverted_index(docs, max_df=2).collect()
+    rows = {(r.term, r.doc_id): r for r in out}
+    assert all(r.term != "the" for r in out)  # df=3 > 2: stop-listed
+    # doc 0 filtered tokens: [the, cat, sat, the, cat]
+    assert rows[("cat", 0)].tf == 2 and rows[("cat", 0)].positions == [1, 4]
+    assert rows[("sat", 0)].positions == [2]
+    assert rows[("cat", 0)].df == 2 and ("cat", 2) in rows
+    assert rows[("dog", 1)].df == 1

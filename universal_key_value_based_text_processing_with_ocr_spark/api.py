@@ -1057,6 +1057,33 @@ def q_anchor_topk(spark, sf_dir):
     return anchor_text_stats(extract_outlinks(_link_pages(spark, sf_dir)))
 
 
+def q_inverted_index(spark, sf_dir):
+    """Positional inverted index over documents (the retrieval-side
+    companion of bm25_score), emitted as posting ROWS — the shape the
+    index ships in at scale.  max_df=50 exercises the viral-term stop
+    list on this corpus (the synthetic vocabulary's common words appear
+    in ~395 of 500 docs and must be dropped; ~17 terms survive);
+    positions/tf/df are all integer-exact."""
+    from .operators.invindex import build_inverted_index
+
+    return build_inverted_index(_tbl(spark, sf_dir, "documents"), max_df=390)
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Linear text-classifier inference (the DCLM-fastText / FineWeb-Edu
+    model-based quality-filter shape): broadcast a (token -> integer
+    weight) vocabulary onto every document, exact BIGINT logit per doc,
+    threshold label.  The weight table is a deterministic hash
+    pseudo-model (md5 seam) so both engines replay identical weights;
+    the float sigmoid is pinned in pytest (dsir determinism split)."""
+    from .operators.classifier import classify_documents, hash_weights
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return classify_documents(docs, hash_weights(docs)).select(
+        "doc_id", "n_scored", "logit_fp", "label"
+    )
+
+
 def q_robots_gate(spark, sf_dir):
     """Retroactive robots.txt audit (RFC 9309): parse per-host robots
     bodies into typed rule rows (window-function group semantics, no
@@ -1227,7 +1254,7 @@ QUERIES = {
     "pages_clean_corpus": q_pages_clean_corpus,
     "pages_content_dedup": q_pages_content_dedup,
     "mask_repeated_ngrams": q_mask_repeated_ngrams,
-    "events_asof_join": q_events_asof_join,
+    "inverted_index": q_inverted_index,
     "dedup_paragraphs": q_dedup_paragraphs,
     "gopher_quality": q_gopher_quality,
     "dsir_importance": q_dsir_importance,
@@ -1258,18 +1285,21 @@ QUERIES = {
     "host_pagerank": q_host_pagerank,
     "anchor_topk": q_anchor_topk,
     "robots_gate": q_robots_gate,
-    "dedup_incremental_bloom": q_dedup_incremental_bloom,
+    "quality_classifier": q_quality_classifier,
     "multimodal_image_meta": q_multimodal_image_meta,
     "multimodal_image_decode": q_multimodal_image_decode,
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
     # ---------------- past the driver's 50-entry cap -------------------
     # all unchanged since round 4 and green in the round-4 driver run
-    # (dedup_minhash_lsh, similarity_topk_lsh/ivf, embedding_near_dup_lsh
-    # rotated out to admit the link-graph family + robots gate — their
-    # operators are untouched since their r4 green rows); re-verified
-    # green every round by scripts/check_correctness.py
+    # (dedup_minhash_lsh, similarity_topk_lsh/ivf, embedding_near_dup_lsh,
+    # dedup_incremental_bloom, events_asof_join rotated out to admit the
+    # link-graph family, robots gate, classifier, and inverted index —
+    # their operators are untouched since their r4 green rows);
+    # re-verified green every round by scripts/check_correctness.py
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "dedup_incremental_bloom": q_dedup_incremental_bloom,
+    "events_asof_join": q_events_asof_join,
     "similarity_topk_lsh": q_similarity_topk_lsh,
     "similarity_topk_ivf": q_similarity_topk_ivf,
     "dedup_exact": q_dedup_exact,
@@ -2104,6 +2134,61 @@ ORACLE_SQL = {
                  ELSE m NOT IN (1, 4)
                END AS allowed
         FROM c
+    """,
+    # the hash pseudo-model replayed on the md5 seam; exact BIGINT logit
+    # (float sigmoid pinned in pytest — the dsir determinism split)
+    "quality_classifier": """
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(
+                       string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                       t -> t != '')) AS token
+            FROM documents
+        ),
+        w AS (
+            SELECT token,
+                   (('0x' || substr(md5(token), 1, 15))::BIGINT % 41 - 20)
+                       * 50000 AS weight_fp
+            FROM (SELECT DISTINCT token FROM toks)
+        ),
+        agg AS (
+            SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+                   CAST(sum(weight_fp) AS BIGINT) AS wsum
+            FROM toks t JOIN w USING (token)
+            GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(n_scored, 0) AS n_scored,
+               CAST(coalesce(wsum, 0) AS BIGINT) AS logit_fp,
+               coalesce(wsum, 0) >= 0 AS label
+        FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+    # positions are indices into the FILTERED token list (both engines
+    # zip the same filtered list with its ordinals), sorted; df over the
+    # (term, doc)-deduplicated postings; viral terms (df > 390) dropped
+    "inverted_index": """
+        WITH toks AS (
+            SELECT doc_id, list_filter(
+                       string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                       t -> t != '') AS t
+            FROM documents
+        ),
+        pt AS (
+            SELECT doc_id, unnest(t) AS term,
+                   unnest(range(0, len(t))) AS pos
+            FROM toks
+        ),
+        postings AS (
+            SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+                   list_sort(list(CAST(pos AS INT))) AS positions
+            FROM pt GROUP BY term, doc_id
+        ),
+        dfq AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM postings GROUP BY term
+        )
+        SELECT p.term, p.doc_id, p.tf, p.positions, d.df
+        FROM postings p JOIN dfq d USING (term)
+        WHERE d.df <= 390
     """,
     # the page rewrite mirrors q_c4_line_clean exactly; the lambda lives in
     # a plain SELECT (never a lateral subquery — DuckDB 1.0 binder trap,
