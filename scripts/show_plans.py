@@ -98,6 +98,13 @@ def main() -> None:
         ("mixture_sample", "token-budget mixture sampling: tiny combinable per-source agg + 1-row weight total + broadcast rate table; the corpus never shuffles"),
         ("bigram_lm_score", "bigram LM: one gram explode, combinable gram/context count aggs, broadcast 1-row vocab, score re-joins keyed on gram/context"),
         ("partitioned_scan", "hive-partitioned sink + scan: the lang filter is a PartitionFilters directory-pruning entry, not a data-file predicate"),
+        ("bm25_score", "BM25: array_intersect guard BEFORE the explode (at most |query| rows per doc), df and corpus scalars as broadcasts, combinable per-doc agg, id-spine left join"),
+        ("html_meta", "HTML head metadata: one codegen'd regex projection over the page string — no UDF, no shuffle, fuses onto the scan"),
+        ("outlink_extract", "outlink extraction: regexp_extract_all + transform into structs, one Generate (explode), codegen'd resolution — no UDF, no shuffle"),
+        ("host_pagerank", "fixed-point PageRank: per-iteration join(ranks, edges) + combinable SUM agg on the SAME host key; dangling pool and n_hosts are 1-row broadcasts; integer DIV arithmetic end to end"),
+        ("robots_gate", "robots gate: rule table window-grouped on host; URL side joins on host then picks the winning rule with a map-side-combinable max_by (no sort window); pattern->regex compiled in the plan"),
+        ("quality_classifier", "linear classifier inference: token explode -> BroadcastHashJoin with the weight table -> one combinable (doc) agg -> id-spine left join"),
+        ("inverted_index", "positional inverted index: combinable (term,doc) agg builds postings once; lean pair-distinct df subtree; broadcast STOP-LIST anti-join; df-attach join skew-bounded post-drop"),
     ]
     for name, note in named:
         sections.append((name, note, formatted(api.QUERIES[name](spark, SF))))

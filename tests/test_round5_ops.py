@@ -905,3 +905,39 @@ def test_inverted_index_positions_and_stoplist(spark):  # noqa: F811
     assert rows[("sat", 0)].positions == [2]
     assert rows[("cat", 0)].df == 2 and ("cat", 2) in rows
     assert rows[("dog", 1)].df == 1
+
+
+def test_parse_sitemaps_variants(spark):  # noqa: F811
+    """Leaf urlset + sitemapindex; multi-line blocks trimmed; loc-less
+    entries dropped; optional fields NULL."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.robots import (
+        parse_sitemaps,
+    )
+
+    leaf = (
+        '<?xml version="1.0"?>\n<urlset>\n'
+        "<url><loc>https://a.example/1</loc><lastmod>2024-03-01</lastmod>"
+        "<changefreq>weekly</changefreq><priority>0.8</priority></url>\n"
+        "<url>\n  <loc>  https://a.example/2  </loc>\n</url>\n"
+        "<url><changefreq>daily</changefreq></url>\n"
+        "</urlset>"
+    )
+    idx = (
+        "<sitemapindex><sitemap><loc>https://b.example/m1.xml</loc>"
+        "<lastmod>2023-12-31</lastmod></sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("a.example", leaf), ("b.example", idx)],
+        schema="host string, sitemap_xml string",
+    )
+    rows = {r.loc: r for r in parse_sitemaps(df).collect()}
+    assert set(rows) == {
+        "https://a.example/1", "https://a.example/2", "https://b.example/m1.xml"
+    }
+    r1 = rows["https://a.example/1"]
+    assert (r1.lastmod, r1.changefreq, r1.priority, r1.from_index) == (
+        "2024-03-01", "weekly", "0.8", False)
+    r2 = rows["https://a.example/2"]
+    assert (r2.lastmod, r2.changefreq, r2.priority) == (None, None, None)
+    r3 = rows["https://b.example/m1.xml"]
+    assert (r3.lastmod, r3.from_index) == ("2023-12-31", True)

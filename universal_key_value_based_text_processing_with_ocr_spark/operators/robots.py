@@ -219,3 +219,50 @@ def apply_robots(
             F.lit(True),
         ).alias("allowed"),
     )
+
+
+#: one <url>...</url> (or <sitemap>...</sitemap>) block; (?s) so the
+#: block may span lines — supported identically by Java regex and RE2.
+_URL_BLOCK = r"(?s)<url>(.*?)</url>"
+_IDX_BLOCK = r"(?s)<sitemap>(.*?)</sitemap>"
+
+
+def parse_sitemaps(
+    sitemaps: DataFrame, host_col: str = "host", xml_col: str = "sitemap_xml"
+) -> DataFrame:
+    """Sitemap XML -> typed rows: (host, loc, lastmod, changefreq,
+    priority, from_index).  Handles both <urlset> leaf sitemaps and
+    <sitemapindex> index files (child-sitemap entries come back with
+    ``from_index`` true, so a driver loop can fetch-and-recurse —
+    fetching is I/O, outside this operator's scope).  Pure codegen'd
+    regex projection + one explode; missing optional fields are NULL;
+    ``priority`` keeps sitemap's 0.0-1.0 decimal as a string to stay
+    bit-exact (consumers cast as needed)."""
+    x = F.coalesce(F.col(xml_col), F.lit(""))
+
+    def _field(block, tag):
+        return F.nullif(
+            F.trim(
+                F.regexp_extract(block, rf"(?s)<{tag}[^>]*>([^<]*)</{tag}>", 1)
+            ),
+            F.lit(""),
+        )
+
+    def _rows(pattern, from_index):
+        base = sitemaps.select(
+            F.col(host_col).alias("host"),
+            F.explode(F.regexp_extract_all(x, F.lit(pattern), F.lit(1))).alias(
+                "_b"
+            ),
+        )
+        b = F.col("_b")
+        return base.select(
+            "host",
+            _field(b, "loc").alias("loc"),
+            _field(b, "lastmod").alias("lastmod"),
+            _field(b, "changefreq").alias("changefreq"),
+            _field(b, "priority").alias("priority"),
+            F.lit(from_index).alias("from_index"),
+        ).where(F.col("loc").isNotNull())
+
+    return _rows(_URL_BLOCK, False).unionByName(_rows(_IDX_BLOCK, True))
