@@ -1,0 +1,238 @@
+"""Unit + plan-shape tests for the session-4 round-5 operators: HTML
+table extraction (operators/tables.py), BPE merge statistics
+(operators/bpe.py) and split/shard layout (operators/sharding.py)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tests.test_spark_pipeline import spark  # session fixture  # noqa: F401
+
+from universal_key_value_based_text_processing_with_ocr_spark.operators.bpe import (
+    bpe_pair_counts,
+    top_pairs,
+    word_counts,
+)
+from universal_key_value_based_text_processing_with_ocr_spark.operators.sharding import (
+    assign_splits,
+    plan_shards,
+    shard_manifest,
+)
+from universal_key_value_based_text_processing_with_ocr_spark.operators.tables import (
+    extract_html_tables,
+)
+
+
+def _page(spark, html):  # noqa: F811
+    return spark.createDataFrame([Row(url="u", html=html)])
+
+
+# --- HTML tables -----------------------------------------------------------
+
+
+def test_tables_basic_rows_and_header(spark):  # noqa: F811
+    html = (
+        "<body><TABLE border=1>\n"
+        "<tr><TH>a</th><th>b</th></tr>\n"
+        "<tr><td>1</td><td>2</td><td>3</td></tr>\n"
+        "</TABLE></body>"
+    )
+    rows = extract_html_tables(_page(spark, html)).orderBy("row_idx").collect()
+    assert [(r.table_idx, r.row_idx, r.is_header, r.n_cells, list(r.cells)) for r in rows] == [
+        (0, 0, True, 2, ["a", "b"]),
+        (0, 1, False, 3, ["1", "2", "3"]),
+    ]
+
+
+def test_tables_cell_cleanup_tagstrip_before_entities(spark):  # noqa: F811
+    # inner tags stripped FIRST; &amp;lt; must yield the literal "&lt;"
+    # (never double-unescaped into "<"); &lt;i&gt; unescapes to literal
+    # "<i>" and must NOT then be tag-stripped; whitespace collapses.
+    html = (
+        "<table><tr>"
+        "<td> <b>bo</b>ld\n  text </td>"
+        "<td>&amp;lt;</td>"
+        "<td>&lt;i&gt;</td>"
+        "<td>a&nbsp;&nbsp;b</td>"
+        "</tr></table>"
+    )
+    (r,) = extract_html_tables(_page(spark, html)).collect()
+    assert list(r.cells) == ["bo ld text", "&lt;", "<i>", "a b"]
+
+
+def test_tables_empty_table_consumes_index(spark):  # noqa: F811
+    html = "<table><caption>x</caption></table><table><tr><td>v</td></tr></table>"
+    (r,) = extract_html_tables(_page(spark, html)).collect()
+    assert (r.table_idx, r.row_idx, list(r.cells)) == (1, 0, ["v"])
+
+
+def test_tables_nested_table_divergence_pinned(spark):  # noqa: F811
+    # regex-level contract: the outer span ends at the FIRST </table>,
+    # so the inner table's cells belong to the outer span and the
+    # trailing outer row lands in a phantom second span's rows only if
+    # it has its own <table> — here it is simply dropped.  Pin it.
+    html = (
+        "<table><tr><td>o1</td></tr>"
+        "<table><tr><td>i1</td></tr></table>"
+        "<tr><td>o2</td></tr></table>"
+    )
+    rows = extract_html_tables(_page(spark, html)).orderBy("table_idx", "row_idx").collect()
+    got = [(r.table_idx, list(r.cells)) for r in rows]
+    assert got == [(0, ["o1"]), (0, ["i1"])]
+
+
+def test_tables_caps_bound_generate_fanout(spark):  # noqa: F811
+    html = "<table>" + "".join(
+        f"<tr><td>{i}a</td><td>{i}b</td><td>{i}c</td></tr>" for i in range(10)
+    ) + "</table>"
+    out = extract_html_tables(_page(spark, html), max_rows=4, max_cells=2)
+    rows = out.orderBy("row_idx").collect()
+    assert len(rows) == 4 and all(r.n_cells == 2 for r in rows)
+    # caps are slices BEFORE the explode: the plan has no filter-after-
+    # generate shape, and no exchange / Python evaluation anywhere
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_tables_null_html_and_no_tables(spark):  # noqa: F811
+    df = spark.createDataFrame(
+        [Row(url="a", html=None), Row(url="b", html="<p>no tables</p>")]
+    )
+    assert extract_html_tables(df).count() == 0
+
+
+# --- BPE -------------------------------------------------------------------
+
+
+def test_bpe_counts_hand_corpus(spark):  # noqa: F811
+    # "low low lower" -> vocab {low:2, lower:1}; pairs: lo:3 ow:3 we:1 er:1
+    df = spark.createDataFrame([Row(text="low low"), Row(text="Lower!")])
+    got = {
+        r.pair: (r.pair_count, r.n_forms)
+        for r in bpe_pair_counts(df).collect()
+    }
+    assert got == {"lo": (3, 2), "ow": (3, 2), "we": (1, 1), "er": (1, 1)}
+
+
+def test_bpe_single_char_words_descending_sequence_guard(spark):  # noqa: F811
+    # length-1 words must contribute NO pairs; without the CASE guard
+    # Spark's sequence(1, 0) DESCENDS and substring(word, 0, 2) would
+    # fabricate pairs.
+    df = spark.createDataFrame([Row(text="a b c ab")])
+    got = {r.pair: r.pair_count for r in bpe_pair_counts(df).collect()}
+    assert got == {"ab": 1}
+
+
+def test_bpe_word_length_cap_drops_blobs(spark):  # noqa: F811
+    blob = "x" * 100
+    df = spark.createDataFrame([Row(text=f"ok {blob}")])
+    vocab = {r.word for r in word_counts(df).collect()}
+    assert vocab == {"ok"}
+
+
+def test_bpe_top_pairs_deterministic_tiebreak(spark):  # noqa: F811
+    df = spark.createDataFrame([Row(text="ab cd ab cd ef")])
+    top = top_pairs(bpe_pair_counts(df), k=2).collect()
+    assert [(r.pair, r.pair_count) for r in top] == [("ab", 2), ("cd", 2)]
+
+
+def test_bpe_pair_stage_runs_on_vocab_not_corpus(spark):  # noqa: F811
+    # two aggregates total: the corpus word count and the vocab pair
+    # count — the plan must show exactly 2 shuffle boundaries.
+    df = spark.createDataFrame([Row(text="a few words a few")])
+    plan = bpe_pair_counts(df)._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 2, plan[:2000]
+
+
+# --- splits / shards -------------------------------------------------------
+
+
+def _hosts_df(spark, n=200):  # noqa: F811
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("h"), (F.col("id") % 17).cast("string")).alias("host"),
+    )
+
+
+def test_splits_host_disjoint_and_complete(spark):  # noqa: F811
+    out = assign_splits(_hosts_df(spark))
+    per_host = out.groupBy("host").agg(F.countDistinct("split").alias("k")).collect()
+    assert all(r.k == 1 for r in per_host)
+    assert set(r.split for r in out.select("split").distinct().collect()) <= {
+        "train", "val", "test",
+    }
+
+
+def test_splits_null_host_routed_to_last(spark):  # noqa: F811
+    df = spark.createDataFrame([Row(doc_id=1, host=None)], "doc_id long, host string")
+    assert assign_splits(df).collect()[0].split == "test"
+
+
+def test_splits_weight_validation(spark):  # noqa: F811
+    df = _hosts_df(spark, 1)
+    with pytest.raises(ValueError):
+        assign_splits(df, splits=(("a", 60), ("b", 60)))
+    with pytest.raises(ValueError):
+        assign_splits(df, splits=(("a", 100), ("b", 0)))
+
+
+def test_splits_deterministic_across_runs(spark):  # noqa: F811
+    a = {r.doc_id: r.split for r in assign_splits(_hosts_df(spark)).collect()}
+    b = {r.doc_id: r.split for r in assign_splits(_hosts_df(spark)).collect()}
+    assert a == b
+
+
+def test_shards_pack_and_offsets(spark):  # noqa: F811
+    df = spark.createDataFrame(
+        [Row(doc_id=i, n_bytes=40) for i in range(50)]
+    )
+    out = plan_shards(df, target_bytes=100, writers=1).orderBy("doc_id").collect()
+    # lane 0 only: docs pack 100/40 -> starts 0,40,80,120,... shard_seq
+    # floor(start/100), offset start%100
+    for i, r in enumerate(out):
+        assert r.writer == 0
+        assert r.shard_seq == (i * 40) // 100
+        assert r.shard_offset == (i * 40) % 100
+        assert r.shard == f"shard-00000-{r.shard_seq:06d}"
+
+
+def test_shards_oversized_doc_owns_shards_and_seq_monotone(spark):  # noqa: F811
+    df = spark.createDataFrame(
+        [Row(doc_id=0, n_bytes=10), Row(doc_id=1, n_bytes=950), Row(doc_id=2, n_bytes=10)]
+    )
+    out = {r.doc_id: r for r in plan_shards(df, target_bytes=100, writers=1).collect()}
+    assert out[0].shard_seq == 0
+    assert out[1].shard_seq == 0          # starts at offset 10
+    assert out[2].shard_seq == 9          # lane indices skip past the blob
+    assert out[2].shard_offset == 60      # 960 % 100
+
+
+def test_shard_manifest_reconciles(spark):  # noqa: F811
+    df = spark.createDataFrame([Row(doc_id=i, n_bytes=33 + i % 7) for i in range(300)])
+    plan = plan_shards(df, target_bytes=500, writers=4)
+    man = shard_manifest(plan)
+    tot = man.agg(F.sum("n_docs").alias("d"), F.sum("bytes").alias("b")).collect()[0]
+    assert tot.d == 300
+    assert tot.b == sum(33 + i % 7 for i in range(300))
+    # ids in a manifest row bound its docs
+    joined = plan.join(man, ["shard", "writer", "shard_seq"])
+    bad = joined.where(
+        (F.col("doc_id") < F.col("first_id")) | (F.col("doc_id") > F.col("last_id"))
+    ).count()
+    assert bad == 0
+
+
+def test_shards_validation(spark):  # noqa: F811
+    df = spark.createDataFrame([Row(doc_id=1, n_bytes=1)])
+    with pytest.raises(ValueError):
+        plan_shards(df, target_bytes=0)
+    with pytest.raises(ValueError):
+        plan_shards(df, writers=0)
+
+
+def test_shards_single_exchange_plan(spark):  # noqa: F811
+    df = spark.createDataFrame([Row(doc_id=i, n_bytes=10) for i in range(20)])
+    plan = plan_shards(df, writers=4)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]

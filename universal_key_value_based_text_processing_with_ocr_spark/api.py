@@ -1243,6 +1243,108 @@ def q_crawl_frontier(spark, sf_dir):
     )
 
 
+def q_html_tables(spark, sf_dir):
+    """HTML <table> mining -> typed (table_idx, row_idx, cells) rows.
+    The page HTML is CONSTRUCTED from doc_id arithmetic (header row with
+    entities, 1-3 data rows, a whitespace/entity torture row, an empty
+    caption-only table that shifts indices for doc_id%5==0, a second
+    table for doc_id%4==0, markup outside tables) and the oracle DERIVES
+    the expected rows closed form — parser and constructor check each
+    other, the sitemap-query discipline."""
+    from .operators.tables import extract_html_tables
+
+    docs = _tbl(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    url = F.concat(F.lit("https://t"), ids, F.lit(".example/page"))
+
+    def drow(j: int):
+        return F.when(
+            did % 3 >= j,
+            F.concat(
+                F.lit(f" <tr><td>a{j}-"), ids,
+                F.lit("</td><td><b>x"), ((did * 7 + j) % 100).cast("string"),
+                F.lit("</b> y</td></tr>\n"),
+            ),
+        ).otherwise(F.lit(""))
+
+    html = F.concat(
+        F.lit("<html><body><h1>Doc</h1>\n"),
+        F.when(
+            did % 5 == 0,
+            F.lit('<table id="empty"><caption>no rows</caption></table>\n'),
+        ).otherwise(F.lit("")),
+        F.lit('<table class="data">\n <tr><th>name</th><th>v &amp; w</th></tr>\n'),
+        drow(0), drow(1), drow(2),
+        F.lit(" <tr>\n  <td></td>\n  <td>  spaced &lt;q&gt;\n   text </td>\n </tr>\n</table>\n"),
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit("<table><tr><td>t2-"), ids, F.lit("</td></tr></table>\n")),
+        ).otherwise(F.lit("")),
+        F.lit("<p>outside &amp; tail</p></body></html>"),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    t = extract_html_tables(pages)
+    return t.select(
+        "url",
+        F.col("table_idx").cast("long").alias("table_idx"),
+        F.col("row_idx").cast("long").alias("row_idx"),
+        "is_header",
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.array_join("cells", "|").alias("cells_joined"),
+    )
+
+
+def q_bpe_pairs(spark, sf_dir):
+    """First BPE merge-step statistics over the corpus: vocabulary via
+    ONE combinable word-count shuffle, pair explode over the VOCAB only,
+    top-100 merge candidates in a deterministic total order."""
+    from .operators.bpe import bpe_pair_counts, top_pairs
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return top_pairs(bpe_pair_counts(docs), k=100)
+
+
+def q_split_train_test(spark, sf_dir):
+    """Host-disjoint train/val/test assignment (98/1/1 by md5 host
+    bucket): every page of a host lands in one split by construction —
+    the leakage-safe unit for web corpora."""
+    from .operators.sharding import assign_splits
+
+    docs = _tbl(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 37).cast("string"), F.lit(".split.example")
+    )
+    d = docs.select("doc_id", host.alias("host"))
+    return assign_splits(d).select("doc_id", "host", "split")
+
+
+def _shard_plan_df(spark, sf_dir):
+    from .operators.sharding import plan_shards
+
+    docs = _tbl(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.col("n_chars").alias("n_bytes"))
+    return plan_shards(d, target_bytes=4_000, writers=8)
+
+
+def q_shard_plan(spark, sf_dir):
+    """Size-targeted shard assignment: md5 lane spread + per-lane greedy
+    pack via ONE running-sum window — the parallel form of 'write ~50 KB
+    shards' with a bit-reproducible layout."""
+    return _shard_plan_df(spark, sf_dir).select(
+        "doc_id", "n_bytes", "writer", "shard_seq", "shard_offset", "shard"
+    )
+
+
+def q_shard_manifest(spark, sf_dir):
+    """The loader-facing manifest over the same plan: per-shard doc
+    count, byte total and id range (combinable agg, exchange-compatible
+    with the planning window's lane partitioning)."""
+    from .operators.sharding import shard_manifest
+
+    return shard_manifest(_shard_plan_df(spark, sf_dir))
+
+
 def _pagerank_oracle_sql(n_iter: int = 3) -> str:
     """Unrolled fixed-point PageRank oracle: the same integer recurrence
     as operators/linkgraph.pagerank_hosts, one CTE trio per iteration.
@@ -1344,9 +1446,9 @@ QUERIES = {
     "doc_keywords": q_doc_keywords,
     "c4_line_clean": q_c4_line_clean,
     "warc_scan": q_warc_scan,
-    "wet_roundtrip": q_wet_roundtrip,
+    "html_tables": q_html_tables,
     "fineweb_pipeline": q_fineweb_pipeline,
-    "jsonl_roundtrip": q_jsonl_roundtrip,
+    "bpe_pairs": q_bpe_pairs,
     "chunk_documents": q_chunk_documents,
     "mixture_sample": q_mixture_sample,
     "pack_sequences": q_pack_sequences,
@@ -1359,14 +1461,14 @@ QUERIES = {
     "image_dhash": q_image_dhash,
     "image_near_dup": q_image_near_dup,
     "multimodal_audio_decode": q_multimodal_audio_decode,
-    "bucketed_join": q_bucketed_join,
+    "split_train_test": q_split_train_test,
     "semdedup": q_semdedup,
     "warc_cdx": q_warc_cdx,
     "html_meta": q_html_meta,
     "bm25_score": q_bm25_score,
     "outlink_extract": q_outlink_extract,
-    "host_pagerank": q_host_pagerank,
-    "anchor_topk": q_anchor_topk,
+    "shard_plan": q_shard_plan,
+    "shard_manifest": q_shard_manifest,
     "robots_gate": q_robots_gate,
     "quality_classifier": q_quality_classifier,
     "multimodal_image_meta": q_multimodal_image_meta,
@@ -1381,7 +1483,19 @@ QUERIES = {
     # byte-parity suite) rotated out to admit the link-graph family,
     # robots/sitemap governance, classifier, inverted index, and the
     # frontier capstone — all were green in the round-4 driver run);
-    # re-verified green every round by scripts/check_correctness.py
+    # re-verified green every round by scripts/check_correctness.py.
+    # Round-5 session-4 rotation: wet_roundtrip / jsonl_roundtrip /
+    # host_pagerank / anchor_topk / bucketed_join moved past the cap to
+    # admit html_tables, bpe_pairs, split_train_test, shard_plan and
+    # shard_manifest — each displaced query's module keeps an in-window
+    # sentinel (warc.py via warc_scan+warc_cdx, linkgraph via
+    # outlink_extract+crawl_frontier, the sinks via partitioned_scan) and
+    # ALL are locally replica-checked green at this head.
+    "wet_roundtrip": q_wet_roundtrip,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
+    "host_pagerank": q_host_pagerank,
+    "anchor_topk": q_anchor_topk,
+    "bucketed_join": q_bucketed_join,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "dedup_incremental_bloom": q_dedup_incremental_bloom,
@@ -2309,6 +2423,121 @@ ORACLE_SQL = {
         UNION ALL
         SELECT host, base || '/maps/' || ids || '-2.xml', NULL, NULL, NULL, TRUE
         FROM d WHERE doc_id % 4 = 0
+    """,
+    # closed-form derivation of the constructed tables (never parses
+    # HTML): header row, 1-3 data rows, the whitespace/entity torture
+    # row, index shift from the empty table, second table for %4==0
+    "html_tables": """
+        WITH d AS (
+            SELECT doc_id,
+                   'https://t' || CAST(doc_id AS VARCHAR) || '.example/page' AS url,
+                   CAST(doc_id AS VARCHAR) AS ids,
+                   CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS base
+            FROM documents
+        )
+        SELECT url, base AS table_idx, CAST(0 AS BIGINT) AS row_idx,
+               TRUE AS is_header, CAST(2 AS BIGINT) AS n_cells,
+               'name|v & w' AS cells_joined
+        FROM d
+        UNION ALL
+        SELECT url, base, CAST(j + 1 AS BIGINT), FALSE, CAST(2 AS BIGINT),
+               'a' || CAST(j AS VARCHAR) || '-' || ids || '|x'
+                   || CAST((doc_id * 7 + j) % 100 AS VARCHAR) || ' y'
+        FROM d, (SELECT unnest([0, 1, 2]) AS j) js
+        WHERE doc_id % 3 >= j
+        UNION ALL
+        SELECT url, base, CAST(doc_id % 3 + 2 AS BIGINT), FALSE,
+               CAST(2 AS BIGINT), '|spaced <q> text'
+        FROM d
+        UNION ALL
+        SELECT url, base + 1, CAST(0 AS BIGINT), FALSE, CAST(1 AS BIGINT),
+               't2-' || ids
+        FROM d WHERE doc_id % 4 = 0
+    """,
+    # identical vocab-first factoring: corpus word count, pair explode
+    # over the vocabulary, deterministic (count DESC, pair ASC) top-k
+    "bpe_pairs": """
+        WITH words AS (
+            SELECT w AS word, CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+                FROM documents
+            ) WHERE w != '' AND length(w) <= 64
+            GROUP BY 1
+        ),
+        pairs AS (
+            SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, n
+            FROM (SELECT word, n, unnest(range(1, length(word))) AS i
+                  FROM words WHERE length(word) >= 2)
+        )
+        SELECT pair, CAST(sum(n) AS BIGINT) AS pair_count,
+               CAST(count(*) AS BIGINT) AS n_forms
+        FROM pairs GROUP BY 1
+        ORDER BY pair_count DESC, pair ASC LIMIT 100
+    """,
+    # replays the md5 host bucket (first 15 hex digits as bigint % 100,
+    # the dedup._md5_long discipline) and the 98/1/1 cut points
+    "split_train_test": """
+        SELECT doc_id,
+               'h' || CAST(doc_id % 37 AS VARCHAR) || '.split.example' AS host,
+               CASE
+                   WHEN b < 98 THEN 'train'
+                   WHEN b < 99 THEN 'val'
+                   ELSE 'test'
+               END AS split
+        FROM (
+            SELECT doc_id,
+                   ('0x' || substr(md5('42:h' || CAST(doc_id % 37 AS VARCHAR)
+                        || '.split.example'), 1, 15))::BIGINT % 100 AS b
+            FROM documents
+        )
+    """,
+    # same md5 lane hash + per-lane running-sum pack, replayed with one
+    # SQL window; 4 KB target, 8 lanes (the query's parameters —
+    # small enough that sf0.01 lanes span several shard boundaries)
+    "shard_plan": """
+        WITH d AS (
+            SELECT doc_id, n_chars AS n_bytes,
+                   ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 8 AS writer
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_bytes, writer,
+                   CAST(sum(n_bytes) OVER (
+                       PARTITION BY writer ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_bytes AS BIGINT) AS start
+            FROM d
+        )
+        SELECT doc_id, n_bytes, writer,
+               start // 4000 AS shard_seq,
+               start % 4000 AS shard_offset,
+               'shard-' || lpad(CAST(writer AS VARCHAR), 5, '0') || '-'
+                   || lpad(CAST(start // 4000 AS VARCHAR), 6, '0') AS shard
+        FROM c
+    """,
+    "shard_manifest": """
+        WITH d AS (
+            SELECT doc_id, n_chars AS n_bytes,
+                   ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 8 AS writer
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_bytes, writer,
+                   CAST(sum(n_bytes) OVER (
+                       PARTITION BY writer ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_bytes AS BIGINT) AS start
+            FROM d
+        )
+        SELECT 'shard-' || lpad(CAST(writer AS VARCHAR), 5, '0') || '-'
+                   || lpad(CAST(start // 4000 AS VARCHAR), 6, '0') AS shard,
+               writer, start // 4000 AS shard_seq,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_bytes) AS BIGINT) AS bytes,
+               min(doc_id) AS first_id, max(doc_id) AS last_id
+        FROM c GROUP BY 1, 2, 3
     """,
     # frontier = closed-form candidates (follow + self links, deduped)
     # gated by the closed-form robots outcome (h{n%5==0}.example forbids
