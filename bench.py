@@ -142,6 +142,10 @@ def main() -> None:
         # round 5, third session
         "warc_cdx", "html_meta", "bm25_score",
         "outlink_extract", "host_pagerank", "anchor_topk", "robots_gate",
+        # round 5, fourth session
+        "quality_classifier", "inverted_index", "sitemap_parse",
+        "crawl_frontier", "html_tables", "bpe_pairs", "split_train_test",
+        "shard_plan", "shard_manifest",
     ]
 
     best: dict[str, float] = {}
@@ -251,8 +255,9 @@ def main() -> None:
     (REPO / "BENCH" / "last_run.json").write_text(json.dumps(out, indent=1))
     out["full_record_file"] = "BENCH/last_run.json"
     newest = [
-        "warc_cdx", "html_meta", "bm25_score",
-        "outlink_extract", "host_pagerank", "anchor_topk", "robots_gate",
+        "quality_classifier", "inverted_index", "sitemap_parse",
+        "crawl_frontier", "html_tables", "bpe_pairs", "split_train_test",
+        "shard_plan", "shard_manifest",
     ]
     out["new_queries_total_sec"] = round(sum(new_best.values()), 3)
     out["new_queries_sec"] = {

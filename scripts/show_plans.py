@@ -105,6 +105,12 @@ def main() -> None:
         ("robots_gate", "robots gate: rule table window-grouped on host; URL side joins on host then picks the winning rule with a map-side-combinable max_by (no sort window); pattern->regex compiled in the plan"),
         ("quality_classifier", "linear classifier inference: token explode -> BroadcastHashJoin with the weight table -> one combinable (doc) agg -> id-spine left join"),
         ("inverted_index", "positional inverted index: combinable (term,doc) agg builds postings once; lean pair-distinct df subtree; broadcast STOP-LIST anti-join; df-attach join skew-bounded post-drop"),
+        ("sitemap_parse", "sitemap XML parse: pure regex projection + ONE explode — no UDF, no shuffle, fuses onto the scan"),
+        ("crawl_frontier", "frontier capstone: outlink Generate -> PageRank joins -> robots gate -> per-host WindowGroupLimit budget, composed in one declarative plan"),
+        ("html_tables", "HTML <table> mining: three nested bounded Generate levels + codegen'd cell cleanup — ZERO exchanges, zero Python; caps are slices BEFORE each explode"),
+        ("bpe_pairs", "BPE merge statistics: corpus word-count (combinable) -> pair explode over the VOCABULARY only -> combinable pair agg -> TakeOrderedAndProject; exactly two exchanges"),
+        ("split_train_test", "host-disjoint split assignment: md5 bucket projection — zero shuffles, the corpus never moves"),
+        ("shard_plan", "size-targeted shard layout: md5 lane key + ONE exchange + per-lane running-sum window (O(1) state) + div/pmod shard arithmetic"),
     ]
     for name, note in named:
         sections.append((name, note, formatted(api.QUERIES[name](spark, SF))))

@@ -236,3 +236,136 @@ def test_shards_single_exchange_plan(spark):  # noqa: F811
     df = spark.createDataFrame([Row(doc_id=i, n_bytes=10) for i in range(20)])
     plan = plan_shards(df, writers=4)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+# --- model-based property tests (one Spark job, vectorised compare) --------
+
+
+import hashlib
+import random
+import re
+
+
+def _clean_model(c: str) -> str:
+    c = re.sub(r"(?s)<[^>]*>", " ", c)
+    for ent, rep in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        c = c.replace(ent, rep)
+    return re.sub(r"\s+", " ", c).strip(" ")
+
+
+def _tables_model(url, html, max_tables, max_rows, max_cells):
+    if html is None:
+        return []
+    out = []
+    tabs = re.findall(r"(?is)<table\b[^>]*>(.*?)</table\s*>", html)[:max_tables]
+    for ti, th in enumerate(tabs):
+        rows = re.findall(r"(?is)<tr\b[^>]*>(.*?)</tr\s*>", th)[:max_rows]
+        for ri, rh in enumerate(rows):
+            cells = re.findall(r"(?is)<t[dh]\b[^>]*>(.*?)</t[dh]\s*>", rh)[:max_cells]
+            out.append((
+                url, ti, ri,
+                re.search(r"(?is)<th\b", rh) is not None,
+                len(cells),
+                tuple(_clean_model(c) for c in cells),
+            ))
+    return out
+
+
+_CELL_BITS = ["x", "a b", "<b>bo</b>ld", "&amp;lt;", "&nbsp;", "v &amp; w",
+              "&lt;i&gt;", "  sp  ", "\nnl\t", "", "<i >t</i>", "99", "&",
+              "<"]
+_ROW_OPEN = ["<tr>", "<TR>", "<tr align=left>", "<tr\nclass='r'>"]
+_CELL_TAG = [("<td>", "</td>"), ("<TD >", "</td >"), ("<th>", "</th>"),
+             ("<th scope=col>", "</TH>")]
+_NOISE = ["", "<p>n</p>", "stray </table> close", "<div><table>no close",
+          "&amp; loose entity", "\n\n"]
+
+
+def _gen_page(rng: random.Random, i: int):
+    parts = [rng.choice(_NOISE)]
+    for _t in range(rng.randint(0, 4)):
+        parts.append(rng.choice(["<table>", "<TABLE border=1>", '<table class="d">']))
+        if rng.random() < 0.15:
+            parts.append("<caption>cap</caption>")  # row-less content
+        for _r in range(rng.randint(0, 5)):
+            parts.append(rng.choice(_ROW_OPEN))
+            for _c in range(rng.randint(0, 4)):
+                o, cl = rng.choice(_CELL_TAG)
+                parts.append(o + rng.choice(_CELL_BITS) + cl)
+            parts.append("</tr>" if rng.random() < 0.9 else "</TR >")
+        parts.append("</table>" if rng.random() < 0.9 else "</TABLE  >")
+        parts.append(rng.choice(_NOISE))
+    return (f"u{i}", "".join(parts))
+
+
+def test_tables_property_vs_python_model(spark):  # noqa: F811
+    rng = random.Random(1234)
+    pages = [_gen_page(rng, i) for i in range(300)]
+    df = spark.createDataFrame(pages, "url string, html string")
+    got = sorted(
+        (r.url, r.table_idx, r.row_idx, r.is_header, r.n_cells, tuple(r.cells))
+        for r in extract_html_tables(
+            df, max_tables=3, max_rows=4, max_cells=3
+        ).collect()
+    )
+    want = sorted(
+        row
+        for url, html in pages
+        for row in _tables_model(url, html, 3, 4, 3)
+    )
+    assert got == want
+
+
+def test_bpe_property_vs_python_model(spark):  # noqa: F811
+    from collections import Counter
+
+    rng = random.Random(77)
+    alphabet = "ab1 .!x" + "Z"
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        for _ in range(200)
+    ] + [None, "", "q" * 65, "q" * 64]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+
+    vocab = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        for w in re.split("[^a-z0-9]+", t.lower()):
+            if w and len(w) <= 64:
+                vocab[w] += 1
+    pairs, forms = Counter(), Counter()
+    for w, n in vocab.items():
+        for i in range(len(w) - 1):
+            pairs[w[i : i + 2]] += n
+            forms[w[i : i + 2]] += 1
+
+    got = {r.pair: (r.pair_count, r.n_forms) for r in bpe_pair_counts(df).collect()}
+    assert got == {p: (pairs[p], forms[p]) for p in pairs}
+
+
+def test_sharding_property_vs_python_model(spark):  # noqa: F811
+    rng = random.Random(9)
+    rows = [(i, rng.randint(1, 500)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n_bytes long")
+    target, writers = 1000, 5
+
+    def lane(i):
+        return int(hashlib.md5(f"42:{i}".encode()).hexdigest()[:15], 16) % writers
+
+    starts, acc = {}, {}
+    for i, b in sorted(rows):
+        w = lane(i)
+        starts[i] = acc.get(w, 0)
+        acc[w] = starts[i] + b
+    want = {
+        i: (lane(i), starts[i] // target, starts[i] % target) for i, _ in rows
+    }
+    got = {
+        r.doc_id: (r.writer, r.shard_seq, r.shard_offset)
+        for r in plan_shards(df, target_bytes=target, writers=writers).collect()
+    }
+    assert got == want
