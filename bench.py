@@ -145,7 +145,8 @@ def main() -> None:
         # round 5, fourth session
         "quality_classifier", "inverted_index", "sitemap_parse",
         "crawl_frontier", "html_tables", "bpe_pairs", "split_train_test",
-        "shard_plan", "shard_manifest",
+        "shard_plan", "shard_manifest", "html_tables_markdown",
+        "shard_plan_shuffled",
     ]
 
     best: dict[str, float] = {}
@@ -257,7 +258,8 @@ def main() -> None:
     newest = [
         "quality_classifier", "inverted_index", "sitemap_parse",
         "crawl_frontier", "html_tables", "bpe_pairs", "split_train_test",
-        "shard_plan", "shard_manifest",
+        "shard_plan", "shard_manifest", "html_tables_markdown",
+        "shard_plan_shuffled",
     ]
     out["new_queries_total_sec"] = round(sum(new_best.values()), 3)
     out["new_queries_sec"] = {

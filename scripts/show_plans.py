@@ -111,6 +111,8 @@ def main() -> None:
         ("bpe_pairs", "BPE merge statistics: corpus word-count (combinable) -> pair explode over the VOCABULARY only -> combinable pair agg -> TakeOrderedAndProject; exactly two exchanges"),
         ("split_train_test", "host-disjoint split assignment: md5 bucket projection — zero shuffles, the corpus never moves"),
         ("shard_plan", "size-targeted shard layout: md5 lane key + ONE exchange + per-lane running-sum window (O(1) state) + div/pmod shard arithmetic"),
+        ("html_tables_markdown", "markdown linearization: the table extraction subtree + ONE combinable (page, table) agg + codegen'd HOF assembly — row structs shuffle the cell text once, never the page"),
+        ("shard_plan_shuffled", "deterministic training shuffle: same single-exchange layout, pack order = seed+1 hash — permutation without a global sort"),
     ]
     for name, note in named:
         sections.append((name, note, formatted(api.QUERIES[name](spark, SF))))

@@ -369,3 +369,72 @@ def test_sharding_property_vs_python_model(spark):  # noqa: F811
         for r in plan_shards(df, target_bytes=target, writers=writers).collect()
     }
     assert got == want
+
+
+# --- markdown linearization / shuffled packing ------------------------------
+
+
+def test_tables_markdown_header_sep_and_escape(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.tables import (
+        tables_to_markdown,
+    )
+
+    html = (
+        "<table><tr><th>k</th><th>v</th></tr>"
+        "<tr><td>a|b</td><td>c</td></tr></table>"
+        "<table><tr><td>plain</td></tr></table>"
+    )
+    out = {
+        r.table_idx: (r.n_rows, r.markdown)
+        for r in tables_to_markdown(extract_html_tables(_page(spark, html))).collect()
+    }
+    assert out[0] == (2, "| k | v |\n| --- | --- |\n| a\\|b | c |")
+    # no header row -> no separator line
+    assert out[1] == (1, "| plain |")
+
+
+def test_tables_markdown_zero_cell_row_pinned(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.tables import (
+        tables_to_markdown,
+    )
+
+    html = "<table><tr></tr><tr><td>x</td></tr></table>"
+    (r,) = tables_to_markdown(extract_html_tables(_page(spark, html))).collect()
+    assert r.markdown == "|  |\n| x |"
+
+
+def test_tables_markdown_row_order_stable_under_partitioning(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.tables import (
+        tables_to_markdown,
+    )
+
+    html = "<table>" + "".join(
+        f"<tr><td>r{i}</td></tr>" for i in range(20)
+    ) + "</table>"
+    t = extract_html_tables(_page(spark, html))
+    a = tables_to_markdown(t.coalesce(1)).collect()[0].markdown
+    b = tables_to_markdown(t.repartition(16)).collect()[0].markdown
+    assert a == b == "\n".join(f"| r{i} |" for i in range(20))
+
+
+def test_shards_shuffle_permutes_but_preserves_layout_mass(spark):  # noqa: F811
+    rows = [Row(doc_id=i, n_bytes=50) for i in range(200)]
+    df = spark.createDataFrame(rows)
+    plain = plan_shards(df, target_bytes=300, writers=4)
+    mixed = plan_shards(df, target_bytes=300, writers=4, shuffle=True)
+    p = {r.doc_id: r for r in plain.collect()}
+    m = {r.doc_id: r for r in mixed.collect()}
+    # lanes unchanged (same lane hash), total bytes per lane unchanged
+    assert all(p[i].writer == m[i].writer for i in p)
+    # equal-size docs: the set of (lane, seq, offset) slots is identical,
+    # only WHICH doc occupies a slot changes — and it does change
+    assert sorted((r.writer, r.shard_seq, r.shard_offset) for r in p.values()) == \
+        sorted((r.writer, r.shard_seq, r.shard_offset) for r in m.values())
+    assert any(
+        (p[i].shard_seq, p[i].shard_offset) != (m[i].shard_seq, m[i].shard_offset)
+        for i in p
+    )
+    # deterministic across runs
+    m2 = {r.doc_id: (r.shard_seq, r.shard_offset)
+          for r in plan_shards(df, target_bytes=300, writers=4, shuffle=True).collect()}
+    assert m2 == {i: (m[i].shard_seq, m[i].shard_offset) for i in m}

@@ -1243,16 +1243,12 @@ def q_crawl_frontier(spark, sf_dir):
     )
 
 
-def q_html_tables(spark, sf_dir):
-    """HTML <table> mining -> typed (table_idx, row_idx, cells) rows.
-    The page HTML is CONSTRUCTED from doc_id arithmetic (header row with
-    entities, 1-3 data rows, a whitespace/entity torture row, an empty
-    caption-only table that shifts indices for doc_id%5==0, a second
-    table for doc_id%4==0, markup outside tables) and the oracle DERIVES
-    the expected rows closed form — parser and constructor check each
-    other, the sitemap-query discipline."""
-    from .operators.tables import extract_html_tables
-
+def _table_pages(spark, sf_dir):
+    """Deterministic table-torture pages shared by the html_tables and
+    html_tables_markdown queries: header row with entities, 1-3 data
+    rows, a whitespace/entity torture row, an empty caption-only table
+    that shifts indices for doc_id%5==0, a second table for doc_id%4==0,
+    markup outside tables."""
     docs = _tbl(spark, sf_dir, "documents")
     did = F.col("doc_id")
     ids = did.cast("string")
@@ -1283,8 +1279,17 @@ def q_html_tables(spark, sf_dir):
         ).otherwise(F.lit("")),
         F.lit("<p>outside &amp; tail</p></body></html>"),
     )
-    pages = docs.select(url.alias("url"), html.alias("html"))
-    t = extract_html_tables(pages)
+    return docs.select(url.alias("url"), html.alias("html"))
+
+
+def q_html_tables(spark, sf_dir):
+    """HTML <table> mining -> typed (table_idx, row_idx, cells) rows
+    over the constructed torture pages; the oracle DERIVES the expected
+    rows closed form — parser and constructor check each other, the
+    sitemap-query discipline."""
+    from .operators.tables import extract_html_tables
+
+    t = extract_html_tables(_table_pages(spark, sf_dir))
     return t.select(
         "url",
         F.col("table_idx").cast("long").alias("table_idx"),
@@ -1332,6 +1337,35 @@ def q_shard_plan(spark, sf_dir):
     pack via ONE running-sum window — the parallel form of 'write ~50 KB
     shards' with a bit-reproducible layout."""
     return _shard_plan_df(spark, sf_dir).select(
+        "doc_id", "n_bytes", "writer", "shard_seq", "shard_offset", "shard"
+    )
+
+
+def q_html_tables_markdown(spark, sf_dir):
+    """The LLM-corpus linearization over the same constructed tables:
+    one GitHub-markdown string per (page, table), header separator iff
+    row 0 is a header; the closed-form oracle builds the exact strings."""
+    from .operators.tables import extract_html_tables, tables_to_markdown
+
+    md = tables_to_markdown(extract_html_tables(_table_pages(spark, sf_dir)))
+    return md.select(
+        "url",
+        F.col("table_idx").cast("long").alias("table_idx"),
+        "n_rows",
+        "markdown",
+    )
+
+
+def q_shard_plan_shuffled(spark, sf_dir):
+    """The same shard layout with the deterministic training shuffle:
+    each lane packs in md5(seed+1:id) order, decorrelating crawl order
+    without a global sort — the permutation is the lane spread plus the
+    in-lane hash order, bit-reproducible on any engine."""
+    from .operators.sharding import plan_shards
+
+    docs = _tbl(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.col("n_chars").alias("n_bytes"))
+    return plan_shards(d, target_bytes=4_000, writers=8, shuffle=True).select(
         "doc_id", "n_bytes", "writer", "shard_seq", "shard_offset", "shard"
     )
 
@@ -1454,10 +1488,10 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "bigram_lm_score": q_bigram_lm_score,
     "partitioned_scan": q_partitioned_scan,
-    "doc_nfc_normalize": q_doc_nfc_normalize,
+    "html_tables_markdown": q_html_tables_markdown,
     "doc_lexical_diversity": q_doc_lexical_diversity,
     "url_blocklist": q_url_blocklist,
-    "fix_mojibake": q_fix_mojibake,
+    "shard_plan_shuffled": q_shard_plan_shuffled,
     "image_dhash": q_image_dhash,
     "image_near_dup": q_image_near_dup,
     "multimodal_audio_decode": q_multimodal_audio_decode,
@@ -1496,6 +1530,11 @@ QUERIES = {
     "host_pagerank": q_host_pagerank,
     "anchor_topk": q_anchor_topk,
     "bucketed_join": q_bucketed_join,
+    # rotated out for html_tables_markdown / shard_plan_shuffled: both
+    # are pure projections whose ground truth is pinned against Python's
+    # own codecs (codecs round-trip / unicodedata) in pytest
+    "fix_mojibake": q_fix_mojibake,
+    "doc_nfc_normalize": q_doc_nfc_normalize,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "dedup_incremental_bloom": q_dedup_incremental_bloom,
@@ -2453,6 +2492,57 @@ ORACLE_SQL = {
         SELECT url, base + 1, CAST(0 AS BIGINT), FALSE, CAST(1 AS BIGINT),
                't2-' || ids
         FROM d WHERE doc_id % 4 = 0
+    """,
+    # closed-form markdown strings per (page, table): header + separator
+    # + 1-3 data rows + the torture row for the main table; a single
+    # separator-less line for the %4==0 second table
+    "html_tables_markdown": """
+        WITH d AS (
+            SELECT doc_id,
+                   'https://t' || CAST(doc_id AS VARCHAR) || '.example/page' AS url,
+                   CAST(doc_id AS VARCHAR) AS ids,
+                   CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS base
+            FROM documents
+        )
+        SELECT url, base AS table_idx,
+               CAST(doc_id % 3 + 3 AS BIGINT) AS n_rows,
+               '| name | v & w |' || chr(10) || '| --- | --- |' || chr(10)
+               || '| a0-' || ids || ' | x' || CAST(doc_id * 7 % 100 AS VARCHAR) || ' y |'
+               || CASE WHEN doc_id % 3 >= 1 THEN chr(10) || '| a1-' || ids || ' | x'
+                       || CAST((doc_id * 7 + 1) % 100 AS VARCHAR) || ' y |' ELSE '' END
+               || CASE WHEN doc_id % 3 >= 2 THEN chr(10) || '| a2-' || ids || ' | x'
+                       || CAST((doc_id * 7 + 2) % 100 AS VARCHAR) || ' y |' ELSE '' END
+               || chr(10) || '|  | spaced <q> text |' AS markdown
+        FROM d
+        UNION ALL
+        SELECT url, base + 1, CAST(1 AS BIGINT), '| t2-' || ids || ' |'
+        FROM d WHERE doc_id % 4 = 0
+    """,
+    # the shuffled layout: same lane hash, pack order = md5('43:'||id)
+    # (seed+1) with id tiebreak, same running-sum window
+    "shard_plan_shuffled": """
+        WITH d AS (
+            SELECT doc_id, n_chars AS n_bytes,
+                   ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 8 AS writer,
+                   ('0x' || substr(md5('43:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       AS ord
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_bytes, writer,
+                   CAST(sum(n_bytes) OVER (
+                       PARTITION BY writer ORDER BY ord, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_bytes AS BIGINT) AS start
+            FROM d
+        )
+        SELECT doc_id, n_bytes, writer,
+               start // 4000 AS shard_seq,
+               start % 4000 AS shard_offset,
+               'shard-' || lpad(CAST(writer AS VARCHAR), 5, '0') || '-'
+                   || lpad(CAST(start // 4000 AS VARCHAR), 6, '0') AS shard
+        FROM c
     """,
     # identical vocab-first factoring: corpus word count, pair explode
     # over the vocabulary, deterministic (count DESC, pair ASC) top-k

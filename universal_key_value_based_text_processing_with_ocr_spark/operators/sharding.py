@@ -89,6 +89,7 @@ def plan_shards(
     target_bytes: int = 1 << 28,
     writers: int = 64,
     seed: int = 42,
+    shuffle: bool = False,
 ) -> DataFrame:
     """Assign each doc a ``(writer, shard_seq)`` output shard by greedy
     per-lane packing: lane = md5(seed:id) % writers, docs packed in id
@@ -97,10 +98,20 @@ def plan_shards(
     ``shard`` (the lane-qualified name) and ``shard_offset`` (the doc's
     byte offset within its lane — what a writer task seeks to).
 
+    ``shuffle=True`` packs each lane in ``md5(seed+1:id)`` order instead
+    of id order — a deterministic corpus-wide training shuffle: crawl
+    order is heavily auto-correlated (a host's pages arrive together),
+    and packing the permuted order decorrelates shards WITHOUT a global
+    sort — the lane spread plus the in-lane hash order IS the
+    permutation, reproducible on any engine and any rerun.  (seed+1
+    keeps the order hash independent of the lane hash: reusing one
+    value would sort every lane by its own residue classes.)
+
     One exchange (on the lane key) + one per-lane ordered window; the
     window function is a running SUM, so Spark streams it with O(1)
     state per lane.  ``id_col`` must be unique per row — it is both the
-    lane hash input and the deterministic pack order.
+    lane hash input and (directly or hashed) the deterministic pack
+    order.
     """
     if target_bytes <= 0 or writers <= 0:
         raise ValueError("target_bytes and writers must be positive")
@@ -108,9 +119,16 @@ def plan_shards(
         _md5_long(F.concat_ws(":", F.lit(str(seed)), F.col(id_col))), F.lit(writers)
     ).alias("writer")
     sized = docs.select("*", lane)
+    if shuffle:
+        order = [
+            _md5_long(F.concat_ws(":", F.lit(str(seed + 1)), F.col(id_col))).asc(),
+            F.col(id_col).asc(),  # total order even on a 60-bit collision
+        ]
+    else:
+        order = [F.col(id_col).asc()]
     w = (
         Window.partitionBy("writer")
-        .orderBy(F.col(id_col).asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     start = (F.sum(bytes_col).over(w) - F.col(bytes_col)).alias("_start")

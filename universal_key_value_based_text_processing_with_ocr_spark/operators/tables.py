@@ -113,3 +113,37 @@ def extract_html_tables(
         F.size(cells).alias("n_cells"),
         F.transform(cells, _clean_cell).alias("cells"),
     )
+
+
+def tables_to_markdown(
+    tables: DataFrame, id_cols: Sequence[str] = ("url",)
+) -> DataFrame:
+    """Linearise ``extract_html_tables`` output to one GitHub-markdown
+    string per (page, table) — the form LLM corpora actually carry
+    tables in (markdown survives tokenisation; raw ``<td>`` soup is
+    stripped by the boilerplate pass).  ``| a | b |`` rows in row
+    order; a ``| --- | --- |`` separator after row 0 iff row 0 is a
+    header row; ``|`` inside a cell is escaped ``\\|`` so the row
+    geometry survives round-trips.
+
+    One combinable shuffle on (page, table); the assembly is a
+    sort_array over collected row structs + codegen'd HOFs — no UDF.
+    Row structs carry (row_idx, is_header, cells) only, so the shuffled
+    payload is the cell text once, not the page.
+    """
+    ids = [F.col(c) for c in id_cols]
+    rows = F.array_sort(F.collect_list(F.struct("row_idx", "is_header", "cells")))
+    g = tables.groupBy(*ids, "table_idx").agg(
+        rows.alias("_rows"), F.count(F.lit(1)).alias("n_rows")
+    )
+    line = (
+        "concat('| ', array_join(transform(r.cells,"
+        " c -> replace(c, '|', '\\\\|')), ' | '), ' |')"
+    )
+    sep = "concat('| ', array_join(transform(r.cells, c -> '---'), ' | '), ' |')"
+    md = F.expr(
+        "concat_ws('\n', flatten(transform(_rows, (r, i) -> "
+        f"CASE WHEN i = 0 AND r.is_header THEN array({line}, {sep}) "
+        f"ELSE array({line}) END)))"
+    )
+    return g.select(*ids, "table_idx", "n_rows", md.alias("markdown"))
