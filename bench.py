@@ -107,6 +107,14 @@ def main() -> None:
 
     def run_query(name: str) -> tuple[float, int]:
         if name == "extract_pages":
+            # Re-warm the Python worker pool IMMEDIATELY before the timed
+            # run: the ~60 suite queries between reps idle the Arrow
+            # workers out, and a cold pool charges ~3-5 s of interpreter
+            # imports to whichever extract rep follows — scaling_bench.py
+            # already warms before every timed level for the same reason,
+            # so this keeps the two extraction numbers protocol-identical
+            # (steady-state, startup excluded).
+            extract_pages(synth_pages_df(spark, 64, partitions=CPUS)).count()
             pages = salted_repartition(spark.read.parquet(pages_path), CPUS * 2)
             t0 = time.time()
             n = extract_pages(pages).count()
