@@ -941,3 +941,156 @@ def test_parse_sitemaps_variants(spark):  # noqa: F811
     assert (r2.lastmod, r2.changefreq, r2.priority) == (None, None, None)
     r3 = rows["https://b.example/m1.xml"]
     assert (r3.lastmod, r3.from_index) == ("2023-12-31", True)
+
+
+# ---------------------------------------------------------------------------
+# grouped_quantile_buckets / ccnet_buckets / snapshot_diff (session 5)
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_quantile_buckets_hand_case(spark):  # noqa: F811
+    """9 rows, one group, distinct scores -> exact thirds; ties straddling
+    a boundary share the bucket of their highest cumulative position."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.relational import (
+        grouped_quantile_buckets,
+    )
+
+    # distinct scores 1..9: buckets must be exact thirds
+    df = spark.createDataFrame(
+        [("g", i) for i in range(1, 10)], "grp string, score long"
+    )
+    out = {
+        r["score"]: r["bucket"]
+        for r in grouped_quantile_buckets(df, "score", "grp").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 6: 2, 7: 3, 8: 3, 9: 3}
+
+    # tie group [5,5,5,5] spans the 1/3 boundary (cum=6 of 9 -> ceil(6*3/9)
+    # = bucket 2): ALL the tied rows land in bucket 2, never split
+    df2 = spark.createDataFrame(
+        [("g", s) for s in [1, 2, 5, 5, 5, 5, 8, 9, 9]], "grp string, score long"
+    )
+    rows = grouped_quantile_buckets(df2, "score", "grp").collect()
+    by_score = {}
+    for r in rows:
+        by_score.setdefault(r["score"], set()).add(r["bucket"])
+    assert by_score == {1: {1}, 2: {1}, 5: {2}, 8: {3}, 9: {3}}
+
+
+def test_grouped_quantile_buckets_partition_invariant_and_null_group(spark):  # noqa: F811
+    """Same buckets whatever the input partitioning; NULL group is its own
+    bucket domain (null-safe joins)."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.relational import (
+        grouped_quantile_buckets,
+    )
+
+    rows = [(None if i % 3 == 0 else f"g{i % 2}", (i * 7) % 13) for i in range(60)]
+    df = spark.createDataFrame(rows, "grp string, score long")
+    key = lambda t: (t[0] or "", t[1], t[2])  # noqa: E731 — None-safe sort
+    a = sorted(
+        (
+            (r["grp"], r["score"], r["bucket"])
+            for r in grouped_quantile_buckets(df, "score", "grp").collect()
+        ),
+        key=key,
+    )
+    b = sorted(
+        (
+            (r["grp"], r["score"], r["bucket"])
+            for r in grouped_quantile_buckets(df.repartition(13), "score", "grp").collect()
+        ),
+        key=key,
+    )
+    assert a == b
+    assert {g for g, _, _ in a} == {None, "g0", "g1"}
+    # every group spans all three buckets on this spread
+    for g in (None, "g0", "g1"):
+        assert {bk for gg, _, bk in a if gg == g} == {1, 2, 3}
+
+
+def test_grouped_quantile_buckets_reuses_scoring_subtree(spark):  # noqa: F811
+    """The (group, score) repartition spine must be computed ONCE and
+    shared between the histogram agg and the assignment join — visible as
+    ReusedExchange in the FINAL adaptive plan."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.importance import (
+        ccnet_buckets,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"common words appear here again {i % 5}", f"l{i % 2}") for i in range(40)],
+        "doc_id long, text string, lang string",
+    )
+    df = ccnet_buckets(docs)
+    df.collect()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 1, plan[:1500]
+
+
+def test_ccnet_buckets_tiers(spark):  # noqa: F811
+    """Higher corpus familiarity -> head; featureless docs score 0 and sit
+    in their language's tail; every doc keeps exactly one tier."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.importance import (
+        ccnet_buckets,
+    )
+
+    rows = (
+        # 3 docs of pure boilerplate (identical bigrams -> max familiarity)
+        [(i, "the quick brown fox jumps", "en") for i in range(3)]
+        # 3 docs sharing some phrasing
+        + [(i + 3, f"the quick red fox number {i}", "en") for i in range(3)]
+        # 2 unique-gibberish docs + 1 featureless
+        + [(6, "zxq wvu tsr qpo nml", "en"), (7, "aaa bbb ccc ddd eee", "en"),
+           (8, None, "en")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in ccnet_buckets(docs).collect()}
+    assert len(out) == 9
+    assert {r["tier"] for r in out.values()} <= {"head", "middle", "tail"}
+    # featureless doc: fam 0, tail
+    assert out[8]["fam_score"] == 0 and out[8]["tier"] == "tail"
+    # the boilerplate triplet outranks the gibberish docs
+    assert all(out[i]["tier"] == "head" for i in range(3))
+    assert out[6]["bucket"] < out[0]["bucket"]
+    # tier string matches the bucket index
+    for r in out.values():
+        assert r["tier"] == {1: "tail", 2: "middle", 3: "head"}[r["bucket"]]
+
+
+def test_snapshot_diff_statuses(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.relational import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [("u1", "fa"), ("u2", "fb"), ("u3", "fc")], "url string, fp string"
+    )
+    new = spark.createDataFrame(
+        [("u2", "fb"), ("u3", "fX"), ("u4", "fd")], "url string, fp string"
+    )
+    out = {r["url"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert out == {
+        "u1": "deleted", "u2": "unchanged", "u3": "changed", "u4": "added"
+    }
+    # fingerprints carried through for downstream re-extract planning
+    rows = {r["url"]: r for r in snapshot_diff(old, new).collect()}
+    assert rows["u3"]["old_fp"] == "fc" and rows["u3"]["new_fp"] == "fX"
+    assert rows["u1"]["new_fp"] is None and rows["u4"]["old_fp"] is None
+
+
+def test_snapshot_diff_one_combinable_exchange(spark):  # noqa: F811
+    """The diff is a union + groupBy — exactly one shuffle, with a
+    map-side partial aggregate, and NO join node."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.relational import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame([("u%d" % i, "f") for i in range(50)], "url string, fp string")
+    new = spark.createDataFrame([("u%d" % i, "f") for i in range(25, 75)], "url string, fp string")
+    df = snapshot_diff(old, new)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan[:1200]
+    assert "Join" not in plan
+    # partial + final aggregate around the single exchange (hash or sort
+    # based — string max picks SortAggregate on some codepaths)
+    assert plan.count("Aggregate") == 2, plan[:1200]

