@@ -1094,3 +1094,60 @@ def test_snapshot_diff_one_combinable_exchange(spark):  # noqa: F811
     # partial + final aggregate around the single exchange (hash or sort
     # based — string max picks SortAggregate on some codepaths)
     assert plan.count("Aggregate") == 2, plan[:1200]
+
+
+def test_grouped_percentile_disc_hand_case(spark):  # noqa: F811
+    """PERCENTILE_DISC semantics: smallest value whose cumulative count
+    reaches q% of the group — checked against a brute-force oracle."""
+    import math
+
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.relational import (
+        grouped_percentile_disc,
+    )
+
+    vals = {"a": [1, 2, 2, 3, 10], "b": [5], "c": [7, 7, 7, 8]}
+    rows = [(g, v) for g, vs in vals.items() for v in vs]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    out = {
+        r["grp"]: (r["p50"], r["p90"])
+        for r in grouped_percentile_disc(df, "v", "grp", (50, 90)).collect()
+    }
+
+    def disc(sorted_vs, q):
+        n = len(sorted_vs)
+        return sorted_vs[math.ceil(q * n / 100) - 1]
+
+    for g, vs in vals.items():
+        s = sorted(vs)
+        assert out[g] == (disc(s, 50), disc(s, 90)), (g, out[g])
+
+    with pytest.raises(ValueError):
+        grouped_percentile_disc(df, "v", "grp", (0, 50))
+
+
+def test_corpus_datasheet(spark):  # noqa: F811
+    """Exact sums and percentiles per lang; NULL text counts 0 tokens and
+    is tallied; NULL lang is its own row."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        corpus_datasheet,
+    )
+
+    rows = [
+        (0, "one two three", "en"),
+        (1, "four", "en"),
+        (2, None, "en"),
+        (3, "   ", "id"),
+        (4, "lima enam", "id"),
+        (5, "x y z", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["lang"]: r for r in corpus_datasheet(df).collect()}
+    assert set(out) == {"en", "id", None}
+    en = out["en"]
+    assert (en["n_docs"], en["total_tokens"], en["null_text_docs"]) == (3, 4, 1)
+    # lengths: 13, 4, 0 -> sorted [0, 4, 13]; p50 = 4, p90 = 13
+    assert (en["p50_chars"], en["p90_chars"]) == (4, 13)
+    idr = out["id"]
+    # "   " trims to 0 tokens; "lima enam" is 2
+    assert (idr["n_docs"], idr["total_tokens"], idr["null_text_docs"]) == (2, 2, 0)
+    assert out[None]["n_docs"] == 1 and out[None]["total_tokens"] == 3

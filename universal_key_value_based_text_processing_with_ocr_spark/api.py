@@ -661,6 +661,15 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_corpus_datasheet(spark, sf_dir):
+    """Per-language dataset-card summary: exact counts, token/char totals
+    and exact disc-percentiles of doc length from the distinct-length
+    histogram — no sampling, no global sort."""
+    from .operators.textstats import corpus_datasheet
+
+    return corpus_datasheet(_tbl(spark, sf_dir, "documents"))
+
+
 def q_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail per-language corpus split (Wenzek et al.
     2020): integer-exact familiarity surrogate for the KenLM perplexity
@@ -1528,6 +1537,7 @@ QUERIES = {
     "bigram_lm_score": q_bigram_lm_score,
     "ccnet_buckets": q_ccnet_buckets,
     "crawl_diff": q_crawl_diff,
+    "corpus_datasheet": q_corpus_datasheet,
     "partitioned_scan": q_partitioned_scan,
     "html_tables_markdown": q_html_tables_markdown,
     "doc_lexical_diversity": q_doc_lexical_diversity,
@@ -1541,21 +1551,23 @@ QUERIES = {
     "html_meta": q_html_meta,
     "bm25_score": q_bm25_score,
     "outlink_extract": q_outlink_extract,
-    "shard_plan": q_shard_plan,
     "robots_gate": q_robots_gate,
     "quality_classifier": q_quality_classifier,
     "multimodal_image_meta": q_multimodal_image_meta,
     "multimodal_image_decode": q_multimodal_image_decode,
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
     # ---------------- past the driver's 50-entry cap -------------------
-    # Round-5 session-5 rotation: warc_cdx and shard_manifest moved past
-    # the cap to admit ccnet_buckets and crawl_diff — both displaced
-    # queries' ground truth is pinned in pytest against closed-form
-    # arithmetic (warc.py offset layout / manifest reconciliation), their
-    # modules keep in-window sentinels (warc_scan, shard_plan,
-    # shard_plan_shuffled), and ALL are replica-checked green every round.
+    # Round-5 session-5 rotation: warc_cdx, shard_manifest and shard_plan
+    # moved past the cap to admit ccnet_buckets, crawl_diff and
+    # corpus_datasheet — the displaced queries' ground truth is pinned in
+    # pytest against closed-form arithmetic (warc.py offset layout /
+    # manifest reconciliation / lane packing), their modules keep
+    # in-window sentinels (warc_scan; shard_plan_shuffled exercises
+    # strictly more of sharding.py than shard_plan), and ALL are
+    # replica-checked green every round.
     "warc_cdx": q_warc_cdx,
     "shard_manifest": q_shard_manifest,
+    "shard_plan": q_shard_plan,
     # all unchanged since round 4 and green in the round-4 driver run
     # (dedup_minhash_lsh, similarity_topk_lsh/ivf, embedding_near_dup_lsh,
     # dedup_incremental_bloom, events_asof_join, html_main_lines (htmlcore
@@ -3316,6 +3328,52 @@ ORACLE_SQL = {
                coalesce(hit_mass, 0) AS hit_mass,
                coalesce(ctx_mass, 0) AS ctx_mass
         FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+    "corpus_datasheet": r"""
+        -- per-language dataset card: exact sums + exact PERCENTILE_DISC
+        -- from the distinct-length histogram (cum*100 >= q*total in pure
+        -- integers — same rule as the engine, bit-for-bit)
+        WITH base AS (
+            SELECT lang,
+                   CAST(length(coalesce(text, '')) AS BIGINT) AS len,
+                   CAST(CASE WHEN text IS NULL THEN 0
+                             WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len(string_split_regex(trim(text), '\s+'))
+                        END AS BIGINT) AS n_toks,
+                   CASE WHEN text IS NULL THEN 1 ELSE 0 END AS is_null
+            FROM documents
+        ),
+        sums AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+                   CAST(sum(len) AS BIGINT) AS total_chars,
+                   CAST(sum(is_null) AS BIGINT) AS null_text_docs
+            FROM base GROUP BY lang
+        ),
+        hist AS (
+            SELECT lang, len, CAST(count(*) AS BIGINT) AS cnt
+            FROM base GROUP BY lang, len
+        ),
+        cum AS (
+            SELECT lang, len,
+                   sum(cnt) OVER (PARTITION BY lang ORDER BY len) AS cum
+            FROM hist
+        ),
+        tot AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS total
+            FROM base GROUP BY lang
+        ),
+        pct AS (
+            SELECT c.lang,
+                   CAST(min(CASE WHEN c.cum * 100 >= 50 * t.total THEN c.len END) AS BIGINT) AS p50_chars,
+                   CAST(min(CASE WHEN c.cum * 100 >= 90 * t.total THEN c.len END) AS BIGINT) AS p90_chars
+            FROM cum c JOIN tot t ON c.lang IS NOT DISTINCT FROM t.lang
+            GROUP BY c.lang
+        )
+        SELECT s.lang, s.n_docs, s.total_tokens, s.total_chars,
+               s.null_text_docs, p.p50_chars, p.p90_chars
+        FROM sums s JOIN pct p ON s.lang IS NOT DISTINCT FROM p.lang
     """,
     "ccnet_buckets": """
         -- CCNet per-language head/middle/tail: integer familiarity

@@ -389,3 +389,43 @@ def snapshot_diff(
     return per_key.select(
         F.col("_k").alias(key_col), "old_fp", "new_fp", status.alias("status")
     )
+
+
+def grouped_percentile_disc(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    percentiles: tuple = (50, 90),
+) -> DataFrame:
+    """Exact discrete percentiles per group WITHOUT a global sort — the
+    histogram form of PERCENTILE_DISC: p_q is the smallest value whose
+    cumulative count reaches q% of the group total (``cum * 100 >=
+    q * total`` in pure integer arithmetic, so the result is
+    bit-reproducible in any engine — no interpolation, no floats).
+
+    Same scale shape as ``grouped_quantile_buckets``: one map-side
+    combinable ``groupBy(group, value)`` histogram, a window over the
+    per-group DISTINCT-VALUE histogram rows only, a tiny per-group total
+    joined back, then one min-when aggregate per requested percentile.
+    The corpus itself is never sorted or re-shuffled.
+
+    ``value_col`` must be non-null integral; percentiles are integer
+    percents in (0, 100].
+    """
+    qs = [int(q) for q in percentiles]
+    if not qs or any(q < 1 or q > 100 for q in qs):
+        raise ValueError(f"percentiles must be integers in 1..100, got {percentiles}")
+    hist = df.groupBy(group_col, value_col).agg(F.count("*").alias("cnt"))
+    totals = hist.groupBy(group_col).agg(F.sum("cnt").alias("total")).select(
+        F.col(group_col).alias("_tg"), "total"
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    joined = cum.join(totals, F.col(group_col).eqNullSafe(F.col("_tg")))
+    aggs = [
+        F.min(
+            F.when(F.col("cum") * 100 >= q * F.col("total"), F.col(value_col))
+        ).alias(f"p{q}")
+        for q in qs
+    ]
+    return joined.groupBy(group_col).agg(*aggs)

@@ -1249,3 +1249,52 @@ def extract_html_meta(df: DataFrame, html_col: str = "html_str") -> DataFrame:
             "noindex"
         ),
     )
+
+
+def corpus_datasheet(docs: DataFrame) -> DataFrame:
+    """Per-language corpus datasheet — the summary table every dataset
+    card ships (docs, token/char totals, length percentiles, null rate) —
+    with EXACT percentiles and zero global sorts.
+
+    Columns per lang: n_docs, total_tokens (whitespace tokens, NULL text
+    counts 0), total_chars, null_text_docs, p50_chars / p90_chars (exact
+    PERCENTILE_DISC of ``length(coalesce(text,''))`` via the
+    distinct-length histogram — ``relational.grouped_percentile_disc``;
+    no sampling, no interpolation, bit-identical in any engine).
+
+    Scale shape: two map-side-combinable aggregates over one corpus scan
+    pattern — ``groupBy(lang)`` for the sums and ``groupBy(lang, len)``
+    for the histogram — a window over histogram rows only, and a
+    lang-keyed join of two tiny per-lang tables.  At 100 TB the
+    percentile path shuffles at most (languages x distinct lengths)
+    rows.
+    """
+    from .relational import grouped_percentile_disc
+
+    length = F.length(F.coalesce(F.col("text"), F.lit("")))
+    trimmed = F.trim(F.col("text"))
+    n_toks = (
+        F.when(F.col("text").isNull(), F.lit(0).cast("long"))
+        .when(F.length(trimmed) == 0, F.lit(0).cast("long"))
+        .otherwise(F.size(F.split(trimmed, r"\s+")).cast("long"))
+    )
+    base = docs.select(
+        "lang",
+        length.cast("long").alias("len"),
+        n_toks.alias("n_toks"),
+        F.when(F.col("text").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_null"),
+    )
+    sums = base.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.sum("len").alias("total_chars"),
+        F.sum("is_null").cast("long").alias("null_text_docs"),
+    )
+    pcts = grouped_percentile_disc(
+        base.select("lang", "len"), "len", "lang", percentiles=(50, 90)
+    ).select(
+        F.col("lang").alias("_pl"),
+        F.col("p50").alias("p50_chars"),
+        F.col("p90").alias("p90_chars"),
+    )
+    return sums.join(pcts, F.col("lang").eqNullSafe(F.col("_pl"))).drop("_pl")
