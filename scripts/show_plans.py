@@ -113,6 +113,9 @@ def main() -> None:
         ("shard_plan", "size-targeted shard layout: md5 lane key + ONE exchange + per-lane running-sum window (O(1) state) + div/pmod shard arithmetic"),
         ("html_tables_markdown", "markdown linearization: the table extraction subtree + ONE combinable (page, table) agg + codegen'd HOF assembly — row structs shuffle the cell text once, never the page"),
         ("shard_plan_shuffled", "deterministic training shuffle: same single-exchange layout, pack order = seed+1 hash — permutation without a global sort"),
+        ("ccnet_buckets", "CCNet tiers: bigram scoring subtree feeds ONE (lang, fam_score) repartition spine shared via ReuseExchange between the histogram agg and the assignment join; the window sorts histogram rows, never documents"),
+        ("crawl_diff", "crawl-over-crawl delta: union + ONE map-side-combinable groupBy — no join, no sort"),
+        ("corpus_datasheet", "dataset card: combinable per-lang sums + distinct-length histogram window + min-when percentile agg; the corpus is never sorted"),
     ]
     for name, note in named:
         sections.append((name, note, formatted(api.QUERIES[name](spark, SF))))
