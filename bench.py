@@ -155,6 +155,8 @@ def main() -> None:
         "crawl_frontier", "html_tables", "bpe_pairs", "split_train_test",
         "shard_plan", "shard_manifest", "html_tables_markdown",
         "shard_plan_shuffled",
+        # round 5, fifth session
+        "ccnet_buckets", "crawl_diff", "corpus_datasheet",
     ]
 
     best: dict[str, float] = {}
@@ -264,10 +266,9 @@ def main() -> None:
     (REPO / "BENCH" / "last_run.json").write_text(json.dumps(out, indent=1))
     out["full_record_file"] = "BENCH/last_run.json"
     newest = [
-        "quality_classifier", "inverted_index", "sitemap_parse",
-        "crawl_frontier", "html_tables", "bpe_pairs", "split_train_test",
-        "shard_plan", "shard_manifest", "html_tables_markdown",
-        "shard_plan_shuffled",
+        "ccnet_buckets", "crawl_diff", "corpus_datasheet",
+        "crawl_frontier", "html_tables", "bpe_pairs",
+        "shard_plan_shuffled", "quality_classifier", "inverted_index",
     ]
     out["new_queries_total_sec"] = round(sum(new_best.values()), 3)
     out["new_queries_sec"] = {
