@@ -157,6 +157,8 @@ def main() -> None:
         "shard_plan_shuffled",
         # round 5, fifth session
         "ccnet_buckets", "crawl_diff", "corpus_datasheet",
+        # round 5, sixth session
+        "pdf_extract",
     ]
 
     best: dict[str, float] = {}
@@ -266,9 +268,9 @@ def main() -> None:
     (REPO / "BENCH" / "last_run.json").write_text(json.dumps(out, indent=1))
     out["full_record_file"] = "BENCH/last_run.json"
     newest = [
-        "ccnet_buckets", "crawl_diff", "corpus_datasheet",
+        "pdf_extract", "ccnet_buckets", "crawl_diff", "corpus_datasheet",
         "crawl_frontier", "html_tables", "bpe_pairs",
-        "shard_plan_shuffled", "quality_classifier", "inverted_index",
+        "shard_plan_shuffled", "quality_classifier",
     ]
     out["new_queries_total_sec"] = round(sum(new_best.values()), 3)
     out["new_queries_sec"] = {

@@ -116,6 +116,7 @@ def main() -> None:
         ("ccnet_buckets", "CCNet tiers: bigram scoring subtree feeds ONE (lang, fam_score) repartition spine shared via ReuseExchange between the histogram agg and the assignment join; the window sorts histogram rows, never documents"),
         ("crawl_diff", "crawl-over-crawl delta: union + ONE map-side-combinable groupBy — no join, no sort"),
         ("corpus_datasheet", "dataset card: combinable per-lang sums + distinct-length histogram window + min-when percentile agg; the corpus is never sorted"),
+        ("pdf_extract", "PDF layout parse: two fused narrow Arrow stages (render -> object-scan/inflate/BT-ET-interpret/reassemble) — ZERO exchanges; per-doc work bounded by pdfcore caps"),
     ]
     for name, note in named:
         sections.append((name, note, formatted(api.QUERIES[name](spark, SF))))

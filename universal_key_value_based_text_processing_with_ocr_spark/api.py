@@ -661,6 +661,23 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_pdf_extract(spark, sf_dir):
+    """PDF layout-text extraction round-trip (the north rule's "PDF/layout
+    parse" modality): documents -> deterministic PDF payloads rendered on
+    the executors (Courier metrics, absolute run positions, emission order
+    md5-SHUFFLED so content-stream order is not reading order; even
+    doc_ids FlateDecode-compressed) -> from-scratch extractor (object
+    scan, capped inflate, BT/ET interpreter, y-major/x-minor reassembly).
+    Two narrow fused Arrow stages, no shuffle.  The oracle reconstructs
+    (n_pages, text) analytically from ``documents`` — writer and parser
+    bugs cannot cancel, and byte-equal text proves the geometric layout
+    engine re-derived reading order."""
+    from .operators.pdfdocs import extract_pdf_docs, render_pdfs
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return extract_pdf_docs(render_pdfs(docs), line_sep=" ")
+
+
 def q_corpus_datasheet(spark, sf_dir):
     """Per-language dataset-card summary: exact counts, token/char totals
     and exact disc-percentiles of doc length from the distinct-length
@@ -1538,6 +1555,7 @@ QUERIES = {
     "ccnet_buckets": q_ccnet_buckets,
     "crawl_diff": q_crawl_diff,
     "corpus_datasheet": q_corpus_datasheet,
+    "pdf_extract": q_pdf_extract,
     "partitioned_scan": q_partitioned_scan,
     "html_tables_markdown": q_html_tables_markdown,
     "doc_lexical_diversity": q_doc_lexical_diversity,
@@ -1546,7 +1564,6 @@ QUERIES = {
     "image_dhash": q_image_dhash,
     "image_near_dup": q_image_near_dup,
     "multimodal_audio_decode": q_multimodal_audio_decode,
-    "split_train_test": q_split_train_test,
     "semdedup": q_semdedup,
     "html_meta": q_html_meta,
     "bm25_score": q_bm25_score,
@@ -1568,6 +1585,12 @@ QUERIES = {
     "warc_cdx": q_warc_cdx,
     "shard_manifest": q_shard_manifest,
     "shard_plan": q_shard_plan,
+    # Round-5 session-6 rotation: split_train_test moved past the cap to
+    # admit pdf_extract — its module (sharding.py) keeps the in-window
+    # sentinel shard_plan_shuffled, the 98/1/1 host-bucket assignment is
+    # pinned in pytest against closed-form md5 arithmetic, and it stays
+    # replica-checked green every round.
+    "split_train_test": q_split_train_test,
     # all unchanged since round 4 and green in the round-4 driver run
     # (dedup_minhash_lsh, similarity_topk_lsh/ivf, embedding_near_dup_lsh,
     # dedup_incremental_bloom, events_asof_join, html_main_lines (htmlcore
@@ -3328,6 +3351,17 @@ ORACLE_SQL = {
                coalesce(hit_mass, 0) AS hit_mass,
                coalesce(ctx_mass, 0) AS ctx_mass
         FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+    "pdf_extract": """
+        -- analytic reconstruction of the PDF round-trip, never touching
+        -- the writer or parser: the writer wraps at exactly 8 words/line
+        -- and 30 lines/page (pdfcore/writer.py grid constants), and the
+        -- extractor joins everything back with single spaces, so expected
+        -- text == source text and n_pages is closed-form
+        SELECT doc_id,
+               CAST(ceil(ceil(len(string_split(coalesce(text, ''), ' ')) / 8.0) / 30.0) AS INT) AS n_pages,
+               coalesce(text, '') AS text
+        FROM documents
     """,
     "corpus_datasheet": r"""
         -- per-language dataset card: exact sums + exact PERCENTILE_DISC
