@@ -117,6 +117,7 @@ def main() -> None:
         ("crawl_diff", "crawl-over-crawl delta: union + ONE map-side-combinable groupBy — no join, no sort"),
         ("corpus_datasheet", "dataset card: combinable per-lang sums + distinct-length histogram window + min-when percentile agg; the corpus is never sorted"),
         ("pdf_extract", "PDF layout parse: two fused narrow Arrow stages (render -> object-scan/inflate/BT-ET-interpret/reassemble) — ZERO exchanges; per-doc work bounded by pdfcore caps"),
+        ("extract_mixed", "universal ingest dispatch: magic-byte sniff routes each payload to pdfcore/htmlcore/raw inside ONE narrow Arrow stage — no shuffle, per-row containment"),
     ]
     for name, note in named:
         sections.append((name, note, formatted(api.QUERIES[name](spark, SF))))
