@@ -90,6 +90,52 @@ class TestLayout:
         assert b" Td (" in pdf and b"] TJ" in pdf and b"> Tj" in pdf
 
 
+class TestObjStm:
+    """PDF 1.5 compressed layout: ObjStm + XRef stream, no trailer."""
+
+    def test_roundtrip_both_compressions(self):
+        t = "objstm words one two three four five six seven eight nine ten"
+        for compress in (False, True):
+            pdf = build_pdf(t, doc_key="o", compress=compress, objstm=True)
+            assert b"trailer" not in pdf
+            assert b"/ObjStm" in pdf and b"/Type /XRef" in pdf
+            assert extract_pdf_text(pdf).replace("\n", " ") == t
+
+    def test_multi_page(self):
+        t = " ".join(f"w{i}" for i in range(600))
+        pdf = build_pdf(t, doc_key="o", compress=True, objstm=True)
+        assert len(parse_pdf_pages(pdf)) == 3
+        assert extract_pdf_text(pdf).replace("\n", " ") == t
+
+    def test_truncation_sweep(self):
+        pdf = build_pdf("truncate me please", doc_key="o", compress=True, objstm=True)
+        for cut in range(0, len(pdf), 67):
+            parse_pdf_pages(pdf[:cut])  # must not raise
+
+    def test_toplevel_overrides_embedded(self):
+        """Incremental-update precedence: an uncompressed redefinition of
+        an ObjStm-packed object wins."""
+        base = build_pdf("compressed original", doc_key="o", objstm=True, shuffle_runs=False)
+        # object 4 is the (packed) page dict; append an uncompressed page
+        # pointing at a new content stream
+        new = b"BT /F1 10 Tf 72 720 Td (updated text) Tj ET"
+        update = (
+            b"\n4 0 obj\n<< /Type /Page /Parent 2 0 R "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents 99 0 R >>\nendobj\n"
+            + (b"99 0 obj\n<< /Length %d >>\nstream\n" % len(new))
+            + new
+            + b"\nendstream\nendobj\n"
+        )
+        assert extract_pdf_text(base + update) == "updated text"
+
+    def test_corrupt_objstm_contained(self):
+        pdf = build_pdf("will corrupt", doc_key="o", compress=True, objstm=True)
+        i = pdf.index(b"/ObjStm")
+        j = pdf.index(b"stream\n", i) + 7
+        broken = pdf[:j] + b"\xde\xad\xbe\xef" + pdf[j + 4 :]
+        parse_pdf_pages(broken)  # must not raise (inflate fails -> no text)
+
+
 @settings(max_examples=60, deadline=None)
 @given(
     st.lists(
@@ -102,10 +148,11 @@ class TestLayout:
         max_size=120,
     ),
     st.booleans(),
+    st.booleans(),
 )
-def test_roundtrip_property(words, compress):
+def test_roundtrip_property(words, compress, objstm):
     t = " ".join(words)
-    assert _roundtrip(t, compress=compress) == t
+    assert _roundtrip(t, compress=compress, objstm=objstm) == t
 
 
 class TestHostile:

@@ -667,7 +667,9 @@ def q_pdf_extract(spark, sf_dir):
     the executors (Courier metrics, absolute run positions, emission order
     md5-SHUFFLED so content-stream order is not reading order; even
     doc_ids FlateDecode-compressed) -> from-scratch extractor (object
-    scan, capped inflate, BT/ET interpreter, y-major/x-minor reassembly).
+    scan, ObjStm expansion, capped inflate, BT/ET interpreter, y-major/
+    x-minor reassembly); doc_id%4 cycles all four layout combos —
+    FlateDecode on/off x classic xref vs PDF 1.5 ObjStm+XRef-stream.
     Two narrow fused Arrow stages, no shuffle.  The oracle reconstructs
     (n_pages, text) analytically from ``documents`` — writer and parser
     bugs cannot cancel, and byte-equal text proves the geometric layout

@@ -35,10 +35,11 @@ PDF_SCHEMA = "doc_id long, pdf binary"
 PDF_TEXT_SCHEMA = "doc_id long, n_pages int, text string"
 
 
-def render_pdfs(docs_df, compress_even: bool = True):
-    """(doc_id, text, ...) -> (doc_id, pdf).  Even doc_ids get
-    FlateDecode-compressed content streams, odd ones raw, so one job
-    exercises both decode paths."""
+def render_pdfs(docs_df, vary_layout: bool = True):
+    """(doc_id, text, ...) -> (doc_id, pdf).  ``doc_id % 4`` cycles through
+    all four layout combinations — FlateDecode on/off × classic-xref vs
+    PDF 1.5 ObjStm+XRef-stream — so one distributed job exercises every
+    decode path the parser has."""
     from ..pdfcore.writer import build_pdf
 
     pruned = docs_df.select("doc_id", "text")
@@ -53,7 +54,8 @@ def render_pdfs(docs_df, compress_even: bool = True):
                     build_pdf(
                         row.text or "",
                         doc_key=str(i),
-                        compress=compress_even and i % 2 == 0,
+                        compress=vary_layout and i % 2 == 0,
+                        objstm=vary_layout and i % 4 < 2,
                     )
                 )
             yield pd.DataFrame({"doc_id": ids, "pdf": blobs})

@@ -246,19 +246,76 @@ def scan_objects(data: bytes) -> dict[int, int]:
 
 
 class PdfDocument:
-    """Parsed object table + resolver; one instance per input document."""
+    """Parsed object table + resolver; one instance per input document.
+
+    Object precedence: top-level ``N G obj`` definitions win over objects
+    packed in ``/Type /ObjStm`` streams (an uncompressed incremental
+    update overriding a compressed original is the common real-world
+    case; the reverse layout is rare enough to be a documented
+    divergence)."""
 
     def __init__(self, data: bytes):
         self.data = data
         self.offsets = scan_objects(data)
         self._cache: dict[int, object] = {}
+        self._embedded: dict[int, object] | None = None  # ObjStm payloads
+
+    def _expand_objstms(self) -> dict[int, object]:
+        """Decode every /Type /ObjStm top-level stream and parse the
+        objects packed inside (PDF 1.5 compressed layout)."""
+        if self._embedded is not None:
+            return self._embedded
+        self._embedded = {}
+        for num in sorted(self.offsets):
+            o = self.obj(num)
+            if not (isinstance(o, dict) and "__stream__" in o):
+                continue
+            d = o["__dict__"]
+            if str(d.get("Type")) != "ObjStm":
+                continue
+            payload = _decode_stream(self, o)
+            n = self.resolve(d.get("N"))
+            first = self.resolve(d.get("First"))
+            if not (isinstance(n, int) and isinstance(first, int)):
+                continue
+            if not (0 < n <= MAX_OBJECTS and 0 <= first <= len(payload)):
+                continue
+            pairs: list[tuple[int, int]] = []
+            i = 0
+            try:
+                for _ in range(n):
+                    onum, i = _parse_object(payload, i)
+                    ooff, i = _parse_object(payload, i)
+                    if isinstance(onum, int) and isinstance(ooff, int):
+                        pairs.append((onum, ooff))
+            except ValueError:
+                pass  # keep the pairs recovered before the corruption
+            for onum, ooff in pairs:
+                if onum in self.offsets or onum in self._embedded:
+                    continue
+                if len(self._embedded) >= MAX_OBJECTS:
+                    break
+                try:
+                    val, _ = _parse_object(payload, first + ooff)
+                except ValueError:
+                    continue
+                self._embedded[onum] = val
+        return self._embedded
+
+    def iter_objects(self):
+        """Every known object: top-level in scan order, then ObjStm-packed."""
+        for num in sorted(self.offsets):
+            yield self.obj(num)
+        for num in sorted(self._expand_objstms()):
+            yield self._embedded[num]
 
     def obj(self, num: int):
         if num in self._cache:
             return self._cache[num]
         off = self.offsets.get(num)
         if off is None:
-            return None
+            embedded = self._expand_objstms()
+            return embedded.get(num)
         self._cache[num] = None  # cycle guard during parse
         try:
             val, end = _parse_object(self.data, off)
@@ -338,10 +395,19 @@ def _walk_pages(doc: PdfDocument) -> list[dict]:
         if isinstance(tr, dict) and "Root" in tr:
             root = doc.resolve(tr["Root"])
     if not isinstance(root, dict):
+        # PDF 1.5 layout: /Root lives in the /Type /XRef stream dict
+        for o in (doc.obj(n) for n in sorted(doc.offsets)):
+            if isinstance(o, dict) and "__dict__" in o:
+                d = o["__dict__"]
+                if str(d.get("Type")) == "XRef" and "Root" in d:
+                    cand = doc.resolve(d["Root"])
+                    if isinstance(cand, dict):
+                        root = cand
+    if not isinstance(root, dict):
         root = next(
             (
                 o
-                for o in (doc.obj(n) for n in sorted(doc.offsets))
+                for o in doc.iter_objects()
                 if isinstance(o, dict) and str(o.get("Type")) == "Catalog"
             ),
             None,
@@ -372,7 +438,7 @@ def _walk_pages(doc: PdfDocument) -> list[dict]:
     if not pages:  # no catalog survived: scan-order fallback
         pages = [
             o
-            for o in (doc.obj(n) for n in sorted(doc.offsets))
+            for o in doc.iter_objects()
             if isinstance(o, dict) and str(o.get("Type")) == "Page"
         ][:MAX_PAGES]
     return pages

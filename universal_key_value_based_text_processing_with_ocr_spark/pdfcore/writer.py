@@ -139,9 +139,17 @@ def build_pdf(
     doc_key: str = "",
     compress: bool = False,
     shuffle_runs: bool = True,
+    objstm: bool = False,
 ) -> bytes:
     """Render ``text`` (single logical line; writer wraps it) into a
     complete, valid PDF byte string.
+
+    ``objstm=True`` emits the PDF 1.5 compressed layout instead of the
+    classic one: all non-stream objects (catalog, pages tree, font, page
+    dicts) packed into one ``/Type /ObjStm`` object stream, referenced by
+    a ``/Type /XRef`` cross-reference STREAM (``W [1 4 2]``, type-2
+    entries for the compressed objects) — no classic ``xref`` table or
+    ``trailer`` keyword anywhere, which is how most post-2005 PDFs ship.
 
     Deterministic: identical inputs -> identical bytes (run shuffle is
     md5-keyed on ``doc_key``, no wall clock, no randomness).
@@ -151,51 +159,103 @@ def build_pdf(
     if not pages:
         pages = [[[""]]]
 
-    objects: list[bytes] = []  # 1-indexed body of each object
-
     n_pages = len(pages)
     # object layout: 1=Catalog, 2=Pages, 3=Font, then per page i:
     # (4+2i)=Page, (5+2i)=Contents
     page_obj_ids = [4 + 2 * i for i in range(n_pages)]
     kids = b"[" + b" ".join(b"%d 0 R" % pid for pid in page_obj_ids) + b"]"
-    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
-    objects.append(
-        b"<< /Type /Pages /Kids " + kids + b" /Count %d >>" % n_pages
-    )
-    objects.append(
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>"
-    )
+    plain: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids " + kids + b" /Count %d >>" % n_pages,
+        3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>",
+    }
+    streams: dict[int, bytes] = {}
     for i, page_lines in enumerate(pages):
         content = _page_content(doc_key, i, page_lines, shuffle_runs)
         filt = b""
         if compress:
             content = zlib.compress(content, 6)
             filt = b" /Filter /FlateDecode"
-        page = (
+        plain[4 + 2 * i] = (
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
             b"/Resources << /Font << /F1 3 0 R >> >> "
             b"/Contents %d 0 R >>" % (5 + 2 * i)
         )
-        stream = (
+        streams[5 + 2 * i] = (
             b"<< /Length %d%s >>\nstream\n" % (len(content), filt)
             + content
             + b"\nendstream"
         )
-        objects.append(page)
-        objects.append(stream)
 
-    out = bytearray(b"%PDF-1.4\n%\xc3\xa4\xc3\xbc\xc3\xb6\n")
-    offsets = [0]
-    for num, body in enumerate(objects, start=1):
-        offsets.append(len(out))
-        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
-    xref_at = len(out)
-    out += b"xref\n0 %d\n" % (len(objects) + 1)
-    out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += b"%010d 00000 n \n" % off
-    out += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objects) + 1, xref_at)
+    if not objstm:
+        objects = [body for _, body in sorted({**plain, **streams}.items())]
+        out = bytearray(b"%PDF-1.4\n%\xc3\xa4\xc3\xbc\xc3\xb6\n")
+        offsets = [0]
+        for num, body in enumerate(objects, start=1):
+            offsets.append(len(out))
+            out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+        xref_at = len(out)
+        out += b"xref\n0 %d\n" % (len(objects) + 1)
+        out += b"0000000000 65535 f \n"
+        for off in offsets[1:]:
+            out += b"%010d 00000 n \n" % off
+        out += (
+            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objects) + 1, xref_at)
+        )
+        return bytes(out)
+
+    # ---- PDF 1.5 compressed layout: ObjStm + XRef stream ----
+    stm_id = 4 + 2 * n_pages
+    xref_id = stm_id + 1
+    packed_nums = sorted(plain)
+    bodies = [plain[n] for n in packed_nums]
+    first_offsets: list[int] = []
+    acc = 0
+    for b in bodies:
+        first_offsets.append(acc)
+        acc += len(b) + 1  # single space between packed objects
+    header = b" ".join(
+        b"%d %d" % (n, off) for n, off in zip(packed_nums, first_offsets)
+    ) + b"\n"
+    objstm_payload = header + b" ".join(bodies)
+    stm_filt = b""
+    if compress:
+        objstm_payload = zlib.compress(objstm_payload, 6)
+        stm_filt = b" /Filter /FlateDecode"
+    objstm_body = (
+        b"<< /Type /ObjStm /N %d /First %d /Length %d%s >>\nstream\n"
+        % (len(packed_nums), len(header), len(objstm_payload), stm_filt)
+        + objstm_payload
+        + b"\nendstream"
     )
+
+    out = bytearray(b"%PDF-1.5\n%\xc3\xa4\xc3\xbc\xc3\xb6\n")
+    offsets_by_num: dict[int, int] = {}
+    for num in sorted(streams) + [stm_id]:
+        body = streams.get(num, objstm_body)
+        offsets_by_num[num] = len(out)
+        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+
+    # XRef stream: W [1 4 2]; entries for objects 0..xref_id
+    rows = bytearray()
+    for num in range(xref_id + 1):
+        if num == 0:
+            t, f2, f3 = 0, 0, 65535
+        elif num in offsets_by_num:
+            t, f2, f3 = 1, offsets_by_num[num], 0
+        elif num in packed_nums:
+            t, f2, f3 = 2, stm_id, packed_nums.index(num)
+        else:  # the xref stream itself
+            t, f2, f3 = 1, len(out), 0
+        rows += bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+    xref_body = (
+        b"<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R /Length %d >>\nstream\n"
+        % (xref_id + 1, len(rows))
+        + bytes(rows)
+        + b"\nendstream"
+    )
+    xref_at = len(out)
+    out += b"%d 0 obj\n" % xref_id + xref_body + b"\nendobj\n"
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_at
     return bytes(out)
