@@ -90,6 +90,43 @@ class TestLayout:
         assert b" Td (" in pdf and b"] TJ" in pdf and b"> Tj" in pdf
 
 
+class TestMultiline:
+    """multiline=True: authored \\n are baselines, no word-wrap."""
+
+    def test_exact_roundtrip_with_newlines(self):
+        t = "PROVINSI JAW4 TIMUR\nN1K :359814l50766714O\nGol darah  :  O\nRTRW: 005/005"
+        for objstm in (False, True):
+            pdf = build_pdf(t, doc_key="m", compress=True, objstm=objstm, multiline=True)
+            assert extract_pdf_text(pdf) == t
+
+    def test_pagination_at_30_lines(self):
+        t = "\n".join(f"line {i} words here" for i in range(65))
+        pdf = build_pdf(t, doc_key="m", multiline=True)
+        assert len(parse_pdf_pages(pdf)) == 3
+        assert extract_pdf_text(pdf) == t
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.text(
+                    alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+                    min_size=1,
+                    max_size=10,
+                ),
+                min_size=1,
+                max_size=12,
+            ).map(" ".join),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def test_multiline_property(self, lines):
+        t = "\n".join(lines)
+        pdf = build_pdf(t, doc_key="m", multiline=True)
+        assert extract_pdf_text(pdf) == t
+
+
 class TestObjStm:
     """PDF 1.5 compressed layout: ObjStm + XRef stream, no trailer."""
 

@@ -680,6 +680,36 @@ def q_pdf_extract(spark, sf_dir):
     return extract_pdf_docs(render_pdfs(docs), line_sep=" ")
 
 
+def q_extract_fields_pdf(spark, sf_dir):
+    """The universal pipeline over a PDF crawl, end to end in ONE job:
+    golden corpus text -> executor-rendered PDF payloads (multiline;
+    compress x objstm layout keyed on md5(url)) -> pdfcore layout parse
+    back to lines -> the full KTP key-value extraction kernel on the
+    recovered text.  Output must equal the committed golden extraction
+    row-for-row: the PDF roundtrip must be byte-identical (else result_json
+    diverges) AND the kernel must be deterministic on the text path.
+    Three narrow fused Arrow stages + the one salted extraction stage
+    shape; no new shuffles."""
+    from .operators.pdfdocs import extract_pdf_text_by_url, render_pdfs_by_url
+
+    golden = spark.read.parquet(str(GOLDEN_EXTRACT)).select(
+        "url", "lang", "extracted_text"
+    )
+    recovered = extract_pdf_text_by_url(
+        render_pdfs_by_url(golden.withColumnRenamed("extracted_text", "text"))
+    )
+    pages = recovered.select(
+        "url",
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        "lang",
+    )
+    return extract_pages(pages).select(
+        "url", "lang", "result_json", "success", "n_lines", "n_fields"
+    )
+
+
 def q_extract_mixed(spark, sf_dir):
     """Universal ingest dispatch: one binary payload column carrying PDF
     (doc_id%3==0; even ids Flate-compressed), raw utf-8 (==1) and
@@ -1542,7 +1572,6 @@ QUERIES = {
     # ------------------------------------------------------------------
     "extract_fields": q_extract_fields,
     "sitemap_parse": q_sitemap_parse,
-    "extract_fields_blended": q_extract_fields_blended,
     "crawl_frontier": q_crawl_frontier,
     "doc_langid": q_doc_langid,
     "distance_bucket_group": q_distance_bucket_group,
@@ -1573,6 +1602,7 @@ QUERIES = {
     "corpus_datasheet": q_corpus_datasheet,
     "pdf_extract": q_pdf_extract,
     "extract_mixed": q_extract_mixed,
+    "extract_fields_pdf": q_extract_fields_pdf,
     "partitioned_scan": q_partitioned_scan,
     "html_tables_markdown": q_html_tables_markdown,
     "doc_lexical_diversity": q_doc_lexical_diversity,
@@ -1613,6 +1643,13 @@ QUERIES = {
     # stay replica-checked green every round.
     "split_train_test": q_split_train_test,
     "custom_config_extract": q_custom_config_extract,
+    # extract_fields_blended rotated out for extract_fields_pdf: the
+    # round-5-changed kernel files (matching/textdist/tokenspan) are
+    # exercised in-window by extract_fields AND extract_fields_pdf (which
+    # additionally roundtrips the text through pdfcore); the blended
+    # parser's own paths (sweep.py, unchanged in r5) stay byte-parity
+    # locked by test_blended_parity.py and replica-checked every round.
+    "extract_fields_blended": q_extract_fields_blended,
     # all unchanged since round 4 and green in the round-4 driver run
     # (dedup_minhash_lsh, similarity_topk_lsh/ivf, embedding_near_dup_lsh,
     # dedup_incremental_bloom, events_asof_join, html_main_lines (htmlcore
@@ -1761,6 +1798,13 @@ def _lsh_topk_oracle() -> str:
 ORACLE_SQL = {
     "extract_fields": f"""
         SELECT url, lang, extracted_text, result_json, success, n_lines, n_fields
+        FROM '{GOLDEN_EXTRACT}'
+    """,
+    "extract_fields_pdf": f"""
+        -- the PDF-crawl capstone must land exactly on the committed
+        -- golden extraction: any byte lost in the PDF layout roundtrip
+        -- would change result_json/n_lines for that url
+        SELECT url, lang, result_json, success, n_lines, n_fields
         FROM '{GOLDEN_EXTRACT}'
     """,
     "html_main_lines": f"""

@@ -82,3 +82,59 @@ def extract_pdf_docs(pdf_df, line_sep: str = "\n"):
             yield pd.DataFrame({"doc_id": ids, "n_pages": npages, "text": texts})
 
     return pruned.mapInPandas(gen, schema=PDF_TEXT_SCHEMA)
+
+
+URL_PDF_SCHEMA = "url string, lang string, pdf binary"
+URL_TEXT_SCHEMA = "url string, lang string, text string"
+
+
+def render_pdfs_by_url(df):
+    """(url, lang, text) -> (url, lang, pdf): multiline render (authored
+    ``\\n`` line breaks preserved as baselines); layout combo — compress x
+    objstm — keyed on md5(url) so the mix is deterministic but
+    uncorrelated with content."""
+    import hashlib
+
+    from ..pdfcore.writer import build_pdf
+
+    pruned = df.select("url", "lang", "text")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            urls, langs, blobs = [], [], []
+            for row in batch.itertuples(index=False):
+                h = int(hashlib.md5(row.url.encode()).hexdigest()[-1], 16)
+                urls.append(row.url)
+                langs.append(row.lang)
+                blobs.append(
+                    build_pdf(
+                        row.text or "",
+                        doc_key=row.url,
+                        compress=h % 2 == 0,
+                        objstm=h % 4 < 2,
+                        multiline=True,
+                    )
+                )
+            yield pd.DataFrame({"url": urls, "lang": langs, "pdf": blobs})
+
+    return pruned.mapInPandas(gen, schema=URL_PDF_SCHEMA)
+
+
+def extract_pdf_text_by_url(pdf_df):
+    """(url, lang, pdf) -> (url, lang, text): layout-ordered document text
+    with ``\\n`` line joins (the multiline inverse)."""
+    from ..pdfcore.parse import parse_pdf_pages
+
+    pruned = pdf_df.select("url", "lang", "pdf")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            urls, langs, texts = [], [], []
+            for row in batch.itertuples(index=False):
+                pages = parse_pdf_pages(bytes(row.pdf) if row.pdf is not None else b"")
+                urls.append(row.url)
+                langs.append(row.lang)
+                texts.append("\n".join("\n".join(p) for p in pages if p))
+            yield pd.DataFrame({"url": urls, "lang": langs, "text": texts})
+
+    return pruned.mapInPandas(gen, schema=URL_TEXT_SCHEMA)

@@ -140,9 +140,15 @@ def build_pdf(
     compress: bool = False,
     shuffle_runs: bool = True,
     objstm: bool = False,
+    multiline: bool = False,
 ) -> bytes:
     """Render ``text`` (single logical line; writer wraps it) into a
     complete, valid PDF byte string.
+
+    ``multiline=True`` treats the input's ``\\n`` as authored line breaks
+    and does NOT word-wrap — each input line becomes one PDF baseline
+    (still split into shuffled 3-word runs), so
+    ``extract_pdf_text(build_pdf(t, multiline=True))`` == ``t`` exactly.
 
     ``objstm=True`` emits the PDF 1.5 compressed layout instead of the
     classic one: all non-stream objects (catalog, pages tree, font, page
@@ -154,7 +160,10 @@ def build_pdf(
     Deterministic: identical inputs -> identical bytes (run shuffle is
     md5-keyed on ``doc_key``, no wall clock, no randomness).
     """
-    lines = wrap_words(text)
+    if multiline:
+        lines = [l.split(" ") for l in text.split("\n")] if text else [[""]]
+    else:
+        lines = wrap_words(text)
     pages = [lines[i : i + LINES_PER_PAGE] for i in range(0, len(lines), LINES_PER_PAGE)]
     if not pages:
         pages = [[[""]]]
