@@ -158,7 +158,7 @@ def main() -> None:
         # round 5, fifth session
         "ccnet_buckets", "crawl_diff", "corpus_datasheet",
         # round 5, sixth session
-        "pdf_extract", "extract_mixed", "extract_fields_pdf",
+        "pdf_extract", "extract_mixed", "extract_fields_pdf", "field_spans",
     ]
 
     best: dict[str, float] = {}
@@ -268,7 +268,7 @@ def main() -> None:
     (REPO / "BENCH" / "last_run.json").write_text(json.dumps(out, indent=1))
     out["full_record_file"] = "BENCH/last_run.json"
     newest = [
-        "pdf_extract", "extract_mixed", "extract_fields_pdf", "ccnet_buckets",
+        "pdf_extract", "extract_mixed", "extract_fields_pdf", "field_spans",
         "crawl_frontier", "html_tables", "bpe_pairs",
         "shard_plan_shuffled", "quality_classifier",
     ]

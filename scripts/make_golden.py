@@ -36,6 +36,9 @@ from universal_key_value_based_text_processing_with_ocr_spark.operators.extract 
     parse_page_row_boxorder,
     parse_page_row_with_config,
 )
+from universal_key_value_based_text_processing_with_ocr_spark.operators.fieldspans import (  # noqa: E402
+    line_field_spans,
+)
 from universal_key_value_based_text_processing_with_ocr_spark.sources.synthdocs import (  # noqa: E402
     gen_page_row,
 )
@@ -66,6 +69,7 @@ CUSTOM_FIELDS = [
 def build_tables():
     extract_rows = []
     line_rows = []
+    span_rows = []
     custom_rows = []
     blended_rows = []
     boxorder_rows = []
@@ -86,6 +90,14 @@ def build_tables():
             doc_lines = []
         for i, ln in enumerate(doc_lines):
             line_rows.append({"url": row["url"], "line_no": i, "line": ln})
+            for field, ks, ke, vs, ve, value in line_field_spans(ln):
+                span_rows.append(
+                    {
+                        "url": row["url"], "line_no": i, "field": field,
+                        "key_start": ks, "key_end": ke,
+                        "value_start": vs, "value_end": ve, "value": value,
+                    }
+                )
 
     extract_tbl = pa.Table.from_pylist(
         extract_rows, schema=pa.schema([pa.field(n, t) for n, t in EXTRACT_FIELDS])
@@ -105,17 +117,35 @@ def build_tables():
     boxorder_tbl = pa.Table.from_pylist(
         boxorder_rows, schema=pa.schema([pa.field(n, t) for n, t in CUSTOM_FIELDS])
     )
-    return extract_tbl, lines_tbl, custom_tbl, blended_tbl, boxorder_tbl
+    spans_tbl = pa.Table.from_pylist(
+        span_rows,
+        schema=pa.schema(
+            [
+                pa.field("url", pa.string()),
+                pa.field("line_no", pa.int32()),
+                pa.field("field", pa.string()),
+                pa.field("key_start", pa.int32()),
+                pa.field("key_end", pa.int32()),
+                pa.field("value_start", pa.int32()),
+                pa.field("value_end", pa.int32()),
+                pa.field("value", pa.string()),
+            ]
+        ),
+    )
+    return extract_tbl, lines_tbl, custom_tbl, blended_tbl, boxorder_tbl, spans_tbl
 
 
 def main() -> None:
     GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
-    extract_tbl, lines_tbl, custom_tbl, blended_tbl, boxorder_tbl = build_tables()
+    (
+        extract_tbl, lines_tbl, custom_tbl, blended_tbl, boxorder_tbl, spans_tbl
+    ) = build_tables()
     pq.write_table(extract_tbl, GOLDEN_DIR / "extract_golden.parquet")
     pq.write_table(lines_tbl, GOLDEN_DIR / "lines_golden.parquet")
     pq.write_table(custom_tbl, GOLDEN_DIR / "custom_golden.parquet")
     pq.write_table(blended_tbl, GOLDEN_DIR / "blended_golden.parquet")
     pq.write_table(boxorder_tbl, GOLDEN_DIR / "boxorder_golden.parquet")
+    pq.write_table(spans_tbl, GOLDEN_DIR / "spans_golden.parquet")
     print(
         f"wrote {extract_tbl.num_rows} extract rows, {lines_tbl.num_rows} line rows, "
         f"{custom_tbl.num_rows} custom rows, {blended_tbl.num_rows} blended rows, "

@@ -143,9 +143,12 @@ def test_golden_regeneration_idempotent():
 
     from scripts.make_golden import GOLDEN_DIR, build_tables
 
-    extract_tbl, lines_tbl, custom_tbl, blended_tbl, boxorder_tbl = build_tables()
+    (
+        extract_tbl, lines_tbl, custom_tbl, blended_tbl, boxorder_tbl, spans_tbl
+    ) = build_tables()
     assert extract_tbl.equals(pq.read_table(GOLDEN_DIR / "extract_golden.parquet"))
     assert lines_tbl.equals(pq.read_table(GOLDEN_DIR / "lines_golden.parquet"))
     assert custom_tbl.equals(pq.read_table(GOLDEN_DIR / "custom_golden.parquet"))
     assert blended_tbl.equals(pq.read_table(GOLDEN_DIR / "blended_golden.parquet"))
     assert boxorder_tbl.equals(pq.read_table(GOLDEN_DIR / "boxorder_golden.parquet"))
+    assert spans_tbl.equals(pq.read_table(GOLDEN_DIR / "spans_golden.parquet"))

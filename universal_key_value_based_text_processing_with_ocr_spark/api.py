@@ -36,6 +36,7 @@ from .streaming import stateful_sessionize_stream, streamed_events_window_agg
 REPO_ROOT = Path(__file__).resolve().parent.parent
 GOLDEN_EXTRACT = REPO_ROOT / "tests" / "golden" / "extract_golden.parquet"
 GOLDEN_LINES = REPO_ROOT / "tests" / "golden" / "lines_golden.parquet"
+GOLDEN_SPANS = REPO_ROOT / "tests" / "golden" / "spans_golden.parquet"
 GOLDEN_CUSTOM = REPO_ROOT / "tests" / "golden" / "custom_golden.parquet"
 GOLDEN_BLENDED = REPO_ROOT / "tests" / "golden" / "blended_golden.parquet"
 GOLDEN_BOXORDER = REPO_ROOT / "tests" / "golden" / "boxorder_golden.parquet"
@@ -708,6 +709,22 @@ def q_extract_fields_pdf(spark, sf_dir):
     return extract_pages(pages).select(
         "url", "lang", "result_json", "success", "n_lines", "n_fields"
     )
+
+
+def q_field_spans(spark, sf_dir):
+    """Labeled field spans per url (the north star's span-level output):
+    every KTP field spec over every golden document line, emitting
+    (field, key_start, key_end, value_start, value_end, value) character
+    offsets — the association offsets the kernel computes internally,
+    surfaced via the matcher's opt-in with_spans return.  One narrow
+    Arrow stage, no shuffle; rows are pure functions of their line, so
+    the output is invariant under repartitioning (tested).  Oracle: the
+    committed golden spans parquet (same parity-locked pure-Python core
+    run single-process — the extract_fields golden pattern)."""
+    from .operators.fieldspans import extract_line_field_spans
+
+    lines = spark.read.parquet(str(GOLDEN_LINES))
+    return extract_line_field_spans(lines)
 
 
 def q_extract_mixed(spark, sf_dir):
@@ -1580,7 +1597,7 @@ QUERIES = {
     "streamed_window_agg": q_streamed_window_agg,
     "stateful_sessionize": q_stateful_sessionize,
     "quality_filter": q_quality_filter,
-    "pages_clean_corpus": q_pages_clean_corpus,
+    "field_spans": q_field_spans,
     "pages_content_dedup": q_pages_content_dedup,
     "mask_repeated_ngrams": q_mask_repeated_ngrams,
     "inverted_index": q_inverted_index,
@@ -1650,6 +1667,12 @@ QUERIES = {
     # parser's own paths (sweep.py, unchanged in r5) stay byte-parity
     # locked by test_blended_parity.py and replica-checked every round.
     "extract_fields_blended": q_extract_fields_blended,
+    # pages_clean_corpus rotated out for field_spans: r4-driver-green, its
+    # composition is unchanged (clean_corpus gates are pinned by the
+    # in-window fineweb_pipeline and the oracle replays identical SQL over
+    # the golden extraction), and the extract stage it composes is
+    # exercised in-window by extract_fields + extract_fields_pdf.
+    "pages_clean_corpus": q_pages_clean_corpus,
     # all unchanged since round 4 and green in the round-4 driver run
     # (dedup_minhash_lsh, similarity_topk_lsh/ivf, embedding_near_dup_lsh,
     # dedup_incremental_bloom, events_asof_join, html_main_lines (htmlcore
@@ -1799,6 +1822,17 @@ ORACLE_SQL = {
     "extract_fields": f"""
         SELECT url, lang, extracted_text, result_json, success, n_lines, n_fields
         FROM '{GOLDEN_EXTRACT}'
+    """,
+    "field_spans": f"""
+        -- distributed replay must land exactly on the committed golden
+        -- span table (single-process run of the same parity-locked core)
+        SELECT url, CAST(line_no AS INT) AS line_no, field,
+               CAST(key_start AS INT) AS key_start,
+               CAST(key_end AS INT) AS key_end,
+               CAST(value_start AS INT) AS value_start,
+               CAST(value_end AS INT) AS value_end,
+               value
+        FROM '{GOLDEN_SPANS}'
     """,
     "extract_fields_pdf": f"""
         -- the PDF-crawl capstone must land exactly on the committed

@@ -144,6 +144,7 @@ def match_keys_in_line(
     line_preprocessing=lambda x: x,
     use_re_support=False,
     wo_space=False,
+    with_spans=False,
 ):
     if separators is None:
         separators = [":"]
@@ -365,6 +366,23 @@ def match_keys_in_line(
     ordered = [[name, *found[name]] for name in found if found[name][0]]
     ordered.append(["", None, None, None, None, [[len(line), len(line)]]])
     ordered.insert(0, ["", None, None, None, None, [[0, 0]]])
+    if with_spans:
+        # opt-in span emission (north star: "labeled field spans per url"):
+        # the same association offsets the slice above uses, surfaced as
+        # (key_start, key_end, value_start, value_end) per found key.  The
+        # default path is untouched — no extra work unless requested.
+        span_out: dict = {}
+        for i in range(1, len(ordered) - 1):
+            cur_spans = ordered[i][-1]
+            nxt_spans = ordered[i + 1][-1]
+            result[ordered[i][0]] = line[cur_spans[-1][-1] : nxt_spans[0][0]]
+            span_out[ordered[i][0]] = (
+                cur_spans[0][0],
+                cur_spans[-1][-1],
+                cur_spans[-1][-1],
+                nxt_spans[0][0],
+            )
+        return [True, result, span_out]
     for i in range(1, len(ordered) - 1):
         cur_spans = ordered[i][-1]
         nxt_spans = ordered[i + 1][-1]

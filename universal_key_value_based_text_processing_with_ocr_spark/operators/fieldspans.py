@@ -1,0 +1,100 @@
+"""Labeled field spans per url — the north star's span-level output.
+
+``extract_line_field_spans`` runs every KTP field spec over each document
+line and emits one row per found key with its character offsets: where
+the (fuzzily) matched key sits on the line and where the associated value
+slice starts/ends — the association offsets the extraction kernel already
+computes internally (``kvcore.matching`` keeps token spans from
+``split_with_spans`` and slices the raw line with them; this operator
+surfaces them via the matcher's opt-in ``with_spans`` return instead of
+re-deriving anything).
+
+Contract (tested): ``value == line[value_start:value_end]`` and
+``0 <= key_start <= key_end <= value_start <= value_end <= len(line)``
+for every emitted row.  Specs are built FRESH per line (no cross-line
+``wo_space`` config growth), so each row is a pure function of its line —
+which makes the stage embarrassingly parallel and the output invariant
+under any repartitioning.
+
+Scale shape: one narrow Arrow ``mapInPandas`` over (url, line_no, line);
+no shuffle; per-row error containment as everywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+SPANS_SCHEMA = (
+    "url string, line_no int, field string, key_start int, key_end int, "
+    "value_start int, value_end int, value string"
+)
+
+_COLS = [
+    "url", "line_no", "field", "key_start", "key_end",
+    "value_start", "value_end", "value",
+]
+
+
+def line_field_spans(line: str, configs=None) -> list[tuple]:
+    """Pure-Python core: (field, key_start, key_end, value_start,
+    value_end, value) for every key any spec finds on this line.
+
+    ``match_line_regex`` specs (whole-line fields) report the regex hit as
+    the key span and the full line as the value span — the same "value is
+    the whole line" semantics the extractor itself has."""
+    import re
+
+    from ..kvcore.ktpspec import (
+        DEFAULT_FIELD_CONFIG,
+        _text_path_nik_spec,
+        build_ktp_specs,
+    )
+    from ..kvcore.matching import match_keys_in_line, match_line_regex
+
+    # the exact spec list the text-path document parse runs
+    # (ktpspec.parse_document: build_ktp_specs + NIK spec inserted at 2)
+    specs = build_ktp_specs(configs)
+    specs.insert(2, _text_path_nik_spec(configs or DEFAULT_FIELD_CONFIG))
+
+    out: list[tuple] = []
+    for te in specs:
+        extractor = te["extractor"]
+        args = dict(te["extractor_args"])
+        if extractor is match_keys_in_line:
+            args["line"] = line
+            args["with_spans"] = True
+            try:
+                ok, _result, spans = match_keys_in_line(**args)
+            except Exception:
+                continue  # per-spec containment: a hostile line never kills the row
+            if not ok:
+                continue
+            for name, (ks, ke, vs, ve) in spans.items():
+                out.append((str(name), ks, ke, vs, ve, line[vs:ve]))
+        elif extractor is match_line_regex:
+            pattern = args.get("pattern", ".*")
+            hit = re.search(pattern, line)
+            if hit:
+                for name in args.get("alias_names", []):
+                    out.append((str(name), hit.start(), hit.end(), 0, len(line), line))
+    return out
+
+
+def extract_line_field_spans(lines_df, configs=None):
+    """(url, line_no, line) -> exploded span rows (see SPANS_SCHEMA)."""
+    pruned = lines_df.select("url", "line_no", "line")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for r in batch.itertuples(index=False):
+                line = r.line if r.line is not None else ""
+                for field, ks, ke, vs, ve, value in line_field_spans(line, configs):
+                    rows.append(
+                        (r.url, int(r.line_no), field, ks, ke, vs, ve, value)
+                    )
+            yield pd.DataFrame(rows, columns=_COLS)
+
+    return pruned.mapInPandas(gen, schema=SPANS_SCHEMA)
