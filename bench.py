@@ -159,6 +159,7 @@ def main() -> None:
         "ccnet_buckets", "crawl_diff", "corpus_datasheet",
         # round 5, sixth session
         "pdf_extract", "extract_mixed", "extract_fields_pdf", "field_spans",
+        "pages_field_spans",
     ]
 
     best: dict[str, float] = {}
@@ -269,6 +270,7 @@ def main() -> None:
     out["full_record_file"] = "BENCH/last_run.json"
     newest = [
         "pdf_extract", "extract_mixed", "extract_fields_pdf", "field_spans",
+        "pages_field_spans",
         "crawl_frontier", "html_tables", "bpe_pairs",
         "shard_plan_shuffled", "quality_classifier",
     ]

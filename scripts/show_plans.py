@@ -120,6 +120,7 @@ def main() -> None:
         ("extract_mixed", "universal ingest dispatch: magic-byte sniff routes each payload to pdfcore/htmlcore/raw inside ONE narrow Arrow stage — no shuffle, per-row containment"),
         ("extract_fields_pdf", "PDF-crawl capstone: render -> layout parse -> KTP kernel, three narrow Arrow stages fused on one scan — zero exchanges end to end"),
         ("field_spans", "labeled field spans: one narrow Arrow stage over the line table — no shuffle, rows pure per line"),
+        ("pages_field_spans", "END-TO-END span surface: pages -> html decode -> spans fused in ONE narrow Arrow stage on one scan — zero exchanges"),
     ]
     for name, note in named:
         sections.append((name, note, formatted(api.QUERIES[name](spark, SF))))

@@ -105,3 +105,61 @@ class TestSpark:
         assert len(got) == len(want)
         for col in ["url", "line_no", "field", "key_start", "key_end", "value_start", "value_end", "value"]:
             assert (got[col].astype(str).values == want[col].astype(str).values).all(), col
+
+
+class TestPagesEndToEnd:
+    def test_pages_to_spans_replays_committed_golden(self, spark):
+        """Raw pages -> distributed html decode -> spans must land exactly
+        on the same committed golden span table the line stage replays:
+        the golden generator enumerates the decoded line list itself."""
+        from universal_key_value_based_text_processing_with_ocr_spark.api import (
+            GOLDEN_N,
+            GOLDEN_SEED,
+            synth_pages_df,
+        )
+        from universal_key_value_based_text_processing_with_ocr_spark.operators.fieldspans import (
+            extract_page_field_spans,
+        )
+
+        pages = synth_pages_df(spark, GOLDEN_N, seed=GOLDEN_SEED)
+        got = (
+            extract_page_field_spans(pages)
+            .toPandas()
+            .sort_values(["url", "line_no", "field", "key_start"])
+            .reset_index(drop=True)
+        )
+        want = (
+            pq.read_table("tests/golden/spans_golden.parquet")
+            .to_pandas()
+            .sort_values(["url", "line_no", "field", "key_start"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want) > 0
+        for col in [
+            "url", "line_no", "field", "key_start", "key_end",
+            "value_start", "value_end", "value",
+        ]:
+            assert (
+                got[col].astype(str).values == want[col].astype(str).values
+            ).all(), col
+
+    def test_hostile_and_null_payloads_contained(self, spark):
+        """Undecodable html and all-NULL payload rows emit no spans and
+        never kill the task; text-path rows still span."""
+        import pandas as pd
+
+        rows = pd.DataFrame(
+            {
+                "url": ["u1", "u2", "u3"],
+                "html": [b"\x00\xff\xfe garbage \x9c", None, None],
+                "text": [None, None, "Kewarganegaraan : WNI"],
+            }
+        )
+        df = spark.createDataFrame(rows, schema="url string, html binary, text string")
+        from universal_key_value_based_text_processing_with_ocr_spark.operators.fieldspans import (
+            extract_page_field_spans,
+        )
+
+        out = extract_page_field_spans(df).toPandas()
+        assert set(out["url"]) <= {"u1", "u3"}
+        assert (out[out["url"] == "u3"]["field"] == "Kewarganegaraan").any()

@@ -727,6 +727,20 @@ def q_field_spans(spark, sf_dir):
     return extract_line_field_spans(lines)
 
 
+def q_pages_field_spans(spark, sf_dir):
+    """END-TO-END north-star span surface: raw pages -> payload decode
+    (html -> densitometry main lines, the extraction stage's exact branch)
+    -> labeled field spans per url, fused into ONE narrow Arrow stage on
+    one scan — zero exchanges.  Strictly supersets q_field_spans (same
+    span core, same golden oracle) by also exercising the distributed
+    HTML decode in front; any byte drift anywhere in decode -> line ->
+    offset misses the committed golden span table."""
+    from .operators.fieldspans import extract_page_field_spans
+
+    pages = synth_pages_df(spark, GOLDEN_N, seed=GOLDEN_SEED)
+    return extract_page_field_spans(pages)
+
+
 def q_extract_mixed(spark, sf_dir):
     """Universal ingest dispatch: one binary payload column carrying PDF
     (doc_id%3==0; even ids Flate-compressed), raw utf-8 (==1) and
@@ -1597,7 +1611,7 @@ QUERIES = {
     "streamed_window_agg": q_streamed_window_agg,
     "stateful_sessionize": q_stateful_sessionize,
     "quality_filter": q_quality_filter,
-    "field_spans": q_field_spans,
+    "pages_field_spans": q_pages_field_spans,
     "pages_content_dedup": q_pages_content_dedup,
     "mask_repeated_ngrams": q_mask_repeated_ngrams,
     "inverted_index": q_inverted_index,
@@ -1667,6 +1681,12 @@ QUERIES = {
     # parser's own paths (sweep.py, unchanged in r5) stay byte-parity
     # locked by test_blended_parity.py and replica-checked every round.
     "extract_fields_blended": q_extract_fields_blended,
+    # field_spans sits just outside the window because pages_field_spans
+    # (in-window) strictly supersets it: identical span core, identical
+    # golden span oracle, plus the distributed HTML decode in front — a
+    # green pages_field_spans row covers this one a fortiori.  Replica
+    # evidence: scripts/check_correctness.py green this session.
+    "field_spans": q_field_spans,
     # pages_clean_corpus rotated out for field_spans: r4-driver-green, its
     # composition is unchanged (clean_corpus gates are pinned by the
     # in-window fineweb_pipeline and the oracle replays identical SQL over
@@ -1826,6 +1846,19 @@ ORACLE_SQL = {
     "field_spans": f"""
         -- distributed replay must land exactly on the committed golden
         -- span table (single-process run of the same parity-locked core)
+        SELECT url, CAST(line_no AS INT) AS line_no, field,
+               CAST(key_start AS INT) AS key_start,
+               CAST(key_end AS INT) AS key_end,
+               CAST(value_start AS INT) AS value_start,
+               CAST(value_end AS INT) AS value_end,
+               value
+        FROM '{GOLDEN_SPANS}'
+    """,
+    "pages_field_spans": f"""
+        -- the END-TO-END stage (pages -> decode -> spans) must land on the
+        -- SAME committed golden span table: the golden generator enumerates
+        -- exactly the decoded line list, so any drift in the distributed
+        -- html decode or the span math breaks the hash
         SELECT url, CAST(line_no AS INT) AS line_no, field,
                CAST(key_start AS INT) AS key_start,
                CAST(key_end AS INT) AS key_end,
