@@ -9,6 +9,14 @@ computes internally (``kvcore.matching`` keeps token spans from
 surfaces them via the matcher's opt-in ``with_spans`` return instead of
 re-deriving anything).
 
+Reference parity: the offsets are the reference's own value-association
+geometry — its matcher keeps per-token spans and slices the value as
+"end of this key's last matched token .. start of the next key's first
+token" (/root/reference/ocrfw/postprocessing.py:236-249,
+``value_result = line[current_key_indexes[-1][-1]:next_key_indexes[0][0]]``);
+the reference only never EXPORTS the offsets.  This operator exports
+exactly those numbers.
+
 Contract (tested): ``value == line[value_start:value_end]`` and
 ``0 <= key_start <= key_end <= value_start <= value_end <= len(line)``
 for every emitted row.  Specs are built FRESH per line (no cross-line
