@@ -741,6 +741,40 @@ def q_pages_field_spans(spark, sf_dir):
     return extract_page_field_spans(pages)
 
 
+def q_lakehouse_upsert(spark, sf_dir):
+    """Keyed MERGE into the snapshot table (Iceberg MERGE INTO copy-on-write
+    analog — the crawl-refresh write path): base table from ``documents``
+    committed as two range-partitioned appends, then one merge_upsert whose
+    update batch replaces every doc_id%7==0 row whole-row (uppercased text)
+    and inserts shifted new rows for doc_id%97==0.  Only data files with a
+    REAL key hit are rewritten (two-stage manifest-stats + key-column probe
+    selection); untouched manifest chunks carry verbatim.  The read-back of
+    the merged snapshot must equal the closed-form merge spec the oracle
+    states directly over ``documents``."""
+    import tempfile
+
+    from .lakehouse.catalog import SnapshotTable
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    mid = docs.agg(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY doc_id)")).first()[0]
+    t = SnapshotTable(tempfile.mkdtemp(prefix="ukv_merge_"))
+    t.append(docs.where(F.col("doc_id") <= mid).repartitionByRange(2, "doc_id"))
+    t.append(docs.where(F.col("doc_id") > mid).repartitionByRange(2, "doc_id"))
+    updates = (
+        docs.where(F.col("doc_id") % 7 == 0)
+        .withColumn("text", F.upper("text"))
+        .unionByName(
+            docs.where(F.col("doc_id") % 97 == 0).select(
+                (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+                F.concat(F.lit("NEW:"), F.col("lang")).alias("text"),
+                "lang",
+            )
+        )
+    )
+    t.merge_upsert(spark, updates, key="doc_id")
+    return t.read(spark).select("doc_id", "text", "lang")
+
+
 def q_extract_mixed(spark, sf_dir):
     """Universal ingest dispatch: one binary payload column carrying PDF
     (doc_id%3==0; even ids Flate-compressed), raw utf-8 (==1) and
@@ -1687,6 +1721,11 @@ QUERIES = {
     # green pages_field_spans row covers this one a fortiori.  Replica
     # evidence: scripts/check_correctness.py green this session.
     "field_spans": q_field_spans,
+    # lakehouse MERGE (copy-on-write upsert): outside the window because the
+    # driver gate would pay a full table build per check; replica-checked
+    # green this session and pinned by tests/test_lakehouse_merge.py
+    # (CoW scope, verbatim chunk carry, conflict refusal, expire interop).
+    "lakehouse_upsert": q_lakehouse_upsert,
     # pages_clean_corpus rotated out for field_spans: r4-driver-green, its
     # composition is unchanged (clean_corpus gates are pinned by the
     # in-window fineweb_pipeline and the oracle replays identical SQL over
@@ -1853,6 +1892,20 @@ ORACLE_SQL = {
                CAST(value_end AS INT) AS value_end,
                value
         FROM '{GOLDEN_SPANS}'
+    """,
+    "lakehouse_upsert": f"""
+        -- closed-form MERGE spec directly over documents: %7 rows replaced
+        -- whole-row (upper text), %97 rows inserted shifted — if the CoW
+        -- file selection drops or duplicates ANY row, counts/hash diverge
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS text,
+               lang
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               'NEW:' || lang AS text,
+               lang
+        FROM documents WHERE doc_id % 97 = 0
     """,
     "pages_field_spans": f"""
         -- the END-TO-END stage (pages -> decode -> spans) must land on the

@@ -53,6 +53,12 @@ class ConflictError(RuntimeError):
     caller must recompute from the current table state and retry."""
 
 
+#: sentinel for "no expected-parent validation" in _commit — ``None`` is a
+#: legitimate expected parent (committing onto an empty table), so the
+#: disabled state needs its own object
+_UNSET = object()
+
+
 class SnapshotTable:
     def __init__(self, path: str | os.PathLike):
         self.path = Path(path)
@@ -308,26 +314,56 @@ class SnapshotTable:
         # whether or not the caller supplied its own summary fields.
         auto_summary = {"n_rows": sum(c.get("rows", 0) for c in new_chunks)}
 
+        def build_chunks(parent):
+            parent_chunks = self._chunk_summaries(parent) if parent else []
+            return new_chunks if _replace else parent_chunks + new_chunks
+
+        return self._commit(
+            snapshot_id,
+            df.schema.json(),
+            {**auto_summary, **(summary or {})},
+            build_chunks,
+            expected_parent=(
+                _expected_parent if (_replace and _expected_parent is not None) else _UNSET
+            ),
+            max_retries=max_retries,
+        )
+
+    def _commit(
+        self,
+        snapshot_id: str,
+        schema_json: str,
+        summary: dict,
+        build_chunks,
+        expected_parent=_UNSET,
+        max_retries: int = 20,
+    ) -> str:
+        """The optimistic-concurrency commit loop shared by append and
+        merge_upsert (see append's docstring for the CAS protocol).
+        ``build_chunks(parent_manifest_or_None)`` supplies the chunk-summary
+        list for the new manifest — called fresh on every retry so a plain
+        append rebases onto a new parent's chunks.  ``expected_parent``
+        (pass ``_UNSET`` to disable the check) turns the commit into a
+        validating replace: any concurrent commit raises ConflictError."""
         for _attempt in range(max_retries):
             parent = self.latest_manifest()
-            if _replace and _expected_parent is not None:
+            if expected_parent is not _UNSET:
                 actual = parent["snapshot_id"] if parent else None
-                if actual != _expected_parent:
+                if actual != expected_parent:
                     raise ConflictError(
-                        f"replacing commit expected parent {_expected_parent} but "
+                        f"replacing commit expected parent {expected_parent} but "
                         f"found {actual}: a concurrent append landed — recompute "
                         "the replacement from the current table and retry"
                     )
             seq = (parent["sequence"] + 1) if parent else 1
-            parent_chunks = self._chunk_summaries(parent) if parent else []
             manifest = {
                 "snapshot_id": snapshot_id,
                 "parent_id": parent["snapshot_id"] if parent else None,
                 "sequence": seq,
                 "committed_at_ms": int(time.time() * 1000),
-                "schema": df.schema.json(),
-                "chunks": new_chunks if _replace else parent_chunks + new_chunks,
-                "summary": {**auto_summary, **(summary or {})},
+                "schema": schema_json,
+                "chunks": build_chunks(parent),
+                "summary": summary,
             }
             tmp = self.snapshot_dir / f".tmp-{snapshot_id}-{_attempt}.json"
             final = self.snapshot_dir / f"v{seq:08d}.json"
@@ -517,6 +553,146 @@ class SnapshotTable:
         return self.append(
             current, summary={"op": "compact"}, _replace=True, _expected_parent=expected
         )
+
+    def merge_upsert(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key: str = "url",
+        summary: dict | None = None,
+    ) -> dict:
+        """Keyed MERGE (Iceberg ``MERGE INTO`` copy-on-write analog): rows
+        whose ``key`` matches an update row are replaced by the update row,
+        unmatched update rows are inserted, and ONLY the data files that
+        actually contain a matching key are rewritten — the crawl-refresh
+        write path ("this month's recrawl of 0.1% of urls" must not rewrite
+        the table).
+
+        File selection is two-staged like the read path: the updates' key
+        envelope prunes candidate files through the chunked manifest stats
+        (metadata only), then one key-column-only scan of the survivors
+        finds the files with a REAL hit (parquet column pruning makes this
+        a key-column read, never the payloads).  Untouched manifest chunks
+        are carried into the new snapshot AS-IS (no I/O, no stats rebuild);
+        partially-hit chunks are rebuilt from their already-recorded
+        per-file stats — no parquet footer is ever re-read for a kept file.
+
+        Semantics: update rows win whole-row (no column-level merge); if
+        ``updates`` carries duplicate keys, ALL its rows are inserted —
+        callers dedupe upstream when keys must stay unique.  The commit
+        validates against the snapshot the merge was computed FROM, so a
+        concurrent append raises ConflictError instead of losing rows
+        (same contract as compact).
+
+        Returns ``{"snapshot_id", "files_rewritten", "files_kept",
+        "candidate_files", "rows_inserted"}``; ``snapshot_id`` is None when
+        ``updates`` is empty (no commit)."""
+        from pyspark.sql import functions as F
+
+        expected = self.snapshot_id()
+        if expected is None:
+            sid = self.append(updates, summary={"op": "merge-upsert", **(summary or {})})
+            manifest = self.latest_manifest()
+            n = manifest["summary"].get("n_rows", 0)
+            return {
+                "snapshot_id": sid, "files_rewritten": 0, "files_kept": 0,
+                "candidate_files": 0, "rows_inserted": n,
+            }
+        manifest = self._resolve_manifest(expected)
+
+        env = updates.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+        if env["lo"] is None:
+            return {
+                "snapshot_id": None, "files_rewritten": 0,
+                "files_kept": sum(s["n_files"] for s in self._chunk_summaries(manifest)),
+                "candidate_files": 0, "rows_inserted": 0,
+            }
+
+        candidates, _opened, _total = self._plan_files(
+            manifest, (env["lo"], env["hi"]), key
+        )
+        update_keys = updates.select(key).distinct()
+        hit_rel: set = set()
+        if candidates:
+            # key-column-only probe of the candidate files: which of them
+            # REALLY contain a matching key (file-granular CoW scope)
+            probe = (
+                spark.read.parquet(*(str(self.path / f) for f in candidates))
+                .select(F.input_file_name().alias("_file"), F.col(key))
+                .join(F.broadcast(update_keys), key, "left_semi")
+                .select("_file")
+                .distinct()
+            )
+            prefix = self.path.resolve().as_uri().rstrip("/") + "/"
+            for row in probe.collect():
+                uri = row["_file"]
+                if uri.startswith(prefix):
+                    hit_rel.add(uri[len(prefix):])
+                else:  # path form differences (no file:// scheme)
+                    hit_rel.add(str(Path(uri.replace("file:", "")).resolve()
+                                    .relative_to(self.path.resolve())))
+
+        if hit_rel:
+            survivors = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*(str(self.path / f) for f in sorted(hit_rel)))
+                .join(F.broadcast(update_keys), key, "left_anti")
+            )
+            new_data = survivors.unionByName(updates, allowMissingColumns=True)
+        else:
+            new_data = updates
+
+        snapshot_id = uuid.uuid4().hex[:16]
+        data_dir = self.path / "data" / snapshot_id
+        new_data.write.mode("overwrite").parquet(str(data_dir))
+        new_files = sorted(
+            str(p.relative_to(self.path))
+            for p in data_dir.rglob("*.parquet")
+            if p.is_file()
+        )
+        file_stats = self._collect_file_stats(new_files)
+        new_chunks = [
+            self._write_chunk(new_files[i : i + self.CHUNK_MAX_FILES], file_stats)
+            for i in range(0, len(new_files), self.CHUNK_MAX_FILES)
+        ] if new_files else []
+
+        carried: list[dict] = []
+        kept_count = 0
+        for s in self._chunk_summaries(manifest):
+            chunk = s["inline"] if "inline" in s else self._load_chunk(s)
+            chunk_files = chunk["files"]
+            if hit_rel.isdisjoint(chunk_files):
+                if "inline" in s:  # legacy pseudo-chunk: materialise it
+                    carried.append(self._write_chunk(chunk_files, chunk.get("file_stats", {})))
+                else:
+                    carried.append(s)
+                kept_count += len(chunk_files)
+                continue
+            kept = [f for f in chunk_files if f not in hit_rel]
+            kept_count += len(kept)
+            if kept:  # rebuild from the chunk's own recorded stats: no footer I/O
+                carried.append(self._write_chunk(kept, chunk.get("file_stats", {})))
+
+        n_inserted = sum(c.get("rows", 0) for c in new_chunks)
+        self._commit(
+            snapshot_id,
+            new_data.schema.json(),
+            {
+                "op": "merge-upsert",
+                "n_rows": n_inserted,
+                "files_rewritten": len(hit_rel),
+                **(summary or {}),
+            },
+            lambda parent: carried + new_chunks,
+            expected_parent=expected,
+        )
+        return {
+            "snapshot_id": snapshot_id,
+            "files_rewritten": len(hit_rel),
+            "files_kept": kept_count,
+            "candidate_files": len(candidates),
+            "rows_inserted": n_inserted,
+        }
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Expire all but the last ``keep_last`` snapshots and DELETE data
