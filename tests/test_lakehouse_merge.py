@@ -146,7 +146,7 @@ class TestConcurrency:
                 "deadbeefdeadbeef",
                 upd.schema.json(),
                 {"op": "merge-upsert"},
-                lambda parent: [],
+                lambda parent, seq: [],
                 expected_parent=expected,
             )
 
@@ -170,3 +170,96 @@ class TestExpireInterop:
         assert stats["deleted_files"] >= 1  # the rewritten file got swept
         # latest is intact
         assert dict(_sorted(table.read(spark)))["https://a00"] == "A0-new"
+
+
+class TestEqualityDeletes:
+    def test_delete_hides_rows_without_touching_data_files(self, spark, table):
+        before = {s["path"]: s for s in table.latest_manifest()["chunks"]}
+        res = table.delete_where(spark, _rows(spark, [("https://a00", ""), ("https://b07", "")]))
+        assert res["snapshot_id"] is not None
+        after = {s["path"]: s for s in table.latest_manifest()["chunks"]}
+        assert before == after  # NO chunk rebuilt, no data file rewritten
+        got = dict(_sorted(table.read(spark)))
+        assert "https://a00" not in got and "https://b07" not in got
+        assert len(got) == 14
+
+    def test_time_travel_before_delete_still_shows_rows(self, spark, table):
+        pre = table.snapshot_id()
+        table.delete_where(spark, _rows(spark, [("https://a00", "")]))
+        assert "https://a00" in dict(_sorted(table.read(spark, snapshot_id=pre)))
+
+    def test_reappended_key_stays_visible(self, spark, table):
+        """Sequence semantics: a delete hides only OLDER data — a row with
+        the deleted key appended AFTER the delete is live."""
+        table.delete_where(spark, _rows(spark, [("https://a00", "")]))
+        table.append(_rows(spark, [("https://a00", "A0-reborn")]))
+        got = dict(_sorted(table.read(spark)))
+        assert got["https://a00"] == "A0-reborn"
+        assert len(got) == 16  # 15 survivors + the reborn row
+
+    def test_two_delete_generations_compose(self, spark, table):
+        table.delete_where(spark, _rows(spark, [("https://a00", "")]))
+        table.append(_rows(spark, [("https://a00", "A0-reborn")]))
+        table.delete_where(spark, _rows(spark, [("https://a00", ""), ("https://b01", "")]))
+        got = dict(_sorted(table.read(spark)))
+        # generation 2 hides the reborn row AND b01; generation 1 already hid the original
+        assert "https://a00" not in got and "https://b01" not in got
+        assert len(got) == 14
+
+    def test_compact_applies_and_clears_deletes(self, spark, table):
+        table.delete_where(spark, _rows(spark, [("https://a00", "")]))
+        expected = dict(_sorted(table.read(spark)))
+        table.compact(spark)
+        assert table.latest_manifest()["delete_files"] == []
+        assert dict(_sorted(table.read(spark))) == expected
+        # merge is allowed again after compaction
+        table.merge_upsert(spark, _rows(spark, [("https://b00", "B0-new")]))
+        assert dict(_sorted(table.read(spark)))["https://b00"] == "B0-new"
+
+    def test_merge_refuses_pending_deletes(self, spark, table):
+        table.delete_where(spark, _rows(spark, [("https://a00", "")]))
+        with pytest.raises(ConflictError, match="compact"):
+            table.merge_upsert(spark, _rows(spark, [("https://b00", "x")]))
+
+    def test_mixed_delete_keys_refused(self, spark, table):
+        table.delete_where(spark, _rows(spark, [("https://a00", "")]))
+        other = spark.createDataFrame([("x",)], schema="text string")
+        with pytest.raises(ValueError, match="mixed delete keys"):
+            table.delete_where(spark, other, key="text")
+
+    def test_empty_delete_no_commit(self, spark, table):
+        pre = table.snapshot_id()
+        res = table.delete_where(spark, _rows(spark, []))
+        assert res["snapshot_id"] is None
+        assert table.snapshot_id() == pre
+
+    def test_append_carries_deletes_forward(self, spark, table):
+        table.delete_where(spark, _rows(spark, [("https://a00", "")]))
+        table.append(_rows(spark, [("https://c00", "C0")]))
+        m = table.latest_manifest()
+        assert len(m["delete_files"]) == 1
+        got = dict(_sorted(table.read(spark)))
+        assert "https://a00" not in got and got["https://c00"] == "C0"
+
+    def test_expire_keeps_live_delete_files(self, spark, table, tmp_path):
+        table.delete_where(spark, _rows(spark, [("https://a00", "")]))
+        table.expire_snapshots(keep_last=1)
+        got = dict(_sorted(table.read(spark)))
+        assert "https://a00" not in got and len(got) == 15
+
+    def test_compact_then_expire_sweeps_delete_files(self, spark, table):
+        table.delete_where(spark, _rows(spark, [("https://a00", "")]))
+        table.compact(spark)
+        table.expire_snapshots(keep_last=1)
+        from pathlib import Path
+        leftover = [
+            p
+            for d in (Path(table.path) / "data").iterdir()
+            if d.name.endswith("-del")
+            for p in d.rglob("*.parquet")
+        ]
+        # the delete FILES are reclaimed with their expired snapshot; the
+        # emptied dir itself lingers until the age-gated orphan sweep
+        # (in-flight-append protection), same as rewritten data dirs
+        assert leftover == []
+        assert "https://a00" not in dict(_sorted(table.read(spark)))

@@ -775,6 +775,29 @@ def q_lakehouse_upsert(spark, sf_dir):
     return t.read(spark).select("doc_id", "text", "lang")
 
 
+def q_lakehouse_delete(spark, sf_dir):
+    """Equality delete + sequence semantics (Iceberg v2 merge-on-read):
+    base table from ``documents``, delete every doc_id%13==0 key WITHOUT
+    touching a data file, then append replacement rows for doc_id%39==0 —
+    which must stay visible despite carrying deleted keys, because a
+    delete hides only data chunks OLDER than itself.  The read-back must
+    equal the closed-form spec the oracle states over ``documents``."""
+    import tempfile
+
+    from .lakehouse.catalog import SnapshotTable
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    t = SnapshotTable(tempfile.mkdtemp(prefix="ukv_del_"))
+    t.append(docs.repartitionByRange(4, "doc_id"))
+    t.delete_where(spark, docs.where(F.col("doc_id") % 13 == 0), key="doc_id")
+    t.append(
+        docs.where(F.col("doc_id") % 39 == 0).withColumn(
+            "text", F.concat(F.lit("REBORN:"), F.col("lang"))
+        )
+    )
+    return t.read(spark).select("doc_id", "text", "lang")
+
+
 def q_extract_mixed(spark, sf_dir):
     """Universal ingest dispatch: one binary payload column carrying PDF
     (doc_id%3==0; even ids Flate-compressed), raw utf-8 (==1) and
@@ -1721,11 +1744,13 @@ QUERIES = {
     # green pages_field_spans row covers this one a fortiori.  Replica
     # evidence: scripts/check_correctness.py green this session.
     "field_spans": q_field_spans,
-    # lakehouse MERGE (copy-on-write upsert): outside the window because the
-    # driver gate would pay a full table build per check; replica-checked
-    # green this session and pinned by tests/test_lakehouse_merge.py
-    # (CoW scope, verbatim chunk carry, conflict refusal, expire interop).
+    # lakehouse MERGE (copy-on-write upsert) and equality DELETE
+    # (merge-on-read): outside the window because the driver gate would pay
+    # a full table build per check; replica-checked green this session and
+    # pinned by tests/test_lakehouse_merge.py (CoW scope, verbatim chunk
+    # carry, sequence semantics, conflict refusal, expire interop).
     "lakehouse_upsert": q_lakehouse_upsert,
+    "lakehouse_delete": q_lakehouse_delete,
     # pages_clean_corpus rotated out for field_spans: r4-driver-green, its
     # composition is unchanged (clean_corpus gates are pinned by the
     # in-window fineweb_pipeline and the oracle replays identical SQL over
@@ -1906,6 +1931,15 @@ ORACLE_SQL = {
                'NEW:' || lang AS text,
                lang
         FROM documents WHERE doc_id % 97 = 0
+    """,
+    "lakehouse_delete": f"""
+        -- closed-form merge-on-read spec: %13 keys hidden from the ORIGINAL
+        -- data, but the post-delete append's %39 rows stay visible (delete
+        -- applies only to older chunks) — wrong sequence handling diverges
+        SELECT doc_id, text, lang FROM documents WHERE doc_id % 13 <> 0
+        UNION ALL
+        SELECT doc_id, 'REBORN:' || lang AS text, lang
+        FROM documents WHERE doc_id % 39 = 0
     """,
     "pages_field_spans": f"""
         -- the END-TO-END stage (pages -> decode -> spans) must land on the

@@ -251,6 +251,7 @@ class SnapshotTable:
                 return True
 
         files: list[str] = []
+        file_seq: dict = {}
         opened = 0
         summaries = self._chunk_summaries(manifest)
         for s in summaries:
@@ -260,8 +261,12 @@ class SnapshotTable:
             if "inline" not in s:
                 opened += 1
             stats = chunk.get("file_stats", {})
-            files.extend(rel for rel in chunk["files"] if file_may_match(stats.get(rel, {})))
-        return files, opened, len(summaries)
+            seq = s.get("added_seq", 0)  # legacy chunks read as oldest
+            for rel in chunk["files"]:
+                if file_may_match(stats.get(rel, {})):
+                    files.append(rel)
+                    file_seq[rel] = seq
+        return files, opened, len(summaries), file_seq
 
     # -- write path ------------------------------------------------------------
     def append(
@@ -314,15 +319,28 @@ class SnapshotTable:
         # whether or not the caller supplied its own summary fields.
         auto_summary = {"n_rows": sum(c.get("rows", 0) for c in new_chunks)}
 
-        def build_chunks(parent):
+        def build_chunks(parent, seq):
+            # stamp the commit sequence on the NEW chunks (legacy chunks
+            # without a stamp read as 0 = oldest): equality deletes apply
+            # only to data chunks OLDER than the delete (Iceberg v2
+            # sequence-number semantics), so a row re-appended after a
+            # delete of its key stays visible
+            for c in new_chunks:
+                c["added_seq"] = seq
             parent_chunks = self._chunk_summaries(parent) if parent else []
             return new_chunks if _replace else parent_chunks + new_chunks
+
+        def build_deletes(parent, seq):
+            if _replace:
+                return []  # a replacing rewrite (compact) APPLIED the deletes
+            return list(parent.get("delete_files", [])) if parent else []
 
         return self._commit(
             snapshot_id,
             df.schema.json(),
             {**auto_summary, **(summary or {})},
             build_chunks,
+            build_deletes=build_deletes,
             expected_parent=(
                 _expected_parent if (_replace and _expected_parent is not None) else _UNSET
             ),
@@ -335,16 +353,22 @@ class SnapshotTable:
         schema_json: str,
         summary: dict,
         build_chunks,
+        build_deletes=None,
         expected_parent=_UNSET,
         max_retries: int = 20,
     ) -> str:
-        """The optimistic-concurrency commit loop shared by append and
-        merge_upsert (see append's docstring for the CAS protocol).
-        ``build_chunks(parent_manifest_or_None)`` supplies the chunk-summary
-        list for the new manifest — called fresh on every retry so a plain
-        append rebases onto a new parent's chunks.  ``expected_parent``
-        (pass ``_UNSET`` to disable the check) turns the commit into a
-        validating replace: any concurrent commit raises ConflictError."""
+        """The optimistic-concurrency commit loop shared by append,
+        merge_upsert and delete_where (see append's docstring for the CAS
+        protocol).  ``build_chunks(parent_manifest_or_None, seq)`` supplies
+        the chunk-summary list for the new manifest — called fresh on every
+        retry so a plain append rebases onto a new parent's chunks;
+        ``build_deletes`` likewise supplies the equality-delete file list
+        (None = carry the parent's).  ``expected_parent`` (pass ``_UNSET``
+        to disable the check) turns the commit into a validating replace:
+        any concurrent commit raises ConflictError."""
+        if build_deletes is None:
+            def build_deletes(parent, seq):
+                return list(parent.get("delete_files", [])) if parent else []
         for _attempt in range(max_retries):
             parent = self.latest_manifest()
             if expected_parent is not _UNSET:
@@ -362,7 +386,8 @@ class SnapshotTable:
                 "sequence": seq,
                 "committed_at_ms": int(time.time() * 1000),
                 "schema": schema_json,
-                "chunks": build_chunks(parent),
+                "chunks": build_chunks(parent, seq),
+                "delete_files": build_deletes(parent, seq),
                 "summary": summary,
             }
             tmp = self.snapshot_dir / f".tmp-{snapshot_id}-{_attempt}.json"
@@ -467,22 +492,57 @@ class SnapshotTable:
         data; default = the first present one).  The pruned read may still
         contain out-of-range rows; callers filter."""
         manifest = self._resolve_manifest(snapshot_id)
-        files, _opened, _total = self._plan_files(manifest, between, column)
-        paths = [str(self.path / f) for f in files]
-        if not paths:
+        files, _opened, _total, file_seq = self._plan_files(manifest, between, column)
+        if not files:
             from pyspark.sql.types import StructType
 
             return spark.createDataFrame([], StructType.fromJson(json.loads(manifest["schema"])))
-        # mergeSchema: snapshots may carry evolved (widened) schemas; the
-        # union-by-name semantics match Iceberg's add-column evolution.
-        return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+        def scan(rels):
+            # mergeSchema: snapshots may carry evolved (widened) schemas;
+            # union-by-name semantics match Iceberg's add-column evolution.
+            return spark.read.option("mergeSchema", "true").parquet(
+                *(str(self.path / f) for f in rels)
+            )
+
+        deletes = manifest.get("delete_files", [])
+        if not deletes:
+            return scan(files)
+        # Equality deletes (Iceberg v2 merge-on-read): a delete hides rows
+        # only in data chunks OLDER than itself, so files group by WHICH
+        # deletes apply (at most one group per distinct delete sequence +
+        # one for post-delete data — typically two between compactions).
+        # Delete key sets are small next to the data; each anti-join
+        # broadcasts them.
+        from pyspark.sql import functions as F
+
+        groups: dict = {}
+        for rel in files:
+            applicable = tuple(
+                d["path"] for d in deletes if d["seq"] > file_seq.get(rel, 0)
+            )
+            groups.setdefault(applicable, []).append(rel)
+        parts = []
+        for applicable, rels in sorted(groups.items()):
+            part = scan(rels)
+            if applicable:
+                key = deletes[0]["key"]
+                dkeys = spark.read.parquet(
+                    *(str(self.path / p) for p in applicable)
+                ).select(key).distinct()
+                part = part.join(F.broadcast(dkeys), key, "left_anti")
+            parts.append(part)
+        out = parts[0]
+        for part in parts[1:]:
+            out = out.unionByName(part, allowMissingColumns=True)
+        return out
 
     def pruned_file_count(
         self, between: tuple, snapshot_id: str | None = None, column: str | None = None
     ) -> tuple[int, int]:
         """(files kept, total files) for a range — observability of pruning."""
         manifest = self._resolve_manifest(snapshot_id)
-        files, _opened, _total = self._plan_files(manifest, between, column)
+        files, _opened, _total, _seq = self._plan_files(manifest, between, column)
         total = sum(s["n_files"] for s in self._chunk_summaries(manifest))
         return len(files), total
 
@@ -495,7 +555,7 @@ class SnapshotTable:
         table must open only the chunks whose summary envelope intersects
         it."""
         manifest = self._resolve_manifest(snapshot_id)
-        files, opened, total = self._plan_files(manifest, between, column)
+        files, opened, total, _seq = self._plan_files(manifest, between, column)
         return {"files_kept": len(files), "chunks_opened": opened, "chunks_total": total}
 
     def history(self) -> list[dict]:
@@ -599,6 +659,15 @@ class SnapshotTable:
                 "candidate_files": 0, "rows_inserted": n,
             }
         manifest = self._resolve_manifest(expected)
+        if manifest.get("delete_files"):
+            # the survivors scan below reads hit files DIRECTLY; applying
+            # per-sequence equality deletes inside it would entangle two
+            # write paths — the safe, documented order is compact (which
+            # applies deletes) then merge
+            raise ConflictError(
+                "merge_upsert over pending equality deletes: run compact() "
+                "first (it applies and clears the delete files)"
+            )
 
         env = updates.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
         if env["lo"] is None:
@@ -608,7 +677,7 @@ class SnapshotTable:
                 "candidate_files": 0, "rows_inserted": 0,
             }
 
-        candidates, _opened, _total = self._plan_files(
+        candidates, _opened, _total, _seq = self._plan_files(
             manifest, (env["lo"], env["hi"]), key
         )
         update_keys = updates.select(key).distinct()
@@ -671,9 +740,20 @@ class SnapshotTable:
             kept = [f for f in chunk_files if f not in hit_rel]
             kept_count += len(kept)
             if kept:  # rebuild from the chunk's own recorded stats: no footer I/O
-                carried.append(self._write_chunk(kept, chunk.get("file_stats", {})))
+                rebuilt = self._write_chunk(kept, chunk.get("file_stats", {}))
+                # the kept files keep their DATA age (delete applicability),
+                # not the rebuild's commit sequence
+                if "added_seq" in s:
+                    rebuilt["added_seq"] = s["added_seq"]
+                carried.append(rebuilt)
 
         n_inserted = sum(c.get("rows", 0) for c in new_chunks)
+
+        def build_chunks(parent, seq):
+            for c in new_chunks:
+                c["added_seq"] = seq
+            return carried + new_chunks
+
         self._commit(
             snapshot_id,
             new_data.schema.json(),
@@ -683,7 +763,7 @@ class SnapshotTable:
                 "files_rewritten": len(hit_rel),
                 **(summary or {}),
             },
-            lambda parent: carried + new_chunks,
+            build_chunks,
             expected_parent=expected,
         )
         return {
@@ -692,6 +772,70 @@ class SnapshotTable:
             "files_kept": kept_count,
             "candidate_files": len(candidates),
             "rows_inserted": n_inserted,
+        }
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        keys: DataFrame,
+        key: str = "url",
+        summary: dict | None = None,
+    ) -> dict:
+        """Equality delete (Iceberg v2 merge-on-read): record the keys in a
+        small delete file and commit — NO data file is read or rewritten,
+        which is the only viable "remove these urls" at 100 TB (GDPR/opt-out
+        takedowns).  ``read()`` anti-joins the delete keys against data
+        chunks OLDER than the delete (sequence semantics: a row re-appended
+        AFTER the delete stays visible); ``compact()`` applies the deletes
+        physically and clears them.  All live delete files must share one
+        key column (mixed-key merge-on-read is ambiguous — ValueError).
+
+        Returns ``{"snapshot_id", "n_delete_files"}``; no commit when
+        ``keys`` is empty (snapshot_id None)."""
+        manifest = self.latest_manifest()
+        if manifest is None:
+            raise FileNotFoundError(f"no committed snapshot in {self.path}")
+        for d in manifest.get("delete_files", []):
+            if d["key"] != key:
+                raise ValueError(
+                    f"table already carries equality deletes on {d['key']!r}; "
+                    f"mixed delete keys ({key!r}) are not supported — compact first"
+                )
+        snapshot_id = uuid.uuid4().hex[:16]
+        del_dir = self.path / "data" / f"{snapshot_id}-del"
+        dkeys = keys.select(key).distinct()
+        dkeys.coalesce(1).write.mode("overwrite").parquet(str(del_dir))
+        new_files = sorted(
+            str(p.relative_to(self.path))
+            for p in del_dir.rglob("*.parquet")
+            if p.is_file()
+        )
+        n_keys = sum(
+            s.get("rows", 0) for s in self._collect_file_stats(new_files).values()
+        )
+        if n_keys == 0:
+            return {"snapshot_id": None, "n_delete_files": len(manifest.get("delete_files", []))}
+
+        def build_chunks(parent, seq):
+            return self._chunk_summaries(parent) if parent else []
+
+        def build_deletes(parent, seq):
+            prior = list(parent.get("delete_files", [])) if parent else []
+            return prior + [
+                {"path": rel, "seq": seq, "key": key, "n_keys": n_keys}
+                for rel in new_files
+            ]
+
+        self._commit(
+            snapshot_id,
+            manifest["schema"],
+            {"op": "equality-delete", "n_delete_keys": n_keys, **(summary or {})},
+            build_chunks,
+            build_deletes=build_deletes,
+        )
+        return {
+            "snapshot_id": snapshot_id,
+            "n_delete_files": len(self.latest_manifest().get("delete_files", [])),
         }
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
@@ -733,6 +877,9 @@ class SnapshotTable:
                             continue
                         raise
                 files.update(chunk["files"])
+            # equality-delete files are snapshot-referenced data too: live
+            # ones must never be swept, expired-only ones must be
+            files.update(d["path"] for d in m.get("delete_files", []))
             return files, chunks
 
         live_files: set = set()
@@ -811,6 +958,11 @@ class SnapshotTable:
         for p in self._manifests():
             with open(p, encoding="utf-8") as f:
                 m = json.load(f)
+            referenced_dirs |= {
+                d["path"].split("/")[1]
+                for d in m.get("delete_files", [])
+                if d["path"].startswith("data/")
+            }
             for s in self._chunk_summaries(m):
                 if "path" in s:
                     if s["path"] in live_chunks:
