@@ -121,6 +121,7 @@ def main() -> None:
         ("extract_fields_pdf", "PDF-crawl capstone: render -> layout parse -> KTP kernel, three narrow Arrow stages fused on one scan — zero exchanges end to end"),
         ("field_spans", "labeled field spans: one narrow Arrow stage over the line table — no shuffle, rows pure per line"),
         ("pages_field_spans", "END-TO-END span surface: pages -> html decode -> spans fused in ONE narrow Arrow stage on one scan — zero exchanges"),
+        ("lakehouse_delete", "merge-on-read read path: delete keys applied as a BROADCAST left-anti hash join per chunk-age group; post-delete appends scan clean — never a table-wide sort-merge"),
     ]
     for name, note in named:
         sections.append((name, note, formatted(api.QUERIES[name](spark, SF))))

@@ -375,3 +375,28 @@ def test_partitioned_scan_prunes_directories(spark, tmp_path):  # noqa: F811
     # all rows really come from the one directory
     langs = {r.lang for r in df.select("lang").distinct().collect()}
     assert langs == {"en"}
+
+
+def test_equality_delete_read_is_broadcast_anti_join(spark):  # noqa: F811
+    """The merge-on-read path must apply delete keys as a BROADCAST
+    left-anti hash join (delete sets are tiny next to the data) — a
+    sort-merge anti join would shuffle the whole table per read."""
+    from pyspark.sql import functions as F
+
+    from universal_key_value_based_text_processing_with_ocr_spark.lakehouse.catalog import (
+        SnapshotTable,
+    )
+
+    import tempfile
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text", "lang")
+    )
+    t = SnapshotTable(tempfile.mkdtemp(prefix="ukv_plan_del_"))
+    t.append(docs.repartition(4))
+    t.delete_where(spark, docs.where(F.col("doc_id") % 9 == 0), key="doc_id")
+    plan = _plan(t.read(spark))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
