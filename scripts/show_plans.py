@@ -122,6 +122,7 @@ def main() -> None:
         ("field_spans", "labeled field spans: one narrow Arrow stage over the line table — no shuffle, rows pure per line"),
         ("pages_field_spans", "END-TO-END span surface: pages -> html decode -> spans fused in ONE narrow Arrow stage on one scan — zero exchanges"),
         ("lakehouse_delete", "merge-on-read read path: delete keys applied as a BROADCAST left-anti hash join per chunk-age group; post-delete appends scan clean — never a table-wide sort-merge"),
+        ("bpe_encode", "tokenizer inference: the whole merge chain is ONE codegen'd Project over the scan — zero UDFs, zero exchanges"),
     ]
     for name, note in named:
         sections.append((name, note, formatted(api.QUERIES[name](spark, SF))))

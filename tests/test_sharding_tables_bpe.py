@@ -438,3 +438,102 @@ def test_shards_shuffle_permutes_but_preserves_layout_mass(spark):  # noqa: F811
     m2 = {r.doc_id: (r.shard_seq, r.shard_offset)
           for r in plan_shards(df, target_bytes=300, writers=4, shuffle=True).collect()}
     assert m2 == {i: (m[i].shard_seq, m[i].shard_offset) for i in m}
+
+
+# ---- bpe_encode / learn_merges (tokenizer inference + driver trainer) ----
+
+def _encode_word_py(word: str, merges) -> list:
+    """Independent pure-Python model of the encode semantics: one global
+    leftmost-non-overlapping pass per merge, in priority order."""
+    sym = list(word)
+    for x, y in merges:
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == x and sym[i + 1] == y:
+                out.append(x + y)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def test_bpe_encode_matches_python_model(spark):  # noqa: F811
+    import random
+
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.bpe import (
+        DEFAULT_MERGES,
+        bpe_encode,
+    )
+
+    rng = random.Random(11)
+    texts = [
+        " ".join(
+            "".join(rng.choice("theinarso") for _ in range(rng.randint(1, 12)))
+            for _ in range(rng.randint(1, 20))
+        )
+        for _ in range(60)
+    ] + ["", "THE    Cat!! and-the-hat", "aaaa aaa a"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], schema="doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["tokens"] for r in bpe_encode(df).collect()}
+    import re
+    for i, t in enumerate(texts):
+        words = [w for w in re.split("[^a-z0-9]+", t.lower()) if w]
+        want = " ".join(" ".join(_encode_word_py(w, DEFAULT_MERGES)) for w in words)
+        assert got[i] == want, (i, t, got[i], want)
+
+
+def test_bpe_encode_leftmost_nonoverlap_pinned(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.bpe import (
+        bpe_encode,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaa"), (3, "abc")], schema="doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["tokens"] for r in
+           bpe_encode(df, merges=[("a", "a")]).collect()}
+    assert got[1] == "aa aa" and got[2] == "aa a"
+    got3 = {r["doc_id"]: r["tokens"] for r in
+            bpe_encode(df, merges=[("a", "b"), ("ab", "c")]).collect()}
+    assert got3[3] == "abc"  # priority chaining: (a,b) then (ab,c)
+
+
+def test_bpe_encode_is_single_narrow_projection(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.bpe import (
+        bpe_encode,
+    )
+
+    df = spark.createDataFrame([(1, "the cat")], schema="doc_id long, text string")
+    plan = bpe_encode(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_learn_merges_hand_worked_and_roundtrip(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.bpe import (
+        bpe_encode,
+        learn_merges,
+        word_counts,
+    )
+
+    # hand-worked: corpus 'low low low lower' -> vocabulary
+    # {low:3, lower:1}; best first pair is ('l','o') count 4, then
+    # ('lo','w') count 4 -- ties break (count DESC, pair ASC)
+    df = spark.createDataFrame(
+        [(1, "low low low lower")], schema="doc_id long, text string"
+    )
+    vocab = word_counts(df)
+    merges = learn_merges(vocab, n_merges=2)
+    assert merges == [("l", "o"), ("lo", "w")]
+
+    # round-trip property: token concatenation reproduces every word, and
+    # learned merges strictly reduce the token count vs no merges
+    enc = bpe_encode(df, merges=merges).collect()[0]
+    assert enc["tokens"].replace(" ", "") == "lowlowlowlower"
+    base = bpe_encode(df, merges=[]).collect()[0]
+    assert enc["n_tokens"] < base["n_tokens"]

@@ -1510,6 +1510,47 @@ def q_bpe_pairs(spark, sf_dir):
     return top_pairs(bpe_pair_counts(docs), k=100)
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Tokenizer INFERENCE at corpus scale (the apply side of bpe_pairs'
+    training statistics): the ordered merge table applied as a chain of
+    literal replaces over a self-delimited ``[c][h][a][r]`` symbol string
+    — ZERO UDFs, ZERO exchanges, one codegen'd Project over the scan.
+    The oracle replays the identical chain with DuckDB's own string
+    engine, so the leftmost-non-overlapping pass semantics are
+    cross-checked, not copied."""
+    from .operators.bpe import bpe_encode
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return bpe_encode(docs)
+
+
+def _bpe_oracle_sql() -> str:
+    """Generate the DuckDB replay of bpe_encode from the SAME merge
+    constants (single source of truth; DuckDB executes its own replace/
+    regex engine)."""
+    from .operators.bpe import DEFAULT_MERGES, WORD_SPLIT_RE
+
+    expr = (
+        "regexp_replace(regexp_replace(lower(text), '"
+        + WORD_SPLIT_RE
+        + "', ' ', 'g'), '(.)', '[\\1]', 'g')"
+    )
+    for x, y in DEFAULT_MERGES:
+        expr = f"replace({expr}, '[{x}][{y}]', '[{x}{y}]')"
+    toks = (
+        "list_filter(regexp_extract_all(" + expr + ", '\\[([^\\]]+)\\]', 1), "
+        "t -> t <> ' ')"
+    )
+    return f"""
+        -- tokenizer inference replayed on DuckDB's string engine: the same
+        -- ordered literal-replace chain over the bracketed symbol string
+        SELECT doc_id,
+               array_to_string({toks}, ' ') AS tokens,
+               CAST(len({toks}) AS INTEGER) AS n_tokens
+        FROM documents
+    """
+
+
 def q_split_train_test(spark, sf_dir):
     """Host-disjoint train/val/test assignment (98/1/1 by md5 host
     bucket): every page of a host lands in one split by construction —
@@ -1751,6 +1792,9 @@ QUERIES = {
     # carry, sequence semantics, conflict refusal, expire interop).
     "lakehouse_upsert": q_lakehouse_upsert,
     "lakehouse_delete": q_lakehouse_delete,
+    # tokenizer inference (apply side of the in-window bpe_pairs training
+    # stats): replica-checked green this session; pure codegen'd projection
+    "bpe_encode": q_bpe_encode,
     # pages_clean_corpus rotated out for field_spans: r4-driver-green, its
     # composition is unchanged (clean_corpus gates are pinned by the
     # in-window fineweb_pipeline and the oracle replays identical SQL over
@@ -2848,6 +2892,7 @@ ORACLE_SQL = {
     """,
     # identical vocab-first factoring: corpus word count, pair explode
     # over the vocabulary, deterministic (count DESC, pair ASC) top-k
+    "bpe_encode": _bpe_oracle_sql(),
     "bpe_pairs": """
         WITH words AS (
             SELECT w AS word, CAST(count(*) AS BIGINT) AS n FROM (

@@ -108,3 +108,133 @@ def top_pairs(pair_stats: DataFrame, k: int = 50) -> DataFrame:
     return pair_stats.orderBy(
         F.col("pair_count").desc(), F.col("pair").asc()
     ).limit(k)
+
+
+#: example inference merge table (ordered, highest priority first): the
+#: most frequent English character bigrams, the shape ``learn_merges``
+#: produces from a real corpus.  Literal constants so the SQL oracle can
+#:  embed the identical chain and cross-check the SEMANTICS with its own
+#: string engine.
+DEFAULT_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"), ("o", "r"),
+    ("e", "s"), ("t", "i"), ("s", "t"), ("an", "d"), ("o", "u"),
+    ("in", "g"),
+]
+
+
+def merge_replace_chain(col, merges):
+    """Apply an ordered BPE merge list to a BRACKETED symbol string as a
+    chain of literal replaces — the whole tokenizer inference step stays
+    inside whole-stage codegen: no UDF, no shuffle, no Python.
+
+    Encoding semantics (defined here, deterministic): each merge
+    ``(x, y) -> xy`` is ONE global leftmost-non-overlapping pass over the
+    text, in priority order.  The self-delimited ``[x][y]`` form is what
+    makes a plain substring replace correct: every token carries its own
+    brackets, so adjacent matches never share a boundary character
+    (``[a][a][a]`` -> ``[aa][a]``, leftmost first) and a pair can never
+    match across a word separator (separators are bracketed too but no
+    merge contains one).
+    """
+    out = col
+    for x, y in merges:
+        out = F.replace(out, F.lit(f"[{x}][{y}]"), F.lit(f"[{x}{y}]"))
+    return out
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer INFERENCE at corpus scale: (id, tokens, n_tokens) where
+    ``tokens`` is the space-joined subword sequence after applying the
+    ordered ``merges``.
+
+    Scale shape: a pure column-expression pipeline — lowercase ->
+    word-separator normalisation -> per-char bracketing (one regexp) ->
+    the literal-replace merge chain -> bracket-group extraction.  ZERO
+    Python, ZERO exchanges, embarrassingly parallel; the plan is one
+    Project over the scan.  This is the piece that runs over 100 TB, so
+    it must not be a UDF; the iterated TRAINING loop (``learn_merges``)
+    is vocabulary-sized and driver-side, exactly like mainstream
+    tokenizer trainers.
+    """
+    if merges is None:
+        merges = DEFAULT_MERGES
+    # words are the same maximal [a-z0-9]+ runs as word_counts; separators
+    # collapse to one space whose bracketed form '[ ]' is inert (no merge
+    # contains a space)
+    norm = F.regexp_replace(F.lower(F.col(text_col)), WORD_SPLIT_RE, " ")
+    bracketed = F.regexp_replace(norm, "(.)", "[$1]")
+    merged = merge_replace_chain(bracketed, merges)
+    toks = F.filter(
+        F.regexp_extract_all(merged, F.lit(r"\[([^\]]+)\]"), 1),
+        lambda x: x != F.lit(" "),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.array_join(toks, " ").alias("tokens"),
+        F.size(toks).alias("n_tokens"),
+    )
+
+
+#: vocabulary-size guard for the driver-side trainer: word_counts output
+#: beyond this is a sign the pretokeniser is broken (junk words), not a
+#: bigger corpus — vocabularies grow ~log with corpus size.
+MAX_TRAIN_VOCAB = 2_000_000
+
+
+def learn_merges(vocab: DataFrame, n_merges: int = 50) -> list:
+    """Classic BPE training (Sennrich et al. 2016) over a ``word_counts``
+    vocabulary: repeatedly merge the (count DESC, pair ASC)-best adjacent
+    symbol pair.  The corpus-sized work already happened in word_counts'
+    one combinable shuffle; THIS loop is vocabulary-sized and runs on the
+    driver — the same division of labour as mainstream tokenizer
+    trainers, which train from an in-memory word-frequency table.
+
+    Deterministic: the tie-break is total, so the merge list is a pure
+    function of the vocabulary.  Raises ValueError past MAX_TRAIN_VOCAB
+    (junk-word explosion — fix the pretokeniser, don't buy a bigger
+    driver)."""
+    rows = vocab.limit(MAX_TRAIN_VOCAB + 1).collect()
+    if len(rows) > MAX_TRAIN_VOCAB:
+        raise ValueError(
+            f"vocabulary exceeds MAX_TRAIN_VOCAB={MAX_TRAIN_VOCAB}; "
+            "the pretokeniser is admitting junk words"
+        )
+    words = {}
+    for r in rows:
+        words[tuple(r["word"])] = words.get(tuple(r["word"]), 0) + r["n"]
+    merges = []
+    for _step in range(n_merges):
+        counts: dict = {}
+        for sym, n in words.items():
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        x, y = best
+        out = {}
+        for sym, n in words.items():
+            if len(sym) > 1:
+                lst = []
+                i = 0
+                while i < len(sym):
+                    # leftmost-non-overlapping, same pass semantics as
+                    # merge_replace_chain
+                    if i + 1 < len(sym) and sym[i] == x and sym[i + 1] == y:
+                        lst.append(x + y)
+                        i += 2
+                    else:
+                        lst.append(sym[i])
+                        i += 1
+                sym = tuple(lst)
+            out[sym] = out.get(sym, 0) + n
+        words = out
+    return merges
