@@ -518,6 +518,34 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_tbl(spark, sf_dir, "documents"))
 
 
+def q_dedup_incremental_minhash(spark, sf_dir):
+    """Incremental NEAR-dup dedup (the recrawl path, one level fuzzier
+    than the Bloom exact-fp resume): committed corpus = doc_id%3!=0 whose
+    persisted band INDEX is the only thing the batch touches; new batch =
+    doc_id%3==0 plus two planted near-dup families (committed docs with a
+    tail appended -> must drop vs the index; new docs duplicated with a
+    tail -> must drop vs the smaller-id batch sibling).  Emits surviving
+    new doc_ids.  Committed text is never re-read or re-minhashed by the
+    batch flow (the index build here is query-time setup, persisted in the
+    pipeline form — tests pin the parquet-side-table replay)."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    committed = docs.where(F.col("doc_id") % 3 != 0)
+    planted_vs_committed = committed.where(F.col("doc_id") % 7 == 1).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near duplicate tail")).alias("text"),
+    )
+    fresh = docs.where(F.col("doc_id") % 3 == 0)
+    planted_vs_batch = fresh.where(F.col("doc_id") % 21 == 0).select(
+        (F.col("doc_id") + F.lit(2000000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail two")).alias("text"),
+    )
+    new_batch = fresh.unionByName(planted_vs_committed).unionByName(planted_vs_batch)
+    survivors, _index_rows = dedup.incremental_minhash_dedup(
+        new_batch, dedup.minhash_bands(committed)
+    )
+    return survivors.select("doc_id")
+
+
 def q_dedup_clusters(spark, sf_dir):
     return dedup.near_dup_clusters(_tbl(spark, sf_dir, "documents"))
 
@@ -1795,6 +1823,9 @@ QUERIES = {
     # tokenizer inference (apply side of the in-window bpe_pairs training
     # stats): replica-checked green this session; pure codegen'd projection
     "bpe_encode": q_bpe_encode,
+    # incremental near-dup dedup against the persisted band index (recrawl
+    # path): replica-checked green this session; full SQL replay oracle
+    "dedup_incremental_minhash": q_dedup_incremental_minhash,
     # pages_clean_corpus rotated out for field_spans: r4-driver-green, its
     # composition is unchanged (clean_corpus gates are pinned by the
     # in-window fineweb_pipeline and the oracle replays identical SQL over
@@ -3315,6 +3346,67 @@ ORACLE_SQL = {
     "dedup_minhash": f"""
         WITH {_MINHASH_CTE}
         SELECT doc_id, seed, minhash FROM sig
+    """,
+    "dedup_incremental_minhash": f"""
+        -- full replay of the incremental near-dup flow: committed corpus,
+        -- new batch with two planted near-dup families, banded index join,
+        -- signature-agreement threshold, greedy smaller-id-wins in batch
+        WITH corpus AS (
+            SELECT doc_id, text, TRUE AS committed
+            FROM documents WHERE doc_id % 3 <> 0
+            UNION ALL
+            SELECT doc_id, text, FALSE FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id + 1000000, text || ' near duplicate tail', FALSE
+            FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 7 = 1
+            UNION ALL
+            SELECT doc_id + 2000000, text || ' tail two', FALSE
+            FROM documents WHERE doc_id % 3 = 0 AND doc_id % 21 = 0
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, committed,
+                   unnest(list_transform(range(1, length(text) - 8),
+                                         i -> substring(text, CAST(i AS INT), 10))) AS shingle
+            FROM corpus
+            WHERE text IS NOT NULL AND length(text) >= 10
+        ),
+        xh AS (
+            SELECT doc_id, committed,
+                   ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x FROM sh
+        ),
+        seeds(seed, a, b) AS (VALUES {_SEED_ROWS}),
+        sig AS (
+            SELECT doc_id, committed, CAST(seed AS INT) AS seed,
+                   min((a * x + b) % 4294967311) AS minhash
+            FROM xh, seeds
+            GROUP BY doc_id, committed, CAST(seed AS INT)
+        ),
+        bands AS (
+            SELECT doc_id, committed, CAST(floor(seed / 4) AS INT) AS band,
+                   md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_hash
+            FROM sig GROUP BY doc_id, committed, CAST(floor(seed / 4) AS INT)
+        ),
+        cand AS (
+            -- new-vs-committed bucket hits plus new-vs-smaller-new hits
+            SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS other_id
+            FROM bands n JOIN bands c
+              ON n.band = c.band AND n.band_hash = c.band_hash
+             AND NOT n.committed
+             AND (c.committed OR c.doc_id < n.doc_id)
+        ),
+        agree AS (
+            SELECT cand.new_id, cand.other_id,
+                   count(*) FILTER (WHERE sn.minhash = so.minhash) / 16.0 AS est_sim
+            FROM cand
+            JOIN sig sn ON sn.doc_id = cand.new_id
+            JOIN sig so ON so.doc_id = cand.other_id AND so.seed = sn.seed
+            GROUP BY cand.new_id, cand.other_id
+        ),
+        dropped AS (
+            SELECT DISTINCT new_id FROM agree WHERE est_sim >= 0.5
+        )
+        SELECT doc_id FROM corpus
+        WHERE NOT committed AND doc_id NOT IN (SELECT new_id FROM dropped)
     """,
     "dedup_minhash_lsh": f"""
         WITH {_MINHASH_CTE},

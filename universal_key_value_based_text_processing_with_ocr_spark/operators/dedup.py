@@ -352,6 +352,115 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_bands(
+    docs: DataFrame, n_hashes: int = 16, band_size: int = 4, shingle_n: int = 10
+) -> DataFrame:
+    """(doc_id, band, band_hash, sig): the LSH INDEX rows of a corpus —
+    the persistable form of minhash_lsh_pairs' banding (same signature,
+    same band hashing), carrying the full signature so a later batch can
+    verify candidate similarity against the index without re-reading any
+    committed text.  Storage is n_bands rows/doc with the (n_hashes)-long
+    array repeated; at 10^9+ docs split sig into its own (doc_id, sig)
+    side table — the join shape below is unchanged."""
+    if n_hashes % band_size != 0:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be divisible by band_size ({band_size})"
+        )
+    sig = minhash_signatures(docs, n_hashes, shingle_n)
+    sig_arr = sig.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+            lambda s: s["minhash"],
+        ).alias("sig")
+    )
+    n_bands = n_hashes // band_size
+    band_ids = F.explode(F.array([F.lit(i) for i in range(n_bands)])).alias("band")
+    return sig_arr.select("doc_id", band_ids, "sig").select(
+        "doc_id",
+        "band",
+        _band_hash(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("sig"), F.col("band") * band_size + 1, band_size),
+                    lambda m: m.cast("string"),
+                ),
+            )
+        ).alias("band_hash"),
+        "sig",
+    )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    committed_bands: DataFrame,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 10,
+    threshold: float = 0.5,
+):
+    """Incremental NEAR-dup dedup: drop each new doc that is minhash-similar
+    to the COMMITTED corpus (via its persisted band index) or to an
+    earlier doc of its own batch — the recrawl companion of
+    bloom_incremental_dedup, one level fuzzier.  Committed text is never
+    re-read and never re-minhashed: candidates come from an equi-join of
+    the new batch's band keys against the index, and similarity verifies
+    against the index's stored signatures.
+
+    Drop rule (deterministic, the standard greedy): a new doc is dropped
+    iff some band-bucket sibling with est_sim >= threshold is committed
+    or has a smaller doc_id within the batch.  Returns (survivors,
+    new_index_rows) — append the latter to the side table to commit.
+
+    Scale shape: the batch is minhashed once (the only corpus-sized work,
+    proportional to the BATCH); the index join is an equi-join on
+    (band, band_hash) — skew-bounded because identical band hashes mean
+    near-identical docs, which the threshold then drops.
+    """
+    nb = minhash_bands(new_docs, n_hashes, band_size, shingle_n)
+
+    def _agree(sig_a, sig_b):
+        return F.aggregate(
+            F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ) / F.lit(n_hashes)
+
+    vs_committed = (
+        nb.alias("n")
+        .join(
+            committed_bands.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.band_hash") == F.col("c.band_hash")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_id"),
+            _agree(F.col("n.sig"), F.col("c.sig")).alias("est_sim"),
+        )
+        .where(F.col("est_sim") >= threshold)
+        .select("doc_id")
+    )
+    vs_batch = (
+        nb.alias("a")
+        .join(
+            nb.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("b.doc_id").alias("doc_id"),
+            _agree(F.col("a.sig"), F.col("b.sig")).alias("est_sim"),
+        )
+        .where(F.col("est_sim") >= threshold)
+        .select("doc_id")
+    )
+    dropped = vs_committed.unionByName(vs_batch).distinct()
+    survivors = new_docs.join(dropped, "doc_id", "left_anti")
+    new_index_rows = nb.join(dropped, "doc_id", "left_anti")
+    return survivors, new_index_rows
+
+
 # --- Bloom-sketch incremental dedup ----------------------------------------
 
 #: Bloom geometry defaults: 2^20 bits / 4 hashes holds ~10^5 committed
