@@ -160,6 +160,10 @@ def main() -> None:
         # round 5, sixth session
         "pdf_extract", "extract_mixed", "extract_fields_pdf", "field_spans",
         "pages_field_spans",
+        # round 5, seventh session (lakehouse merge/delete excluded: their
+        # wall time is dominated by the per-run temp-table build, not the
+        # operator — pinned functionally in tests/test_lakehouse_merge.py)
+        "bpe_encode", "dedup_incremental_minhash",
     ]
 
     best: dict[str, float] = {}
@@ -270,7 +274,7 @@ def main() -> None:
     out["full_record_file"] = "BENCH/last_run.json"
     newest = [
         "pdf_extract", "extract_mixed", "extract_fields_pdf", "field_spans",
-        "pages_field_spans",
+        "pages_field_spans", "bpe_encode", "dedup_incremental_minhash",
         "crawl_frontier", "html_tables", "bpe_pairs",
         "shard_plan_shuffled", "quality_classifier",
     ]

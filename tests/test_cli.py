@@ -62,3 +62,26 @@ def test_cli_run_and_resume(spark, tmp_path):  # noqa: F811
     )
     assert info2["n_docs"] == 0 and info2["resumed"] is True
     assert tbl.read(spark).count() == 25
+
+
+def test_cli_spans_flag(spark, tmp_path):  # noqa: F811
+    """--spans commits the span table through the spark-submit entry point
+    (a fresh process with --py-files-style shipping)."""
+    pages_dir = tmp_path / "pages"
+    df = spark.createDataFrame(
+        pd.DataFrame([gen_page_row(42, i) for i in range(12)]), schema=PAGES_SCHEMA
+    )
+    df.write.parquet(str(pages_dir))
+    results, spans = tmp_path / "results", tmp_path / "spans"
+    info = _run_cli(
+        ["--input", str(pages_dir), "--results", str(results),
+         "--partitions", "2", "--spans", str(spans)],
+        cwd=str(tmp_path),
+    )
+    assert info["n_docs"] == 12
+    got = SnapshotTable(spans).read(spark)
+    assert got.count() > 0
+    assert set(got.columns) == {
+        "url", "line_no", "field", "key_start", "key_end",
+        "value_start", "value_end", "value",
+    }

@@ -237,3 +237,60 @@ def test_expire_snapshots_vacuum(spark, tmp_path):
     assert info["expired"] == 3 and info["deleted_files"] >= 3
     assert len(tbl.history()) == 1
     assert tbl.read(spark).count() == 30  # live snapshot intact
+
+
+def test_job_span_sink_crash_consistent(spark, tmp_path):
+    """spans_path commits the north-star span table alongside results:
+    contents equal the standalone span stage, resume adds nothing, and a
+    healing rerun after a spans-committed/results-crashed window never
+    duplicates span rows (url anti-join idempotence)."""
+    from universal_key_value_based_text_processing_with_ocr_spark.lakehouse.catalog import (
+        SnapshotTable,
+    )
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.fieldspans import (
+        extract_page_field_spans,
+    )
+
+    results = str(tmp_path / "results")
+    spans = str(tmp_path / "spans")
+    pages = _pages(spark, 25)
+    info = run_extraction_job(
+        spark, pages, results, num_partitions=4, run_id="s1", spans_path=spans
+    )
+    assert info["n_docs"] == 25
+    tbl = SnapshotTable(spans)
+    got = sorted(map(tuple, tbl.read(spark).collect()))
+    want = sorted(map(tuple, extract_page_field_spans(pages).collect()))
+    assert got == want and len(got) > 0
+
+    # resume: nothing new -> no span snapshot growth
+    seq_before = len(tbl.history())
+    info2 = run_extraction_job(
+        spark, pages, results, num_partitions=4, run_id="s2", spans_path=spans
+    )
+    assert info2["resumed"] is True
+    assert len(tbl.history()) == seq_before
+
+    # crash-window heal: simulate spans-committed/results-lost for 5 NEW
+    # urls by pre-appending their spans, then running the job over them —
+    # the rerun must extract the results WITHOUT duplicating span rows
+    more = _pages(spark, 30).join(pages.select("url"), "url", "left_anti")
+    pre = extract_page_field_spans(more)
+    tbl.append(pre, summary={"run_id": "crashed"})
+    n_spans_after_crash = tbl.read(spark).count()
+    info3 = run_extraction_job(
+        spark, _pages(spark, 30), results, num_partitions=4, run_id="s3",
+        spans_path=spans,
+    )
+    assert info3["n_docs"] == 5
+    assert tbl.read(spark).count() == n_spans_after_crash  # no duplicates
+
+
+def test_job_span_sink_requires_sweep_parser(spark, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="spans_path requires"):
+        run_extraction_job(
+            spark, _pages(spark, 5), str(tmp_path / "r"), parser="blended",
+            spans_path=str(tmp_path / "s"),
+        )

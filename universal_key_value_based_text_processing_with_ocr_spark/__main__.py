@@ -57,9 +57,17 @@ def main(argv: list[str] | None = None) -> int:
         help="drop mirror documents (same extracted text, different url) "
         "against the committed table via the Bloom sketch; sweep parser only",
     )
+    parser.add_argument(
+        "--spans",
+        default=None,
+        help="also commit labeled field spans per url (the north-star span "
+        "output) to this snapshot-table dir; sweep parser only",
+    )
     args = parser.parse_args(argv)
     if args.dedup_content and args.parser != "sweep":
         parser.error("--dedup-content requires the sweep parser (extracted_text column)")
+    if args.spans and (args.parser != "sweep" or args.streaming):
+        parser.error("--spans requires the sweep parser (batch mode)")
     if args.streaming and (args.parser != "sweep" or args.debug):
         parser.error(
             "--streaming supports only the default sweep parser and no --debug "
@@ -105,6 +113,7 @@ def main(argv: list[str] | None = None) -> int:
             debug_path=args.debug,
             parser=args.parser,
             dedup_content=args.dedup_content,
+            spans_path=args.spans,
         )
     print(json.dumps(info))
     return 0

@@ -59,6 +59,7 @@ def run_extraction_job(
     parser: str = "sweep",
     dedup_content: bool = False,
     fp_path: str | None = None,
+    spans_path: str | None = None,
 ) -> dict:
     """Run (or resume) the extraction job; returns a summary dict.
 
@@ -78,13 +79,21 @@ def run_extraction_job(
     only let a future mirror slip through (safe direction) — never drop a
     document whose original was lost with the crashed commit.  A table
     created before this feature (or written with ``dedup_content=False``
-    interleaved) is healed by ``rebuild_fp_table``."""
+    interleaved) is healed by ``rebuild_fp_table``.
+
+    ``spans_path`` (sweep parser only) additionally commits the north
+    star's labeled field spans per url — (url, line_no, field, key_start,
+    key_end, value_start, value_end, value) — to its own snapshot table,
+    crash-consistent with the results table (see the inline comment on
+    commit order)."""
     if parser not in PARSERS:
         # validate BEFORE any action — an argument typo must not cost a
         # full source scan + resume anti-join first
         raise ValueError(f"parser must be one of {sorted(PARSERS)}, got {parser!r}")
     if dedup_content and parser != "sweep":
         raise ValueError("dedup_content requires the sweep parser (extracted_text column)")
+    if spans_path is not None and parser != "sweep":
+        raise ValueError("spans_path requires the sweep parser (html-decode line coordinates)")
     run_id = run_id or uuid.uuid4().hex[:12]
     t0 = time.time()
     results_tbl = SnapshotTable(results_path)
@@ -117,6 +126,32 @@ def run_extraction_job(
     elif pages_df.select("url").isEmpty():
         return _resumed_summary()
     pages_df = salted_repartition(pages_df, num_partitions)
+
+    if spans_path is not None:
+        # North-star span sink: labeled field spans per url, committed
+        # alongside the extraction.  A SECOND narrow pass over the batch
+        # pages (opt-in — the fused results stage's schema is untouched),
+        # same salted partitioning.  Commit order is spans-BEFORE-results
+        # so the invariant "results-committed urls have their spans
+        # committed" survives any crash: a crash between the two re-runs
+        # the batch (results resume filter still sees it uncommitted) and
+        # the url anti-join below makes the span re-append idempotent.
+        # Residual cost: a zero-span url of a crashed batch is re-scanned
+        # on the healing rerun — bounded by the crash, never steady-state.
+        from ..operators.fieldspans import extract_page_field_spans
+
+        spans_tbl = SnapshotTable(spans_path)
+        span_rows = extract_page_field_spans(pages_df, configs=configs)
+        if spans_tbl.exists():
+            done_urls = spans_tbl.read(spark).select("url").distinct()
+            span_rows = span_rows.join(done_urls, "url", "left_anti")
+        span_sid = spans_tbl.append(
+            span_rows, summary={"run_id": run_id, "stage": "spans"}
+        )
+        if spans_tbl.latest_manifest()["summary"].get("n_rows", 0) == 0:
+            # all-duplicate (healing rerun) or span-free batch: keep the
+            # manifest chain junk-free, same policy as the results rollback
+            spans_tbl.rollback_latest(span_sid)
 
     results = PARSERS[parser](pages_df, configs=configs).withColumn(
         "partition_id", F.spark_partition_id()
