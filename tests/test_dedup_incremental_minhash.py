@@ -97,3 +97,63 @@ def test_batch_never_scans_committed_text(spark):
     plan = survivors._jdf.queryExecution().optimizedPlan().toString()
     # the committed side contributes only its index columns
     assert "band_hash" in plan
+
+
+# ---- phrase_search (positional-index retrieval) ---------------------------
+
+class TestPhraseSearch:
+    def _index(self, spark, rows):
+        from universal_key_value_based_text_processing_with_ocr_spark.operators.invindex import (
+            build_inverted_index,
+        )
+
+        df = spark.createDataFrame(rows, schema="doc_id long, text string")
+        return build_inverted_index(df, max_df=1_000_000)
+
+    def test_three_term_phrase_and_counts(self, spark):
+        from universal_key_value_based_text_processing_with_ocr_spark.operators.invindex import (
+            phrase_search,
+        )
+
+        idx = self._index(
+            spark,
+            [
+                (1, "the quick brown fox and the quick brown cat"),
+                (2, "quick the brown"),
+                (3, "the quick brown"),
+            ],
+        )
+        got = {r["doc_id"]: (r["n_occurrences"], r["first_pos"])
+               for r in phrase_search(idx, ["the", "quick", "brown"]).collect()}
+        assert got == {1: (2, 0), 3: (1, 0)}
+
+    def test_duplicate_term_phrase(self, spark):
+        """'table table' must demand two DISTINCT adjacent occurrence
+        slots — a single 'table' never matches itself."""
+        from universal_key_value_based_text_processing_with_ocr_spark.operators.invindex import (
+            phrase_search,
+        )
+
+        idx = self._index(
+            spark,
+            [(1, "table table x"), (2, "a table b table"), (3, "table table table")],
+        )
+        got = {r["doc_id"]: r["n_occurrences"]
+               for r in phrase_search(idx, ["table", "table"]).collect()}
+        assert got == {1: 1, 3: 2}
+
+    def test_empty_phrase_rejected(self, spark):
+        from universal_key_value_based_text_processing_with_ocr_spark.operators.invindex import (
+            phrase_search,
+        )
+
+        with pytest.raises(ValueError, match="at least one term"):
+            phrase_search(self._index(spark, [(1, "x")]), [])
+
+    def test_case_folded_query(self, spark):
+        from universal_key_value_based_text_processing_with_ocr_spark.operators.invindex import (
+            phrase_search,
+        )
+
+        idx = self._index(spark, [(1, "Hello World")])
+        assert phrase_search(idx, ["Hello", "WORLD"]).count() == 1

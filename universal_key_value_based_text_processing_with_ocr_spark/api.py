@@ -1285,6 +1285,18 @@ def q_anchor_topk(spark, sf_dir):
     return anchor_text_stats(extract_outlinks(_link_pages(spark, sf_dir)))
 
 
+def q_phrase_search(spark, sf_dir):
+    """Exact-phrase retrieval over the positional index (the query-side
+    payoff of storing positions): docs where 'value table' appear
+    adjacently, found from k posting slivers + shifted-position
+    intersection — document text never touched.  max_df high: phrase
+    terms are common words here, the very case positions exist for."""
+    from .operators.invindex import build_inverted_index, phrase_search
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return phrase_search(build_inverted_index(docs, max_df=1_000_000), ["value", "table"])
+
+
 def q_inverted_index(spark, sf_dir):
     """Positional inverted index over documents (the retrieval-side
     companion of bm25_score), emitted as posting ROWS — the shape the
@@ -1826,6 +1838,9 @@ QUERIES = {
     # incremental near-dup dedup against the persisted band index (recrawl
     # path): replica-checked green this session; full SQL replay oracle
     "dedup_incremental_minhash": q_dedup_incremental_minhash,
+    # exact-phrase retrieval over the positional index (query-side payoff
+    # of inverted_index's positions): replica-checked green this session
+    "phrase_search": q_phrase_search,
     # pages_clean_corpus rotated out for field_spans: r4-driver-green, its
     # composition is unchanged (clean_corpus gates are pinned by the
     # in-window fineweb_pipeline and the oracle replays identical SQL over
@@ -2783,6 +2798,29 @@ ORACLE_SQL = {
     # positions are indices into the FILTERED token list (both engines
     # zip the same filtered list with its ordinals), sorted; df over the
     # (term, doc)-deduplicated postings; viral terms (df > 390) dropped
+    "phrase_search": """
+        -- adjacency replayed from raw token positions: b at a.pos+1
+        WITH toks AS (
+            SELECT doc_id, list_filter(
+                       string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                       t -> t != '') AS t
+            FROM documents
+        ),
+        pt AS (
+            SELECT doc_id, unnest(t) AS term,
+                   unnest(range(0, len(t))) AS pos
+            FROM toks
+        ),
+        a AS (SELECT doc_id, pos FROM pt WHERE term = 'value'),
+        b AS (SELECT doc_id, pos FROM pt WHERE term = 'table'),
+        hits AS (
+            SELECT a.doc_id, a.pos
+            FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        )
+        SELECT doc_id, CAST(count(*) AS INT) AS n_occurrences,
+               CAST(min(pos) AS INT) AS first_pos
+        FROM hits GROUP BY doc_id
+    """,
     "inverted_index": """
         WITH toks AS (
             SELECT doc_id, list_filter(

@@ -78,3 +78,57 @@ def build_inverted_index(
         .join(df_tbl, "term")
         .select("term", id_col, "tf", "positions", "df")
     )
+
+
+def phrase_search(index: DataFrame, phrase: list, id_col: str = "doc_id") -> DataFrame:
+    """Exact-phrase retrieval over the POSITIONAL index: (doc, n_occurrences,
+    first_pos) for documents containing ``phrase``'s tokens adjacently —
+    the query-side payoff of storing positions in the postings.
+
+    Plan shape: one selection per phrase term from the SAME index relation
+    (the term equality is pushed into the scan — a k-term phrase reads k
+    posting slivers, never the index), k-1 equi-joins on the doc key over
+    those slivers (broadcast-sized: a posting list, not a corpus), then the
+    adjacency test as pure array arithmetic — each term's positions shift
+    left by its phrase offset and the k sets intersect.  Document text is
+    never touched.
+
+    Duplicate terms in the phrase are handled naturally (the same posting
+    row joins to itself under two aliases; the shifted intersections still
+    demand distinct occurrence slots).
+    """
+    if not phrase:
+        raise ValueError("phrase must contain at least one term")
+    terms = [t.lower() for t in phrase]
+
+    def _shift(offset):
+        # MUST stay single-argument: pyspark.transform inspects the lambda's
+        # arity and passes (element, ARRAY_INDEX) to two-parameter callables
+        # — a `lambda p, _i=offset:` default would be silently overwritten
+        # by the element's array index (found the hard way: 11 of 38 phrase
+        # hits vanished)
+        return lambda p: p - offset
+
+    base = None
+    shifted_cols = []
+    for i, term in enumerate(terms):
+        side = (
+            index.where(F.col("term") == term)
+            .select(
+                F.col(id_col),
+                F.transform(F.col("positions"), _shift(i)).alias(f"_s{i}"),
+            )
+        )
+        shifted_cols.append(f"_s{i}")
+        base = side if base is None else base.join(side, id_col)
+    matches = F.col(shifted_cols[0])
+    for c in shifted_cols[1:]:
+        matches = F.array_intersect(matches, F.col(c))
+    return (
+        base.select(
+            F.col(id_col),
+            F.size(matches).alias("n_occurrences"),
+            F.array_min(matches).alias("first_pos"),
+        )
+        .where(F.col("n_occurrences") > 0)
+    )
