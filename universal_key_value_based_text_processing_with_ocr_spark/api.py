@@ -583,6 +583,20 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
     return similarity.embedding_near_dup_lsh(_tbl(spark, sf_dir, "embeddings"), threshold=0.2)
 
 
+def q_pq_encode(spark, sf_dir):
+    """Product quantization (Jégou et al. 2011) encode: every embedding
+    compressed to m=8 codebook codes (subspace argmin over a hash-sampled
+    16-entry codebook) — the 32x-smaller ANN storage representation.  The
+    oracle replays codebook draw + per-subspace argmin in pure SQL."""
+    return similarity.pq_encode(_tbl(spark, sf_dir, "embeddings"), m=8, n_codes=16)
+
+
+def q_similarity_topk_pq(spark, sf_dir):
+    """ADC top-k over the PQ codes: queries keep full vectors, corpus is
+    scanned as 8 ints/doc against a broadcast lookup table."""
+    return similarity.pq_topk(_tbl(spark, sf_dir, "embeddings"), n_queries=5, k=10)
+
+
 def q_multimodal_image_meta(spark, sf_dir):
     """Image metadata probe over a MIXED corpus (VERDICT r4 #5): doc_id %
     3 != 0 rows carry real encoded PNG/BMP/GIF bytes (synth_image) whose
@@ -1759,7 +1773,6 @@ QUERIES = {
     "doc_keywords": q_doc_keywords,
     "c4_line_clean": q_c4_line_clean,
     "warc_scan": q_warc_scan,
-    "html_tables": q_html_tables,
     "fineweb_pipeline": q_fineweb_pipeline,
     "bpe_pairs": q_bpe_pairs,
     "chunk_documents": q_chunk_documents,
@@ -1778,8 +1791,9 @@ QUERIES = {
     "url_blocklist": q_url_blocklist,
     "shard_plan_shuffled": q_shard_plan_shuffled,
     "image_dhash": q_image_dhash,
-    "image_near_dup": q_image_near_dup,
     "multimodal_audio_decode": q_multimodal_audio_decode,
+    "pq_encode": q_pq_encode,
+    "similarity_topk_pq": q_similarity_topk_pq,
     "semdedup": q_semdedup,
     "html_meta": q_html_meta,
     "bm25_score": q_bm25_score,
@@ -1790,6 +1804,15 @@ QUERIES = {
     "multimodal_image_decode": q_multimodal_image_decode,
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
     # ---------------- past the driver's 50-entry cap -------------------
+    # Round-5 session-7 rotation: html_tables and image_near_dup moved past
+    # the cap to admit the NEW pq_encode / similarity_topk_pq pair —
+    # html_tables' extractor stays exercised in-window by
+    # html_tables_markdown (which COMPOSES extract_html_tables before
+    # linearizing), and image_near_dup's dHash core stays in-window via
+    # image_dhash while its band join is pinned equal-to-brute-force in
+    # pytest.  Both remain replica-checked green every round.
+    "html_tables": q_html_tables,
+    "image_near_dup": q_image_near_dup,
     # Round-5 session-5 rotation: warc_cdx, shard_manifest and shard_plan
     # moved past the cap to admit ccnet_buckets, crawl_diff and
     # corpus_datasheet — the displaced queries' ground truth is pinned in
@@ -1929,6 +1952,35 @@ sh AS (
     WHERE text IS NOT NULL AND length(text) >= 10
 )
 """
+
+# Shared PQ replay prefix (pq_encode / similarity_topk_pq): hash-sampled
+# 16-entry codebook (the IVF centroid draw), all (vec, subspace, code)
+# squared-L2 distances rounded to 9 decimals BEFORE the argmin — the same
+# rounding discipline the engine applies, so ties and ranks agree exactly.
+_PQ_ENCODE_SQL = """
+        WITH cb AS (
+            SELECT CAST(row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS code,
+                   ce
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16) src
+        ),
+        js AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS j),
+        d AS (
+            SELECT e.vec_id, js.j, c.code,
+                   round(list_sum(list_transform(range(1, 9), i ->
+                       (e.emb[CAST(js.j*8 + i AS INT)] - c.ce[CAST(js.j*8 + i AS INT)])
+                     * (e.emb[CAST(js.j*8 + i AS INT)] - c.ce[CAST(js.j*8 + i AS INT)]))), 9) AS d
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) e, cb c, js
+        ),
+        enc AS (
+            SELECT vec_id, CAST(j AS INT) AS subspace, code FROM (
+                SELECT vec_id, j, code,
+                       row_number() OVER (PARTITION BY vec_id, j
+                                          ORDER BY d ASC, code ASC) AS rn
+                FROM d) r
+            WHERE rn = 1
+        )"""
 
 # Mirror of operators/dedup.py MINHASH_A/B/PRIME (universal hash family over
 # one 32-bit md5-derived base hash per shingle).
@@ -3525,6 +3577,37 @@ ORACLE_SQL = {
         SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
     """,
     "similarity_topk_lsh": _lsh_topk_oracle(),
+    # PQ replay: same hash-sampled draw as the IVF centroids; per-subspace
+    # argmin on ROUNDED squared-L2 (ties -> lowest code) mirrors the
+    # engine's left fold bit-for-bit.  Subvector j of a 64-dim embedding is
+    # elements [j*8+1, j*8+8] in both engines' 1-based list addressing.
+    "pq_encode": _PQ_ENCODE_SQL + """
+        SELECT vec_id, subspace, code FROM enc
+    """,
+    "similarity_topk_pq": _PQ_ENCODE_SQL + """,
+        lut AS (
+            -- queries keep full vectors: their (subspace, code) distance
+            -- table IS the d CTE restricted to query ids
+            SELECT vec_id AS query_id, j, code, d FROM d WHERE vec_id < 5
+        ),
+        scored AS (
+            -- every neighbor joins exactly ONE lut row per subspace, so
+            -- the sum has exactly m=8 rounded terms; round(...,6) makes
+            -- the sum order-free across engines
+            SELECT l.query_id, c.vec_id AS neighbor_id,
+                   round(sum(l.d), 6) AS approx_d
+            FROM enc c JOIN lut l ON l.j = c.subspace AND l.code = c.code
+            WHERE c.vec_id <> l.query_id
+            GROUP BY 1, 2
+        ),
+        topk AS (
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY approx_d ASC, neighbor_id ASC) AS INT) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank FROM topk WHERE rank <= 10
+    """,
     "similarity_topk_ivf": """
         WITH cent AS (
             -- hash-sampled deterministic centroids (engine: smallest md5(vec_id))

@@ -461,3 +461,192 @@ def semdedup(
         ranked.join(dropped, "vec_id", "left_anti")
         .select("vec_id", "cluster")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): the ANN STORAGE path.  At 100 TB
+# the corpus's embeddings dominate the table (64 dims x 4 bytes = 256 B/doc);
+# PQ stores an m-byte code instead (here m=8 -> 32x smaller), and queries
+# scan codes with a broadcast lookup table — no full vector is ever read at
+# query time.  Deterministic by construction (hash-sampled codebook, rounded
+# distances, lowest-code tie-break) so any engine replays it bit-for-bit.
+# --------------------------------------------------------------------------
+
+
+def _pq_codebook(embeddings: DataFrame, n_codes: int) -> DataFrame:
+    """ONE-row DF carrying the whole codebook as a code-ordered array.
+
+    Codebook entries are the ``n_codes`` corpus vectors with the smallest
+    ``md5(vec_id)`` — the same training-free hash draw the IVF centroids use
+    (uniform under sorted/skewed ingestion, reproducible in any engine);
+    entry ``c``'s subvector ``j`` is the code ``c`` of subspace ``j``.
+    TakeOrdered over the hash (never a full sort); ``sort_array`` pins the
+    in-array order ``collect_list`` would otherwise leave non-deterministic.
+    """
+    cent = (
+        embeddings.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(n_codes)
+        .select(
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+            F.col("vec_id").alias("src"),
+            F.col("embedding").alias("ce"),
+        )
+    )
+    w = Window.orderBy(F.col("h").asc(), F.col("src").asc())
+    return (
+        cent.withColumn("code", F.row_number().over(w) - F.lit(1))
+        .groupBy()
+        .agg(F.sort_array(F.collect_list(F.struct("code", "ce"))).alias("cb"))
+    )
+
+
+def _sub(vec, j, sub_dim):
+    """Subvector ``j`` (0-based Column) of a flat embedding: elements
+    [j*sub_dim+1, (j+1)*sub_dim] in Spark's 1-based slice addressing."""
+    return F.slice(vec, j * sub_dim + F.lit(1), sub_dim)
+
+
+def _sqdist9(a, b):
+    """Squared L2 distance, rounded to 9 decimals BEFORE any comparison so
+    float summation-order noise can never flip an argmin between engines
+    (the rounding discipline every similarity operator here shares)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                       * (x.cast("double") - y.cast("double"))),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        9,
+    )
+
+
+def _pq_code_dists(vec, j, sub_dim):
+    """Per-codebook-entry distances of one subvector: array of
+    struct(code, d) in code order, each distance computed exactly once."""
+    return F.transform(
+        F.col("cb"),
+        lambda e: F.struct(
+            e["code"].alias("code"),
+            _sqdist9(_sub(vec, j, sub_dim), _sub(e["ce"], j, sub_dim)).alias("d"),
+        ),
+    )
+
+
+def _pq_argmin(dists):
+    """Left fold in code order with strict '<' on the ROUNDED distance:
+    the first (lowest) code wins ties, matching ``ORDER BY d, code``."""
+    return F.aggregate(
+        dists,
+        F.struct(F.lit(-1).alias("code"), F.lit(float("inf")).alias("d")),
+        lambda acc, e: F.when(e["d"] < acc["d"], e).otherwise(acc),
+        lambda acc: acc["code"],
+    )
+
+
+def pq_encode(embeddings: DataFrame, m: int = 8, n_codes: int = 16) -> DataFrame:
+    """Product-quantize every embedding: (vec_id, subspace, code) rows.
+
+    The embedding is split into ``m`` equal subspaces (dim must divide
+    evenly; derived per row from ``size(embedding)``); each subvector is
+    assigned the codebook entry with the smallest rounded squared-L2
+    distance (ties -> lowest code, matching ``ORDER BY d, code LIMIT 1``).
+
+    Plan shape: the corpus crossJoins the ONE-row broadcast codebook and
+    every assignment happens inside row-local higher-order functions — the
+    corpus is never amplified by |codebook| and the encode needs ZERO
+    exchanges beyond the broadcast; the (vec_id, subspace, code) explode at
+    the end emits m rows of three ints per doc (the compressed output, not
+    the vectors).  At 100 TB this is one narrow codegen'd projection."""
+    cb1 = _pq_codebook(embeddings, n_codes)
+    sub_dim = (F.size(F.col("embedding")) / F.lit(m)).cast("int")
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: _pq_argmin(_pq_code_dists(F.col("embedding"), j, sub_dim)),
+    )
+    return (
+        embeddings.crossJoin(F.broadcast(cb1))
+        .select("vec_id", F.posexplode(codes).alias("subspace", "code"))
+        .select(
+            "vec_id",
+            F.col("subspace").cast("int").alias("subspace"),
+            F.col("code").cast("int").alias("code"),
+        )
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k over PQ codes.
+
+    Each query keeps its FULL vector and precomputes a lookup table of
+    rounded subvector->code distances (m x n_codes doubles); every corpus
+    doc is scored by summing the LUT entries its m codes select —
+    approx_d = sum_j LUT[j][code_j] — and the k smallest win (ties ->
+    lowest neighbor_id).  The final sum is rounded to 6 decimals so the
+    engines' summation order cannot flip a rank.
+
+    Plan shape: encode is the narrow projection above; the scan joins the
+    BROADCAST (queries x LUT) table against the code rows — at 100 TB the
+    scan reads m ints per doc instead of the d-dim vector (the whole point
+    of PQ), one window top-k at the end.  Recall on the uniform fixture is
+    reported by bench.py next to the LSH/IVF variants (PQ trades recall
+    for a 32x smaller scan; re-ranking survivors against full vectors is
+    the standard second stage and composes with ``cosine_topk``)."""
+    cb1 = _pq_codebook(embeddings, n_codes)
+    sub_dim = (F.size(F.col("embedding")) / F.lit(m)).cast("int")
+    # one row per (vec_id, codes array) — the compact encoded corpus
+    corpus = (
+        embeddings.crossJoin(F.broadcast(cb1))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: _pq_argmin(_pq_code_dists(F.col("embedding"), j, sub_dim)),
+            ).alias("codes"),
+        )
+    )
+    # queries carry the full vector: LUT[j] = rounded dists to ALL codes of
+    # subspace j, in code order (cb is code-sorted, so element_at works)
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.transform(
+            _pq_code_dists(F.col("embedding"), j, sub_dim), lambda e: e["d"]
+        ),
+    )
+    queries = (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .crossJoin(F.broadcast(cb1))
+        .select(F.col("vec_id").alias("query_id"), lut.alias("lut"))
+    )
+    approx = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("lut"),
+                F.col("codes"),
+                lambda l, c: F.element_at(l, c + F.lit(1)),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", approx.alias("approx_d"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
