@@ -123,6 +123,8 @@ def main() -> None:
         ("pages_field_spans", "END-TO-END span surface: pages -> html decode -> spans fused in ONE narrow Arrow stage on one scan — zero exchanges"),
         ("lakehouse_delete", "merge-on-read read path: delete keys applied as a BROADCAST left-anti hash join per chunk-age group; post-delete appends scan clean — never a table-wide sort-merge"),
         ("bpe_encode", "tokenizer inference: the whole merge chain is ONE codegen'd Project over the scan — zero UDFs, zero exchanges"),
+        ("pq_encode", "product quantization: corpus crossJoins the ONE-row broadcast codebook, per-subspace argmin inside row-local HOFs — the corpus branch has NO Exchange and is never amplified; only the final m-codes posexplode fans out (ints, not vectors)"),
+        ("similarity_topk_pq", "ADC top-k: broadcast (query x LUT) table against the encoded-code scan — the corpus side carries 8 ints per doc, never the 256-byte vector; one window top-k at the end"),
     ]
     for name, note in named:
         sections.append((name, note, formatted(api.QUERIES[name](spark, SF))))
