@@ -1151,3 +1151,96 @@ def test_corpus_datasheet(spark):  # noqa: F811
     # "   " trims to 0 tokens; "lima enam" is 2
     assert (idr["n_docs"], idr["total_tokens"], idr["null_text_docs"]) == (2, 2, 0)
     assert out[None]["n_docs"] == 1 and out[None]["total_tokens"] == 3
+
+
+def test_extraction_f1(spark):  # noqa: F811
+    """Multiset intersection credits repeated tokens at most min(counts);
+    empty/NULL candidate scores recall 0; doc empty on both sides has all
+    three metrics NULL; perfect match scores 1.0 across the board."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.evalmetrics import (
+        extraction_f1,
+    )
+
+    rows = [
+        # gold "a a b c", cand "a b b d": common = min(2,1)+min(1,2) = 2
+        (0, "a a b c", "a b b d"),
+        (1, "x y", "x y"),          # perfect: P=R=F1=1.0
+        (2, "x y", None),           # null cand: P NULL, R 0.0, F1 0.0
+        (3, "x y", "   "),          # blank cand tokenises to zero tokens
+        (4, None, None),            # nothing on either side: all NULL
+        (5, "", ""),                # empty strings: same as (4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, gold_text string, cand_text string")
+    out = {r["doc_id"]: r for r in extraction_f1(df).collect()}
+    assert len(out) == 6
+    r0 = out[0]
+    assert (r0["n_gold"], r0["n_cand"], r0["n_common"]) == (4, 4, 2)
+    assert (r0["precision"], r0["recall"], r0["f1"]) == (0.5, 0.5, 0.5)
+    r1 = out[1]
+    assert (r1["precision"], r1["recall"], r1["f1"]) == (1.0, 1.0, 1.0)
+    for did in (2, 3):
+        r = out[did]
+        assert (r["n_gold"], r["n_cand"], r["n_common"]) == (2, 0, 0)
+        assert r["precision"] is None
+        assert (r["recall"], r["f1"]) == (0.0, 0.0)
+    for did in (4, 5):
+        r = out[did]
+        assert (r["n_gold"], r["n_cand"], r["n_common"]) == (0, 0, 0)
+        assert (r["precision"], r["recall"], r["f1"]) == (None, None, None)
+
+
+def test_strip_host_boilerplate(spark):  # noqa: F811
+    """Lines in >= 50% of a host's docs (and >= 2 docs) are stripped;
+    the threshold is per host, so the same line on a different host with
+    low frequency survives; blank lines never count as boilerplate; a doc
+    that was ALL chrome keeps empty clean_text; NULL text/host drop."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        strip_host_boilerplate,
+    )
+
+    nav = "nav home"
+    rows = [
+        # host a: 4 docs; nav in 3/4 (75% -> strip), "rare" in 1/4 (keep)
+        (0, "a", nav + "\nalpha\n\nrare"),
+        (1, "a", nav + "\nbeta"),
+        (2, "a", nav + "\ngamma"),
+        (3, "a", "delta"),
+        # host b: 2 docs; nav appears in only 1/2 = 50% AND >= 2 docs
+        # fails (nd=1 < min_docs) -> nav survives on host b
+        (4, "b", nav + "\nepsilon"),
+        (5, "b", "zeta"),
+        # host c: one doc that is pure chrome on host a's rule? no — c has
+        # 1 doc, nd=1 < min_docs, everything kept
+        (6, "c", nav),
+        (7, None, "ignored"),
+        (8, "a", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    out = {r["doc_id"]: r for r in strip_host_boilerplate(df).collect()}
+    assert set(out) == {0, 1, 2, 3, 4, 5, 6}  # NULL host/text rows drop
+    assert out[0]["clean_text"] == "alpha\n\nrare"  # blank line survives
+    assert (out[0]["n_lines_kept"], out[0]["n_lines_total"]) == (3, 4)
+    assert out[1]["clean_text"] == "beta"
+    assert out[3]["clean_text"] == "delta"
+    assert out[4]["clean_text"] == nav + "\nepsilon"  # host-b nav kept
+    assert out[6]["clean_text"] == nav
+    assert out[6]["host"] == "c"
+
+
+def test_strip_host_boilerplate_all_chrome_doc(spark):  # noqa: F811
+    """A document consisting ONLY of host-frequent lines reassembles to an
+    empty clean_text with n_lines_kept 0 (left-join coalesce path)."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        strip_host_boilerplate,
+    )
+
+    rows = [
+        (0, "h", "footer"),
+        (1, "h", "footer"),
+        (2, "h", "footer\nbody"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    out = {r["doc_id"]: r for r in strip_host_boilerplate(df).collect()}
+    assert out[0]["clean_text"] == "" and out[0]["n_lines_kept"] == 0
+    assert out[0]["n_lines_total"] == 1
+    assert out[2]["clean_text"] == "body"

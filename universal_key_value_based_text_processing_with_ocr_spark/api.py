@@ -21,7 +21,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import dedup, multimodal, relational, similarity, textstats
+from .operators import dedup, evalmetrics, multimodal, relational, similarity, textstats
 from .operators.extract import (
     SAMPLE_CUSTOM_CONFIG,
     extract_pages,
@@ -466,7 +466,12 @@ def q_c4_line_clean(spark, sf_dir):
     counts via ``value`` -> ``value.\\n``, plus per-``doc_id % 7`` injected
     brace / lorem-ipsum / javascript markers; the oracle applies the
     identical rewrite)."""
-    docs = _tbl(spark, sf_dir, "documents")
+    return textstats.c4_line_clean(_c4_pages(_tbl(spark, sf_dir, "documents")))
+
+
+def _c4_pages(docs: DataFrame) -> DataFrame:
+    """The deterministic multi-line page rewrite shared by q_c4_line_clean
+    and q_extraction_eval (single-line synthetic text -> page shape)."""
     marker = (
         F.when(F.col("doc_id") % 7 == 0, F.lit("\nsee { code"))
         .when(F.col("doc_id") % 7 == 1, F.lit("\nthis page is lorem ipsum filler text."))
@@ -476,13 +481,58 @@ def q_c4_line_clean(spark, sf_dir):
         )
         .otherwise(F.lit(""))
     )
-    pages = docs.select(
+    return docs.select(
         "doc_id",
         F.concat(F.replace(F.col("text"), F.lit("value"), F.lit("value.\n")), marker).alias(
             "text"
         ),
     )
-    return textstats.c4_line_clean(pages)
+
+
+def q_extraction_eval(spark, sf_dir):
+    """Extraction-quality scoring: token-multiset precision/recall/F1 of
+    the C4-cleaned candidate text against the raw page as gold — the
+    metric a boilerplate-removal change is actually judged by.  Composes
+    the c4_line_clean plan (docs rejected by the document gates carry
+    NULL clean_text and score recall 0) with the combinable explode-
+    and-fold F1 operator; exercises every NULL/zero branch of the metric.
+    """
+    pages = _c4_pages(_tbl(spark, sf_dir, "documents"))
+    cleaned = textstats.c4_line_clean(pages).select("doc_id", "clean_text")
+    pairs = pages.join(cleaned, "doc_id").select(
+        "doc_id",
+        F.col("text").alias("gold_text"),
+        F.col("clean_text").alias("cand_text"),
+    )
+    return evalmetrics.extraction_f1(pairs)
+
+
+def q_host_boilerplate_strip(spark, sf_dir):
+    """Per-host boilerplate removal over a page corpus with injected site
+    chrome: every document of a source gets that source's nav header and
+    copyright footer (100% of the host -> stripped), and every fourth
+    document a newsletter plug (25% -> below the 50% threshold, kept).
+    The natural text lines are per-document unique and must survive."""
+    docs = _tbl(spark, sf_dir, "documents")
+    newsletter = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(
+            F.lit("\nsubscribe to the "), F.col("source"), F.lit(" newsletter")
+        ),
+    ).otherwise(F.lit(""))
+    page = F.concat(
+        F.col("source"),
+        F.lit(" home | about | contact\n"),
+        F.replace(F.col("text"), F.lit("value"), F.lit("value\n")),
+        F.lit("\n(c) 2026 "),
+        F.col("source"),
+        F.lit(" all rights reserved"),
+        newsletter,
+    )
+    pages = docs.select(
+        "doc_id", F.col("source").alias("host"), page.alias("text")
+    )
+    return textstats.strip_host_boilerplate(pages)
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -1762,7 +1812,7 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "streamed_window_agg": q_streamed_window_agg,
     "stateful_sessionize": q_stateful_sessionize,
-    "quality_filter": q_quality_filter,
+    "extraction_eval": q_extraction_eval,
     "pages_field_spans": q_pages_field_spans,
     "pages_content_dedup": q_pages_content_dedup,
     "mask_repeated_ngrams": q_mask_repeated_ngrams,
@@ -1801,9 +1851,13 @@ QUERIES = {
     "robots_gate": q_robots_gate,
     "quality_classifier": q_quality_classifier,
     "multimodal_image_meta": q_multimodal_image_meta,
-    "multimodal_image_decode": q_multimodal_image_decode,
+    "host_boilerplate_strip": q_host_boilerplate_strip,
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
     # ---------------- past the driver's 50-entry cap -------------------
+    # Round-5 session-8 rotation: quality_filter and multimodal_image_decode
+    # moved past the cap (both double-covered: official green in round 4
+    # AND replica-green at round-5 HEAD after their last change) to admit
+    # the NEW extraction_eval / host_boilerplate_strip pair.
     # Round-5 session-7 rotation: html_tables and image_near_dup moved past
     # the cap to admit the NEW pq_encode / similarity_topk_pq pair —
     # html_tables' extractor stays exercised in-window by
@@ -1936,6 +1990,8 @@ QUERIES = {
     "doc_winnowing_fp": q_doc_winnowing_fp,
     "doc_normalize": q_doc_normalize,
     "doc_token_count": q_doc_token_count,
+    "quality_filter": q_quality_filter,
+    "multimodal_image_decode": q_multimodal_image_decode,
 }
 
 
@@ -3173,6 +3229,120 @@ ORACLE_SQL = {
                CAST(nk AS BIGINT) AS n_lines_kept,
                CASE WHEN fail IS NULL THEN array_to_string(kl, chr(10)) END AS clean_text
         FROM judged
+    """,
+    # replays the c4_line_clean CTE chain verbatim to produce the candidate
+    # text, then the token-multiset P/R/F1 via explode + least-fold — the
+    # same linear shape as the engine; sums cast to BIGINT (DuckDB sums
+    # integers into HUGEINT, which would change the driver's dtype hash)
+    "extraction_eval": r"""
+        WITH pages AS (
+            SELECT doc_id,
+                   replace(text, 'value', 'value.' || chr(10)) ||
+                   CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'see { code'
+                        WHEN doc_id % 7 = 1 THEN chr(10) || 'this page is lorem ipsum filler text.'
+                        WHEN doc_id % 7 = 2 THEN chr(10) || 'enable javascript to view the full value. table now.'
+                        ELSE '' END AS text
+            FROM documents
+        ),
+        kept AS (
+            SELECT doc_id, text, lower(text) AS low,
+                   list_filter(string_split(text, chr(10)), l ->
+                       regexp_matches(trim(l), '[.!?"]$')
+                       AND len(list_filter(string_split_regex(trim(l), '[ \t]+'), t -> t != '')) >= 5
+                       AND NOT contains(lower(l), 'javascript')
+                   ) AS kl
+            FROM pages
+        ),
+        judged AS (
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN 'null_text'
+                        WHEN contains(low, 'lorem ipsum') THEN 'lorem_ipsum'
+                        WHEN contains(low, '{') THEN 'brace'
+                        WHEN len(kl) < 3 THEN 'too_few_sentences'
+                   END AS fail,
+                   kl
+            FROM kept
+        ),
+        pairs AS (
+            SELECT p.doc_id, p.text AS gold_text,
+                   CASE WHEN j.fail IS NULL THEN array_to_string(j.kl, chr(10)) END AS cand_text
+            FROM pages p JOIN judged j USING (doc_id)
+        ),
+        gt AS (SELECT doc_id,
+                      unnest(list_filter(string_split_regex(gold_text, '[ \t\n\r\f]+'), t -> t != '')) AS tok
+               FROM pairs),
+        ct AS (SELECT doc_id,
+                      unnest(list_filter(string_split_regex(cand_text, '[ \t\n\r\f]+'), t -> t != '')) AS tok
+               FROM pairs),
+        tagged AS (
+            SELECT doc_id, tok, 1 AS gc, 0 AS cc FROM gt
+            UNION ALL
+            SELECT doc_id, tok, 0 AS gc, 1 AS cc FROM ct
+        ),
+        per_tok AS (
+            SELECT doc_id, tok, sum(gc) AS gn, sum(cc) AS cn
+            FROM tagged GROUP BY doc_id, tok
+        ),
+        per_doc AS (
+            SELECT doc_id, sum(gn) AS n_gold, sum(cn) AS n_cand,
+                   sum(least(gn, cn)) AS n_common
+            FROM per_tok GROUP BY doc_id
+        )
+        SELECT p.doc_id,
+               CAST(coalesce(d.n_gold, 0) AS BIGINT) AS n_gold,
+               CAST(coalesce(d.n_cand, 0) AS BIGINT) AS n_cand,
+               CAST(coalesce(d.n_common, 0) AS BIGINT) AS n_common,
+               CASE WHEN d.n_cand > 0
+                    THEN round(d.n_common / CAST(d.n_cand AS DOUBLE), 6) END AS "precision",
+               CASE WHEN d.n_gold > 0
+                    THEN round(d.n_common / CAST(d.n_gold AS DOUBLE), 6) END AS recall,
+               CASE WHEN d.n_common > 0
+                    THEN round(2.0 * d.n_common / CAST(d.n_gold + d.n_cand AS DOUBLE), 6)
+                    WHEN d.n_gold + d.n_cand > 0 THEN 0.0 END AS f1
+        FROM pages p LEFT JOIN per_doc d USING (doc_id)
+    """,
+    # same injected-chrome page rewrite as the Spark query, then the exact
+    # integer threshold (nd*100 >= pct*host_docs) — no float ratio on
+    # either side, so the keep/strip decision is bit-identical
+    "host_boilerplate_strip": r"""
+        WITH pages AS (
+            SELECT doc_id, source AS host,
+                   source || ' home | about | contact' || chr(10) ||
+                   replace(text, 'value', 'value' || chr(10)) ||
+                   chr(10) || '(c) 2026 ' || source || ' all rights reserved' ||
+                   CASE WHEN doc_id % 4 = 0
+                        THEN chr(10) || 'subscribe to the ' || source || ' newsletter'
+                        ELSE '' END AS text
+            FROM documents
+        ),
+        base AS (SELECT * FROM pages WHERE text IS NOT NULL AND host IS NOT NULL),
+        totals_by_host AS (SELECT host, count(*) AS host_docs FROM base GROUP BY host),
+        lines AS (
+            SELECT b.doc_id, b.host, u.s.idx AS idx, u.s.line AS line
+            FROM base b,
+                 (SELECT unnest(list_transform(string_split(b.text, chr(10)),
+                                               (s, i) -> struct_pack(idx := i, line := s)))) u(s)
+        ),
+        freq AS (
+            SELECT l.host, l.line
+            FROM lines l JOIN totals_by_host t USING (host)
+            WHERE trim(l.line) <> ''
+            GROUP BY l.host, l.line, t.host_docs
+            HAVING count(DISTINCT l.doc_id) >= 2
+               AND count(DISTINCT l.doc_id) * 100 >= 50 * t.host_docs
+        ),
+        kept AS (SELECT l.* FROM lines l ANTI JOIN freq f USING (host, line)),
+        rebuilt AS (
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+                   CAST(count(*) AS BIGINT) AS n_lines_kept
+            FROM kept GROUP BY doc_id
+        ),
+        totals AS (SELECT doc_id, host,
+                          CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines_total
+                   FROM base)
+        SELECT t.doc_id, t.host, coalesce(r.clean_text, '') AS clean_text,
+               coalesce(r.n_lines_kept, 0) AS n_lines_kept, t.n_lines_total
+        FROM totals t LEFT JOIN rebuilt r USING (doc_id)
     """,
     "dedup_exact": """
         SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -589,6 +589,93 @@ def dedup_paragraphs(
     )
 
 
+def strip_host_boilerplate(
+    docs: DataFrame,
+    min_frac_pct: int = 50,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    host_col: str = "host",
+) -> DataFrame:
+    """PER-HOST boilerplate line removal (the CCNet/trafilatura companion
+    to the corpus-global ``dedup_paragraphs``): a line is host-boilerplate
+    iff it appears in >= ``min_frac_pct`` percent of the HOST's documents
+    (and in >= ``min_docs`` of them) — navigation bars, cookie banners and
+    footers are replicated across one site's pages, not across the whole
+    corpus, so the global frequency threshold misses them on small hosts
+    and over-fires on viral quotes.  Reference analog: the densitometry
+    keep-rule strips per-PAGE chrome (htmlcore/extract.py); this strips
+    the per-SITE chrome that survives it.
+
+    The threshold compares integers only (``nd * 100 >= pct * host_docs``)
+    so the decision is bit-reproducible in any engine — no float ratio.
+
+    Plan: per-host doc totals (combinable groupBy) + posexplode ->
+    (host, line, doc) pair-distinct -> combinable count per (host, line)
+    -> join totals on host -> frequent set -> anti-join on (host, line)
+    -> per-doc ordered reassembly.  Same skew discipline as
+    ``dedup_paragraphs``: the pair-distinct exchange hash-partitions on
+    (host, line, doc), so one mega-host's banner spreads over all
+    reducers; the per-(host, line) count is map-side combinable.  The
+    frequent set is host-local and small (AQE broadcasts it).  At 100 TB
+    this is the same pair-shuffle shape as exact dedup, keyed one level
+    finer.
+
+    Output: (id_col, host_col, clean_text, n_lines_kept, n_lines_total);
+    a document whose every line is site chrome keeps an empty clean_text.
+    """
+    base = docs.filter(F.col(text_col).isNotNull()).filter(
+        F.col(host_col).isNotNull()
+    )
+    totals_by_host = base.groupBy(host_col).agg(
+        F.count(F.lit(1)).alias("host_docs")
+    )
+    lines = base.select(
+        id_col,
+        host_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+    )
+    # blank lines are separators, never boilerplate (same rule and reason
+    # as dedup_paragraphs: they are frequent in every document)
+    frequent = (
+        lines.filter(F.trim(F.col("line")) != "")
+        .filter(F.col(id_col).isNotNull())
+        .select(host_col, "line", id_col)
+        .distinct()
+        .groupBy(host_col, "line")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .join(totals_by_host, host_col)
+        .filter(
+            (F.col("nd") >= min_docs)
+            & (F.col("nd") * 100 >= F.lit(int(min_frac_pct)) * F.col("host_docs"))
+        )
+        .select(host_col, "line")
+    )
+    kept = lines.join(frequent, [host_col, "line"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                lambda s: s.getField("line"),
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_lines_kept"),
+    )
+    totals = base.select(
+        id_col,
+        host_col,
+        F.size(F.split(F.col(text_col), "\n")).alias("n_lines_total"),
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        host_col,
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long").alias("n_lines_kept"),
+        F.col("n_lines_total").cast("long"),
+    )
+
+
 #: tracking query parameters stripped by normalize_urls (the usual
 #: analytics noise that splits one logical page into many crawl urls)
 _TRACKING_PARAM_RE = r"(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid)=[^&#]*"
