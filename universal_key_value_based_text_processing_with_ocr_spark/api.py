@@ -890,6 +890,42 @@ def q_lakehouse_delete(spark, sf_dir):
     return t.read(spark).select("doc_id", "text", "lang")
 
 
+def q_lakehouse_compact(spark, sf_dir):
+    """Small-file compaction end-to-end (Iceberg rewrite_data_files analog
+    — the maintenance job every streaming/incremental crawl sink needs):
+    the base table lands as SIX slice appends of three files each (the
+    small-file problem), a pending equality delete (doc_id%11==0) sits
+    unapplied, then ``compact(target_partitions=2)`` must rewrite the
+    table into two files while APPLYING AND CLEARING the delete, and a
+    post-compact append of replacement rows (doc_id%44==0, a subset of
+    the deleted keys) must stay visible because it is NEWER than the
+    delete.  The returned rows carry the final snapshot's data-file count
+    as a constant column — the oracle pins it at 3 (2 compacted + 1
+    appended), so a compaction that silently stopped packing files (or
+    re-exposed deleted rows) fails the hash, not just a pytest."""
+    import tempfile
+
+    from .lakehouse.catalog import SnapshotTable
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    t = SnapshotTable(tempfile.mkdtemp(prefix="ukv_compact_"))
+    for k in range(6):
+        t.append(
+            docs.where(F.col("doc_id") % 6 == k).repartitionByRange(3, "doc_id")
+        )
+    t.delete_where(spark, docs.where(F.col("doc_id") % 11 == 0), key="doc_id")
+    t.compact(spark, target_partitions=2)
+    t.append(
+        docs.where(F.col("doc_id") % 44 == 0)
+        .withColumn("text", F.concat(F.lit("REBORN:"), F.col("lang")))
+        .coalesce(1)
+    )
+    n_files = len(t._plan_files(t._resolve_manifest(None), None)[0])
+    return t.read(spark).select(
+        "doc_id", "text", "lang", F.lit(n_files).cast("int").alias("n_files")
+    )
+
+
 def q_extract_mixed(spark, sf_dir):
     """Universal ingest dispatch: one binary payload column carrying PDF
     (doc_id%3==0; even ids Flate-compressed), raw utf-8 (==1) and
@@ -1806,7 +1842,7 @@ QUERIES = {
     "extract_fields": q_extract_fields,
     "sitemap_parse": q_sitemap_parse,
     "crawl_frontier": q_crawl_frontier,
-    "doc_langid": q_doc_langid,
+    "lakehouse_compact": q_lakehouse_compact,
     "distance_bucket_group": q_distance_bucket_group,
     "events_window_agg": q_events_window_agg,
     "events_sessionize": q_events_sessionize,
@@ -1854,10 +1890,11 @@ QUERIES = {
     "host_boilerplate_strip": q_host_boilerplate_strip,
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
     # ---------------- past the driver's 50-entry cap -------------------
-    # Round-5 session-8 rotation: quality_filter and multimodal_image_decode
-    # moved past the cap (both double-covered: official green in round 4
-    # AND replica-green at round-5 HEAD after their last change) to admit
-    # the NEW extraction_eval / host_boilerplate_strip pair.
+    # Round-5 session-8 rotation: quality_filter, multimodal_image_decode
+    # and doc_langid moved past the cap (all double-covered: official green
+    # in round 4 AND replica-green at round-5 HEAD after their last change)
+    # to admit the NEW extraction_eval / host_boilerplate_strip /
+    # lakehouse_compact trio.
     # Round-5 session-7 rotation: html_tables and image_near_dup moved past
     # the cap to admit the NEW pq_encode / similarity_topk_pq pair —
     # html_tables' extractor stays exercised in-window by
@@ -1992,6 +2029,7 @@ QUERIES = {
     "doc_token_count": q_doc_token_count,
     "quality_filter": q_quality_filter,
     "multimodal_image_decode": q_multimodal_image_decode,
+    "doc_langid": q_doc_langid,
 }
 
 
@@ -2138,6 +2176,18 @@ ORACLE_SQL = {
         UNION ALL
         SELECT doc_id, 'REBORN:' || lang AS text, lang
         FROM documents WHERE doc_id % 39 = 0
+    """,
+    "lakehouse_compact": """
+        -- closed-form compaction spec: the %11 delete is applied by the
+        -- replacing rewrite, the post-compact %44 append stays visible,
+        -- and the final snapshot must hold exactly 3 data files (2 from
+        -- compact(target_partitions=2) + 1 appended) — a compaction that
+        -- re-exposed deleted rows or stopped packing files diverges
+        SELECT doc_id, text, lang, 3 AS n_files
+        FROM documents WHERE doc_id % 11 <> 0
+        UNION ALL
+        SELECT doc_id, 'REBORN:' || lang AS text, lang, 3 AS n_files
+        FROM documents WHERE doc_id % 44 = 0
     """,
     "pages_field_spans": f"""
         -- the END-TO-END stage (pages -> decode -> spans) must land on the
