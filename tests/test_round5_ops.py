@@ -1244,3 +1244,71 @@ def test_strip_host_boilerplate_all_chrome_doc(spark):  # noqa: F811
     assert out[0]["clean_text"] == "" and out[0]["n_lines_kept"] == 0
     assert out[0]["n_lines_total"] == 1
     assert out[2]["clean_text"] == "body"
+
+
+def test_mine_url_templates(spark):  # noqa: F811
+    """Digit runs -> {n}, 8+ hex runs -> {hex} (hex wins first), query
+    strings dropped, distinct-url counting, and the two-sided trap rule
+    (absolute floor AND host share)."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        mine_url_templates,
+    )
+
+    trap = [f"https://t.com/cal/2026/{i}" for i in range(25)]
+    # a repeated fetch of one trap url must not inflate the count
+    trap += [trap[0]] * 5
+    articles = [f"https://t.com/post/{'deadbeef%02d' % i}?page=2" % () for i in range(3)]
+    other = ["https://s.com/about", "not-a-url"]
+    rows = [(u,) for u in trap + articles + other]
+    df = spark.createDataFrame(rows, "url string")
+    out = {(r["host"], r["template"]): r for r in mine_url_templates(df, min_trap_urls=20).collect()}
+    cal = out[("t.com", "/cal/{n}/{n}")]
+    assert cal["n_urls"] == 25 and cal["is_trap"]
+    assert cal["sample_url"] == "https://t.com/cal/2026/0"
+    post = out[("t.com", "/post/{hex}")]  # deadbeefNN = 10 hex chars
+    assert post["n_urls"] == 3 and not post["is_trap"]
+    assert cal["host_urls"] == 28 and cal["host_templates"] == 2
+    about = out[("s.com", "/about")]
+    # 1 url on its host: dominates (1*10 >= 1) but fails the absolute floor
+    assert about["n_urls"] == 1 and not about["is_trap"]
+    assert ("", "") not in out and len(out) == 3  # schemeless row dropped
+
+
+def test_mine_url_templates_large_legit_host(spark):  # noqa: F811
+    """An article template with high absolute fan-out on a host where it
+    is a MINORITY of urls is NOT a trap (host-share guard)."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        mine_url_templates,
+    )
+
+    urls = [f"https://big.com/art/{i}" for i in range(30)]
+    urls += [f"https://big.com/static/page{chr(97 + i % 26)}x{chr(97 + (i // 26) % 26)}" for i in range(400)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = {r["template"]: r for r in mine_url_templates(df).collect()}
+    art = rows["/art/{n}"]
+    assert art["n_urls"] == 30 and not art["is_trap"]  # 30*10 < 430
+
+
+def test_detect_scripts(spark):  # noqa: F811
+    """Char-class counts per script; major = first-listed among maxima;
+    digits/punct-only and NULL text report und with zero counts."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        detect_scripts,
+    )
+
+    rows = [
+        (0, "hello мир"),        # latin 5, cyrillic 3 -> latin
+        (1, "你好 hi 你好"),      # cjk 4 > latin 2 -> cjk
+        (2, "ab ѐѐ"),            # tie latin 2 == cyrillic 2 -> latin (order)
+        (3, "1234 .,!"),         # nothing counted -> und
+        (4, None),               # NULL -> zeros + und
+        (5, "γεια 안녕"),         # greek 4 > hangul 2 -> greek
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in detect_scripts(df).collect()}
+    assert (out[0]["latin"], out[0]["cyrillic"], out[0]["major_script"]) == (5, 3, "latin")
+    assert (out[1]["cjk"], out[1]["major_script"]) == (4, "cjk")
+    assert out[2]["major_script"] == "latin"
+    assert (out[3]["major_script"], out[3]["latin"]) == ("und", 0)
+    assert (out[4]["n_chars"], out[4]["major_script"]) == (0, "und")
+    assert (out[5]["greek"], out[5]["hangul"], out[5]["major_script"]) == (4, 2, "greek")

@@ -299,6 +299,69 @@ def q_url_normalize(spark, sf_dir):
     return textstats.normalize_urls(docs)
 
 
+def q_url_templates(spark, sf_dir):
+    """Crawler-trap mining over a deterministic three-regime url mix:
+    one calendar host whose urls all collapse to ONE digit template
+    (is_trap — big absolutely AND dominating its host), hex-slug article
+    hosts whose per-host fan-out stays under the absolute floor, and
+    static pages where every fetch repeats ONE url (distinct-url
+    counting must report n_urls=1).  Each doc_id%3==0 row adds a
+    duplicate fetch of the trap url so the distinct is exercised."""
+    d = F.col("doc_id")
+    url = (
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("https://trap.example.com/cal/20"),
+                (d % 30).cast("string"),
+                F.lit("/"),
+                d.cast("string"),
+            ),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(
+                F.lit("https://host"),
+                (d % 25).cast("string"),
+                F.lit(".example.com/articles/"),
+                F.substring(F.md5(d.cast("string")), 1, 12),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://static"),
+                (d % 5).cast("string"),
+                F.lit(".example.com/about/team"),
+            )
+        )
+    )
+    docs = _tbl(spark, sf_dir, "documents").select(url.alias("url"))
+    # duplicate fetches of the SAME trap urls: distinct-url counting
+    dupes = docs.filter(F.col("url").startswith("https://trap."))
+    return textstats.mine_url_templates(docs.unionByName(dupes))
+
+
+def q_doc_script_detect(spark, sf_dir):
+    """Unicode script detection over the latin synthetic corpus with
+    deterministic per-doc_id%10 injected script runs (cyrillic / cjk /
+    arabic / greek / hangul at lengths that flip major_script on some
+    documents and not others) — both engines count with the IDENTICAL
+    literal-char classes on their own regex engines."""
+    d = F.col("doc_id")
+    snippet = (
+        F.when(d % 10 == 1, F.repeat(F.lit(" привет мир"), 30))
+        .when(d % 10 == 2, F.repeat(F.lit(" 你好世界"), 60))
+        .when(d % 10 == 3, F.repeat(F.lit(" مرحبا بالعالم"), 40))
+        .when(d % 10 == 4, F.repeat(F.lit(" γεια σου κόσμε"), 30))
+        .when(d % 10 == 5, F.repeat(F.lit(" 안녕하세요"), 50))
+        .otherwise(F.lit(""))
+    )
+    docs = _tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), snippet).alias("text")
+    )
+    return textstats.detect_scripts(docs)
+
+
 def q_corpus_familiarity(spark, sf_dir):
     return textstats.corpus_familiarity(_tbl(spark, sf_dir, "documents"))
 
@@ -1851,9 +1914,9 @@ QUERIES = {
     "extraction_eval": q_extraction_eval,
     "pages_field_spans": q_pages_field_spans,
     "pages_content_dedup": q_pages_content_dedup,
-    "mask_repeated_ngrams": q_mask_repeated_ngrams,
+    "url_templates": q_url_templates,
     "inverted_index": q_inverted_index,
-    "dedup_paragraphs": q_dedup_paragraphs,
+    "doc_script_detect": q_doc_script_detect,
     "gopher_quality": q_gopher_quality,
     "dsir_importance": q_dsir_importance,
     "doc_keywords": q_doc_keywords,
@@ -2030,6 +2093,8 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "multimodal_image_decode": q_multimodal_image_decode,
     "doc_langid": q_doc_langid,
+    "mask_repeated_ngrams": q_mask_repeated_ngrams,
+    "dedup_paragraphs": q_dedup_paragraphs,
 }
 
 
@@ -2474,6 +2539,85 @@ ORACLE_SQL = {
                CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / count(*) AS mean_token_freq,
                CAST(CAST(sum(CASE WHEN c <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / count(*) AS rare_frac
         FROM j GROUP BY doc_id
+    """,
+    # same three-regime url construction + the same {hex}-before-{n}
+    # template generalisation; counting is over DISTINCT urls and every
+    # trap decision is an integer-count comparison
+    "url_templates": r"""
+        WITH raw AS (
+            SELECT CASE
+                WHEN doc_id % 3 = 0 THEN 'https://trap.example.com/cal/20'
+                     || CAST(doc_id % 30 AS VARCHAR) || '/' || CAST(doc_id AS VARCHAR)
+                WHEN doc_id % 3 = 1 THEN 'https://host' || CAST(doc_id % 25 AS VARCHAR)
+                     || '.example.com/articles/'
+                     || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                ELSE 'https://static' || CAST(doc_id % 5 AS VARCHAR)
+                     || '.example.com/about/team' END AS url
+            FROM documents
+        ),
+        all_urls AS (
+            SELECT url FROM raw
+            UNION ALL
+            SELECT url FROM raw WHERE url LIKE 'https://trap.%'
+        ),
+        base AS (
+            SELECT DISTINCT url,
+                   regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS host,
+                   regexp_replace(regexp_replace(
+                       regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                       '[0-9a-f]{8,}', '{hex}', 'g'), '[0-9]+', '{n}', 'g') AS template
+            FROM all_urls
+            WHERE regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) <> ''
+        ),
+        per_template AS (
+            SELECT host, template, CAST(count(*) AS BIGINT) AS n_urls,
+                   min(url) AS sample_url
+            FROM base GROUP BY host, template
+        ),
+        per_host AS (
+            SELECT host, CAST(sum(n_urls) AS BIGINT) AS host_urls,
+                   CAST(count(*) AS BIGINT) AS host_templates
+            FROM per_template GROUP BY host
+        )
+        SELECT t.host, t.template, t.n_urls, t.sample_url,
+               (t.n_urls >= 20 AND t.n_urls * 10 >= h.host_urls) AS is_trap,
+               h.host_urls, h.host_templates
+        FROM per_template t JOIN per_host h USING (host)
+    """,
+    # same injected script runs; the char-class strip arithmetic uses the
+    # IDENTICAL literal-char patterns on DuckDB's RE2, and the major CASE
+    # is the closed form of the engine's first-listed-wins argmax chain
+    "doc_script_detect": """
+        WITH pages AS (
+            SELECT doc_id, text || CASE
+                WHEN doc_id % 10 = 1 THEN repeat(' привет мир', 30)
+                WHEN doc_id % 10 = 2 THEN repeat(' 你好世界', 60)
+                WHEN doc_id % 10 = 3 THEN repeat(' مرحبا بالعالم', 40)
+                WHEN doc_id % 10 = 4 THEN repeat(' γεια σου κόσμε', 30)
+                WHEN doc_id % 10 = 5 THEN repeat(' 안녕하세요', 50)
+                ELSE '' END AS text
+            FROM documents
+        ),
+        counts AS (
+            SELECT doc_id,
+                CAST(coalesce(length(text), 0) AS BIGINT) AS n_chars,
+                CAST(coalesce(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')), 0) AS BIGINT) AS latin,
+                CAST(coalesce(length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')), 0) AS BIGINT) AS cyrillic,
+                CAST(coalesce(length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')), 0) AS BIGINT) AS cjk,
+                CAST(coalesce(length(text) - length(regexp_replace(text, '[؀-ۿ]', '', 'g')), 0) AS BIGINT) AS arabic,
+                CAST(coalesce(length(text) - length(regexp_replace(text, '[Ͱ-Ͽ]', '', 'g')), 0) AS BIGINT) AS greek,
+                CAST(coalesce(length(text) - length(regexp_replace(text, '[가-힣]', '', 'g')), 0) AS BIGINT) AS hangul
+            FROM pages
+        )
+        SELECT doc_id, n_chars, latin, cyrillic, cjk, arabic, greek, hangul,
+               CASE WHEN greatest(latin, cyrillic, cjk, arabic, greek, hangul) = 0 THEN 'und'
+                    WHEN latin >= greatest(cyrillic, cjk, arabic, greek, hangul) THEN 'latin'
+                    WHEN cyrillic >= greatest(cjk, arabic, greek, hangul) THEN 'cyrillic'
+                    WHEN cjk >= greatest(arabic, greek, hangul) THEN 'cjk'
+                    WHEN arabic >= greatest(greek, hangul) THEN 'arabic'
+                    WHEN greek >= hangul THEN 'greek'
+                    ELSE 'hangul' END AS major_script
+        FROM counts
     """,
     # identical page rewrite as the Spark query; every ratio is one
     # integer count divided once then rounded, so doubles and the

@@ -59,6 +59,61 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
+#: Unicode script blocks counted by detect_scripts — literal-char classes
+#: (no \x{...} escapes) so the IDENTICAL pattern text runs on Java regex
+#: and RE2; order here is also the deterministic major-script tie-break
+SCRIPT_CLASSES = (
+    ("latin", "[A-Za-z]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("cjk", "[一-鿿]"),
+    ("arabic", "[؀-ۿ]"),
+    ("greek", "[Ͱ-Ͽ]"),
+    ("hangul", "[가-힣]"),
+)
+
+
+def detect_scripts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode script detection — the web-corpus companion of the
+    stopword ``lang_id`` (which only separates languages WITHIN the Latin
+    script): per-document character counts for the six major script
+    blocks plus the argmax ``major_script`` (first-listed wins ties, so
+    the label is deterministic; a document with no counted character at
+    all — digits/punctuation only — reports ``und``).
+
+    Counts are char-class strip arithmetic (``length(x) -
+    length(regexp_replace(x, class, ''))``), all codegen'd JVM regex over
+    one scan: zero UDFs, zero shuffles, and the identical literal-char
+    patterns run on RE2 so the oracle shares them byte-for-byte.
+
+    -> (id_col, n_chars, latin, cyrillic, cjk, arabic, greek, hangul,
+    major_script)
+    """
+    text = F.col(text_col)
+    n_chars = F.coalesce(F.length(text), F.lit(0))
+    counts = {
+        name: F.coalesce(
+            F.length(text) - F.length(F.regexp_replace(text, klass, "")),
+            F.lit(0),
+        )
+        for name, klass in SCRIPT_CLASSES
+    }
+    # argmax with first-listed tie-break: scan the list once, keeping the
+    # current winner only while the challenger is STRICTLY greater
+    major = F.lit("und")
+    best = F.lit(0)
+    for name, _ in SCRIPT_CLASSES:
+        major = F.when(counts[name] > best, F.lit(name)).otherwise(major)
+        best = F.greatest(best, counts[name])
+    return docs.select(
+        id_col,
+        n_chars.cast("long").alias("n_chars"),
+        *(counts[name].cast("long").alias(name) for name, _ in SCRIPT_CLASSES),
+        major.alias("major_script"),
+    )
+
+
 def lang_id(docs: DataFrame, extra_cols: tuple = ()) -> DataFrame:
     """Stopword-hit language ID: en vs ind vs und (n-gram-free heuristic).
     ``extra_cols`` are carried through so a composed pipeline can chain
@@ -726,6 +781,75 @@ def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
         F.col(url_col).alias("url"),
         u.alias("url_norm"),
         (u != F.col(url_col)).alias("changed"),
+    )
+
+
+def mine_url_templates(
+    df: DataFrame,
+    url_col: str = "url",
+    trap_ratio: int = 10,
+    min_trap_urls: int = 20,
+) -> DataFrame:
+    """Crawler-trap detection via URL template mining (the crawl-frontier
+    governance step robots.txt cannot provide): calendars, session ids,
+    faceted search and pagination generate UNBOUNDED url spaces from a
+    handful of path shapes, and a frontier that treats each url as novel
+    drowns in one host.  Generalise every url's path to a TEMPLATE (digit
+    runs -> ``{n}``, 8+-char lowercase-hex runs -> ``{hex}``, query
+    string dropped), then flag templates whose fan-out says "generator,
+    not content": at least ``min_trap_urls`` urls absolutely AND at least
+    1/``trap_ratio`` of the host's whole url count (``n_urls * trap_ratio
+    >= host_urls``) — a calendar dominating its host trips both; a large
+    site's ordinary article template trips neither.
+
+    Output: one row per (host, template) — n_urls, sample_url (min), and
+    ``is_trap`` — plus the host-level rollup columns (host_urls,
+    host_templates) every frontier budget rule needs.  Decisions are
+    integer-count thresholds only: bit-reproducible.
+
+    Plan: pure codegen'd regex projection -> ONE combinable groupBy
+    (host, template) -> a host-level combinable rollup joined back on the
+    host key.  Both aggregations are partial-agg friendly; the join's
+    right side is one row per host (broadcastable under AQE).  No UDFs,
+    no explode — at 100 TB this is the cheapest shape a per-template
+    frequency can take.  ``{hex}`` matches BEFORE ``{n}`` so a hex run
+    with leading digits cannot be split into two tokens.
+    """
+    host = F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    path = F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    template = F.regexp_replace(
+        F.regexp_replace(path, r"[0-9a-f]{8,}", "{hex}"), r"[0-9]+", "{n}"
+    )
+    # DISTINCT urls: crawl logs repeat a url across fetches, and a trap is
+    # a generator of NOVEL urls, not a popular page.  The distinct runs on
+    # the (url, host, template) triple — hash-partitioned on the full row,
+    # so one host's url flood spreads over all reducers (the same
+    # pair-distinct skew discipline as dedup_paragraphs).
+    base = (
+        df.select(
+            F.col(url_col).alias("url"), host.alias("host"), template.alias("template")
+        )
+        .filter(F.col("host") != "")
+        .distinct()
+    )
+    per_template = base.groupBy("host", "template").agg(
+        F.count(F.lit(1)).alias("n_urls"), F.min("url").alias("sample_url")
+    )
+    per_host = per_template.groupBy("host").agg(
+        F.sum("n_urls").alias("host_urls"),
+        F.count(F.lit(1)).alias("host_templates"),
+    )
+    return per_template.join(per_host, "host").select(
+        "host",
+        "template",
+        F.col("n_urls").cast("long"),
+        "sample_url",
+        (
+            (F.col("n_urls") >= F.lit(int(min_trap_urls)))
+            & (F.col("n_urls") * F.lit(int(trap_ratio)) >= F.col("host_urls"))
+        ).alias("is_trap"),
+        F.col("host_urls").cast("long"),
+        F.col("host_templates").cast("long"),
     )
 
 
