@@ -1312,3 +1312,34 @@ def test_detect_scripts(spark):  # noqa: F811
     assert (out[3]["major_script"], out[3]["latin"]) == ("und", 0)
     assert (out[4]["n_chars"], out[4]["major_script"]) == (0, "und")
     assert (out[5]["greek"], out[5]["hangul"], out[5]["major_script"]) == (4, 2, "greek")
+
+
+def test_incremental_embedding_dedup(spark):  # noqa: F811
+    """Batch vectors drop against the committed index (cross-increment)
+    and against smaller-id batch siblings (within-batch); dissimilar
+    vectors sharing a bucket survive; survivors' index rows are returned
+    for the side-table append."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.similarity import (
+        embedding_index,
+        incremental_embedding_dedup,
+    )
+
+    def vec(*seed):
+        # 64-dim deterministic vector; all positive -> one bucket family
+        return [float((s % 7) + 1) for s in (seed * 64)][:64]
+
+    a = vec(3, 1, 4, 1, 5)
+    b = [x * 0.5 for x in a]           # same direction as a: cos == 1.0
+    c = [1.0] * 64                      # dissimilar from a but same bucket
+    committed = spark.createDataFrame([(1, a)], "vec_id long, embedding array<double>")
+    batch = spark.createDataFrame(
+        [(10, b), (12, c), (14, [x * 2.0 for x in c])],
+        "vec_id long, embedding array<double>",
+    )
+    idx = embedding_index(committed)
+    survivors, new_rows = incremental_embedding_dedup(batch, idx, threshold=0.95)
+    kept = sorted(r["vec_id"] for r in survivors.collect())
+    # 10 drops vs committed a; 14 drops vs batch sibling 12; 12 survives
+    assert kept == [12]
+    rows = new_rows.collect()
+    assert [r["vec_id"] for r in rows] == [12] and "bucket" in rows[0].asDict()

@@ -696,6 +696,45 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
     return similarity.embedding_near_dup_lsh(_tbl(spark, sf_dir, "embeddings"), threshold=0.2)
 
 
+def q_dedup_incremental_embedding(spark, sf_dir):
+    """Incremental embedding near-dup dedup end-to-end: odd vec_ids are the
+    committed corpus (persisted sign-bucket index), the batch is the even
+    vec_ids PLUS planted dups — verbatim copies of committed vectors
+    (vec_id+100000, cross-increment: must drop via the index) and
+    0.5-scaled copies of batch vectors (vec_id+200000, within-batch:
+    cosine exactly 1 under power-of-two scaling, must drop against the
+    smaller-id sibling).  Output per batch row: its bucket and ``kept``."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    as_double = F.col("embedding").cast("array<double>").alias("embedding")
+    committed = emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", as_double)
+    batch = (
+        emb.filter(F.col("vec_id") % 2 == 0).select("vec_id", as_double)
+        .unionByName(
+            emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") % 10 == 1)).select(
+                (F.col("vec_id") + 100000).alias("vec_id"), as_double
+            )
+        )
+        .unionByName(
+            emb.filter(F.col("vec_id") % 10 == 0).select(
+                (F.col("vec_id") + 200000).alias("vec_id"),
+                F.transform(
+                    F.col("embedding").cast("array<double>"), lambda x: x * F.lit(0.5)
+                ).alias("embedding"),
+            )
+        )
+    )
+    idx = similarity.embedding_index(committed)
+    survivors, _ = similarity.incremental_embedding_dedup(batch, idx, threshold=0.85)
+    bucketed = similarity.embedding_index(batch).select("vec_id", "bucket")
+    return bucketed.join(
+        survivors.select("vec_id", F.lit(True).alias("_k")), "vec_id", "left"
+    ).select(
+        "vec_id",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.coalesce(F.col("_k"), F.lit(False)).alias("kept"),
+    )
+
+
 def q_pq_encode(spark, sf_dir):
     """Product quantization (Jégou et al. 2011) encode: every embedding
     compressed to m=8 codebook codes (subspace argmin over a hash-sampled
@@ -1949,15 +1988,17 @@ QUERIES = {
     "outlink_extract": q_outlink_extract,
     "robots_gate": q_robots_gate,
     "quality_classifier": q_quality_classifier,
-    "multimodal_image_meta": q_multimodal_image_meta,
+    "dedup_incremental_embedding": q_dedup_incremental_embedding,
     "host_boilerplate_strip": q_host_boilerplate_strip,
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
     # ---------------- past the driver's 50-entry cap -------------------
-    # Round-5 session-8 rotation: quality_filter, multimodal_image_decode
-    # and doc_langid moved past the cap (all double-covered: official green
-    # in round 4 AND replica-green at round-5 HEAD after their last change)
-    # to admit the NEW extraction_eval / host_boilerplate_strip /
-    # lakehouse_compact trio.
+    # Round-5 session-8 rotation: quality_filter, multimodal_image_decode,
+    # doc_langid, mask_repeated_ngrams, dedup_paragraphs and
+    # multimodal_image_meta moved past the cap (all double-covered:
+    # official green in round 4 AND replica-green at round-5 HEAD after
+    # their last change) to admit the six NEW queries of this session:
+    # extraction_eval, host_boilerplate_strip, lakehouse_compact,
+    # url_templates, doc_script_detect, dedup_incremental_embedding.
     # Round-5 session-7 rotation: html_tables and image_near_dup moved past
     # the cap to admit the NEW pq_encode / similarity_topk_pq pair —
     # html_tables' extractor stays exercised in-window by
@@ -2095,6 +2136,7 @@ QUERIES = {
     "doc_langid": q_doc_langid,
     "mask_repeated_ngrams": q_mask_repeated_ngrams,
     "dedup_paragraphs": q_dedup_paragraphs,
+    "multimodal_image_meta": q_multimodal_image_meta,
 }
 
 
@@ -4044,6 +4086,55 @@ ORACLE_SQL = {
         FROM embeddings a, embeddings b
         WHERE a.vec_id < b.vec_id
           AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.2
+    """,
+    # same committed/batch split + planted dups; the candidate rule is
+    # stated as the Hamming<=1 bucket spec (cross join is the ORACLE
+    # only), cosine rounded to 6 exactly like the engine's verify
+    "dedup_incremental_embedding": """
+        WITH committed AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1
+        ),
+        batch AS (
+            SELECT vec_id, embedding::DOUBLE[] AS embedding
+            FROM embeddings WHERE vec_id % 2 = 0
+            UNION ALL
+            SELECT vec_id + 100000, embedding::DOUBLE[]
+            FROM embeddings WHERE vec_id % 2 = 1 AND vec_id % 10 = 1
+            UNION ALL
+            SELECT vec_id + 200000, list_transform(embedding, x -> x * 0.5)
+            FROM embeddings WHERE vec_id % 10 = 0
+        ),
+        cb AS (
+            SELECT vec_id, embedding,
+                   (CASE WHEN embedding[1]  >= 0 THEN 1 ELSE 0 END
+                  + CASE WHEN embedding[8]  >= 0 THEN 2 ELSE 0 END
+                  + CASE WHEN embedding[22] >= 0 THEN 4 ELSE 0 END
+                  + CASE WHEN embedding[43] >= 0 THEN 8 ELSE 0 END) AS bucket
+            FROM committed
+        ),
+        bb AS (
+            SELECT vec_id, embedding,
+                   (CASE WHEN embedding[1]  >= 0 THEN 1 ELSE 0 END
+                  + CASE WHEN embedding[8]  >= 0 THEN 2 ELSE 0 END
+                  + CASE WHEN embedding[22] >= 0 THEN 4 ELSE 0 END
+                  + CASE WHEN embedding[43] >= 0 THEN 8 ELSE 0 END) AS bucket
+            FROM batch
+        ),
+        dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM bb b JOIN cb c
+              ON bit_count(CAST(xor(b.bucket, c.bucket) AS BIGINT)) <= 1
+             AND round(list_cosine_similarity(b.embedding, c.embedding::DOUBLE[]), 6) >= 0.85
+            UNION
+            SELECT DISTINCT b.vec_id
+            FROM bb b JOIN bb k
+              ON k.vec_id < b.vec_id
+             AND bit_count(CAST(xor(b.bucket, k.bucket) AS BIGINT)) <= 1
+             AND round(list_cosine_similarity(b.embedding, k.embedding), 6) >= 0.85
+        )
+        SELECT b.vec_id, CAST(b.bucket AS INTEGER) AS bucket,
+               (d.vec_id IS NULL) AS kept
+        FROM bb b LEFT JOIN dropped d USING (vec_id)
     """,
     "embedding_near_dup_lsh": """
         WITH b AS (

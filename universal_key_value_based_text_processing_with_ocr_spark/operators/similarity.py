@@ -153,6 +153,89 @@ def embedding_near_dup_lsh(
     )
 
 
+def embedding_index(
+    embeddings: DataFrame, dims: tuple[int, ...] = (0, 7, 21, 42)
+) -> DataFrame:
+    """The persisted near-dup side table for ``incremental_embedding_dedup``
+    — (vec_id, bucket, embedding) of the committed corpus.  Exactly what
+    the minhash band index is for text (``dedup.minhash_bands``): commit
+    it next to the results and append each batch's surviving rows."""
+    return embeddings.select(
+        "vec_id",
+        sign_bucket(F.col("embedding"), dims).alias("bucket"),
+        "embedding",
+    )
+
+
+def incremental_embedding_dedup(
+    new_embeddings: DataFrame,
+    committed_index: DataFrame,
+    threshold: float = 0.85,
+    dims: tuple[int, ...] = (0, 7, 21, 42),
+):
+    """Incremental EMBEDDING near-dup dedup — the third member of the
+    incremental family (exact fingerprints: ``bloom_incremental_dedup``;
+    text shingles: ``incremental_minhash_dedup``; semantic vectors: this):
+    drop each new vector that is cosine-similar to the COMMITTED corpus
+    (via its persisted sign-bucket index) or to a smaller-id sibling of
+    its own batch.
+
+    The committed corpus is never rescanned in full and never re-hashed:
+    the batch computes its buckets ONCE (work proportional to the batch),
+    explodes its Hamming<=1 probe keys, and candidates come from an
+    equi-join against the index's bucket key; the exact cosine runs only
+    on that candidate sliver.  Each committed bucket at Hamming distance
+    <= 1 matches exactly ONE probe key, so no pair dedup is needed.
+
+    Drop rule (deterministic greedy, mirroring the minhash contract): a
+    new vector drops iff some probe-bucket candidate with rounded cosine
+    >= ``threshold`` is committed or has a smaller vec_id within the
+    batch.  Returns (survivors, new_index_rows) — append the latter to
+    the side table to commit the increment.
+
+    At 100 TB: widen ``dims`` to keep buckets bounded; the join key is
+    the bucket int, so adding bits re-partitions for free.
+    """
+    nb = embedding_index(new_embeddings, dims)
+    probe_keys = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(len(dims))],
+    )
+    probed = nb.select(
+        F.col("vec_id"), F.col("embedding").alias("ne"), F.explode(probe_keys).alias("probe")
+    )
+
+    def _cos(a, b):
+        return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
+
+    vs_committed = (
+        probed.join(
+            committed_index.select(
+                F.col("bucket").alias("c_bucket"), F.col("embedding").alias("ce")
+            ),
+            F.col("probe") == F.col("c_bucket"),
+        )
+        .where(_cos(F.col("ne"), F.col("ce")) >= threshold)
+        .select("vec_id")
+    )
+    vs_batch = (
+        probed.join(
+            nb.select(
+                F.col("vec_id").alias("k_id"),
+                F.col("bucket").alias("k_bucket"),
+                F.col("embedding").alias("ke"),
+            ),
+            (F.col("probe") == F.col("k_bucket")) & (F.col("k_id") < F.col("vec_id")),
+        )
+        .where(_cos(F.col("ne"), F.col("ke")) >= threshold)
+        .select("vec_id")
+    )
+    dropped = vs_committed.unionByName(vs_batch).distinct()
+    survivors = new_embeddings.join(dropped, "vec_id", "left_anti")
+    new_index_rows = nb.join(dropped, "vec_id", "left_anti")
+    return survivors, new_index_rows
+
+
 def sign_bucket(embedding, dims: tuple[int, ...] = (0, 7, 21, 42)) -> F.Column:
     """Coarse LSH bucket: sign bits of selected components packed to an int.
 
