@@ -125,6 +125,11 @@ def main() -> None:
         ("bpe_encode", "tokenizer inference: the whole merge chain is ONE codegen'd Project over the scan — zero UDFs, zero exchanges"),
         ("pq_encode", "product quantization: corpus crossJoins the ONE-row broadcast codebook, per-subspace argmin inside row-local HOFs — the corpus branch has NO Exchange and is never amplified; only the final m-codes posexplode fans out (ints, not vectors)"),
         ("similarity_topk_pq", "ADC top-k: broadcast (query x LUT) table against the encoded-code scan — the corpus side carries 8 ints per doc, never the 256-byte vector; one window top-k at the end"),
+        ("extraction_eval", "token-F1 eval: two tagged explodes union into ONE combinable (id, token) agg then a combinable per-id least-fold — both exchange keys carry the doc id, so corpus token skew cannot concentrate"),
+        ("host_boilerplate_strip", "per-host boilerplate: (host, line, doc) pair-distinct spreads a mega-host's banner over all reducers; per-(host,line) count and host totals both map-side combinable; frequent set broadcast into the anti-join"),
+        ("url_templates", "trap mining: codegen'd regex template projection -> distinct on the full triple (skew-safe) -> two combinable aggs + a one-row-per-host join — no UDF, no explode"),
+        ("doc_script_detect", "script detection: six char-class strip counts + argmax chain, all ONE codegen'd projection over the scan — zero exchanges, zero Python"),
+        ("dedup_incremental_embedding", "incremental embedding dedup: batch-side Hamming<=1 probe explode equi-joins the persisted bucket index; exact cosine only on the candidate sliver; committed corpus never re-hashed"),
     ]
     for name, note in named:
         sections.append((name, note, formatted(api.QUERIES[name](spark, SF))))
