@@ -164,6 +164,12 @@ def main() -> None:
         # wall time is dominated by the per-run temp-table build, not the
         # operator — pinned functionally in tests/test_lakehouse_merge.py)
         "bpe_encode", "dedup_incremental_minhash",
+        # round 5, eighth session (PQ pair + the eval/governance batch;
+        # lakehouse_compact excluded for the same temp-table-build reason
+        # as merge/delete)
+        "pq_encode", "similarity_topk_pq", "extraction_eval",
+        "host_boilerplate_strip", "url_templates", "doc_script_detect",
+        "dedup_incremental_embedding",
     ]
 
     best: dict[str, float] = {}
@@ -274,10 +280,10 @@ def main() -> None:
     (REPO / "BENCH" / "last_run.json").write_text(json.dumps(out, indent=1))
     out["full_record_file"] = "BENCH/last_run.json"
     newest = [
-        "pdf_extract", "extract_mixed", "extract_fields_pdf", "field_spans",
+        "pq_encode", "similarity_topk_pq", "extraction_eval",
+        "host_boilerplate_strip", "url_templates", "doc_script_detect",
+        "dedup_incremental_embedding", "pdf_extract", "extract_fields_pdf",
         "pages_field_spans", "bpe_encode", "dedup_incremental_minhash",
-        "crawl_frontier", "html_tables", "bpe_pairs",
-        "shard_plan_shuffled", "quality_classifier",
     ]
     out["new_queries_total_sec"] = round(sum(new_best.values()), 3)
     out["new_queries_sec"] = {
