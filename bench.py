@@ -205,6 +205,7 @@ def main() -> None:
         ("lsh_multiprobe", similarity.lsh_bucketed_topk),
         ("ivf", similarity.ivf_topk),
         ("pq_adc", similarity.pq_topk),
+        ("pq_adc_rerank", similarity.pq_topk_rerank),
     ]:
         approx = {(r.query_id, r.neighbor_id) for r in fn(emb, 5, 10).collect()}
         recall[label] = round(len(exact & approx) / max(1, len(exact)), 3)

@@ -12,8 +12,10 @@ from pyspark.sql import functions as F
 
 from tests.test_spark_pipeline import spark  # session fixture  # noqa: F401
 from universal_key_value_based_text_processing_with_ocr_spark.operators.similarity import (
+    cosine_topk,
     pq_encode,
     pq_topk,
+    pq_topk_rerank,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -120,3 +122,42 @@ def test_pq_codebook_vectors_encode_to_self(spark):  # noqa: F811
     order = sorted(rows, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v))
     for c, vid in enumerate(order[:N_CODES]):
         assert codes[vid] == [c] * M
+
+
+def test_pq_rerank_with_full_shortlist_equals_exact(spark):  # noqa: F811
+    """With the shortlist covering the whole corpus, the ADC stage cannot
+    filter anything out, so the exact-cosine re-rank must return exactly
+    the brute-force top-k (same rows, same ranks)."""
+    emb = _load(spark)
+    n = emb.count()
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in cosine_topk(emb, n_queries=3, k=5).collect()
+    }
+    rr = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in pq_topk_rerank(
+            emb, n_queries=3, k=5, m=M, n_codes=N_CODES, shortlist=n
+        ).collect()
+    }
+    assert rr == exact
+
+
+def test_pq_rerank_improves_on_adc(spark):  # noqa: F811
+    """At the default shortlist the re-ranked recall@10 must dominate the
+    raw ADC scan's (the whole point of the second stage)."""
+    emb = _load(spark)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, n_queries=5, k=10).collect()
+    }
+    adc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(emb, n_queries=5, k=10, m=M, n_codes=N_CODES).collect()
+    }
+    rr = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk_rerank(emb, n_queries=5, k=10, m=M, n_codes=N_CODES).collect()
+    }
+    assert len(exact & rr) >= len(exact & adc)
+    assert len(exact & rr) >= int(0.5 * len(exact))

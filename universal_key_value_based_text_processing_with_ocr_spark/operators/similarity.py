@@ -733,3 +733,51 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def pq_topk_rerank(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    shortlist: int = 200,
+) -> DataFrame:
+    """Two-stage PQ retrieval (the production IVFADC shape, Jégou et al.
+    2011 §VI): the cheap ADC scan over 8-byte codes shortlists
+    ``shortlist`` candidates per query, then ONLY those rows re-rank by
+    exact cosine against their full vectors.  Recall approaches the exact
+    scan's while the corpus-wide pass still reads m ints per doc — the
+    full vectors are fetched for shortlist*n_queries rows total, an
+    equi-join on vec_id that at 100 TB is a point-lookup sliver, never a
+    second corpus scan.
+
+    Rounded to 6 decimals before ranking (ties -> lowest neighbor_id) so
+    the rank order is engine-independent.  -> (query_id, neighbor_id,
+    rank) with rank 1..k by exact cosine.
+    """
+    short = pq_topk(embeddings, n_queries, shortlist, m, n_codes).select(
+        "query_id", "neighbor_id"
+    )
+    cand = short.join(
+        embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")),
+        "neighbor_id",
+    )
+    queries = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = cand.join(F.broadcast(queries), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("qe"), F.col("ne")) / (_norm(F.col("qe")) * _norm(F.col("ne"))), 6
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
