@@ -400,3 +400,84 @@ def test_equality_delete_read_is_broadcast_anti_join(spark):  # noqa: F811
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_host_boilerplate_skew_capped(spark):  # noqa: F811
+    """strip_host_boilerplate inherits the pair-distinct discipline: no
+    fused countDistinct; the distinct exchange carries (host, line, doc);
+    the per-(host, line) count keeps its map-side partial phase."""
+    import re
+
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        strip_host_boilerplate,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .withColumnRenamed("source", "host")
+    )
+    plan = _formatted(strip_host_boilerplate(docs))
+    assert "count(distinct" not in plan.lower()
+    assert re.search(r"hashpartitioning\(host#\d+[^)]*line#\d+[^)]*doc_id#\d+", plan), plan[:2000]
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_extraction_f1_doc_keyed_exchanges(spark):  # noqa: F811
+    """Both aggregations of the F1 fold carry the doc id in their exchange
+    key (token skew cannot concentrate) and keep map-side partials; the
+    spine join is a broadcast/hash join, never a nested loop."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.evalmetrics import (
+        extraction_f1,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id",
+        F.col("text").alias("gold_text"),
+        F.upper("text").alias("cand_text"),
+    )
+    plan = _formatted(extraction_f1(docs))
+    # every hash-partitioned exchange in this plan includes doc_id
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts, plan[:1500]
+    assert all("doc_id#" in p for p in parts), parts
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_url_templates_no_explode_no_udf(spark):  # noqa: F811
+    """Template mining is projection + distinct + two combinable aggs:
+    no Generate, no Python, no nested loop."""
+    from pyspark.sql import functions as F
+
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        mine_url_templates,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 9).cast("string"),
+            F.lit(".com/p/"), F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    plan = _formatted(mine_url_templates(docs))
+    assert "Generate" not in plan and "Python" not in plan
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_doc_script_detect_single_projection(spark):  # noqa: F811
+    """Script detection must stay one codegen'd projection over the scan:
+    zero exchanges, zero Generates, zero Python."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        detect_scripts,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _formatted(detect_scripts(docs))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan and "Python" not in plan
