@@ -118,6 +118,25 @@ DEFAULT_FIELD_CONFIG = {
 }
 
 
+def _copy_config(obj):
+    """Structural copy of a field-config tree (dict/list of scalars).
+
+    Equivalent to ``copy.deepcopy`` for this shape but ~5x cheaper —
+    build_ktp_specs runs once per document, and deepcopy's generic memo
+    machinery showed up in the kernel profile (~4%/doc).  Falls back to
+    deepcopy for any node that isn't a plain dict/list so exotic custom
+    configs keep full deepcopy semantics.
+    """
+    t = type(obj)
+    if t is dict:
+        return {k: _copy_config(v) for k, v in obj.items()}
+    if t is list:
+        return [_copy_config(v) for v in obj]
+    if t in (str, int, float, bool, type(None)):
+        return obj
+    return copy.deepcopy(obj)
+
+
 def build_ktp_specs(configs=None):
     """The ordered logical plan: 15 field specs (reference parsers.py:29-61).
 
@@ -126,7 +145,7 @@ def build_ktp_specs(configs=None):
     """
     if configs is None:
         configs = DEFAULT_FIELD_CONFIG
-    configs = copy.deepcopy(configs)
+    configs = _copy_config(configs)
     alnum = "[a-z|A-Z|0-9]"
 
     return [
@@ -363,8 +382,8 @@ def _text_path_nik_spec(configs):
         extractor=match_keys_in_line,
         extractor_args=dict(
             key_str_list_list=[["NIK"]],
-            max_distances=copy.deepcopy(configs["nik"]["max_distances"]),
-            min_accuracies=copy.deepcopy(configs["nik"]["min_accuracies"]),
+            max_distances=_copy_config(configs["nik"]["max_distances"]),
+            min_accuracies=_copy_config(configs["nik"]["min_accuracies"]),
             separators=[":"],
             re_chars_filter=[["[a-z|A-Z|0-9]", "[\\:]"]],
             alias_names=["NIK"],
@@ -372,7 +391,7 @@ def _text_path_nik_spec(configs):
         evaluators=[eval_nik],
         multi_line_value=False,
         alias_names=["NIK"],
-        tolerant_not_exists=copy.deepcopy(configs["nik"]["tolerant_not_exists"]),
+        tolerant_not_exists=_copy_config(configs["nik"]["tolerant_not_exists"]),
     )
 
 
@@ -484,7 +503,7 @@ def parse_document_boxorder(
     # (parsers.py:35, duplicated at index 3 here) would abort every noisy
     # document, so this profile uses the config-driven tolerance for BOTH
     # NIK specs; everything else keeps its configured must-exist flags.
-    specs[3]["tolerant_not_exists"] = copy.deepcopy(configs["nik"]["tolerant_not_exists"])
+    specs[3]["tolerant_not_exists"] = _copy_config(configs["nik"]["tolerant_not_exists"])
 
     result = sweep_blocks(
         blocks, specs, final_evaluator=final_evaluate_ktp, keep_looking=keep_looking

@@ -68,8 +68,8 @@ def _normalise_char_filters(re_chars_filter, key_str_list_list):
     trivial and the per-call tuple-of-tuples key build costs more than it
     saves.  cProfile suggested otherwise only because its per-call hook
     inflates cheap frequent functions.  Don't redo this."""
-    template = copy.copy(re_chars_filter)
     if re_chars_filter is None or isinstance(re_chars_filter, str):
+        template = copy.copy(re_chars_filter)
         expanded = []
         for key_tokens in key_str_list_list:
             if template is None:
@@ -88,6 +88,13 @@ def _normalise_max_distances(max_distances, key_str_list_list):
     i.e. ~round(f * len(t)) with the reference's exact float behaviour
     (postprocessing.py:109-121).
     """
+    # All-int fast path (the default config): one C-level scan, no list
+    # rebuild.  The returned object is read-only downstream, so aliasing
+    # the input is safe; any non-int entry falls through to the full loop.
+    if not any(
+        type(d) is not int for dists in max_distances for d in dists
+    ):
+        return max_distances
     out = []
     for key_idx, dists in enumerate(max_distances):
         row = []
@@ -233,47 +240,79 @@ def match_keys_in_line(
             # into the C-level lru_cache wrapper.  Key tokens come from the
             # config and are always short (<= _CCML); window tokens are
             # gated per call.
-            dist_cols = []
-            for j in range(k):
-                pat = filters[j]
-                kt = key_tokens[j]
-                lk_j = len(kt)
-                lim = limits[j]
-                lim1 = lim + 1
-                col = []
-                for w in range(n_win):
-                    tok = tokens[w + j]
-                    if len(tok) <= _CCML:
-                        t = _filter_token_cached(pat, tok)
-                    else:
-                        t = "".join(re.findall(pat, tok))
-                    if abs(lk_j - len(t)) > lim:
-                        col.append(lim1)
-                    elif len(t) <= _CCML:
-                        col.append(_edit_distance_cached(kt, t))
-                    else:
-                        col.append(_edit_distance_uncached(kt, t))
-                dist_cols.append(col)
-            # Gate pass over all windows first.  Failure-record CONTENT and
-            # per-window write ORDER are unobservable (records never leave
-            # this function; the dict slot per name is fixed by this key's
-            # loop position), so failing windows reduce to one boolean and
-            # one optional False write, with no string building at all.
+            # Single-token keys (the dominant case) run as two C-speed list
+            # comprehensions over the token list; multi-token keys evaluate
+            # key token j only on windows that survived tokens 0..j-1
+            # (early exit).  Both refactors are output-invariant: the
+            # passing-window set is the same (a window fails iff ANY token
+            # distance exceeds its limit), dist sums are only read for
+            # fully-passing windows (where every distance is the exact DP,
+            # never the clamp), and any_fail reduces to len(passing) <
+            # n_win exactly as before.
             if k == 1:
-                col0, lim0 = dist_cols[0], limits[0]
-                passing = [w for w in range(n_win) if col0[w] <= lim0]
-            else:
-                passing = [
-                    w
-                    for w in range(n_win)
-                    if all(dist_cols[j][w] <= limits[j] for j in range(k))
+                pat = filters[0]
+                kt = key_tokens[0]
+                lk = len(kt)
+                lim = limits[0]
+                lim1 = lim + 1
+                proj0 = [
+                    _filter_token_cached(pat, tok)
+                    if len(tok) <= _CCML
+                    else "".join(re.findall(pat, tok))
+                    for tok in tokens
                 ]
+                dist_sum = [
+                    lim1
+                    if (lk - len(t) > lim or len(t) - lk > lim)
+                    else (
+                        _edit_distance_cached(kt, t)
+                        if len(t) <= _CCML
+                        else _edit_distance_uncached(kt, t)
+                    )
+                    for t in proj0
+                ]
+                passing = [w for w, d in enumerate(dist_sum) if d <= lim]
+            else:
+                proj0 = None
+                passing = range(n_win)
+                dist_sum = [0] * n_win
+                for j in range(k):
+                    pat = filters[j]
+                    kt = key_tokens[j]
+                    lk_j = len(kt)
+                    lim = limits[j]
+                    nxt = []
+                    for w in passing:
+                        tok = tokens[w + j]
+                        t = (
+                            _filter_token_cached(pat, tok)
+                            if len(tok) <= _CCML
+                            else "".join(re.findall(pat, tok))
+                        )
+                        lt = len(t)
+                        if lk_j - lt > lim or lt - lk_j > lim:
+                            continue
+                        d = (
+                            _edit_distance_cached(kt, t)
+                            if lt <= _CCML
+                            else _edit_distance_uncached(kt, t)
+                        )
+                        if d > lim:
+                            continue
+                        dist_sum[w] += d
+                        nxt.append(w)
+                    passing = nxt
             any_fail = len(passing) < n_win
             min_acc = min_accuracies[key_idx]
             len_jk = len(joined_key)
             succeeded = False
             for w in passing:
-                window = [_filter_token(filters[j], tokens[w + j]) for j in range(k)]
+                if proj0 is not None:
+                    window = [proj0[w]]
+                else:
+                    window = [
+                        _filter_token(filters[j], tokens[w + j]) for j in range(k)
+                    ]
                 joined_window = whitespace.join(window)
                 if len(joined_window) < len_jk:
                     probe = joined_window + whitespace * (len_jk - len(joined_window))
@@ -285,7 +324,7 @@ def match_keys_in_line(
                 if acc < min_acc:
                     any_fail = True
                     continue
-                dist_score = (1 - (sum(dist_cols[j][w] for j in range(k)) / len_jk)) * 100
+                dist_score = (1 - (dist_sum[w] / len_jk)) * 100
                 scores = [dist_score, acc * 100]
                 overall = (dist_score + acc * 100) / 2
                 succeeded = True
