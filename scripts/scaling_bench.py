@@ -39,8 +39,17 @@ from universal_key_value_based_text_processing_with_ocr_spark.plans.partitioning
 from universal_key_value_based_text_processing_with_ocr_spark.sources.pages import (
     materialize_pages_parquet, synth_pages_df)
 
-# warmup: spin up the JVM and the Python worker pool
+# warmup: spin up the JVM and the Python worker pool, AND the parquet
+# writer (first .write.parquet in a fresh JVM pays one-time classload +
+# codegen, 2-6s measured — the pages table is cached across invocations,
+# so without this the job section's results write ate that constant and
+# it read as "sink cost")
 extract_pages(synth_pages_df(spark, 128, partitions={cpus})).count()
+_wdir = tempfile.mkdtemp(prefix="warmup-write-")
+synth_pages_df(spark, 8, partitions=2).write.mode("overwrite").parquet(_wdir + "/w")
+spark.createDataFrame([("w", 1)], schema="a string, b int").coalesce(1).write.mode(
+    "overwrite").parquet(_wdir + "/l")
+shutil.rmtree(_wdir, ignore_errors=True)
 
 # Production shape: JVM parquet scan -> salted repartition -> extract;
 # the synthetic source is materialised once, untimed, shared across levels.

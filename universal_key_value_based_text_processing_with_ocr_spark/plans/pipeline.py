@@ -173,7 +173,10 @@ def run_extraction_job(
     # each document — readers that don't want it just don't select it).
     snapshot_id = results_tbl.append(results, summary={"run_id": run_id})
     batch = spark.read.parquet(str(results_tbl.path / "data" / snapshot_id))
-    n_rows = batch.count()
+    # Row count comes from the manifest the append just committed (parquet
+    # footer totals) — a batch.count() here was a whole extra Spark job
+    # spent re-deriving a number the sink already recorded.
+    n_rows = results_tbl.latest_manifest()["summary"]["n_rows"]
     if n_rows == 0:
         # Only reachable via dedup_content dropping every row (extraction
         # itself is row-preserving): withdraw the empty snapshot so reruns
@@ -202,6 +205,13 @@ def run_extraction_job(
             if "n_bytes" in batch.columns
             else F.sum(F.lit(None).cast("long"))  # compact-schema parsers
         )
+        # ONE aggregation job over the just-written batch (columnar scan of
+        # three narrow columns), collected driver-side — the result is at
+        # most num_partitions rows, so the 'write' rollup and the audit
+        # rows are built locally and written as a local DataFrame.  The
+        # previous unionByName-of-two-aggregations shape re-ran the
+        # per-partition agg inside the audit write job (no cache), costing
+        # a second pass for a <=num_partitions-row table.
         per_partition = (
             batch.groupBy("partition_id")
             .agg(
@@ -209,30 +219,48 @@ def run_extraction_job(
                 F.sum(F.col("success").cast("long")).alias("n_success"),
                 bytes_in.alias("bytes_in"),
             )
+            .collect()
         )
 
-        def _stage_rows(df, stage):
-            return df.select(
-                F.lit(run_id).alias("run_id"),
-                F.lit(stage).alias("stage"),
-                F.col("partition_id"),
-                "n_docs",
-                "n_success",
-                "bytes_in",
-                F.lit(wall_ms).alias("wall_ms"),
-                F.lit(snapshot_id).alias("snapshot_id"),
+        def _audit_row(stage, partition_id, n_docs, n_success, b_in):
+            return (
+                run_id, stage, partition_id, n_docs, n_success, b_in,
+                wall_ms, snapshot_id,
             )
 
         # Lineage rows for both pipeline stages (the fused stage does
         # html_parse+extract together; 'write' records the commit).
-        write_row = per_partition.groupBy().agg(
-            F.sum("n_docs").alias("n_docs"),
-            F.sum("n_success").alias("n_success"),
-            F.sum("bytes_in").alias("bytes_in"),
-        ).select(F.lit(-1).alias("partition_id"), "n_docs", "n_success", "bytes_in")
-        audit = _stage_rows(per_partition, "extract").unionByName(
-            _stage_rows(write_row, "write")
+        rows = [
+            _audit_row("extract", r["partition_id"], r["n_docs"], r["n_success"], r["bytes_in"])
+            for r in per_partition
+        ]
+        none_sum = lambda vals: (  # noqa: E731 — sum() turns all-NULL into 0
+            None if all(v is None for v in vals) else sum(v for v in vals if v is not None)
         )
+        rows.append(
+            _audit_row(
+                "write",
+                -1,
+                sum(r["n_docs"] for r in per_partition),
+                none_sum([r["n_success"] for r in per_partition]),
+                none_sum([r["bytes_in"] for r in per_partition]),
+            )
+        )
+        audit = spark.createDataFrame(
+            rows,
+            schema=(
+                # exactly the schema the previous select-based path wrote
+                # (lit(int) -> IntegerType for wall_ms), so appends to
+                # pre-existing audit tables stay schema-identical
+                "run_id string, stage string, partition_id int, n_docs long, "
+                "n_success long, bytes_in long, wall_ms int, snapshot_id string"
+            ),
+        ).repartition(1)
+        # one data file for <=num_partitions+1 rows.  repartition, NOT
+        # coalesce: coalesce(1) over a Python-parallelized local relation
+        # funnels every source sub-partition through ONE serial Python
+        # deserializer task (+4s flat, measured); repartition's narrow map
+        # side stays parallel and the single reducer is trivial.
         audit_tbl.append(audit, summary={"run_id": run_id, "stage": "extract+write"})
 
     if debug_path is not None:
