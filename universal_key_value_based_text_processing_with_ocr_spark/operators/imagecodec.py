@@ -503,6 +503,10 @@ def decode_image(payload: bytes) -> dict:
             return decode_gif(payload)
         if payload[:2] == b"\xff\xd8":
             return decode_jpeg(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            from .vp8lcodec import decode_webp  # lazy: vp8lcodec imports us
+
+            return decode_webp(payload)
     except ValueError:
         raise
     except (IndexError, KeyError, struct.error, zlib.error) as e:

@@ -104,14 +104,20 @@ def synth_images(docs: DataFrame, kind: str = "mixed") -> DataFrame:
     generated distributed via Arrow batches — the fixture source for the
     decode operators and their oracles.  ``kind='mixed'``: PNG/BMP/GIF
     cycling (``imagecodec.synth_image``); ``kind='jpeg'``: baseline JPEGs
-    with an exact closed-form decode (``imagecodec.synth_jpeg``)."""
-    if kind not in ("mixed", "jpeg"):
+    with an exact closed-form decode (``imagecodec.synth_jpeg``);
+    ``kind='webp'``: lossless VP8L cycling all six encoder variants
+    (``vp8lcodec.synth_webp``)."""
+    if kind not in ("mixed", "jpeg", "webp"):
         raise ValueError(f"unknown synth kind {kind!r}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from . import imagecodec
+        from . import imagecodec, vp8lcodec
 
-        fn = imagecodec.synth_jpeg if kind == "jpeg" else imagecodec.synth_image
+        fn = {
+            "jpeg": imagecodec.synth_jpeg,
+            "webp": vp8lcodec.synth_webp,
+            "mixed": imagecodec.synth_image,
+        }[kind]
         for pdf in batches:
             yield pd.DataFrame(
                 {
