@@ -170,6 +170,8 @@ def main() -> None:
         "pq_encode", "similarity_topk_pq", "extraction_eval",
         "host_boilerplate_strip", "url_templates", "doc_script_detect",
         "dedup_incremental_embedding",
+        # round 5, tenth session (from-scratch VP8L + TIFF codecs)
+        "multimodal_webp_decode", "multimodal_tiff_decode",
     ]
 
     best: dict[str, float] = {}
@@ -281,6 +283,7 @@ def main() -> None:
     (REPO / "BENCH" / "last_run.json").write_text(json.dumps(out, indent=1))
     out["full_record_file"] = "BENCH/last_run.json"
     newest = [
+        "multimodal_webp_decode", "multimodal_tiff_decode",
         "pq_encode", "similarity_topk_pq", "extraction_eval",
         "host_boilerplate_strip", "url_templates", "doc_script_detect",
         "dedup_incremental_embedding", "pdf_extract", "extract_fields_pdf",

@@ -812,6 +812,18 @@ def q_multimodal_webp_decode(spark, sf_dir):
     return multimodal.decode_image_stats(multimodal.synth_images(docs, kind="webp"))
 
 
+def q_multimodal_tiff_decode(spark, sf_dir):
+    """REAL baseline-TIFF decode, from-scratch (TIFF is the native
+    scanned-document/OCR format — reference analog: cv2.imread's libtiff
+    path, ocrfw/ocr.py:18-24): fixtures cycle compression (none /
+    PackBits / TIFF-LZW with early change), predictor, byte order and
+    multi-strip layout, yet decode to the same closed-form RGB pixels
+    (lossless), so the oracle replays only the pixel formula — no TIFF
+    machinery, same bug-symmetry-breaking policy as the other codecs."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return multimodal.decode_image_stats(multimodal.synth_images(docs, kind="tiff"))
+
+
 def q_image_dhash(spark, sf_dir):
     """Perceptual image fingerprint: REAL decode (PNG/BMP/GIF, all
     scanline filters / LZW) -> integer-exact 16-bit difference hash.  The
@@ -2016,7 +2028,12 @@ QUERIES = {
     # to admit the NEW multimodal_webp_decode — it COMPOSES pdf_extract +
     # the extraction core, and both components stay in-window standalone
     # (pdf_extract, extract_fields/extract_mixed); it remains
-    # replica-checked green every round.
+    # replica-checked green every round.  multimodal_tiff_decode (also
+    # new this session) sits just past the cap: the window is full of
+    # round-5-new queries, and its whole decode_image_stats plumbing is
+    # in-window via multimodal_webp_decode — replica evidence in
+    # CORRECTNESS_SELF_r05.md covers it.
+    "multimodal_tiff_decode": q_multimodal_tiff_decode,
     "extract_fields_pdf": q_extract_fields_pdf,
     # Round-5 session-8 rotation: quality_filter, multimodal_image_decode,
     # doc_langid, mask_repeated_ngrams, dedup_paragraphs and
@@ -4887,6 +4904,41 @@ ORACLE_SQL = {
         )
         SELECT d.doc_id, 'webp' AS format, d.w AS width, d.h AS height,
                CAST(4 AS INT) AS channels,
+               (CAST(a.s AS DOUBLE) / a.n) / 1000.0 AS brightness,
+               sqrt(greatest(CAST(a.s2 AS DOUBLE) / a.n
+                             - (CAST(a.s AS DOUBLE) / a.n) * (CAST(a.s AS DOUBLE) / a.n),
+                             0)) / 1000.0 AS contrast,
+               CAST(a.mn AS DOUBLE) / 1000.0 AS min_luma,
+               CAST(a.mx AS DOUBLE) / 1000.0 AS max_luma
+        FROM dims d JOIN agg a USING (doc_id)
+    """,
+    "multimodal_tiff_decode": """
+        -- analytic replay of tiffcodec.synth_tiff's closed-form RGB
+        -- pattern: lossless decode means pixels equal the formula no
+        -- matter which compression/predictor/endian/strip variant
+        -- produced the bytes, so the oracle carries no TIFF machinery
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(4 * (1 + doc_id % 4) AS INT) AS w,
+                   CAST(4 * (1 + (3 * doc_id) % 4) AS INT) AS h
+            FROM documents
+        ),
+        pix AS (
+            SELECT d.doc_id,
+                   299 * ((11 * x.x + 17 * y.y + 23 * d.doc_id) % 256)
+                   + 587 * ((7 * x.x + 13 * y.y + 31 * d.doc_id) % 256)
+                   + 114 * ((5 * x.x + 3 * y.y + d.doc_id) % 256) AS luma
+            FROM dims d, range(0, 16) x(x), range(0, 16) y(y)
+            WHERE x.x < d.w AND y.y < d.h
+        ),
+        agg AS (
+            SELECT doc_id, count(*) AS n, sum(luma) AS s,
+                   sum(luma * luma) AS s2,
+                   min(luma) AS mn, max(luma) AS mx
+            FROM pix GROUP BY doc_id
+        )
+        SELECT d.doc_id, 'tiff' AS format, d.w AS width, d.h AS height,
+               CAST(3 AS INT) AS channels,
                (CAST(a.s AS DOUBLE) / a.n) / 1000.0 AS brightness,
                sqrt(greatest(CAST(a.s2 AS DOUBLE) / a.n
                              - (CAST(a.s AS DOUBLE) / a.n) * (CAST(a.s AS DOUBLE) / a.n),

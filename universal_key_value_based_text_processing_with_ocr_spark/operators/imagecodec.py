@@ -507,6 +507,10 @@ def decode_image(payload: bytes) -> dict:
             from .vp8lcodec import decode_webp  # lazy: vp8lcodec imports us
 
             return decode_webp(payload)
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            from .tiffcodec import decode_tiff  # lazy: tiffcodec imports us
+
+            return decode_tiff(payload)
     except ValueError:
         raise
     except (IndexError, KeyError, struct.error, zlib.error) as e:
@@ -520,9 +524,10 @@ def sniff_image_meta(payload: bytes) -> dict | None:
     metadata probe before full decode, ocrfw/preprocessing.py:115-135).
 
     Returns ``{"format", "width", "height"}`` for recognised PNG / BMP /
-    GIF / JPEG / WebP headers, ``None`` for anything else — the caller
-    decides the fallback.  (JPEG/WebP get header-sniffed dims here even
-    though their pixel DECODE still needs a real library.)
+    GIF / JPEG / WebP / TIFF headers, ``None`` for anything else — the
+    caller decides the fallback.  (Progressive JPEG / lossy-WebP pixel
+    DECODE still needs a real library; baseline JPEG, lossless WebP and
+    baseline TIFF decode in-repo.)
     Malformed-but-signatured headers (truncated IHDR, zero dims, dims
     past the PNG spec's 2^31-1 cap) also return None: a sniff must never
     raise, it runs on arbitrary crawl bytes."""
@@ -563,6 +568,10 @@ def sniff_image_meta(payload: bytes) -> dict | None:
             return _sniff_jpeg(payload)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
             return _sniff_webp(payload)
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            from .tiffcodec import sniff_tiff_meta
+
+            return sniff_tiff_meta(payload)
     except (struct.error, IndexError):
         return None
     return None

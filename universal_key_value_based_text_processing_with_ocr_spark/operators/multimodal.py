@@ -5,13 +5,15 @@ metadata structs.  Two tiers:
 
 - ``decode_image_stats``: REAL decode via the pure-Python codecs in
   ``imagecodec`` (PNG full IDAT inflate + unfiltering, uncompressed BMP,
-  GIF full LZW, baseline JPEG Huffman+IDCT) -> decoded-pixel luminance
-  statistics.  No stub: actual bytes in, actual pixels out.
-- ``decode_image_meta``: real header sniffing (PNG/BMP/GIF/JPEG/WebP
-  dims) with the deterministic fake probe quarantined to unrecognised
-  payloads; ``_decode_image_real`` remains the clearly-marked seam where
-  Pillow/libvips (progressive jpeg, webp pixels) or ffmpeg (audio/video)
-  swap in.
+  GIF full LZW, baseline JPEG Huffman+IDCT), ``vp8lcodec`` (lossless
+  WebP/VP8L) and ``tiffcodec`` (baseline TIFF: none/PackBits/LZW strips)
+  -> decoded-pixel luminance statistics.  No stub: actual bytes in,
+  actual pixels out.
+- ``decode_image_meta``: real header sniffing (PNG/BMP/GIF/JPEG/WebP/
+  TIFF dims) with the deterministic fake probe quarantined to
+  unrecognised payloads; ``_decode_image_real`` remains the
+  clearly-marked seam where Pillow/libvips (progressive jpeg, lossy-WebP
+  pixels) or ffmpeg (audio/video) swap in.
 """
 
 from __future__ import annotations
@@ -30,10 +32,11 @@ IMAGE_META_SCHEMA = (
 def _decode_image_real(payload: bytes):
     """Production seam: full-coverage image decode (Pillow/libvips).
 
-    The in-repo codecs now genuinely decode PNG, BMP, GIF and BASELINE
-    JPEG; this seam remains for what they refuse — progressive/arithmetic
-    JPEG, WebP pixels, TIFF, interlaced/16-bit PNG — where a real library
-    swaps in."""
+    The in-repo codecs now genuinely decode PNG, BMP, GIF, BASELINE
+    JPEG, lossless WebP (VP8L) and baseline TIFF; this seam remains for
+    what they refuse — progressive/arithmetic JPEG, lossy-WebP (VP8)
+    pixels, G4-fax/tiled TIFF, interlaced/16-bit PNG — where a real
+    library swaps in."""
     raise NotImplementedError("image decode requires an image library (not in this container)")
 
 
@@ -106,16 +109,18 @@ def synth_images(docs: DataFrame, kind: str = "mixed") -> DataFrame:
     cycling (``imagecodec.synth_image``); ``kind='jpeg'``: baseline JPEGs
     with an exact closed-form decode (``imagecodec.synth_jpeg``);
     ``kind='webp'``: lossless VP8L cycling all six encoder variants
-    (``vp8lcodec.synth_webp``)."""
-    if kind not in ("mixed", "jpeg", "webp"):
+    (``vp8lcodec.synth_webp``); ``kind='tiff'``: baseline TIFFs cycling
+    compression/predictor/endian/strip layout (``tiffcodec.synth_tiff``)."""
+    if kind not in ("mixed", "jpeg", "webp", "tiff"):
         raise ValueError(f"unknown synth kind {kind!r}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from . import imagecodec, vp8lcodec
+        from . import imagecodec, tiffcodec, vp8lcodec
 
         fn = {
             "jpeg": imagecodec.synth_jpeg,
             "webp": vp8lcodec.synth_webp,
+            "tiff": tiffcodec.synth_tiff,
             "mixed": imagecodec.synth_image,
         }[kind]
         for pdf in batches:
