@@ -384,12 +384,18 @@ def test_jpeg_hostile_inputs_contained():
     for cut in (4, 20, 40, len(good) - 3):
         with pytest.raises(ValueError):
             ic.decode_jpeg(good[:cut])
-    # progressive SOF2 rejected explicitly
+    # a BASELINE scan script inside an SOF2 frame is malformed progressive
+    # (Ss=0/Se=63 mixes bands): still a clean ValueError, never garbage
     prog = bytearray(good)
     sof = prog.index(b"\xff\xc0")
     prog[sof + 1] = 0xC2
-    with pytest.raises(ValueError, match="non-baseline"):
+    with pytest.raises(ValueError, match="mixes DC and AC"):
         ic.decode_jpeg(bytes(prog))
+    # lossless SOF3 still rejected explicitly
+    lossless = bytearray(good)
+    lossless[sof + 1] = 0xC3
+    with pytest.raises(ValueError, match="non-baseline"):
+        ic.decode_jpeg(bytes(lossless))
     # dims bomb: SOF advertising huge dims fails the size cap, no alloc
     big = bytearray(good)
     struct.pack_into(">HH", big, sof + 5, 65000, 65000)

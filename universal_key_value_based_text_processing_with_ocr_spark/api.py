@@ -789,12 +789,14 @@ def q_multimodal_image_decode(spark, sf_dir):
 
 
 def q_multimodal_jpeg_decode(spark, sf_dir):
-    """REAL baseline-JPEG decode (pure Python/numpy, ITU T.81): the
-    fixtures are constant-per-8x8-block grayscale JPEGs with all-ones
-    quantisation, which decode BIT-EXACTLY (DC-only spectrum), so the
-    oracle recomputes the decoded luminance stats analytically from the
-    block formula — it contains no JPEG machinery, breaking
-    encoder/decoder bug symmetry like the PNG/BMP/GIF oracle."""
+    """REAL JPEG decode — baseline AND progressive (pure Python/numpy,
+    ITU T.81 incl. annex G): the fixtures are constant-per-8x8-block
+    grayscale JPEGs with all-ones quantisation, which decode BIT-EXACTLY
+    (DC-only spectrum); odd doc_ids are PROGRESSIVE (SOF2) streams of the
+    same pixels through the multi-scan successive-approximation decoder
+    (``jpegprog``).  The oracle recomputes the decoded luminance stats
+    analytically from the block formula — it contains no JPEG machinery,
+    breaking encoder/decoder bug symmetry like the PNG/BMP/GIF oracle."""
     docs = _tbl(spark, sf_dir, "documents")
     return multimodal.decode_image_stats(multimodal.synth_images(docs, kind="jpeg"))
 
@@ -4844,9 +4846,10 @@ ORACLE_SQL = {
     """,
     "multimodal_jpeg_decode": """
         -- analytic replay of imagecodec.synth_jpeg's block pattern: the
-        -- constant-block + unit-quantisation fixtures decode bit-exactly,
+        -- constant-block + unit-quantisation fixtures decode bit-exactly
+        -- through BOTH decoders (even doc_ids baseline, odd PROGRESSIVE),
         -- so the oracle needs only the block formula (no JPEG machinery —
-        -- a Huffman/IDCT/dequant bug on the engine side cannot cancel out)
+        -- a Huffman/IDCT/dequant/scan-script bug cannot cancel out)
         WITH dims AS (
             SELECT doc_id,
                    CAST(1 + doc_id % 4 AS INT) AS nbx,

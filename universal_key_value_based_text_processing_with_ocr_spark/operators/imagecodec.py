@@ -1078,6 +1078,39 @@ def encode_jpeg_gray(
     )
 
 
+def _rgb_planes(width: int, height: int, rgb: bytes, subsampling: str):
+    """RGB -> BT.601 YCbCr component planes + sampling factors (shared by
+    the baseline and progressive encoders): chroma subsampled by 2x2
+    averaging for 4:2:0, horizontal pairs for 4:2:2, full for 4:4:4."""
+    a = _np.frombuffer(rgb, dtype=_np.uint8).reshape(height, width, 3).astype(_np.float64)
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    to_u8 = lambda x: _np.clip(_np.rint(x), 0, 255).astype(_np.uint8)
+    if subsampling == "4:4:4":
+        return [to_u8(y), to_u8(cb), to_u8(cr)], [(1, 1), (1, 1), (1, 1)]
+    if subsampling == "4:2:2":
+        pw = -width % 2
+
+        def down_h(p):
+            if pw:
+                p = _np.pad(p, ((0, 0), (0, pw)), mode="edge")
+            return to_u8((p[:, 0::2] + p[:, 1::2]) / 2.0)
+
+        return [to_u8(y), down_h(cb), down_h(cr)], [(2, 1), (1, 1), (1, 1)]
+    ph, pw = -height % 2, -width % 2
+
+    def down(p):
+        if ph or pw:
+            p = _np.pad(p, ((0, ph), (0, pw)), mode="edge")
+        return to_u8(
+            (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+        )
+
+    return [to_u8(y), down(cb), down(cr)], [(2, 2), (1, 1), (1, 1)]
+
+
 def encode_jpeg_rgb(
     width: int,
     height: int,
@@ -1098,33 +1131,7 @@ def encode_jpeg_rgb(
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     quant = list(JPEG_UNIT_QUANT if quant is None else quant)
     chroma_quant = list(quant if chroma_quant is None else chroma_quant)
-    a = _np.frombuffer(rgb, dtype=_np.uint8).reshape(height, width, 3).astype(_np.float64)
-    r, g, b = a[..., 0], a[..., 1], a[..., 2]
-    y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-    to_u8 = lambda x: _np.clip(_np.rint(x), 0, 255).astype(_np.uint8)
-    if subsampling == "4:4:4":
-        planes = [to_u8(y), to_u8(cb), to_u8(cr)]
-        samplings = [(1, 1), (1, 1), (1, 1)]
-    elif subsampling == "4:2:2":
-        pw = -width % 2
-        def down_h(p):
-            if pw:
-                p = _np.pad(p, ((0, 0), (0, pw)), mode="edge")
-            return to_u8((p[:, 0::2] + p[:, 1::2]) / 2.0)
-        planes = [to_u8(y), down_h(cb), down_h(cr)]
-        samplings = [(2, 1), (1, 1), (1, 1)]
-    else:
-        ph, pw = -height % 2, -width % 2
-        def down(p):
-            if ph or pw:
-                p = _np.pad(p, ((0, ph), (0, pw)), mode="edge")
-            return to_u8(
-                (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
-            )
-        planes = [to_u8(y), down(cb), down(cr)]
-        samplings = [(2, 2), (1, 1), (1, 1)]
+    planes, samplings = _rgb_planes(width, height, rgb, subsampling)
     return _encode_jpeg(
         width, height, planes, samplings, [quant, chroma_quant],
         restart_interval=restart_interval,
@@ -1280,8 +1287,12 @@ def _decode_jpeg_inner(payload: bytes) -> dict:
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG (progressive/arithmetic) unsupported")
+        elif marker == 0xC2:
+            from .jpegprog import decode_jpeg_progressive  # lazy: imports us
+
+            return decode_jpeg_progressive(payload)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG (lossless/arithmetic) unsupported")
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
@@ -1412,7 +1423,12 @@ def synth_jpeg(doc_id: int) -> bytes:
     keeps the integer DC, and the IDCT returns the constant exactly, so
     the DuckDB oracle recomputes the decoded luminance stats analytically
     from the block formula without any JPEG machinery (the same
-    symmetry-breaking trick as synth_image's analytic PNG oracle)."""
+    symmetry-breaking trick as synth_image's analytic PNG oracle).
+
+    Odd doc_ids encode the SAME pixels as PROGRESSIVE (SOF2) streams —
+    DC-only constant blocks decode identically through the multi-scan
+    successive-approximation path (``jpegprog``), so the analytic oracle
+    is unchanged while the corpus exercises both decoders."""
     d = int(doc_id)
     w = 8 * (1 + d % 4)
     h = 8 * (1 + (3 * d) % 4)
@@ -1421,4 +1437,8 @@ def synth_jpeg(doc_id: int) -> bytes:
         for y in range(h)
         for x in range(w)
     )
+    if d % 2:
+        from .jpegprog import encode_jpeg_gray_progressive
+
+        return encode_jpeg_gray_progressive(w, h, px)
     return encode_jpeg_gray(w, h, px)
