@@ -78,10 +78,16 @@ def test_png_mixed_filters_decode_equals_filter0_decode():
 def test_png_rejects_unsupported():
     with pytest.raises(ValueError):
         ic.decode_png(b"nonsense bytes")
-    # 16-bit depth rejected explicitly
+    # ILLEGAL combos rejected explicitly (16-bit palette, depth 3)
+    for depth, ctype in ((16, 3), (3, 0), (4, 2)):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0, 0)
+        bad = ic.PNG_SIG + ic._chunk(b"IHDR", ihdr) + ic._chunk(b"IEND", b"")
+        with pytest.raises(ValueError, match="invalid"):
+            ic.decode_png(bad)
+    # legal 16-bit header with no IDAT: clean length-mismatch ValueError
     ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
     bad = ic.PNG_SIG + ic._chunk(b"IHDR", ihdr) + ic._chunk(b"IEND", b"")
-    with pytest.raises(ValueError, match="unsupported"):
+    with pytest.raises(ValueError, match="length mismatch"):
         ic.decode_png(bad)
 
 

@@ -112,12 +112,23 @@ def encode_png(
     pixels: bytes,
     color_type: int = 2,
     filter_choice=lambda y: 0,
+    depth: int = 8,
+    interlace: int = 0,
+    palette: bytes | None = None,
+    trns: bytes | None = None,
 ) -> bytes:
-    """Encode 8-bit pixels (row-major, ``channels`` bytes per pixel) as a
-    valid PNG.  ``filter_choice(y)`` picks the filter per scanline —
-    fixtures use ``y % 5`` so a decoder must invert all five predictors to
-    recover the pattern."""
-    ch = _PNG_CHANNELS[color_type]
+    """Encode pixels as a valid PNG (fixture source for every decoder
+    path).  ``pixels`` is 8-bit row-major samples — for ``depth=16`` each
+    sample is widened to ``v*257`` (decode keeps the high byte, so the
+    round-trip is exact); for sub-byte grayscale the 8-bit values must be
+    exact multiples of ``255/(2^depth-1)``; for ``color_type=3`` they are
+    palette indices and ``palette`` (RGB triples) is required.
+    ``filter_choice(y)`` picks the filter per scanline — fixtures use
+    ``y % 5`` so a decoder must invert all five predictors.
+    ``interlace=1`` writes Adam7 passes, each filtered independently."""
+    if color_type not in _PNG_RAW_CHANNELS or depth not in _PNG_LEGAL_DEPTHS[color_type]:
+        raise ValueError(f"invalid PNG encode combo (type={color_type} depth={depth})")
+    ch = _PNG_RAW_CHANNELS[color_type]
     # ValueError (not assert): asserts strip under `python -O`, which would
     # let a mismatched buffer silently encode a corrupt PNG — fail fast
     # with the same error contract as the decoders (ADVICE r4)
@@ -126,22 +137,69 @@ def encode_png(
             f"pixel buffer {len(pixels)} bytes does not match "
             f"{width}x{height}x{ch} dims"
         )
-    stride = width * ch
-    raw = bytearray()
-    prev = bytes(stride)
-    for y in range(height):
-        row = pixels[y * stride : (y + 1) * stride]
-        f = filter_choice(y)
-        raw.append(f)
-        raw += _filter_row(f, row, prev, ch)
-        prev = row
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
-    return (
-        PNG_SIG
-        + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + _chunk(b"IEND", b"")
+    if color_type == 3:
+        if palette is None or len(palette) % 3 or not palette:
+            raise ValueError("palette PNG encode needs RGB palette triples")
+        n_pal = len(palette) // 3
+        if any(p >= n_pal or p >= (1 << depth) for p in pixels):
+            raise ValueError("palette index out of range for depth/palette")
+    bpp = max(1, ch * depth // 8)
+
+    def pack_row(samples: bytes, pw: int) -> bytes:
+        if depth == 8:
+            return samples
+        if depth == 16:
+            out = bytearray()
+            for v in samples:
+                out += bytes((v, v))  # v*257: high byte == v, exact round-trip
+            return bytes(out)
+        scale = 255 // ((1 << depth) - 1) if color_type == 0 else 1
+        per_byte = 8 // depth
+        out = bytearray((pw + per_byte - 1) // per_byte)
+        for x, v in enumerate(samples):
+            idx = v // scale if scale > 1 else v
+            if idx << (8 - depth) >> (8 - depth) != idx or (
+                scale > 1 and idx * scale != v
+            ):
+                raise ValueError("sample not representable at this bit depth")
+            shift = 8 - depth * (1 + x % per_byte)
+            out[x // per_byte] |= idx << shift
+        return bytes(out)
+
+    passes = (
+        [(0, 0, 1, 1, width, height)]
+        if interlace == 0
+        else [
+            (x0, y0, dx, dy, -(-(width - x0) // dx), -(-(height - y0) // dy))
+            for x0, y0, dx, dy in _ADAM7
+        ]
     )
+    raw = bytearray()
+    fy = 0
+    for x0, y0, dx, dy, pw, ph in passes:
+        if not pw or not ph:
+            continue
+        prev = bytes(((pw * ch * depth) + 7) // 8)
+        for ry in range(ph):
+            y = y0 + ry * dy
+            srow = bytearray()
+            for rx in range(pw):
+                i = (y * width + x0 + rx * dx) * ch
+                srow += pixels[i : i + ch]
+            row = pack_row(bytes(srow), pw)
+            f = filter_choice(fy)
+            fy += 1
+            raw.append(f)
+            raw += _filter_row(f, row, prev, bpp)
+            prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, interlace)
+    out = PNG_SIG + _chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        out += _chunk(b"PLTE", palette)
+        if trns is not None:
+            out += _chunk(b"tRNS", trns)
+    out += _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -171,20 +229,58 @@ def _unfilter_row(ftype: int, row: bytearray, prev: bytes, bpp: int) -> None:
         row[i] = v & 0xFF
 
 
+#: Adam7 interlace pass geometry: (x0, y0, dx, dy)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+#: raw channels per color type (3 = palette indices, one channel pre-map)
+_PNG_RAW_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+#: legal bit depths per color type (PNG spec table 11.1)
+_PNG_LEGAL_DEPTHS = {
+    0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16),
+}
+
+
+def _png_row_samples(row: bytes, width: int, ch_raw: int, depth: int) -> bytes:
+    """Unfiltered scanline bytes -> 8-bit samples (width * ch_raw).
+
+    16-bit samples keep the high byte (the standard 8-bit rendering
+    intent); sub-byte depths unpack MSB-first.  Palette indices pass
+    through raw (scaling happens after the palette map)."""
+    if depth == 8:
+        return row[: width * ch_raw]
+    if depth == 16:
+        return row[0 : 2 * width * ch_raw : 2]
+    # depth 1/2/4, single channel (types 0 and 3 only per the spec)
+    out = bytearray(width)
+    mask = (1 << depth) - 1
+    per_byte = 8 // depth
+    for x in range(width):
+        b = row[x // per_byte]
+        shift = 8 - depth * (1 + x % per_byte)
+        out[x] = (b >> shift) & mask
+    return bytes(out)
+
+
 def decode_png(payload: bytes) -> dict:
     """Full PNG decode -> {format, width, height, channels, pixels}.
 
-    ``pixels`` is the raw 8-bit row-major buffer (``channels`` bytes per
-    pixel).  Supports bit depth 8, color types 0/2/4/6, non-interlaced —
-    the envelope ``encode_png`` emits plus common real-world truecolor
-    files.  Raises ValueError on anything else (palette/16-bit/interlace
-    need a fuller library; the seam stays explicit)."""
+    Every legal IHDR combination: bit depths 1/2/4/8/16, color types
+    0/2/3/4/6 (palette via PLTE, optional tRNS alpha -> RGBA), Adam7
+    interlacing, all five scanline filters.  Output is normalised to
+    8-bit samples (16-bit keeps the high byte; sub-byte grayscale scales
+    to full range) — the standard rendering intent, stated so the stats
+    oracles can replay it."""
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
     width = height = None
     color_type = depth = interlace = None
     idat = bytearray()
+    plte = None
+    trns = None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
@@ -193,6 +289,12 @@ def decode_png(payload: bytes) -> dict:
             width, height, depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
+        elif tag == b"PLTE":
+            if len(body) % 3 or not body:
+                raise ValueError("PNG palette length not a multiple of 3")
+            plte = bytes(body)
+        elif tag == b"tRNS":
+            trns = bytes(body)
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -200,34 +302,87 @@ def decode_png(payload: bytes) -> dict:
         pos += 12 + length
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+    if (
+        color_type not in _PNG_RAW_CHANNELS
+        or depth not in _PNG_LEGAL_DEPTHS[color_type]
+        or interlace not in (0, 1)
+    ):
         raise ValueError(
-            f"unsupported PNG (depth={depth} color_type={color_type} interlace={interlace})"
+            f"invalid PNG (depth={depth} color_type={color_type} interlace={interlace})"
         )
-    ch = _PNG_CHANNELS[color_type]
-    _check_decoded_size(width, height, ch)
-    stride = width * ch
-    expected = (stride + 1) * height
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    ch_raw = _PNG_RAW_CHANNELS[color_type]
+    ch_out = (
+        (4 if trns is not None else 3) if color_type == 3 else ch_raw
+    )
+    _check_decoded_size(width, height, ch_out)
+    bpp = max(1, ch_raw * depth // 8)  # filter distance in BYTES (spec 9.2)
+
+    def row_bytes(pw: int) -> int:
+        return (pw * ch_raw * depth + 7) // 8
+
+    passes = (
+        [(0, 0, 1, 1, width, height)]
+        if interlace == 0
+        else [
+            (x0, y0, dx, dy, -(-(width - x0) // dx), -(-(height - y0) // dy))
+            for x0, y0, dx, dy in _ADAM7
+        ]
+    )
+    expected = sum(ph * (1 + row_bytes(pw)) for *_ignore, pw, ph in passes if pw and ph)
     # capped inflate: a zlib bomb must not expand past the advertised
     # size before the length check can reject it
     d = zlib.decompressobj()
     raw = d.decompress(bytes(idat), expected + 1)
     if len(raw) != expected or d.unconsumed_tail or d.decompress(b"", 1):
         raise ValueError("PNG data length mismatch")
-    out = bytearray(stride * height)
-    prev = bytes(stride)
-    for y in range(height):
-        f = raw[y * (stride + 1)]
-        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
-        _unfilter_row(f, row, prev, ch)
-        out[y * stride : (y + 1) * stride] = row
-        prev = bytes(row)
+
+    samples = bytearray(width * height * ch_raw)  # normalized 8-bit, pre-palette
+    scale = 255 // ((1 << depth) - 1) if depth < 8 and color_type == 0 else 1
+    off = 0
+    for x0, y0, dx, dy, pw, ph in passes:
+        if not pw or not ph:
+            continue
+        rb = row_bytes(pw)
+        prev = bytes(rb)
+        for ry in range(ph):
+            f = raw[off]
+            row = bytearray(raw[off + 1 : off + 1 + rb])
+            off += 1 + rb
+            _unfilter_row(f, row, prev, bpp)
+            prev = bytes(row)
+            srow = _png_row_samples(bytes(row), pw, ch_raw, depth)
+            y = y0 + ry * dy
+            if dx == 1 and x0 == 0:
+                samples[(y * width) * ch_raw : (y * width + pw) * ch_raw] = srow
+            else:
+                for rx in range(pw):
+                    i = (y * width + x0 + rx * dx) * ch_raw
+                    samples[i : i + ch_raw] = srow[rx * ch_raw : (rx + 1) * ch_raw]
+    if scale != 1:
+        samples = bytearray(v * scale for v in samples)
+
+    if color_type == 3:
+        n_pal = len(plte) // 3
+        out = bytearray(width * height * ch_out)
+        for i in range(width * height):
+            idx = samples[i]
+            if idx >= n_pal:
+                raise ValueError("PNG palette index out of range")
+            j = i * ch_out
+            out[j : j + 3] = plte[3 * idx : 3 * idx + 3]
+            if ch_out == 4:
+                out[j + 3] = trns[idx] if idx < len(trns) else 255
+        pixels = bytes(out)
+    else:
+        pixels = bytes(samples)
     return {
         "format": "png",
         "width": width,
         "height": height,
-        "channels": ch,
-        "pixels": bytes(out),
+        "channels": ch_out,
+        "pixels": pixels,
     }
 
 
@@ -236,13 +391,90 @@ def decode_png(payload: bytes) -> dict:
 # --------------------------------------------------------------------------
 
 
-def decode_bmp(payload: bytes) -> dict:
-    """Uncompressed 24-bpp BITMAPINFOHEADER BMP -> RGB pixel buffer.
+def _bmp_rle_decode(data: bytes, width: int, height: int, four_bit: bool) -> list:
+    """BI_RLE8 / BI_RLE4 -> per-row index lists (bottom-up row order, the
+    stored order).  Escapes: 0=end-of-line, 1=end-of-bitmap, 2=delta
+    (skipped pixels stay index 0, the documented Windows behavior);
+    absolute runs pad to a word boundary."""
+    rows = [[0] * width for _ in range(height)]
+    x = y = 0
+    i = 0
+    n = len(data)
+    while i + 1 < n:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt > 0:  # encoded run
+            if four_bit:
+                pair = ((val >> 4) & 0x0F, val & 0x0F)
+                for k in range(cnt):
+                    if x < width and y < height:
+                        rows[y][x] = pair[k & 1]
+                    x += 1
+            else:
+                for _ in range(cnt):
+                    if x < width and y < height:
+                        rows[y][x] = val
+                    x += 1
+            continue
+        if val == 0:  # end of line
+            x, y = 0, y + 1
+            if y > height:
+                raise ValueError("BMP RLE runs past image height")
+            continue
+        if val == 1:  # end of bitmap
+            return rows
+        if val == 2:  # delta
+            if i + 1 >= n:
+                raise ValueError("BMP RLE delta truncated")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+            continue
+        # absolute mode: val literal pixels
+        if four_bit:
+            nbytes = (val + 1) // 2
+            nbytes += nbytes & 1  # word padding
+            if i + nbytes > n:
+                raise ValueError("BMP RLE absolute run truncated")
+            for k in range(val):
+                b = data[i + k // 2]
+                px = (b >> 4) & 0x0F if k % 2 == 0 else b & 0x0F
+                if x < width and y < height:
+                    rows[y][x] = px
+                x += 1
+            i += nbytes
+        else:
+            nbytes = val + (val & 1)
+            if i + nbytes > n:
+                raise ValueError("BMP RLE absolute run truncated")
+            for k in range(val):
+                if x < width and y < height:
+                    rows[y][x] = data[i + k]
+                x += 1
+            i += nbytes
+    return rows
 
-    BMP stores BGR bottom-up with rows padded to 4 bytes; the decoder
-    normalises to top-down RGB so stats match PNG semantics."""
+
+def _mask_shift_scale(mask: int) -> tuple[int, int]:
+    """(shift, max) for a contiguous bitfield mask."""
+    if mask == 0:
+        return 0, 0
+    shift = (mask & -mask).bit_length() - 1
+    return shift, mask >> shift
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """BITMAPINFOHEADER BMP -> RGB pixel buffer.
+
+    1/4/8-bpp palette (uncompressed + BI_RLE8/BI_RLE4), 16-bpp (555 and
+    BI_BITFIELDS), 24-bpp, and 32-bpp (BGRx and BI_BITFIELDS).  BMP
+    stores BGR bottom-up with rows padded to 4 bytes; the decoder
+    normalises to top-down RGB so stats match PNG semantics (32-bpp
+    alpha/padding bytes are dropped, the common renderer behavior)."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP")
+    if len(payload) < 54:  # file header + BITMAPINFOHEADER
+        raise ValueError("BMP header truncated")
     (data_off,) = struct.unpack("<I", payload[10:14])
     (hdr_size,) = struct.unpack("<I", payload[14:18])
     if hdr_size < 40:
@@ -250,22 +482,98 @@ def decode_bmp(payload: bytes) -> dict:
     width, height = struct.unpack("<ii", payload[18:26])
     planes, bpp = struct.unpack("<HH", payload[26:30])
     (compression,) = struct.unpack("<I", payload[30:34])
-    if bpp != 24 or compression != 0:
-        raise ValueError(f"unsupported BMP (bpp={bpp} compression={compression})")
+    (clr_used,) = struct.unpack("<I", payload[46:50])
     top_down = height < 0
     height = abs(height)
+    if width <= 0 or height == 0:
+        raise ValueError("BMP non-positive dims")
     _check_decoded_size(width, height, 3)
-    row_size = (width * 3 + 3) & ~3
-    if data_off + row_size * height > len(payload):
-        raise ValueError("BMP pixel data truncated")
     out = bytearray(width * height * 3)
-    for y in range(height):
-        src_y = y if top_down else height - 1 - y
-        row = payload[data_off + src_y * row_size : data_off + src_y * row_size + width * 3]
-        for x in range(width):
-            b, g, r = row[3 * x : 3 * x + 3]
-            i = (y * width + x) * 3
-            out[i : i + 3] = bytes((r, g, b))
+
+    def palette(nbits: int) -> bytes:
+        n = clr_used or (1 << nbits)
+        if n > 1 << nbits:
+            raise ValueError("BMP palette size over bpp capacity")
+        pal = payload[14 + hdr_size : 14 + hdr_size + 4 * n]
+        if len(pal) < 4 * n:
+            raise ValueError("BMP palette truncated")
+        return pal
+
+    def put_rgb(x: int, y: int, r: int, g: int, b: int) -> None:
+        i = (y * width + x) * 3
+        out[i : i + 3] = bytes((r, g, b))
+
+    if bpp in (1, 4, 8) and compression == 0:
+        pal = palette(bpp)
+        row_size = ((width * bpp + 7) // 8 + 3) & ~3
+        if data_off + row_size * height > len(payload):
+            raise ValueError("BMP pixel data truncated")
+        per_byte = 8 // bpp
+        mask = (1 << bpp) - 1
+        for y in range(height):
+            src_y = y if top_down else height - 1 - y
+            row = payload[data_off + src_y * row_size :][:row_size]
+            for x in range(width):
+                b = row[x // per_byte]
+                idx = (b >> (8 - bpp * (1 + x % per_byte))) & mask
+                if 4 * idx + 3 > len(pal):
+                    raise ValueError("BMP palette index out of range")
+                put_rgb(x, y, pal[4 * idx + 2], pal[4 * idx + 1], pal[4 * idx])
+    elif (bpp, compression) in ((8, 1), (4, 2)):  # BI_RLE8 / BI_RLE4
+        pal = palette(bpp)
+        rows = _bmp_rle_decode(
+            payload[data_off:], width, height, four_bit=(bpp == 4)
+        )
+        for y in range(height):
+            src_y = y if top_down else height - 1 - y
+            for x in range(width):
+                idx = rows[src_y][x]
+                if 4 * idx + 3 > len(pal):
+                    raise ValueError("BMP palette index out of range")
+                put_rgb(x, y, pal[4 * idx + 2], pal[4 * idx + 1], pal[4 * idx])
+    elif bpp in (16, 32) and compression in (0, 3):
+        if compression == 3:
+            # masks sit at offset 54 both for BITMAPINFOHEADER (appended)
+            # and V4/V5 headers (in-header bV4RedMask field)
+            if len(payload) < 66:
+                raise ValueError("BMP bitfield masks truncated")
+            rm, gm, bm = struct.unpack("<III", payload[54:66])
+        elif bpp == 16:
+            rm, gm, bm = 0x7C00, 0x03E0, 0x001F  # default 555
+        else:
+            rm, gm, bm = 0x00FF0000, 0x0000FF00, 0x000000FF
+        if not (rm and gm and bm):
+            raise ValueError("BMP bitfield masks invalid")
+        (rs, rmax), (gs, gmax), (bs, bmax) = map(
+            _mask_shift_scale, (rm, gm, bm)
+        )
+        unit = bpp // 8
+        row_size = (width * unit + 3) & ~3
+        if data_off + row_size * height > len(payload):
+            raise ValueError("BMP pixel data truncated")
+        for y in range(height):
+            src_y = y if top_down else height - 1 - y
+            row = payload[data_off + src_y * row_size :][: width * unit]
+            for x in range(width):
+                v = int.from_bytes(row[x * unit : (x + 1) * unit], "little")
+                put_rgb(
+                    x, y,
+                    ((v & rm) >> rs) * 255 // rmax,
+                    ((v & gm) >> gs) * 255 // gmax,
+                    ((v & bm) >> bs) * 255 // bmax,
+                )
+    elif bpp == 24 and compression == 0:
+        row_size = (width * 3 + 3) & ~3
+        if data_off + row_size * height > len(payload):
+            raise ValueError("BMP pixel data truncated")
+        for y in range(height):
+            src_y = y if top_down else height - 1 - y
+            row = payload[data_off + src_y * row_size : data_off + src_y * row_size + width * 3]
+            for x in range(width):
+                b, g, r = row[3 * x : 3 * x + 3]
+                put_rgb(x, y, r, g, b)
+    else:
+        raise ValueError(f"unsupported BMP (bpp={bpp} compression={compression})")
     return {
         "format": "bmp",
         "width": width,
@@ -273,6 +581,124 @@ def decode_bmp(payload: bytes) -> dict:
         "channels": 3,
         "pixels": bytes(out),
     }
+
+
+def _bmp_wrap(width: int, height: int, bpp: int, compression: int,
+              palette: bytes, img: bytes, masks: bytes = b"") -> bytes:
+    data_off = 14 + 40 + len(masks) + len(palette)
+    header = b"BM" + struct.pack("<IHHI", data_off + len(img), 0, 0, data_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, bpp, compression, len(img),
+        2835, 2835, len(palette) // 4, 0,
+    )
+    return header + info + masks + palette + img
+
+
+def encode_bmp_paletted(
+    width: int, height: int, indices: bytes, palette: bytes, bpp: int = 8,
+    rle: bool = False,
+) -> bytes:
+    """Paletted BMP fixture source: 1/4/8 bpp uncompressed, or BI_RLE8 /
+    BI_RLE4 with a mix of encoded runs and absolute runs (so both RLE
+    decoder paths get genuine fixtures).  ``palette``: RGB triples
+    (stored as BGRX); ``indices``: top-down row-major."""
+    if bpp not in (1, 4, 8):
+        raise ValueError("paletted BMP bpp must be 1, 4 or 8")
+    if rle and bpp == 1:
+        raise ValueError("RLE needs bpp 4 or 8")
+    n = len(palette) // 3
+    if any(i >= n or i >= (1 << bpp) for i in indices):
+        raise ValueError("palette index out of range")
+    pal = b"".join(
+        bytes((palette[3 * i + 2], palette[3 * i + 1], palette[3 * i], 0))
+        for i in range(n)
+    )
+    img = bytearray()
+    if not rle:
+        per_byte = 8 // bpp
+        row_size = ((width * bpp + 7) // 8 + 3) & ~3
+        for y in range(height - 1, -1, -1):  # bottom-up
+            row = bytearray(row_size)
+            for x in range(width):
+                row[x // per_byte] |= indices[y * width + x] << (
+                    8 - bpp * (1 + x % per_byte)
+                )
+            img += row
+    else:
+        for y in range(height - 1, -1, -1):
+            row = indices[y * width : (y + 1) * width]
+            x = 0
+            while x < width:
+                run = 1
+                while x + run < width and row[x + run] == row[x] and run < 255:
+                    run += 1
+                if run >= 3 or bpp == 4:
+                    if bpp == 8:
+                        img += bytes((run, row[x]))
+                    else:  # RLE4 run alternates two nibbles; constant run
+                        img += bytes((run, (row[x] << 4) | row[x]))
+                    x += run
+                    continue
+                # absolute mode for short literal stretches (min 3 pixels)
+                lit_end = min(width, x + 254)
+                stretch = lit_end - x
+                if stretch >= 3:
+                    img += bytes((0, stretch))
+                    chunk = row[x : x + stretch]
+                    img += bytes(chunk) + bytes((-stretch) & 1)
+                    x += stretch
+                else:
+                    for k in range(stretch):
+                        img += bytes((1, row[x + k]))
+                    x += stretch
+            img += bytes((0, 0))  # end of line
+        img += bytes((0, 1))  # end of bitmap
+    return _bmp_wrap(width, height, bpp, (1 if bpp == 8 else 2) if rle else 0,
+                     pal, bytes(img))
+
+
+def encode_bmp32(width: int, height: int, rgb: bytes,
+                 bitfields: bool = False) -> bytes:
+    """32-bpp BMP fixture: BGRx (BI_RGB) or explicit BI_BITFIELDS."""
+    img = bytearray()
+    for y in range(height - 1, -1, -1):
+        for x in range(width):
+            i = (y * width + x) * 3
+            r, g, b = rgb[i : i + 3]
+            img += bytes((b, g, r, 0))
+    masks = struct.pack("<III", 0x00FF0000, 0x0000FF00, 0x000000FF) if bitfields else b""
+    return _bmp_wrap(width, height, 32, 3 if bitfields else 0, b"", bytes(img), masks)
+
+
+def encode_bmp16(width: int, height: int, rgb: bytes,
+                 fmt: str = "565") -> bytes:
+    """16-bpp BI_BITFIELDS BMP fixture (565 or 555 masks).  Samples are
+    truncated to the field width; decode scales them back with
+    v*255//max, so round-trips are exact only for values on the lattice
+    — fixtures use snapped inputs."""
+    if fmt == "565":
+        rm, gm, bm, rb, gb, bb = 0xF800, 0x07E0, 0x001F, 5, 6, 5
+    elif fmt == "555":
+        rm, gm, bm, rb, gb, bb = 0x7C00, 0x03E0, 0x001F, 5, 5, 5
+    else:
+        raise ValueError("fmt must be 565 or 555")
+    row_size = (width * 2 + 3) & ~3
+    img = bytearray()
+    for y in range(height - 1, -1, -1):
+        row = bytearray()
+        for x in range(width):
+            i = (y * width + x) * 3
+            r, g, b = rgb[i : i + 3]
+            v = (
+                ((r >> (8 - rb)) << (gb + bb))
+                | ((g >> (8 - gb)) << bb)
+                | (b >> (8 - bb))
+            )
+            row += struct.pack("<H", v)
+        row += bytes(row_size - len(row))
+        img += row
+    masks = struct.pack("<III", rm, gm, bm)
+    return _bmp_wrap(width, height, 16, 3, b"", bytes(img), masks)
 
 
 def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
@@ -371,13 +797,38 @@ def _lzw_decode(min_code_size: int, data: bytes, max_symbols: int | None = None)
     return out
 
 
-def decode_gif(payload: bytes) -> dict:
-    """Full GIF decode: global/local palette + LZW image data -> RGB.
+def _gif_deinterlace(ih: int) -> list[int]:
+    """Stored-row order -> display-row order for interlaced GIFs: the
+    four passes cover rows 0%8, 4%8, 2%4, 1%2."""
+    order = (
+        list(range(0, ih, 8)) + list(range(4, ih, 8))
+        + list(range(2, ih, 4)) + list(range(1, ih, 2))
+    )
+    return order
 
-    Single non-interlaced image frame; extensions skipped; transparency
-    ignored (pixels keep their palette color)."""
+
+def _gif_skip_image(payload: bytes, pos: int) -> int:
+    """Skip an image descriptor + optional LCT + data sub-blocks (frame
+    counting without decoding)."""
+    flags = payload[pos + 9]
+    pos += 10
+    if flags & 0x80:
+        pos += 3 * (2 ** ((flags & 0x07) + 1))
+    pos += 1  # LZW min code size
+    while payload[pos] != 0:
+        pos += 1 + payload[pos]
+    return pos + 1
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Full GIF decode: global/local palette + LZW image data -> pixels.
+
+    Handles interlaced frames (4-pass row reorder), transparency (an
+    89a Graphic Control Extension with the transparent flag makes the
+    output RGBA with the transparent index at alpha 0), and animations:
+    pixels are the FIRST frame (the thumbnail/stats convention) with the
+    total image count reported as ``frames``."""
     head = decode_gif_header(payload)
-    width, height = head["width"], head["height"]
     pos = 13
     gct = None
     if head["palette_size"]:
@@ -385,23 +836,32 @@ def decode_gif(payload: bytes) -> dict:
         if len(gct) < 3 * head["palette_size"]:
             raise ValueError("GIF truncated inside the global color table")
         pos += 3 * head["palette_size"]
+    transparent: int | None = None
+    first: dict | None = None
+    frames = 0
     while pos < len(payload):
         b = payload[pos]
         if b == 0x3B:  # trailer
             break
         if b == 0x21:  # extension: label + sub-blocks
+            label = payload[pos + 1]
             pos += 2
+            if label == 0xF9 and payload[pos] >= 4:  # Graphic Control
+                gce_flags = payload[pos + 1]
+                transparent = payload[pos + 4] if gce_flags & 0x01 else None
             while payload[pos] != 0:
                 pos += 1 + payload[pos]
             pos += 1
             continue
         if b != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        if first is not None:
+            pos = _gif_skip_image(payload, pos)
+            frames += 1
+            continue
         _left, _top, iw, ih = struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
         flags = payload[pos + 9]
         pos += 10
-        if flags & 0x40:
-            raise ValueError("interlaced GIF unsupported")
         palette = gct
         if flags & 0x80:  # local color table
             n = 2 ** ((flags & 0x07) + 1)
@@ -409,7 +869,8 @@ def decode_gif(payload: bytes) -> dict:
             pos += 3 * n
         if palette is None:
             raise ValueError("GIF image without a color table")
-        _check_decoded_size(iw, ih, 3)
+        ch = 4 if transparent is not None else 3
+        _check_decoded_size(iw, ih, ch)
         min_code_size = payload[pos]
         pos += 1
         data = bytearray()
@@ -421,32 +882,66 @@ def decode_gif(payload: bytes) -> dict:
         indices = _lzw_decode(min_code_size, bytes(data), max_symbols=iw * ih + 254)
         if len(indices) < iw * ih:
             raise ValueError("GIF pixel data truncated")
-        out = bytearray(iw * ih * 3)
-        for i in range(iw * ih):
-            ci = indices[i] * 3
-            out[3 * i : 3 * i + 3] = palette[ci : ci + 3]
-        return {
+        rows = (
+            _gif_deinterlace(ih)
+            if flags & 0x40
+            else range(ih)
+        )
+        out = bytearray(iw * ih * ch)
+        for sy, dy in enumerate(rows):
+            for x in range(iw):
+                idx = indices[sy * iw + x]
+                ci = idx * 3
+                j = (dy * iw + x) * ch
+                out[j : j + 3] = palette[ci : ci + 3]
+                if ch == 4:
+                    out[j + 3] = 0 if idx == transparent else 255
+        first = {
             "format": "gif",
             "width": iw,
             "height": ih,
-            "channels": 3,
+            "channels": ch,
             "pixels": bytes(out),
             "palette_size": head["palette_size"],
             "version": head["version"],
         }
+        frames += 1
+        transparent = None  # GCE applies to one rendering block only
+    if first is not None:
+        first["frames"] = frames
+        return first
     # no image block: header-only payload (legacy fixtures)
     return head
 
 
-def encode_gif(width: int, height: int, indices: bytes, palette: bytes) -> bytes:
-    """Single-frame GIF87a from palette indices (fixture source).
+def _gif_image_block(
+    width: int, height: int, indices: bytes, interlace: bool,
+    local_palette: bytes | None,
+) -> bytes:
+    """One image descriptor + optional LCT + 'uncompressed' LZW data.
 
-    Uses the classic 'uncompressed GIF' encoding: every index emitted as a
-    literal 9-bit code with a CLEAR every 254 symbols, so the decoder's
-    dictionary never forces a code-size change — trivially correct, and
-    the DECODER's dictionary-growth paths are covered separately by the
-    hand-derived LZW known-answer test."""
-    assert len(palette) == 256 * 3, "fixture encoder uses a full 256-entry palette"
+    Every index is emitted as a literal 9-bit code with a CLEAR every 254
+    symbols, so the dictionary never forces a code-size change —
+    trivially correct; the DECODER's dictionary-growth paths are covered
+    separately by the hand-derived LZW known-answer test."""
+    flags = 0
+    if interlace:
+        flags |= 0x40
+        order = _gif_deinterlace(height)
+        indices = b"".join(
+            indices[y * width : (y + 1) * width] for y in order
+        )
+    out = bytearray()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+    if local_palette is not None:
+        n = len(local_palette) // 3
+        if n & (n - 1) or not 2 <= n <= 256:
+            raise ValueError("GIF local palette size must be a power of two")
+        flags |= 0x80 | (n.bit_length() - 2)
+        out.append(flags)
+        out += local_palette
+    else:
+        out.append(flags)
     min_code_size = 8
     clear, end = 256, 257
     bits: list[int] = []
@@ -465,19 +960,44 @@ def encode_gif(width: int, height: int, indices: bytes, palette: bytes) -> bytes
     for i, bit in enumerate(bits):
         if bit:
             data[i >> 3] |= 1 << (i & 7)
-    out = bytearray()
-    out += b"GIF87a"
-    out += struct.pack("<HH", width, height)
-    out += bytes((0x80 | 0x07, 0, 0))  # GCT present, 256 entries
-    out += palette
-    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
     out.append(min_code_size)
     d = bytes(data)
     for off in range(0, len(d), 255):
         chunk = d[off : off + 255]
         out.append(len(chunk))
         out += chunk
-    out += b"\x00;"
+    out += b"\x00"
+    return bytes(out)
+
+
+def encode_gif(
+    width: int,
+    height: int,
+    indices: bytes,
+    palette: bytes,
+    interlace: bool = False,
+    transparent_index: int | None = None,
+    extra_frames: list[bytes] | None = None,
+    local_palettes: list[bytes] | None = None,
+) -> bytes:
+    """GIF from palette indices (fixture source): optional interlacing,
+    optional transparency (writes an 89a Graphic Control Extension), and
+    optional animation frames (``extra_frames``: more index buffers, each
+    optionally with its own local color table)."""
+    assert len(palette) == 256 * 3, "fixture encoder uses a full 256-entry palette"
+    animated = bool(extra_frames) or transparent_index is not None
+    out = bytearray()
+    out += b"GIF89a" if animated else b"GIF87a"
+    out += struct.pack("<HH", width, height)
+    out += bytes((0x80 | 0x07, 0, 0))  # GCT present, 256 entries
+    out += palette
+    if transparent_index is not None:
+        out += bytes((0x21, 0xF9, 4, 0x01, 0, 0, transparent_index, 0))
+    out += _gif_image_block(width, height, indices, interlace, None)
+    for fi, frame in enumerate(extra_frames or []):
+        lct = local_palettes[fi] if local_palettes else None
+        out += _gif_image_block(width, height, frame, interlace, lct)
+    out += b";"
     return bytes(out)
 
 

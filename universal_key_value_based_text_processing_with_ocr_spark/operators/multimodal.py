@@ -32,11 +32,13 @@ IMAGE_META_SCHEMA = (
 def _decode_image_real(payload: bytes):
     """Production seam: full-coverage image decode (Pillow/libvips).
 
-    The in-repo codecs now genuinely decode PNG, BMP, GIF, BASELINE
-    JPEG, lossless WebP (VP8L) and baseline TIFF; this seam remains for
-    what they refuse — progressive/arithmetic JPEG, lossy-WebP (VP8)
-    pixels, G4-fax/tiled TIFF, interlaced/16-bit PNG — where a real
-    library swaps in."""
+    The in-repo codecs now genuinely decode PNG (every legal IHDR combo
+    incl. palette/16-bit/Adam7), BMP (palette/RLE/bitfields), GIF
+    (interlace/transparency/animation), JPEG (baseline AND progressive),
+    lossless WebP (VP8L) and baseline TIFF; this seam remains for what
+    they refuse — arithmetic/lossless JPEG, lossy-WebP (VP8) pixels
+    (needs libwebp's normative probability tables), G4-fax/tiled TIFF —
+    where a real library swaps in."""
     raise NotImplementedError("image decode requires an image library (not in this container)")
 
 
