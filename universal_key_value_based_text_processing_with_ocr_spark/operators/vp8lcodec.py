@@ -44,12 +44,21 @@ MAX_HUFFMAN_GROUPS = 1 << 16
 
 
 class _BitReader:
-    __slots__ = ("data", "pos", "nbytes")
+    __slots__ = ("data", "pos", "nbytes", "nbits")
 
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.pos = 0  # bit position
         self.nbytes = len(data)
+        self.nbits = len(data) * 8
+
+    def peek8(self) -> int:
+        """Next 8 bits without consuming (zero-padded past the end —
+        callers bound-check on consume)."""
+        p = self.pos
+        i = p >> 3
+        chunk = self.data[i : i + 2]
+        return (int.from_bytes(chunk, "little") >> (p & 7)) & 0xFF
 
     def bits(self, n: int) -> int:
         p = self.pos
@@ -125,11 +134,24 @@ def _canonical_codes(code_lengths: list[int]) -> dict:
     return codes
 
 
-class _PrefixCode:
-    """Decode table: incremental (length, code)->symbol lookup, plus the
-    0-bit degenerate case (single used symbol decodes without reading)."""
+def _revbits(v: int, n: int) -> int:
+    r = 0
+    for _ in range(n):
+        r = (r << 1) | (v & 1)
+        v >>= 1
+    return r
 
-    __slots__ = ("table", "single")
+
+class _PrefixCode:
+    """Decode table: 8-bit root lookup (codes are read MSB-of-code-first
+    from an LSB-first stream, so root entries are keyed by the REVERSED
+    code bits), a (length, code) dict fallback for codes longer than 8
+    bits, plus the 0-bit degenerate case (single used symbol decodes
+    without reading).  The root is capped at 256 entries so a hostile
+    stream full of 15-bit codes cannot force 32k-entry table builds per
+    group."""
+
+    __slots__ = ("table", "single", "root")
 
     def __init__(self, code_lengths: list[int]) -> None:
         used = [s for s, ln in enumerate(code_lengths) if ln > 0]
@@ -138,19 +160,37 @@ class _PrefixCode:
         if len(used) == 1:
             self.single = used[0]
             self.table = None
+            self.root = None
             return
         self.single = None
         # over-subscribed / incomplete codes are invalid streams
         kraft = sum(1 << (_MAX_CODE_LEN - ln) for ln in code_lengths if ln > 0)
         if kraft != 1 << _MAX_CODE_LEN:
             raise ValueError("invalid VP8L prefix code (Kraft sum mismatch)")
-        self.table = {
-            (ln, code): sym for sym, (code, ln) in _canonical_codes(code_lengths).items()
-        }
+        codes = _canonical_codes(code_lengths)
+        self.table = {(ln, code): sym for sym, (code, ln) in codes.items()}
+        root: list = [None] * 256
+        for sym, (code, ln) in codes.items():
+            if ln <= 8:
+                rev = _revbits(code, ln)
+                for idx in range(rev, 256, 1 << ln):
+                    root[idx] = (sym, ln)
+            # codes longer than 8 leave their root slots as None -> the
+            # dict walk below resolves them
+        self.root = root
 
     def read(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
+        entry = self.root[br.peek8()]
+        if entry is not None:
+            sym, ln = entry
+            p = br.pos + ln
+            if p > br.nbits:
+                raise ValueError("truncated VP8L stream")
+            br.pos = p
+            return sym
+        # long code (> 8 bits) or corrupt stream: bit-by-bit dict walk
         code = 0
         table = self.table
         for ln in range(1, _MAX_CODE_LEN + 1):
