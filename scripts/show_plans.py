@@ -77,7 +77,9 @@ def main() -> None:
         ("mask_repeated_ngrams", "substring dedup: row-local positional n-grams (one HOF, no text blow-up) -> skew-safe (gram, doc) pair-distinct + combinable count -> semi-join -> covered-position anti-join -> reassembly"),
         ("pages_content_dedup", "the --dedup-content path: within-batch mirror window + Bloom sketch broadcast probe of the committed fp side-table + exact semi-join for candidates only"),
         ("multimodal_image_decode", "two Arrow stages (synth bytes -> decode), payload pruned after decode; no shuffle at all"),
-        ("multimodal_jpeg_decode", "baseline-JPEG decode: same two-Arrow-stage no-shuffle shape as the PNG/BMP/GIF decode"),
+        ("multimodal_jpeg_decode", "JPEG decode (even doc_ids baseline, odd PROGRESSIVE/SOF2): same two-Arrow-stage no-shuffle shape as the PNG/BMP/GIF decode"),
+        ("multimodal_webp_decode", "lossless WebP (VP8L) decode: two Arrow stages (synth VP8L bytes -> full bitstream decode), payload pruned after decode, no shuffle"),
+        ("multimodal_tiff_decode", "baseline TIFF decode (none/PackBits/TIFF-LZW strips, both endians): the same two-Arrow-stage no-shuffle shape"),
         ("corpus_familiarity", "tokenize -> one combinable count groupBy -> re-join on token -> per-doc integer aggregate"),
         ("events_asof_join", "AS-OF join as union + ONE key exchange + sort + window (atomic struct carry) — the merge-scan shape, never a range nested-loop"),
         ("c4_line_clean", "C4 line-level cleaning: one codegen'd row-local HOF projection — no explode, no shuffle, no Python"),

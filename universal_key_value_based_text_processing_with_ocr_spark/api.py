@@ -96,6 +96,46 @@ def q_pages_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.clean_corpus(extracted, id_col="url")
 
 
+def q_training_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE full training-data pipeline in ONE declarative plan — the
+    complete user story of this engine: synthetic pages source -> fused
+    extract stage -> normalise -> quality gate -> exact dedup (keep
+    lowest url) -> BPE tokenizer inference (ordered merge chain as one
+    codegen'd projection) -> GPT-style concat-and-chunk sequence packing
+    (hash-shard + per-shard window cumulative sum).  Everything after the
+    extraction stage is pure column expressions: Catalyst fuses
+    normalise+gate+tokenise into scan-side codegen; the only exchanges
+    are the dedup groupBy and the pack window's shard hash.  Oracled by
+    replaying the identical SQL over the committed golden extraction
+    parquet (golden text already proven byte-identical via
+    ``extract_fields``), so a divergence isolates to the composed plan."""
+    from .operators.bpe import bpe_encode
+
+    pages = synth_pages_df(spark, GOLDEN_N, seed=GOLDEN_SEED)
+    extracted = extract_pages(pages).select(
+        "url", F.col("extracted_text").alias("text")
+    ).filter(F.col("text").isNotNull())
+    norm = textstats.normalize_text(extracted, id_col="url")
+    n_words = F.size(F.split(F.col("norm_text"), " "))
+    gated = norm.filter(
+        (F.col("n_chars_norm") >= 30)
+        & (F.col("n_chars_norm") <= 20000)
+        & (n_words >= 5)
+    )
+    survivors = (
+        gated.groupBy(F.md5("norm_text").alias("fp"))
+        .agg(F.min("url").alias("url"), F.min("norm_text").alias("norm_text"))
+        .drop("fp")
+    )
+    tokenized = bpe_encode(survivors, text_col="norm_text", id_col="url")
+    return textstats.pack_sequences(
+        tokenized.select("url", F.col("tokens").alias("text")),
+        chunk_tokens=512,
+        shards=8,
+        id_col="url",
+    )
+
+
 def q_pages_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host crawl audit over the extraction output (the aggregation a
     100 TB operator actually watches: doc counts, payload bytes, extraction
@@ -2036,6 +2076,11 @@ QUERIES = {
     # in-window via multimodal_webp_decode — replica evidence in
     # CORRECTNESS_SELF_r05.md covers it.
     "multimodal_tiff_decode": q_multimodal_tiff_decode,
+    # training_batch_plan (new, session 10): the full-pipeline capstone —
+    # every composed stage is individually in-window (extract_fields,
+    # pages_clean_corpus, bpe_encode's merge chain via doc_token_count_bpe,
+    # pack_sequences); replica evidence in CORRECTNESS_SELF_r05.md.
+    "training_batch_plan": q_training_batch_plan,
     "extract_fields_pdf": q_extract_fields_pdf,
     # Round-5 session-8 rotation: quality_filter, multimodal_image_decode,
     # doc_langid, mask_repeated_ngrams, dedup_paragraphs and
@@ -4914,6 +4959,49 @@ ORACLE_SQL = {
                CAST(a.mn AS DOUBLE) / 1000.0 AS min_luma,
                CAST(a.mx AS DOUBLE) / 1000.0 AS max_luma
         FROM dims d JOIN agg a USING (doc_id)
+    """,
+    "training_batch_plan": """
+        -- the full pipeline replayed over the committed golden extraction
+        -- parquet: normalise -> gate -> exact dedup -> BPE merge chain ->
+        -- hash-shard concat-and-chunk packing.  Golden text is proven
+        -- byte-identical to the engine's by extract_fields' hash match,
+        -- so a mismatch here isolates to the composed downstream plan.
+        WITH norm AS (
+            SELECT url,
+                   trim(regexp_replace(regexp_replace(lower(extracted_text), '[\\x00-\\x1f]', ' ', 'g'),
+                                       '\s+', ' ', 'g')) AS norm_text
+            FROM '/root/repo/tests/golden/extract_golden.parquet'
+            WHERE extracted_text IS NOT NULL
+        ),
+        gated AS (
+            SELECT url, norm_text FROM norm
+            WHERE length(norm_text) BETWEEN 30 AND 20000
+              AND len(string_split(norm_text, ' ')) >= 5
+        ),
+        kept AS (
+            SELECT min(url) AS url, min(norm_text) AS norm_text
+            FROM gated GROUP BY md5(norm_text)
+        ),
+        tok AS (
+            SELECT url, list_filter(regexp_extract_all(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(regexp_replace(regexp_replace(lower(norm_text), '[^a-z0-9]+', ' ', 'g'), '(.)', '[\\1]', 'g'), '[t][h]', '[th]'), '[th][e]', '[the]'), '[i][n]', '[in]'), '[a][n]', '[an]'), '[e][r]', '[er]'), '[o][n]', '[on]'), '[r][e]', '[re]'), '[a][t]', '[at]'), '[e][n]', '[en]'), '[o][r]', '[or]'), '[e][s]', '[es]'), '[t][i]', '[ti]'), '[s][t]', '[st]'), '[an][d]', '[and]'), '[o][u]', '[ou]'), '[in][g]', '[ing]'), '\[([^\]]+)\]', 1), t -> t <> ' ') AS toks
+            FROM kept
+        ),
+        base AS (
+            SELECT url, CAST(len(toks) AS BIGINT) AS n_tokens,
+                   ('0x' || substr(md5(url), 1, 15))::BIGINT % 8 AS shard
+            FROM tok
+        ),
+        c AS (
+            SELECT url, shard, n_tokens,
+                   CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY url
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM base
+        )
+        SELECT url, CAST(shard AS BIGINT) AS shard, n_tokens,
+               cum - n_tokens AS start_off,
+               (cum - n_tokens) // 512 AS first_chunk,
+               greatest(cum - 1, cum - n_tokens) // 512 AS last_chunk
+        FROM c
     """,
     "multimodal_tiff_decode": """
         -- analytic replay of tiffcodec.synth_tiff's closed-form RGB
