@@ -1262,10 +1262,18 @@ def synth_image(doc_id: int) -> bytes:
 
     PNGs cycle the scanline filter (y % 5), so decoding them exercises all
     five RFC-2083 predictors — a decoder bug shifts the pixels and the
-    analytic stats stop matching."""
+    analytic stats stop matching.
+
+    A second key, ``variant = doc_id // 4 % 3``, cycles the WIRE encoding
+    within each kind — PNG: plain / Adam7-interlaced / 16-bit; BMP:
+    24-bpp / 32-bpp BGRx / 32-bpp BI_BITFIELDS; GIF: plain / interlaced —
+    all of which decode to IDENTICAL pixels, so every format/dim/stat
+    oracle is unchanged while the corpus drives the full decoder range
+    under the oracle gate."""
     d = int(doc_id)
     w, h = 8 + d % 9, 8 + (3 * d) % 9
     kind = d % 4
+    variant = d // 4 % 3
 
     def val(x: int, y: int, c: int) -> int:
         return (7 * x + 13 * y + 31 * d + 57 * c) % 256
@@ -1276,15 +1284,25 @@ def synth_image(doc_id: int) -> bytes:
         # oracle's analytic luma is 1000*v exactly like PNG-gray
         palette = bytes(v for i in range(256) for v in (i, i, i))
         idx = bytes(val(x, y, 0) for y in range(h) for x in range(w))
-        return encode_gif(w, h, idx, palette)
+        return encode_gif(w, h, idx, palette, interlace=(variant == 1))
 
     if kind == 1:
         px = bytes(val(x, y, 0) for y in range(h) for x in range(w))
-        return encode_png(w, h, px, color_type=0, filter_choice=lambda y: y % 5)
+        return encode_png(
+            w, h, px, color_type=0, filter_choice=lambda y: y % 5,
+            interlace=1 if variant == 1 else 0,
+            depth=16 if variant == 2 else 8,
+        )
     px = bytes(val(x, y, c) for y in range(h) for x in range(w) for c in range(3))
     if kind == 0:
-        return encode_png(w, h, px, color_type=2, filter_choice=lambda y: y % 5)
-    return encode_bmp(w, h, px)
+        return encode_png(
+            w, h, px, color_type=2, filter_choice=lambda y: y % 5,
+            interlace=1 if variant == 1 else 0,
+            depth=16 if variant == 2 else 8,
+        )
+    if variant == 0:
+        return encode_bmp(w, h, px)
+    return encode_bmp32(w, h, px, bitfields=(variant == 2))
 
 
 # --------------------------------------------------------------------------
