@@ -1102,6 +1102,39 @@ def q_lakehouse_compact(spark, sf_dir):
     )
 
 
+def q_lakehouse_zorder(spark, sf_dir):
+    """Z-order (Morton) clustering for the lakehouse — Delta/Iceberg's
+    OPTIMIZE ZORDER BY as pure integer column arithmetic: events are
+    laid out by the bit-interleave of (user_id, event_id) so per-file
+    min/max stats become tight boxes in BOTH columns.  The query returns
+    every row's z-value (the oracle replays the exact fixed-point
+    quantisation + interleave in SQL) plus a ``pruned`` flag asserting
+    the layout actually skips files for a user_id band predicate — a
+    clustering regression fails the hash, not just a pytest."""
+    import tempfile
+
+    from .lakehouse.catalog import SnapshotTable
+    from .lakehouse.zorder import write_clustered, zvalue
+
+    events = _tbl(spark, sf_dir, "events").select("event_id", "user_id")
+    r = events.agg(
+        F.min("user_id"), F.max("user_id"), F.min("event_id"), F.max("event_id")
+    ).first()
+    ulo, uhi, elo, ehi = (int(v) for v in r)
+    t = SnapshotTable(tempfile.mkdtemp(prefix="ukv_zorder_"))
+    write_clustered(t, events, "user_id", (ulo, uhi), "event_id", (elo, ehi), files=8)
+    # band predicate on the FIRST clustering column: the layout must let
+    # the stats planner skip files (a linear sort by event_id could not)
+    band = (ulo, ulo + (uhi - ulo) // 4)
+    opened, total = t.pruned_file_count(between=band, column="user_id")
+    return t.read(spark).select(
+        "event_id",
+        "user_id",
+        zvalue("user_id", (ulo, uhi), "event_id", (elo, ehi)).alias("zval"),
+        F.lit(bool(opened < total)).alias("pruned"),
+    )
+
+
 def q_extract_mixed(spark, sf_dir):
     """Universal ingest dispatch: one binary payload column carrying PDF
     (doc_id%3==0; even ids Flate-compressed), raw utf-8 (==1) and
@@ -2081,6 +2114,7 @@ QUERIES = {
     # pages_clean_corpus, bpe_encode's merge chain via doc_token_count_bpe,
     # pack_sequences); replica evidence in CORRECTNESS_SELF_r05.md.
     "training_batch_plan": q_training_batch_plan,
+    "lakehouse_zorder": q_lakehouse_zorder,
     "extract_fields_pdf": q_extract_fields_pdf,
     # Round-5 session-8 rotation: quality_filter, multimodal_image_decode,
     # doc_langid, mask_repeated_ngrams, dedup_paragraphs and
@@ -2374,6 +2408,22 @@ ORACLE_SQL = {
         UNION ALL
         SELECT doc_id, 'REBORN:' || lang AS text, lang
         FROM documents WHERE doc_id % 39 = 0
+    """,
+    "lakehouse_zorder": """
+        -- replay of lakehouse/zorder.py's exact fixed-point quantisation
+        -- + Morton interleave; ranges derive from the data via the same
+        -- min/max aggregate the engine runs.  The pruned flag is pinned
+        -- TRUE: the clustered layout must skip files for the band
+        -- predicate (a linear layout would not).
+        WITH r AS (
+            SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+                   min(event_id) AS elo, max(event_id) AS ehi
+            FROM events
+        )
+        SELECT event_id, user_id,
+               ((((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 0) & 1) << 1) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 0) & 1) << 0) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 1) & 1) << 3) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 1) & 1) << 2) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 2) & 1) << 5) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 2) & 1) << 4) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 3) & 1) << 7) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 3) & 1) << 6) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 4) & 1) << 9) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 4) & 1) << 8) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 5) & 1) << 11) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 5) & 1) << 10) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 6) & 1) << 13) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 6) & 1) << 12) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 7) & 1) << 15) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 7) & 1) << 14) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 8) & 1) << 17) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 8) & 1) << 16) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 9) & 1) << 19) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 9) & 1) << 18) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 10) & 1) << 21) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 10) & 1) << 20) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 11) & 1) << 23) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 11) & 1) << 22) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 12) & 1) << 25) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 12) & 1) << 24) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 13) & 1) << 27) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 13) & 1) << 26) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 14) & 1) << 29) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 14) & 1) << 28) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 15) & 1) << 31) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 15) & 1) << 30)) AS zval,
+               TRUE AS pruned
+        FROM events, r
     """,
     "lakehouse_compact": """
         -- closed-form compaction spec: the %11 delete is applied by the

@@ -60,9 +60,14 @@ _UNSET = object()
 
 
 class SnapshotTable:
-    def __init__(self, path: str | os.PathLike):
+    def __init__(self, path: str | os.PathLike, stats_columns: tuple | None = None):
         self.path = Path(path)
         self.snapshot_dir = self.path / "_snapshots"
+        # per-table stats allowlist: the class default covers the key
+        # columns every table carries; writers that cluster on other
+        # columns (lakehouse/zorder.py) extend it so their layout's
+        # min/max envelopes actually get recorded
+        self.stats_columns = tuple(stats_columns) if stats_columns else self.STATS_COLUMNS
 
     # -- manifest bookkeeping ------------------------------------------------
     _MANIFEST_RE = re.compile(r"^v\d{8}\.json$")
@@ -432,7 +437,7 @@ class SnapshotTable:
             names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
             entry: dict = {"rows": meta.num_rows}
             cols: dict = {}
-            for col in self.STATS_COLUMNS:
+            for col in self.stats_columns:
                 if col not in names:
                     continue
                 idx = names[col]
@@ -450,7 +455,7 @@ class SnapshotTable:
                     cols[col] = {"min": lo, "max": hi}
             if cols:
                 entry["cols"] = cols
-                first = next(c for c in self.STATS_COLUMNS if c in cols)
+                first = next(c for c in self.stats_columns if c in cols)
                 entry.update(
                     {"column": first, "min": cols[first]["min"], "max": cols[first]["max"]}
                 )
