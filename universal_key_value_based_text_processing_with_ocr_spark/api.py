@@ -1135,6 +1135,16 @@ def q_lakehouse_zorder(spark, sf_dir):
     )
 
 
+def q_corpus_heavy_hitters(spark, sf_dir):
+    """Heavy hitters via a count-min sketch: the fixed-size (rows x m)
+    mergeable frequency sketch built in one combinable groupBy, probed
+    with min-over-rows estimates — the bounded-memory path when the
+    vocabulary is too large to count exactly; the exact count rides along
+    so the oracle value-checks the overestimate guarantee row by row."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return textstats.token_cms_heavy_hitters(docs)
+
+
 def q_extract_mixed(spark, sf_dir):
     """Universal ingest dispatch: one binary payload column carrying PDF
     (doc_id%3==0; even ids Flate-compressed), raw utf-8 (==1) and
@@ -2115,6 +2125,7 @@ QUERIES = {
     # pack_sequences); replica evidence in CORRECTNESS_SELF_r05.md.
     "training_batch_plan": q_training_batch_plan,
     "lakehouse_zorder": q_lakehouse_zorder,
+    "corpus_heavy_hitters": q_corpus_heavy_hitters,
     "extract_fields_pdf": q_extract_fields_pdf,
     # Round-5 session-8 rotation: quality_filter, multimodal_image_decode,
     # doc_langid, mask_repeated_ngrams, dedup_paragraphs and
@@ -2424,6 +2435,35 @@ ORACLE_SQL = {
                ((((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 0) & 1) << 1) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 0) & 1) << 0) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 1) & 1) << 3) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 1) & 1) << 2) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 2) & 1) << 5) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 2) & 1) << 4) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 3) & 1) << 7) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 3) & 1) << 6) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 4) & 1) << 9) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 4) & 1) << 8) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 5) & 1) << 11) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 5) & 1) << 10) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 6) & 1) << 13) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 6) & 1) << 12) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 7) & 1) << 15) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 7) & 1) << 14) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 8) & 1) << 17) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 8) & 1) << 16) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 9) & 1) << 19) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 9) & 1) << 18) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 10) & 1) << 21) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 10) & 1) << 20) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 11) & 1) << 23) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 11) & 1) << 22) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 12) & 1) << 25) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 12) & 1) << 24) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 13) & 1) << 27) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 13) & 1) << 26) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 14) & 1) << 29) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 14) & 1) << 28) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 15) & 1) << 31) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 15) & 1) << 30)) AS zval,
                TRUE AS pruned
         FROM events, r
+    """,
+    "corpus_heavy_hitters": """
+        -- count-min sketch replay: identical md5 fixed-point cell hashing,
+        -- cell-wise counts, min-over-rows estimate; est >= n (the CMS
+        -- overestimate guarantee) is implicitly value-checked row by row
+        WITH toks AS (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+            FROM documents WHERE text IS NOT NULL
+        ),
+        t AS (SELECT term FROM toks WHERE length(term) > 0),
+        cell AS (
+            SELECT term, r.row,
+                   ('0x' || substr(md5(term || '#' || CAST(r.row AS VARCHAR)), 1, 15))::BIGINT % 1024 AS bucket
+            FROM t, range(0, 4) r(row)
+        ),
+        cms AS (SELECT row, bucket, count(*) AS cnt FROM cell GROUP BY row, bucket),
+        exact AS (SELECT term, count(*) AS n FROM t GROUP BY term),
+        probes AS (
+            SELECT e.term, e.n, r.row,
+                   ('0x' || substr(md5(e.term || '#' || CAST(r.row AS VARCHAR)), 1, 15))::BIGINT % 1024 AS bucket
+            FROM exact e, range(0, 4) r(row)
+        ),
+        est AS (
+            SELECT term, n, min(cnt) AS est
+            FROM probes JOIN cms USING (row, bucket) GROUP BY term, n
+        )
+        SELECT term, est, n,
+               CAST(row_number() OVER (ORDER BY est DESC, term ASC) AS INT) AS rank
+        FROM est QUALIFY rank <= 50
     """,
     "lakehouse_compact": """
         -- closed-form compaction spec: the %11 delete is applied by the

@@ -443,6 +443,65 @@ def corpus_top_terms(docs: DataFrame, n: int = 50) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("int")).select("term", "n", "rank")
 
 
+def token_cms_heavy_hitters(
+    docs: DataFrame, rows: int = 4, m: int = 1024, top: int = 50
+) -> DataFrame:
+    """Heavy hitters via a COUNT-MIN SKETCH (Cormode & Muthukrishnan):
+    the bounded-memory mergeable shape for frequency estimation when the
+    vocabulary itself is too big to aggregate exactly.
+
+    Sketch build: each token increments ``rows`` cells, cell =
+    (row, md5-hash(token, row) % m) — a groupBy over rows*m cells, so the
+    sketch is a FIXED rows x m table regardless of corpus size, map-side
+    combinable, and two sketches merge by cell-wise addition (the
+    streaming/multi-batch property exact counting lacks).  Estimate:
+    a probe token's count is the MIN over its ``rows`` cells — always an
+    overestimate, bounded by ||f||/m per row.
+
+    This query's probe set is the corpus's own distinct tokens (so the
+    oracle can replay end-to-end); in production the probes are a small
+    query set and the sketch is the only corpus-sized pass.  Estimates
+    use the same md5 fixed-point hashing both engines replay bit-for-bit.
+    -> (term, est, n, rank): CMS estimate next to the exact count (the
+    overestimate property est >= n is thus oracle-checked row by row)."""
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term")
+    ).filter(F.length("term") > 0)
+    row_ids = F.explode(F.array(*[F.lit(i) for i in range(rows)])).alias("row")
+    cell = toks.select("term", row_ids).select(
+        "row",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat_ws("#", F.col("term"), F.col("row"))), 1, 15),
+                16, 10,
+            ).cast("long"),
+            F.lit(m),
+        ).alias("bucket"),
+    )
+    cms = cell.groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
+    exact = toks.groupBy("term").agg(F.count("*").alias("n"))
+    probes = exact.select("term", "n", row_ids).select(
+        "term", "n", "row",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat_ws("#", F.col("term"), F.col("row"))), 1, 15),
+                16, 10,
+            ).cast("long"),
+            F.lit(m),
+        ).alias("bucket"),
+    )
+    est = (
+        probes.join(cms, ["row", "bucket"])
+        .groupBy("term", "n")
+        .agg(F.min("cnt").alias("est"))
+    )
+    topd = est.orderBy(F.col("est").desc(), F.col("term").asc()).limit(top)
+    w = Window.orderBy(F.col("est").desc(), F.col("term").asc())
+    return topd.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "term", "est", "n", "rank"
+    )
+
+
 def quality_filter(docs: DataFrame, min_words: int = 15, max_mean_word_len: float = 12.0,
                    min_mean_word_len: float = 2.0, max_digit_ratio: float = 0.3,
                    extra_cols: tuple = ()) -> DataFrame:
