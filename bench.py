@@ -170,8 +170,10 @@ def main() -> None:
         "pq_encode", "similarity_topk_pq", "extraction_eval",
         "host_boilerplate_strip", "url_templates", "doc_script_detect",
         "dedup_incremental_embedding",
-        # round 5, tenth session (from-scratch VP8L + TIFF codecs)
+        # round 5, tenth session (from-scratch VP8L + TIFF codecs, the
+        # full-pipeline capstone, z-order clustering, count-min sketch)
         "multimodal_webp_decode", "multimodal_tiff_decode",
+        "training_batch_plan", "lakehouse_zorder", "corpus_heavy_hitters",
     ]
 
     best: dict[str, float] = {}

@@ -80,6 +80,9 @@ def main() -> None:
         ("multimodal_jpeg_decode", "JPEG decode (even doc_ids baseline, odd PROGRESSIVE/SOF2): same two-Arrow-stage no-shuffle shape as the PNG/BMP/GIF decode"),
         ("multimodal_webp_decode", "lossless WebP (VP8L) decode: two Arrow stages (synth VP8L bytes -> full bitstream decode), payload pruned after decode, no shuffle"),
         ("multimodal_tiff_decode", "baseline TIFF decode (none/PackBits/TIFF-LZW strips, both endians): the same two-Arrow-stage no-shuffle shape"),
+        ("training_batch_plan", "the FULL pipeline in one plan: fused extract -> codegen'd normalise+gate -> dedup groupBy -> BPE merge-chain projection -> shard-window packing; only two post-extraction exchanges"),
+        ("lakehouse_zorder", "z-order layout: Morton interleave as one codegen'd integer projection + ONE range exchange; stats-pruned read plans open a strict file subset"),
+        ("corpus_heavy_hitters", "count-min sketch: combinable (row,bucket) cell agg (fixed rows x m size), probe join + min-over-rows estimate, TakeOrdered top-k"),
         ("corpus_familiarity", "tokenize -> one combinable count groupBy -> re-join on token -> per-doc integer aggregate"),
         ("events_asof_join", "AS-OF join as union + ONE key exchange + sort + window (atomic struct carry) — the merge-scan shape, never a range nested-loop"),
         ("c4_line_clean", "C4 line-level cleaning: one codegen'd row-local HOF projection — no explode, no shuffle, no Python"),

@@ -774,18 +774,26 @@ def _write_prefix_code(bw: _BitWriter, lengths_by_sym: dict, alphabet_size: int)
     cl_codes = _canonical_codes(cl_full)
     bw.write(0, 1)  # no explicit max_symbol
     for s, nb, ev in cl_stream:
-        code, ln = cl_codes[s]
-        for k in range(ln - 1, -1, -1):
-            bw.write((code >> k) & 1, 1)
+        _emit(bw, cl_codes, s)
         if nb:
             bw.write(ev, nb)
     return _canonical_codes(code_lengths)
 
 
+_EMIT_CACHE: dict = {}
+
+
 def _emit(bw: _BitWriter, codes: dict, sym: int) -> None:
+    """Write one symbol: MSB-of-code-first through the LSB-first writer =
+    a single write of the bit-reversed code (reversals memoised — the
+    encoder is the fixture source but also a bench cost)."""
     code, ln = codes[sym]
-    for k in range(ln - 1, -1, -1):
-        bw.write((code >> k) & 1, 1)
+    key = (code, ln)
+    rev = _EMIT_CACHE.get(key)
+    if rev is None:
+        rev = _revbits(code, ln)
+        _EMIT_CACHE[key] = rev
+    bw.write(rev, ln)
 
 
 def encode_webp_lossless(
