@@ -1145,6 +1145,17 @@ def q_corpus_heavy_hitters(spark, sf_dir):
     return textstats.token_cms_heavy_hitters(docs)
 
 
+def q_streamed_heavy_hitters(spark, sf_dir):
+    """The count-min sketch built INCREMENTALLY: 4 genuine micro-batches
+    (AvailableNow + maxFilesPerTrigger=1), per-epoch cell appends,
+    cell-wise SUM merge, probe.  Shares corpus_heavy_hitters' oracle —
+    streamed merge must be BIT-EQUAL to the one-pass batch sketch."""
+    from .streaming.incremental import streamed_heavy_hitters
+    from pathlib import Path
+
+    return streamed_heavy_hitters(spark, str(Path(sf_dir) / "documents.parquet"))
+
+
 def q_extract_mixed(spark, sf_dir):
     """Universal ingest dispatch: one binary payload column carrying PDF
     (doc_id%3==0; even ids Flate-compressed), raw utf-8 (==1) and
@@ -2126,6 +2137,7 @@ QUERIES = {
     "training_batch_plan": q_training_batch_plan,
     "lakehouse_zorder": q_lakehouse_zorder,
     "corpus_heavy_hitters": q_corpus_heavy_hitters,
+    "streamed_heavy_hitters": q_streamed_heavy_hitters,
     "extract_fields_pdf": q_extract_fields_pdf,
     # Round-5 session-8 rotation: quality_filter, multimodal_image_decode,
     # doc_langid, mask_repeated_ngrams, dedup_paragraphs and
@@ -2437,6 +2449,35 @@ ORACLE_SQL = {
         FROM events, r
     """,
     "corpus_heavy_hitters": """
+        -- count-min sketch replay: identical md5 fixed-point cell hashing,
+        -- cell-wise counts, min-over-rows estimate; est >= n (the CMS
+        -- overestimate guarantee) is implicitly value-checked row by row
+        WITH toks AS (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+            FROM documents WHERE text IS NOT NULL
+        ),
+        t AS (SELECT term FROM toks WHERE length(term) > 0),
+        cell AS (
+            SELECT term, r.row,
+                   ('0x' || substr(md5(term || '#' || CAST(r.row AS VARCHAR)), 1, 15))::BIGINT % 1024 AS bucket
+            FROM t, range(0, 4) r(row)
+        ),
+        cms AS (SELECT row, bucket, count(*) AS cnt FROM cell GROUP BY row, bucket),
+        exact AS (SELECT term, count(*) AS n FROM t GROUP BY term),
+        probes AS (
+            SELECT e.term, e.n, r.row,
+                   ('0x' || substr(md5(e.term || '#' || CAST(r.row AS VARCHAR)), 1, 15))::BIGINT % 1024 AS bucket
+            FROM exact e, range(0, 4) r(row)
+        ),
+        est AS (
+            SELECT term, n, min(cnt) AS est
+            FROM probes JOIN cms USING (row, bucket) GROUP BY term, n
+        )
+        SELECT term, est, n,
+               CAST(row_number() OVER (ORDER BY est DESC, term ASC) AS INT) AS rank
+        FROM est QUALIFY rank <= 50
+    """,
+    "streamed_heavy_hitters": """
         -- count-min sketch replay: identical md5 fixed-point cell hashing,
         -- cell-wise counts, min-over-rows estimate; est >= n (the CMS
         -- overestimate guarantee) is implicitly value-checked row by row

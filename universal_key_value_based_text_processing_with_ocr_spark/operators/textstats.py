@@ -464,31 +464,45 @@ def token_cms_heavy_hitters(
     use the same md5 fixed-point hashing both engines replay bit-for-bit.
     -> (term, est, n, rank): CMS estimate next to the exact count (the
     overestimate property est >= n is thus oracle-checked row by row)."""
-    toks = docs.filter(F.col("text").isNotNull()).select(
+    cms = cms_sketch(docs, rows=rows, m=m)
+    return cms_probe_top(docs, cms, rows=rows, m=m, top=top)
+
+
+def _cms_tokens(docs: DataFrame) -> DataFrame:
+    return docs.filter(F.col("text").isNotNull()).select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term")
     ).filter(F.length("term") > 0)
+
+
+def _cms_bucket(m: int) -> F.Column:
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat_ws("#", F.col("term"), F.col("row"))), 1, 15),
+            16, 10,
+        ).cast("long"),
+        F.lit(m),
+    ).alias("bucket")
+
+
+def cms_sketch(docs: DataFrame, rows: int = 4, m: int = 1024) -> DataFrame:
+    """One batch's count-min sketch: (row, bucket, cnt), at most rows*m
+    cells.  Two sketches merge by cell-wise cnt addition — the property
+    the streaming twin (streaming/incremental.py streamed_heavy_hitters)
+    exercises for real."""
     row_ids = F.explode(F.array(*[F.lit(i) for i in range(rows)])).alias("row")
-    cell = toks.select("term", row_ids).select(
-        "row",
-        F.pmod(
-            F.conv(
-                F.substring(F.md5(F.concat_ws("#", F.col("term"), F.col("row"))), 1, 15),
-                16, 10,
-            ).cast("long"),
-            F.lit(m),
-        ).alias("bucket"),
-    )
-    cms = cell.groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
-    exact = toks.groupBy("term").agg(F.count("*").alias("n"))
+    cell = _cms_tokens(docs).select("term", row_ids).select("row", _cms_bucket(m))
+    return cell.groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def cms_probe_top(
+    docs: DataFrame, cms: DataFrame, rows: int = 4, m: int = 1024, top: int = 50
+) -> DataFrame:
+    """Probe a sketch with the corpus's own distinct tokens (exact counts
+    ride along so est >= n is value-checkable) -> top-N by estimate."""
+    row_ids = F.explode(F.array(*[F.lit(i) for i in range(rows)])).alias("row")
+    exact = _cms_tokens(docs).groupBy("term").agg(F.count("*").alias("n"))
     probes = exact.select("term", "n", row_ids).select(
-        "term", "n", "row",
-        F.pmod(
-            F.conv(
-                F.substring(F.md5(F.concat_ws("#", F.col("term"), F.col("row"))), 1, 15),
-                16, 10,
-            ).cast("long"),
-            F.lit(m),
-        ).alias("bucket"),
+        "term", "n", "row", _cms_bucket(m)
     )
     est = (
         probes.join(cms, ["row", "bucket"])

@@ -164,3 +164,67 @@ def streamed_extraction_job(
     q = writer.start()
     q.awaitTermination()
     return {"run_id": run_id, "n_epochs": len(epochs), "snapshot_id": results_tbl.snapshot_id()}
+
+
+def streamed_heavy_hitters(
+    spark: SparkSession,
+    docs_path: str,
+    rows: int = 4,
+    m: int = 1024,
+    top: int = 50,
+    batches: int = 4,
+) -> DataFrame:
+    """Count-min sketch built INCREMENTALLY over micro-batches, then
+    probed: the corpus is staged as ``batches`` files so AvailableNow +
+    maxFilesPerTrigger=1 delivers genuine multiple epochs; each epoch
+    appends its batch's (row, bucket, cnt) cells, and the final sketch is
+    the cell-wise SUM across epochs — the CMS merge property made
+    operational.  The batch twin (``textstats.token_cms_heavy_hitters``)
+    computes the identical sketch in one pass, so the streamed result is
+    bit-equal to the batch result and shares its oracle: a merge bug
+    (double count, dropped epoch, wrong cell key) fails the value hash."""
+    import tempfile
+    from pathlib import Path
+
+    from ..operators import textstats
+
+    staging = Path(tempfile.mkdtemp(prefix="ukv_cms_stream_"))
+    docs = spark.read.parquet(docs_path).select("doc_id", "text")
+    for k in range(batches):
+        docs.where(F.pmod(F.col("doc_id"), F.lit(batches)) == k).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(staging / "in" / f"b{k}"))
+    # flatten the per-slice dirs into one source dir of single files
+    src = staging / "src"
+    src.mkdir()
+    for k, p in enumerate(sorted((staging / "in").rglob("*.parquet"))):
+        p.rename(src / f"batch-{k}.parquet")
+
+    cells_dir = str(staging / "cells")
+    schema = docs.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+
+    def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # one epoch = one batch sketch, appended; mergeability means no
+        # read-modify-write of the accumulated state is ever needed
+        textstats.cms_sketch(batch_df, rows=rows, m=m).write.mode("append").parquet(
+            cells_dir
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", str(staging / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = (
+        spark.read.parquet(cells_dir)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return textstats.cms_probe_top(docs, merged, rows=rows, m=m, top=top)
