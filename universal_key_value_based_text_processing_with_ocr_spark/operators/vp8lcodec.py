@@ -57,8 +57,12 @@ class _BitReader:
         callers bound-check on consume)."""
         p = self.pos
         i = p >> 3
-        chunk = self.data[i : i + 2]
-        return (int.from_bytes(chunk, "little") >> (p & 7)) & 0xFF
+        d = self.data
+        n = self.nbytes
+        v = d[i] if i < n else 0
+        if i + 1 < n:
+            v |= d[i + 1] << 8
+        return (v >> (p & 7)) & 0xFF
 
     def bits(self, n: int) -> int:
         p = self.pos
@@ -121,20 +125,28 @@ _MAX_CODE_LEN = 15
 def _canonical_codes(code_lengths: list[int]) -> dict:
     """symbol -> (code, length) for nonzero lengths, canonical order."""
     by_len: dict = {}
-    for sym, ln in enumerate(code_lengths):
+    for sym, ln in enumerate(code_lengths):  # ascending sym: lists presorted
         if ln > 0:
             by_len.setdefault(ln, []).append(sym)
     codes: dict = {}
     code = 0
     for ln in range(1, _MAX_CODE_LEN + 1):
-        for sym in sorted(by_len.get(ln, [])):
+        for sym in by_len.get(ln, ()):
             codes[sym] = (code, ln)
             code += 1
         code <<= 1
     return codes
 
 
+#: byte bit-reversal lookup: _revbits(code, n<=8) == _REV8[code << (8-n)]
+_REV8 = tuple(
+    sum(((b >> i) & 1) << (7 - i) for i in range(8)) for b in range(256)
+)
+
+
 def _revbits(v: int, n: int) -> int:
+    if n <= 8:
+        return _REV8[(v << (8 - n)) & 0xFF]
     r = 0
     for _ in range(n):
         r = (r << 1) | (v & 1)
@@ -168,15 +180,25 @@ class _PrefixCode:
         if kraft != 1 << _MAX_CODE_LEN:
             raise ValueError("invalid VP8L prefix code (Kraft sum mismatch)")
         codes = _canonical_codes(code_lengths)
-        self.table = {(ln, code): sym for sym, (code, ln) in codes.items()}
         root: list = [None] * 256
+        long_codes = False
+        rev8 = _REV8
         for sym, (code, ln) in codes.items():
             if ln <= 8:
-                rev = _revbits(code, ln)
-                for idx in range(rev, 256, 1 << ln):
-                    root[idx] = (sym, ln)
-            # codes longer than 8 leave their root slots as None -> the
-            # dict walk below resolves them
+                entry = (sym, ln)
+                for idx in range(rev8[(code << (8 - ln)) & 0xFF], 256, 1 << ln):
+                    root[idx] = entry
+            else:
+                # codes longer than 8 leave their root slots as None ->
+                # the dict walk in read() resolves them
+                long_codes = True
+        # the fallback dict is only reachable when a >8-bit code exists
+        # (the prefix property means any <=8-bit code resolves via root)
+        self.table = (
+            {(ln, code): sym for sym, (code, ln) in codes.items()}
+            if long_codes
+            else None
+        )
         self.root = root
 
     def read(self, br: _BitReader) -> int:
@@ -190,9 +212,13 @@ class _PrefixCode:
                 raise ValueError("truncated VP8L stream")
             br.pos = p
             return sym
-        # long code (> 8 bits) or corrupt stream: bit-by-bit dict walk
-        code = 0
+        # long code (> 8 bits): bit-by-bit dict walk.  With no long codes
+        # a Kraft-complete root covers all 256 slots, so a None entry is
+        # unreachable — guard anyway for belt and braces.
         table = self.table
+        if table is None:
+            raise ValueError("corrupt VP8L prefix code stream")
+        code = 0
         for ln in range(1, _MAX_CODE_LEN + 1):
             code = (code << 1) | br.bit()
             sym = table.get((ln, code))
