@@ -2448,7 +2448,7 @@ ORACLE_SQL = {
                TRUE AS pruned
         FROM events, r
     """,
-    "corpus_heavy_hitters": """
+    "corpus_heavy_hitters": r"""
         -- count-min sketch replay: identical md5 fixed-point cell hashing,
         -- cell-wise counts, min-over-rows estimate; est >= n (the CMS
         -- overestimate guarantee) is implicitly value-checked row by row
@@ -2477,7 +2477,7 @@ ORACLE_SQL = {
                CAST(row_number() OVER (ORDER BY est DESC, term ASC) AS INT) AS rank
         FROM est QUALIFY rank <= 50
     """,
-    "streamed_heavy_hitters": """
+    "streamed_heavy_hitters": r"""
         -- count-min sketch replay: identical md5 fixed-point cell hashing,
         -- cell-wise counts, min-over-rows estimate; est >= n (the CMS
         -- overestimate guarantee) is implicitly value-checked row by row
@@ -5100,7 +5100,7 @@ ORACLE_SQL = {
         WITH norm AS (
             SELECT url,
                    trim(regexp_replace(regexp_replace(lower(extracted_text), '[\\x00-\\x1f]', ' ', 'g'),
-                                       '\s+', ' ', 'g')) AS norm_text
+                                       '\\s+', ' ', 'g')) AS norm_text
             FROM '/root/repo/tests/golden/extract_golden.parquet'
             WHERE extracted_text IS NOT NULL
         ),
@@ -5114,7 +5114,7 @@ ORACLE_SQL = {
             FROM gated GROUP BY md5(norm_text)
         ),
         tok AS (
-            SELECT url, list_filter(regexp_extract_all(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(regexp_replace(regexp_replace(lower(norm_text), '[^a-z0-9]+', ' ', 'g'), '(.)', '[\\1]', 'g'), '[t][h]', '[th]'), '[th][e]', '[the]'), '[i][n]', '[in]'), '[a][n]', '[an]'), '[e][r]', '[er]'), '[o][n]', '[on]'), '[r][e]', '[re]'), '[a][t]', '[at]'), '[e][n]', '[en]'), '[o][r]', '[or]'), '[e][s]', '[es]'), '[t][i]', '[ti]'), '[s][t]', '[st]'), '[an][d]', '[and]'), '[o][u]', '[ou]'), '[in][g]', '[ing]'), '\[([^\]]+)\]', 1), t -> t <> ' ') AS toks
+            SELECT url, list_filter(regexp_extract_all(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(regexp_replace(regexp_replace(lower(norm_text), '[^a-z0-9]+', ' ', 'g'), '(.)', '[\\1]', 'g'), '[t][h]', '[th]'), '[th][e]', '[the]'), '[i][n]', '[in]'), '[a][n]', '[an]'), '[e][r]', '[er]'), '[o][n]', '[on]'), '[r][e]', '[re]'), '[a][t]', '[at]'), '[e][n]', '[en]'), '[o][r]', '[or]'), '[e][s]', '[es]'), '[t][i]', '[ti]'), '[s][t]', '[st]'), '[an][d]', '[and]'), '[o][u]', '[ou]'), '[in][g]', '[ing]'), '\\[([^\\]]+)\\]', 1), t -> t <> ' ') AS toks
             FROM kept
         ),
         base AS (
