@@ -1,0 +1,225 @@
+"""Round-5 session-12 operators: HyperLogLog cardinality (register parity vs
+an independent Python replication, merge-by-max, linear-counting regime,
+combinable plan shape) and fixed-point Lloyd's k-means (numpy replication,
+partitioning invariance, the empty-cluster keep-previous rule)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from tests.test_spark_pipeline import spark  # session fixture  # noqa: F401
+from universal_key_value_based_text_processing_with_ocr_spark.operators.similarity import (
+    kmeans_assign,
+)
+from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+    hll_cardinality,
+    hll_linear_counting_table,
+    hll_sketch,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _terms_df(spark, terms):  # noqa: F811
+    return spark.createDataFrame(pd.DataFrame({"term": terms}))
+
+
+def _hll_python(terms, p=8):
+    """Independent replication: md5 60-bit hash, low-p bucket,
+    trailing-zero rho, register max, integer estimator + LC table."""
+    m, K = 1 << p, 40
+    regs = {}
+    for t in set(terms):
+        h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        b, w = h % m, h >> p
+        if w == 0:
+            rho = 60 - p + 1
+        else:
+            rho = 1
+            while not (w & 1):
+                rho += 1
+                w >>= 1
+        regs[b] = max(regs.get(b, 0), rho)
+    d = sum((1 << (K - r)) if r <= K else 0 for r in regs.values())
+    d += (m - len(regs)) * (1 << K)
+    alpha_fp = round(0.7213 / (1 + 1.079 / m) * 10**6)
+    inner = min((m * m * (1 << K)) // max(d, 1), 10**13)
+    est_raw = (alpha_fp * inner) // 10**6
+    v = m - len(regs)
+    if v > 0 and est_raw <= (5 * m) // 2:
+        est = hll_linear_counting_table(m)[v]
+    else:
+        est = est_raw
+    return regs, est_raw, est
+
+
+def test_hll_matches_python_replication(spark):  # noqa: F811
+    terms = [f"item-{i % 997}" for i in range(5000)] + ["x", "y", "x"]
+    df = _terms_df(spark, terms)
+    got = hll_cardinality(df).toPandas()
+    regs, est_raw, est = _hll_python(terms)
+    assert {(r.bucket, r.register) for r in got.itertuples()} == set(regs.items())
+    assert int(got.est_raw.iloc[0]) == est_raw
+    assert int(got.est.iloc[0]) == est
+    assert int(got.n_exact.iloc[0]) == 999
+    # the whole point: a bounded-error estimate (HLL std err ~1.04/sqrt(m)
+    # ~6.5% at p=8; allow 4 sigma)
+    assert abs(int(got.est.iloc[0]) - 999) <= 0.26 * 999
+
+
+def test_hll_merge_by_max_equals_one_pass(spark):  # noqa: F811
+    terms = [f"t{i % 313}" for i in range(2000)]
+    full = _terms_df(spark, terms)
+    h1 = _terms_df(spark, terms[:777])
+    h2 = _terms_df(spark, terms[777:])
+    merged = (
+        hll_sketch(h1)
+        .unionByName(hll_sketch(h2))
+        .groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+    )
+    a = {tuple(r) for r in merged.toPandas().itertuples(index=False)}
+    b = {tuple(r) for r in hll_sketch(full).toPandas().itertuples(index=False)}
+    assert a == b
+
+
+def test_hll_linear_counting_regime(spark):  # noqa: F811
+    # 31 distinct items: raw HLL overshoots badly at tiny n; the LC
+    # correction must engage and land within a few items of truth
+    terms = [f"w{i % 31}" for i in range(600)]
+    got = hll_cardinality(_terms_df(spark, terms)).toPandas()
+    assert int(got.n_empty_buckets.iloc[0]) > 0
+    assert int(got.est.iloc[0]) != int(got.est_raw.iloc[0])
+    assert abs(int(got.est.iloc[0]) - 31) <= 5
+
+
+def test_hll_register_agg_is_combinable(spark):  # noqa: F811
+    terms = _terms_df(spark, ["a", "b", "c"])
+    plan = hll_sketch(terms)._jdf.queryExecution().executedPlan().toString()
+    # max() keeps a map-side partial phase: the sketch build shuffles at
+    # most m cells no matter the corpus size
+    assert "partial_max" in plan
+
+
+def _emb_df(spark, ids, vecs):  # noqa: F811
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    pdf = pd.DataFrame({"vec_id": ids, "embedding": [list(map(float, v)) for v in vecs]})
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+def _kmeans_numpy(ids, vecs, k, iters):
+    Q = {
+        int(i): np.floor(np.array(v, dtype=np.float64) * 10**6).astype(np.int64)
+        for i, v in zip(ids, vecs)
+    }
+    order = sorted(Q, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v))
+    cent = {c: Q[v].copy() for c, v in enumerate(order[:k])}
+
+    def assign(cent):
+        return {
+            v: min((int(((q - cq) ** 2).sum()), c) for c, cq in cent.items())
+            for v, q in Q.items()
+        }
+
+    for _ in range(iters):
+        a = assign(cent)
+        sums, cnts = {}, {}
+        for v, (_, c) in a.items():
+            sums[c] = sums.get(c, 0) + Q[v]
+            cnts[c] = cnts.get(c, 0) + 1
+        cent = {
+            c: (np.floor_divide(sums[c], cnts[c]) if c in sums else cq)
+            for c, cq in cent.items()
+        }
+    return assign(cent)
+
+
+def test_kmeans_matches_numpy_replication(spark):  # noqa: F811
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = kmeans_assign(emb, k=8, iters=2).toPandas()
+    pdf = emb.toPandas()
+    truth = _kmeans_numpy(pdf.vec_id.tolist(), pdf.embedding.tolist(), 8, 2)
+    assert len(got) == len(pdf)
+    for r in got.itertuples():
+        assert truth[int(r.vec_id)] == (int(r.sq_dist), int(r.cluster))
+
+
+def test_kmeans_partitioning_invariance(spark):  # noqa: F811
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = (
+        kmeans_assign(emb.coalesce(1), k=8, iters=2)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        kmeans_assign(emb.repartition(16), k=8, iters=2)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):  # noqa: F811
+    # md5 hash order of ids 0..5 seeds clusters from vecs 4, 1, 2.  vecs 1
+    # and 2 are IDENTICAL points, so every tie breaks to the lower cluster
+    # id and the vec-2 seed's cluster empties on the first assignment — it
+    # must keep its previous centroid (no crash, no NULL centroid) and stay
+    # empty thereafter, exactly like the numpy replication.
+    ids = list(range(6))
+    vecs = [
+        [0.0, 0.0],
+        [0.001, 0.0],
+        [0.001, 0.0],
+        [10.0, 10.0],
+        [10.001, 10.0],
+        [10.002, 10.0],
+    ]
+    got = (
+        kmeans_assign(_emb_df(spark, ids, vecs), k=3, iters=2)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    # the table stores float32: replicate from the same narrowed values
+    truth = _kmeans_numpy(ids, [np.array(v, dtype=np.float32) for v in vecs], 3, 2)
+    for r in got.itertuples():
+        assert truth[int(r.vec_id)] == (int(r.sq_dist), int(r.cluster))
+    # Iteration 1 empties cluster 2 (every tie breaks to cluster 1), so the
+    # update hits the keep-previous coalesce; iteration 2 then shows the
+    # kept centroid is REAL, not NULL/zero: it sits exactly on the
+    # duplicated point and reclaims both copies (distance 0), while
+    # cluster 1's moved centroid keeps only the origin point.
+    by_vec = {int(r.vec_id): (int(r.cluster), int(r.sq_dist)) for r in got.itertuples()}
+    assert by_vec[1] == (2, 0) and by_vec[2] == (2, 0)
+    assert by_vec[0][0] == 1
+    assert {c for c, _ in by_vec.values()} == {0, 1, 2}
+
+
+def test_kmeans_update_shuffle_is_combinable(spark):  # noqa: F811
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(50)
+    plan = (
+        kmeans_assign(emb, k=4, iters=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the centroid update's sum/count per (cluster, dim) keeps its map-side
+    # partial phase: per iteration the shuffle carries k*dim cells, not rows
+    assert "partial_sum" in plan or "partial_count" in plan

@@ -1156,6 +1156,31 @@ def q_streamed_heavy_hitters(spark, sf_dir):
     return streamed_heavy_hitters(spark, str(Path(sf_dir) / "documents.parquet"))
 
 
+def q_corpus_cardinality_hll(spark, sf_dir):
+    """Distinct-shingle cardinality via a HYPERLOGLOG sketch: the fixed
+    2^p-register mergeable distinct-count structure built in one
+    combinable groupBy — the statistic that sizes a MinHash/LSH stage
+    without the countDistinct shuffle.  Everything is integer fixed-point
+    (trailing-zero rho from a literal CASE ladder, 2^(K-rho) harmonic sum,
+    a precomputed linear-counting table — no float log anywhere), and the
+    exact distinct count rides along so the estimate's accuracy is
+    value-checked against truth row by row."""
+    docs = _tbl(spark, sf_dir, "documents")
+    shingles = dedup.char_shingles(docs, n=10).select(F.col("shingle").alias("term"))
+    return textstats.hll_cardinality(shingles, p=8)
+
+
+def q_embedding_kmeans(spark, sf_dir):
+    """Distributed Lloyd's k-means over the embedding corpus (k=8, two
+    fixed iterations): integer fixed-point throughout — floor-quantised
+    coordinates, exact BIGINT squared-L2, exact integer centroid sums with
+    floor division — so assignments are independent of partitioning and
+    engine; per iteration the corpus makes ONE narrow broadcast-argmin
+    pass plus ONE k*dim-cell combinable shuffle."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return similarity.kmeans_assign(emb, k=8, iters=2)
+
+
 def q_extract_mixed(spark, sf_dir):
     """Universal ingest dispatch: one binary payload column carrying PDF
     (doc_id%3==0; even ids Flate-compressed), raw utf-8 (==1) and
@@ -2138,6 +2163,11 @@ QUERIES = {
     "lakehouse_zorder": q_lakehouse_zorder,
     "corpus_heavy_hitters": q_corpus_heavy_hitters,
     "streamed_heavy_hitters": q_streamed_heavy_hitters,
+    # session-12 additions (past the driver cap by design — the curated
+    # first-50 window stays intact; replica evidence in
+    # CORRECTNESS_SELF_r05.md covers these like the rest of the tail):
+    "corpus_cardinality_hll": q_corpus_cardinality_hll,
+    "embedding_kmeans": q_embedding_kmeans,
     "extract_fields_pdf": q_extract_fields_pdf,
     # Round-5 session-8 rotation: quality_filter, multimodal_image_decode,
     # doc_langid, mask_repeated_ngrams, dedup_paragraphs and
@@ -2301,6 +2331,52 @@ sh AS (
     WHERE text IS NOT NULL AND length(text) >= 10
 )
 """
+
+# HLL replay pieces (corpus_cardinality_hll): the trailing-zero rho ladder
+# and the linear-counting table are generated ONCE here as integer literals
+# — the identical constants the Spark plan inlines (textstats.hll_sketch /
+# hll_linear_counting_table), so equality is by construction, never by two
+# float-log implementations happening to agree.
+_HLL_RHO_SQL = (
+    "CASE WHEN w = 0 THEN 53 ELSE CASE (w & (-w)) "
+    + " ".join(f"WHEN {1 << j} THEN {j + 1}" for j in range(52))
+    + " END END"
+)
+_HLL_LC_SQL = (
+    "CASE n_empty_buckets "
+    + " ".join(
+        f"WHEN {v} THEN {e}"
+        for v, e in textstats.hll_linear_counting_table(256).items()
+    )
+    + " END"
+)
+_HLL_ALPHA_FP = round(0.7213 / (1 + 1.079 / 256) * 10**6)
+
+
+def _kmeans_iter_sql(i: int, prev: str) -> str:
+    """One Lloyd iteration of the embedding_kmeans replay: argmin assign
+    (ties -> lowest cluster), exact integer centroid sums, floor division
+    via the nonneg-remainder identity, empty clusters keep the PREVIOUS
+    centroid — each step the literal twin of similarity.kmeans_assign."""
+    return f"""
+    a{i} AS (
+        SELECT vec_id, q, cluster
+        FROM (SELECT p.vec_id, p.q, c.cluster,
+                     list_sum(list_transform(range(1, len(p.q) + 1),
+                              j -> (p.q[j] - c.cq[j]) * (p.q[j] - c.cq[j]))) AS d
+              FROM quant p CROSS JOIN {prev} c)
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) = 1
+    ),
+    u{i}d AS (
+        SELECT cluster, dim, sum(v) AS s, count(*) AS cnt
+        FROM (SELECT cluster, unnest(q) AS v, unnest(range(1, len(q) + 1)) AS dim
+              FROM a{i})
+        GROUP BY cluster, dim
+    ),
+    u{i}c AS (SELECT cluster, dim, (s - (((s % cnt) + cnt) % cnt)) // cnt AS c FROM u{i}d),
+    u{i} AS (SELECT cluster, list(c ORDER BY dim ASC) AS cq FROM u{i}c GROUP BY cluster),
+    c{i} AS (SELECT pv.cluster, coalesce(n.cq, pv.cq) AS cq
+             FROM {prev} pv LEFT JOIN u{i} n USING (cluster))"""
 
 # Shared PQ replay prefix (pq_encode / similarity_topk_pq): hash-sampled
 # 16-entry codebook (the IVF centroid draw), all (vec, subspace, code)
@@ -4041,6 +4117,70 @@ ORACLE_SQL = {
         SELECT dg.doc_id, pg.probe_id, count(*) AS n_shared
         FROM dg JOIN pg USING (gram)
         GROUP BY dg.doc_id, pg.probe_id
+    """,
+    "corpus_cardinality_hll": f"""
+        -- HLL replay: identical md5 60-bit hash, low-8-bit bucket,
+        -- trailing-zero rho via the same literal CASE ladder (no float
+        -- log anywhere), register max, integer fixed-point estimator +
+        -- literal linear-counting table; the true distinct count rides
+        -- along so the estimate's accuracy is value-checked row by row
+        WITH {_SHINGLES_CTE},
+        h AS (SELECT ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+        br AS (SELECT h % 256 AS bucket, h >> 8 AS w FROM h),
+        rr AS (SELECT bucket, {_HLL_RHO_SQL} AS rho FROM br),
+        reg AS (SELECT bucket, max(rho) AS register FROM rr GROUP BY bucket),
+        stats AS (
+            SELECT CAST(256 - count(*) AS INT) AS n_empty_buckets,
+                   sum(CASE WHEN register > 40 THEN 0
+                            ELSE (CAST(1 AS BIGINT) << (40 - register)) END)
+                   + (256 - count(*)) * (CAST(1 AS BIGINT) << 40) AS d
+            FROM reg
+        ),
+        raw AS (
+            SELECT n_empty_buckets,
+                   CAST(({_HLL_ALPHA_FP} * least(72057594037927936 // greatest(d, 1),
+                                    10000000000000)) // 1000000 AS BIGINT) AS est_raw
+            FROM stats
+        ),
+        est AS (
+            SELECT n_empty_buckets, est_raw,
+                   CASE WHEN n_empty_buckets > 0 AND est_raw <= 640
+                        THEN CAST({_HLL_LC_SQL} AS BIGINT)
+                        ELSE est_raw END AS est
+            FROM raw
+        ),
+        exact AS (SELECT count(DISTINCT shingle) AS n_exact FROM sh)
+        SELECT CAST(bucket AS INT) AS bucket, CAST(register AS INT) AS register,
+               est, est_raw, n_exact, n_empty_buckets
+        FROM reg, est, exact
+    """,
+    "embedding_kmeans": f"""
+        -- Lloyd's k-means replay, k=8, two fixed iterations: floor-quantised
+        -- integer coordinates, exact BIGINT squared-L2, exact integer
+        -- centroid sums + floor division, md5 hash-draw init, ties to the
+        -- lowest cluster — bit-for-bit the Spark plan's arithmetic
+        WITH quant AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+            FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        init AS (
+            SELECT CAST(rn - 1 AS INT) AS cluster, q AS cq
+            FROM (SELECT q, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
+                                               vec_id ASC) AS rn
+                  FROM quant)
+            WHERE rn <= 8
+        ),{_kmeans_iter_sql(1, 'init')},{_kmeans_iter_sql(2, 'c1')},
+        fin AS (
+            SELECT vec_id, cluster, d
+            FROM (SELECT p.vec_id, c.cluster,
+                         list_sum(list_transform(range(1, len(p.q) + 1),
+                                  j -> (p.q[j] - c.cq[j]) * (p.q[j] - c.cq[j]))) AS d
+                  FROM quant p CROSS JOIN c2 c)
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) = 1
+        )
+        SELECT vec_id, CAST(cluster AS INT) AS cluster, CAST(d AS BIGINT) AS sq_dist FROM fin
     """,
     "dedup_ngram_jaccard": f"""
         WITH {_SHINGLES_CTE},

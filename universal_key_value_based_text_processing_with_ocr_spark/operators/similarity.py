@@ -781,3 +781,145 @@ def pq_topk_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed Lloyd's k-means (fixed-point, bit-reproducible)
+# --------------------------------------------------------------------------
+
+#: fixed-point quantisation of embedding coordinates: floor(x * 1e6).
+#: floor (not round) so no half-way tie can ever split engines; every
+#: subsequent operation is BIGINT arithmetic, so assignment AND centroid
+#: updates are order-independent — the float-mean pitfall (partition-order
+#: dependent sums) cannot occur by construction.
+_KMEANS_SCALE = 10**6
+
+
+def _kmeans_quant(embeddings: DataFrame) -> DataFrame:
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * _KMEANS_SCALE).cast("long"),
+    )
+    return embeddings.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", q.alias("q")
+    )
+
+
+def _kmeans_init(quant: DataFrame, k: int) -> DataFrame:
+    """Training-free deterministic seed: the k corpus vectors with the
+    smallest md5(vec_id) — the same hash draw the IVF centroids and the PQ
+    codebook use (uniform under sorted/skewed ingestion, reproducible in
+    any engine); cluster ids 0..k-1 in hash order."""
+    cent = (
+        quant.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(k)
+        .select(
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+            F.col("vec_id").alias("src"),
+            F.col("q").alias("cq"),
+        )
+    )
+    w = Window.orderBy(F.col("h").asc(), F.col("src").asc())
+    return cent.withColumn(
+        "cluster", (F.row_number().over(w) - F.lit(1)).cast("int")
+    ).select("cluster", "cq")
+
+
+def _int_sqdist(a, b) -> F.Column:
+    """Exact BIGINT squared L2 over quantised coordinates (no float, no
+    rounding discipline needed — the discipline is integers)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _kmeans_assign_step(quant: DataFrame, cent: DataFrame) -> DataFrame:
+    """One assignment pass: the corpus crossJoins the ONE-row broadcast
+    centroid array (the PQ-codebook move — never amplified by k) and the
+    argmin runs row-locally; array_min over struct(sq_dist, cluster) is
+    lexicographic, so ties break to the lowest cluster id exactly like
+    ``ORDER BY d, cluster LIMIT 1``."""
+    cb1 = cent.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("cluster", "cq"))).alias("cb")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("cb"),
+            lambda e: F.struct(
+                _int_sqdist(F.col("q"), e["cq"]).alias("sq_dist"),
+                e["cluster"].alias("cluster"),
+            ),
+        )
+    )
+    return (
+        quant.crossJoin(F.broadcast(cb1))
+        .withColumn("best", best)
+        .select(
+            "vec_id",
+            "q",
+            F.col("best")["cluster"].alias("cluster"),
+            F.col("best")["sq_dist"].alias("sq_dist"),
+        )
+    )
+
+
+def _kmeans_update(assigned: DataFrame, cent: DataFrame) -> DataFrame:
+    """Centroid update as ONE map-side-combinable shuffle of k*dim cells
+    (the CMS shape): explode dims -> sum/count per (cluster, dim) — exact
+    BIGINT, order-independent — floor-divide, reassemble in dim order.
+    Clusters that lost every member keep their previous centroid (the
+    deterministic empty-cluster rule, mirrored in the oracle)."""
+    dims = assigned.select("cluster", F.posexplode("q").alias("dim", "v"))
+    sums = dims.groupBy("cluster", "dim").agg(
+        F.sum("v").alias("s"), F.count("*").alias("cnt")
+    )
+    # exact floor division for signed sums: (s - pmod(s, cnt)) is divisible
+    # by cnt, and DIV of an exact multiple is the floor quotient — engines
+    # that disagree on negative-division rounding can't diverge here
+    newc = sums.select(
+        "cluster", "dim", F.expr("(s - pmod(s, cnt)) DIV cnt").alias("c")
+    )
+    agg = newc.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda e: e["c"]
+        ).alias("cq")
+    )
+    return (
+        cent.select("cluster", F.col("cq").alias("old"))
+        .join(agg, "cluster", "left")
+        .select("cluster", F.coalesce(F.col("cq"), F.col("old")).alias("cq"))
+    )
+
+
+def kmeans_assign(embeddings: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding corpus — the
+    clustering primitive behind data-mixing / SemDeDup-style pipelines —
+    run for a FIXED ``iters`` iterations so the whole computation is a
+    closed-form spec any engine can replay bit-for-bit.
+
+    Everything is integer fixed-point (see ``_KMEANS_SCALE``): coordinates
+    quantise once by floor(x*1e6); distances are exact BIGINT squared-L2;
+    centroid updates are exact integer sums + floor division.  There is no
+    float mean anywhere, so the result is independent of partitioning,
+    merge order, and engine — the property ``tests`` pin by re-running
+    under different partitionings and replaying in numpy.
+
+    Plan shape at 100 TB: per iteration, the corpus makes ONE narrow pass
+    (broadcast k x dim centroid array, row-local HOF argmin — the corpus is
+    never amplified by k) plus ONE map-side-combinable groupBy of k*dim
+    cells; the centroids flow iteration-to-iteration as a k-row DataFrame
+    inside a single declarative plan — no driver-side collect loop.
+
+    -> (vec_id, cluster, sq_dist) for every vector, after a final
+    assignment against the iterated centroids."""
+    quant = _kmeans_quant(embeddings)
+    cent = _kmeans_init(quant, k)
+    for _ in range(iters):
+        assigned = _kmeans_assign_step(quant, cent)
+        cent = _kmeans_update(assigned, cent)
+    final = _kmeans_assign_step(quant, cent)
+    return final.select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster"), "sq_dist"
+    )

@@ -516,6 +516,139 @@ def cms_probe_top(
     )
 
 
+#: HLL register width: the hash is 60 bits, p of them address the bucket,
+#: so rho ranges 1..(60-p)+1 with the +1 (= all-zero remainder) as the cap.
+_HLL_HASH_BITS = 60
+#: fixed-point scale of the alpha_m bias constant (see hll_cardinality)
+_HLL_ALPHA_SCALE = 10**6
+#: denominator fixed-point: each register contributes 2^(K - rho) so the
+#: harmonic sum stays a BIGINT (exact, order-independent); registers past K
+#: truncate to 0 — both engines evaluate the identical integer expression,
+#: so cross-engine equality survives even that (astronomically rare) case.
+_HLL_K = 40
+
+
+def _hll_rho(w: F.Column, max_rho: int) -> F.Column:
+    """Position of the lowest set bit of ``w`` plus one (w == 0 -> cap).
+
+    The bits of a uniform hash are iid, so first-1-from-the-right is the
+    same geometric statistic HLL classically takes from the left — and the
+    lowest set bit isolates as the pure integer ``w & -w``, which a CASE
+    ladder over the 2^j literals maps to rho with NO log/float anywhere
+    (bit-exact in any engine by construction)."""
+    lsb = w.bitwiseAND(-w)
+    rho = F.when(w == 0, F.lit(max_rho))
+    for j in range(max_rho - 1):
+        rho = rho.when(lsb == (1 << j), F.lit(j + 1))
+    return rho.cast("int")
+
+
+def hll_sketch(items: DataFrame, p: int = 8) -> DataFrame:
+    """HyperLogLog register table (Flajolet et al. 2007) over an item
+    stream (any DataFrame with a string ``term`` column — tokens, shingles,
+    urls, fingerprints): (bucket, register), at most m = 2^p rows.
+
+    The mergeable distinct-count companion of ``cms_sketch``: every item
+    occurrence maps to (low p hash bits -> bucket, trailing-zero run of the
+    remaining bits -> rho) in one codegen'd projection, then ONE map-side
+    combinable groupBy of at most m cells — corpus cardinality never touches
+    the plan, and two sketches merge by cell-wise MAX (the property
+    ``tests`` pin), so shards/micro-batches/snapshots combine without
+    re-reading anything.  md5 fixed-point hashing as everywhere else,
+    replayable bit-for-bit in any engine."""
+    m = 1 << p
+    h = md5_long(F.col("term"))
+    toks = items.select(
+        F.pmod(h, F.lit(m)).alias("bucket"),
+        _hll_rho(F.shiftright(h, p), _HLL_HASH_BITS - p + 1).alias("rho"),
+    )
+    return toks.groupBy("bucket").agg(F.max("rho").alias("register"))
+
+
+def hll_linear_counting_table(m: int) -> dict[int, int]:
+    """Precomputed small-range correction: V empty buckets -> round(m *
+    ln(m/V)).  Computed ONCE here and inlined as integer literals into both
+    engines' plans, so no float log ever runs at query time and equality is
+    by construction (api.py interpolates the same table into the oracle)."""
+    import math
+
+    return {v: round(m * math.log(m / v)) for v in range(1, m + 1)}
+
+
+def hll_cardinality(items: DataFrame, p: int = 8) -> DataFrame:
+    """Distinct-item cardinality estimate from the HLL sketch, integer
+    fixed-point end to end so the oracle replays it exactly.
+
+    Estimator: est_raw = alpha_m * m^2 / sum_b 2^(-rho_b).  The harmonic
+    sum is kept exact as D = sum over present buckets of 2^(K - register)
+    plus 2^K per empty bucket (BIGINT, order-independent); alpha_m rides as
+    the integer literal round(alpha_m * 1e6).  The classic small-range
+    linear-counting correction (est_raw <= 5m/2 and V empty buckets > 0 ->
+    m * ln(m/V)) applies via ``hll_linear_counting_table`` — a literal
+    integer ladder, not a float log — and ``n_exact`` rides along, so the
+    estimate's accuracy is value-checked against truth row by row (the CMS
+    overestimate-check move, adapted).
+
+    -> one row per PRESENT bucket: (bucket, register, est, est_raw,
+    n_exact, n_empty_buckets) — the hash pins sketch content AND estimator
+    arithmetic AND the true cardinality in one check.
+
+    Plan shape: the register groupBy is the only corpus-sized shuffle (at
+    most m cells, map-side combinable); everything after runs on <= m rows.
+    (``n_exact`` adds the exact countDistinct the sketch exists to avoid —
+    it is the CHECK, not the operator; production drops that column.)"""
+    m = 1 << p
+    alpha_fp = round(0.7213 / (1 + 1.079 / m) * _HLL_ALPHA_SCALE)
+    reg = hll_sketch(items, p=p)
+    contrib = F.when(F.col("register") > _HLL_K, F.lit(0).cast("long")).otherwise(
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_K} - register)")
+    )
+    stats = reg.agg(
+        F.sum(contrib).alias("d_present"), F.count("*").alias("n_present")
+    ).select(
+        (F.lit(m) - F.col("n_present")).cast("int").alias("n_empty_buckets"),
+        (
+            F.col("d_present")
+            + (F.lit(m) - F.col("n_present")) * F.lit(1 << _HLL_K).cast("long")
+        ).alias("d"),
+    )
+    # m^2 * 2^K fits BIGINT (p=8, K=40 -> 2^56); `least` bounds the quotient
+    # so the alpha multiply can never overflow even in the all-registers->K
+    # corner (identical guard in the oracle, so equality is preserved)
+    raw = stats.select(
+        "n_empty_buckets",
+        F.expr(
+            f"CAST(({alpha_fp} * least({m * m * (1 << _HLL_K)} DIV "
+            f"greatest(d, 1), {10**13})) DIV {_HLL_ALPHA_SCALE} AS BIGINT)"
+        ).alias("est_raw"),
+    )
+    lc = F.lit(None).cast("long")
+    for v, e in hll_linear_counting_table(m).items():
+        lc = F.when(F.col("n_empty_buckets") == v, F.lit(e).cast("long")).otherwise(lc)
+    est = raw.select(
+        "n_empty_buckets",
+        "est_raw",
+        F.when(
+            (F.col("n_empty_buckets") > 0) & (F.col("est_raw") <= (5 * m) // 2), lc
+        )
+        .otherwise(F.col("est_raw"))
+        .alias("est"),
+    )
+    exact = items.agg(F.countDistinct("term").alias("n_exact"))
+    return (
+        reg.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "register",
+            "est",
+            "est_raw",
+            "n_exact",
+            "n_empty_buckets",
+        )
+    )
+
+
 def quality_filter(docs: DataFrame, min_words: int = 15, max_mean_word_len: float = 12.0,
                    min_mean_word_len: float = 2.0, max_digit_ratio: float = 0.3,
                    extra_cols: tuple = ()) -> DataFrame:
