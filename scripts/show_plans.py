@@ -135,6 +135,8 @@ def main() -> None:
         ("url_templates", "trap mining: codegen'd regex template projection -> distinct on the full triple (skew-safe) -> two combinable aggs + a one-row-per-host join — no UDF, no explode"),
         ("doc_script_detect", "script detection: six char-class strip counts + argmax chain, all ONE codegen'd projection over the scan — zero exchanges, zero Python"),
         ("dedup_incremental_embedding", "incremental embedding dedup: batch-side Hamming<=1 probe explode equi-joins the persisted bucket index; exact cosine only on the candidate sliver; committed corpus never re-hashed"),
+        ("corpus_cardinality_hll", "HLL cardinality: shingle Generate -> codegen'd bucket/rho projection -> ONE combinable max groupBy of <=256 cells; estimator + LC ladder run on the tiny register table (broadcast back onto it)"),
+        ("embedding_kmeans", "fixed-point k-means: per iteration the corpus crossJoins a ONE-row broadcast centroid array (row-local HOF argmin, no amplification) + ONE combinable k*dim-cell sum/count shuffle; no float mean anywhere"),
     ]
     for name, note in named:
         sections.append((name, note, formatted(api.QUERIES[name](spark, SF))))

@@ -223,3 +223,29 @@ def test_kmeans_update_shuffle_is_combinable(spark):  # noqa: F811
     # the centroid update's sum/count per (cluster, dim) keeps its map-side
     # partial phase: per iteration the shuffle carries k*dim cells, not rows
     assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_streamed_hll_bit_equal_to_batch(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators import (
+        dedup,
+    )
+    from universal_key_value_based_text_processing_with_ocr_spark.streaming.incremental import (
+        streamed_cardinality_hll,
+    )
+
+    path = f"{SF_DIR}/documents.parquet"
+    streamed = (
+        streamed_cardinality_hll(spark, path)
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    docs = spark.read.parquet(path)
+    sh = dedup.char_shingles(docs, n=10).select(F.col("shingle").alias("term"))
+    batch = (
+        hll_cardinality(sh)
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    assert streamed.equals(batch)

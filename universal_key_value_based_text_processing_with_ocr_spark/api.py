@@ -1170,6 +1170,20 @@ def q_corpus_cardinality_hll(spark, sf_dir):
     return textstats.hll_cardinality(shingles, p=8)
 
 
+def q_streamed_cardinality_hll(spark, sf_dir):
+    """The HLL register table built INCREMENTALLY: 4 genuine micro-batches
+    (AvailableNow + maxFilesPerTrigger=1), per-epoch register appends,
+    cell-wise MAX merge, then the shared estimator.  Shares
+    corpus_cardinality_hll's oracle — the streamed merge must be BIT-EQUAL
+    to the one-pass batch sketch (and max is idempotent, so even a
+    replayed epoch cannot corrupt it)."""
+    from .streaming.incremental import streamed_cardinality_hll
+
+    return streamed_cardinality_hll(
+        spark, str(Path(sf_dir) / "documents.parquet")
+    )
+
+
 def q_embedding_kmeans(spark, sf_dir):
     """Distributed Lloyd's k-means over the embedding corpus (k=8, two
     fixed iterations): integer fixed-point throughout — floor-quantised
@@ -2167,6 +2181,7 @@ QUERIES = {
     # first-50 window stays intact; replica evidence in
     # CORRECTNESS_SELF_r05.md covers these like the rest of the tail):
     "corpus_cardinality_hll": q_corpus_cardinality_hll,
+    "streamed_cardinality_hll": q_streamed_cardinality_hll,
     "embedding_kmeans": q_embedding_kmeans,
     "extract_fields_pdf": q_extract_fields_pdf,
     # Round-5 session-8 rotation: quality_filter, multimodal_image_decode,
@@ -5436,3 +5451,9 @@ ORACLE_SQL = {
         FROM events GROUP BY 1, 2
     """,
 }
+
+# The streamed HLL shares the batch oracle verbatim: cell-wise MAX merge of
+# per-epoch register tables is definitionally equal to the one-pass build,
+# so any streaming divergence (dropped epoch, wrong key, sum-not-max) is a
+# value-hash failure against the SAME spec.
+ORACLE_SQL["streamed_cardinality_hll"] = ORACLE_SQL["corpus_cardinality_hll"]

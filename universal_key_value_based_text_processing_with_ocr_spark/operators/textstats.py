@@ -597,9 +597,16 @@ def hll_cardinality(items: DataFrame, p: int = 8) -> DataFrame:
     most m cells, map-side combinable); everything after runs on <= m rows.
     (``n_exact`` adds the exact countDistinct the sketch exists to avoid —
     it is the CHECK, not the operator; production drops that column.)"""
+    return hll_estimate(hll_sketch(items, p=p), items, p=p)
+
+
+def hll_estimate(reg: DataFrame, items: DataFrame, p: int = 8) -> DataFrame:
+    """The estimator applied to a PRE-BUILT register table — the seam the
+    streamed twin uses: a register table max-merged across micro-batches is
+    indistinguishable from a one-pass build, so both paths share one oracle
+    (see ``hll_cardinality`` for the arithmetic contract)."""
     m = 1 << p
     alpha_fp = round(0.7213 / (1 + 1.079 / m) * _HLL_ALPHA_SCALE)
-    reg = hll_sketch(items, p=p)
     contrib = F.when(F.col("register") > _HLL_K, F.lit(0).cast("long")).otherwise(
         F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_K} - register)")
     )

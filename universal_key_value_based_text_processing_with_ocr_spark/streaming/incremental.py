@@ -228,3 +228,68 @@ def streamed_heavy_hitters(
         .agg(F.sum("cnt").alias("cnt"))
     )
     return textstats.cms_probe_top(docs, merged, rows=rows, m=m, top=top)
+
+
+def streamed_cardinality_hll(
+    spark: SparkSession,
+    docs_path: str,
+    p: int = 8,
+    batches: int = 4,
+) -> DataFrame:
+    """HyperLogLog register table built INCREMENTALLY over micro-batches,
+    then estimated: the corpus is staged as ``batches`` files so
+    AvailableNow + maxFilesPerTrigger=1 delivers genuine multiple epochs;
+    each epoch appends its batch's (bucket, register) rows, and the final
+    sketch is the cell-wise MAX across epochs — the HLL merge property
+    made operational (max is idempotent, so unlike the CMS a REPLAYED
+    epoch cannot even corrupt the sketch).  The batch twin
+    (``textstats.hll_cardinality`` over the same shingle stream) computes
+    the identical registers in one pass, so the streamed result is
+    bit-equal to the batch result and shares its oracle: a merge bug
+    (dropped epoch, wrong cell key, sum-instead-of-max) fails the hash."""
+    import tempfile
+    from pathlib import Path
+
+    from ..operators import dedup, textstats
+
+    staging = Path(tempfile.mkdtemp(prefix="ukv_hll_stream_"))
+    docs = spark.read.parquet(docs_path).select("doc_id", "text")
+    for k in range(batches):
+        docs.where(F.pmod(F.col("doc_id"), F.lit(batches)) == k).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(staging / "in" / f"b{k}"))
+    src = staging / "src"
+    src.mkdir()
+    for k, path in enumerate(sorted((staging / "in").rglob("*.parquet"))):
+        path.rename(src / f"batch-{k}.parquet")
+
+    regs_dir = str(staging / "regs")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+
+    def _shingle_terms(df: DataFrame) -> DataFrame:
+        return dedup.char_shingles(df, n=10).select(F.col("shingle").alias("term"))
+
+    def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # one epoch = one batch register table, appended; mergeability
+        # means no read-modify-write of accumulated state is ever needed
+        textstats.hll_sketch(_shingle_terms(batch_df), p=p).write.mode(
+            "append"
+        ).parquet(regs_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", str(staging / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = (
+        spark.read.parquet(regs_dir)
+        .groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+    )
+    return textstats.hll_estimate(merged, _shingle_terms(docs), p=p)
