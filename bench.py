@@ -174,6 +174,8 @@ def main() -> None:
         # full-pipeline capstone, z-order clustering, count-min sketch)
         "multimodal_webp_decode", "multimodal_tiff_decode",
         "training_batch_plan", "lakehouse_zorder", "corpus_heavy_hitters",
+        # round 5, twelfth session (mergeable-sketch + clustering family)
+        "corpus_cardinality_hll", "embedding_kmeans",
     ]
 
     best: dict[str, float] = {}
@@ -285,6 +287,7 @@ def main() -> None:
     (REPO / "BENCH" / "last_run.json").write_text(json.dumps(out, indent=1))
     out["full_record_file"] = "BENCH/last_run.json"
     newest = [
+        "corpus_cardinality_hll", "embedding_kmeans",
         "multimodal_webp_decode", "multimodal_tiff_decode",
         "pq_encode", "similarity_topk_pq", "extraction_eval",
         "host_boilerplate_strip", "url_templates", "doc_script_detect",
