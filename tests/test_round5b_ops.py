@@ -249,3 +249,24 @@ def test_streamed_hll_bit_equal_to_batch(spark):  # noqa: F811
         .reset_index(drop=True)
     )
     assert streamed.equals(batch)
+
+
+def test_hll_group_cardinality_matches_per_group_replication(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        hll_group_cardinality,
+    )
+
+    terms = [("a", f"x{i % 500}") for i in range(3000)] + [
+        ("b", f"y{i % 17}") for i in range(300)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(terms, columns=["grp", "term"]))
+    got = {
+        r.grp: (int(r.est), int(r.est_raw), int(r.n_exact), int(r.n_empty_buckets))
+        for r in hll_group_cardinality(df).toPandas().itertuples()
+    }
+    for grp in ("a", "b"):
+        sub = [t for g, t in terms if g == grp]
+        regs, est_raw, est = _hll_python(sub)
+        assert got[grp] == (est, est_raw, len(set(sub)), 256 - len(regs)), grp
+    # group b sits in the LC regime, group a exercises more registers
+    assert got["b"][3] > got["a"][3]

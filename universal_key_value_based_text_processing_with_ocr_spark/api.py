@@ -1184,6 +1184,20 @@ def q_streamed_cardinality_hll(spark, sf_dir):
     )
 
 
+def q_lang_cardinality_hll(spark, sf_dir):
+    """HLL as a GROUPED aggregate: distinct-shingle cardinality PER
+    LANGUAGE — the per-group audit shape (per host, per shard) where a
+    grouped countDistinct would shuffle every item but the sketch shuffles
+    at most m cells per group.  Same integer fixed-point estimator + LC
+    table as corpus_cardinality_hll, keyed by group; exact per-group
+    counts ride along so accuracy is value-checked per group."""
+    docs = _tbl(spark, sf_dir, "documents")
+    items = dedup.char_shingles(docs, n=10, extra_cols=("lang",)).select(
+        F.col("lang").alias("grp"), F.col("shingle").alias("term")
+    )
+    return textstats.hll_group_cardinality(items, group_col="grp", p=8)
+
+
 def q_embedding_kmeans(spark, sf_dir):
     """Distributed Lloyd's k-means over the embedding corpus (k=8, two
     fixed iterations): integer fixed-point throughout — floor-quantised
@@ -2182,6 +2196,7 @@ QUERIES = {
     # CORRECTNESS_SELF_r05.md covers these like the rest of the tail):
     "corpus_cardinality_hll": q_corpus_cardinality_hll,
     "streamed_cardinality_hll": q_streamed_cardinality_hll,
+    "lang_cardinality_hll": q_lang_cardinality_hll,
     "embedding_kmeans": q_embedding_kmeans,
     "extract_fields_pdf": q_extract_fields_pdf,
     # Round-5 session-8 rotation: quality_filter, multimodal_image_decode,
@@ -4168,6 +4183,45 @@ ORACLE_SQL = {
         SELECT CAST(bucket AS INT) AS bucket, CAST(register AS INT) AS register,
                est, est_raw, n_exact, n_empty_buckets
         FROM reg, est, exact
+    """,
+    "lang_cardinality_hll": f"""
+        -- grouped HLL replay: the corpus_cardinality_hll arithmetic keyed
+        -- by language — register max, estimator and LC ladder all GROUP BY
+        -- grp; exact per-group counts value-check accuracy per group
+        WITH sh AS (
+            SELECT DISTINCT doc_id, lang AS grp,
+                   unnest(list_transform(range(1, length(text) - 8),
+                                         i -> substring(text, CAST(i AS INT), 10))) AS shingle
+            FROM documents
+            WHERE text IS NOT NULL AND length(text) >= 10
+        ),
+        h AS (SELECT grp, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+        br AS (SELECT grp, h % 256 AS bucket, h >> 8 AS w FROM h),
+        rr AS (SELECT grp, bucket, {_HLL_RHO_SQL} AS rho FROM br),
+        reg AS (SELECT grp, bucket, max(rho) AS register FROM rr GROUP BY grp, bucket),
+        stats AS (
+            SELECT grp, CAST(256 - count(*) AS INT) AS n_empty_buckets,
+                   sum(CASE WHEN register > 40 THEN 0
+                            ELSE (CAST(1 AS BIGINT) << (40 - register)) END)
+                   + (256 - count(*)) * (CAST(1 AS BIGINT) << 40) AS d
+            FROM reg GROUP BY grp
+        ),
+        raw AS (
+            SELECT grp, n_empty_buckets,
+                   CAST(({_HLL_ALPHA_FP} * least(72057594037927936 // greatest(d, 1),
+                                    10000000000000)) // 1000000 AS BIGINT) AS est_raw
+            FROM stats
+        ),
+        est AS (
+            SELECT grp, n_empty_buckets, est_raw,
+                   CASE WHEN n_empty_buckets > 0 AND est_raw <= 640
+                        THEN CAST({_HLL_LC_SQL} AS BIGINT)
+                        ELSE est_raw END AS est
+            FROM raw
+        ),
+        exact AS (SELECT grp, count(DISTINCT shingle) AS n_exact FROM sh GROUP BY grp)
+        SELECT grp, est, est_raw, n_exact, n_empty_buckets
+        FROM est JOIN exact USING (grp)
     """,
     "embedding_kmeans": f"""
         -- Lloyd's k-means replay, k=8, two fixed iterations: floor-quantised

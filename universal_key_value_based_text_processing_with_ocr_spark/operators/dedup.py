@@ -60,8 +60,11 @@ def incremental_dedup(new_docs: DataFrame, committed_docs: DataFrame) -> DataFra
     )
 
 
-def char_shingles(docs: DataFrame, n: int = 10) -> DataFrame:
+def char_shingles(docs: DataFrame, n: int = 10, extra_cols: tuple = ()) -> DataFrame:
     """Distinct character n-gram shingles per document.
+
+    ``extra_cols`` carries additional row-constant columns (host, lang)
+    through the explode — the grouped-sketch consumers key on them.
 
     The shingle ARRAY is computed per row and then exploded, so generated
     rows carry only the n-char shingle — exploding positions first would
@@ -76,7 +79,7 @@ def char_shingles(docs: DataFrame, n: int = 10) -> DataFrame:
         f"array_distinct(transform(sequence(1, length(text) - {n - 1}), i -> substring(text, i, {n})))"
     )
     return docs.filter(F.length("text") >= n).select(
-        "doc_id", F.explode(shingle_array).alias("shingle")
+        "doc_id", *extra_cols, F.explode(shingle_array).alias("shingle")
     )
 
 

@@ -656,6 +656,68 @@ def hll_estimate(reg: DataFrame, items: DataFrame, p: int = 8) -> DataFrame:
     )
 
 
+def hll_group_cardinality(items: DataFrame, group_col: str = "grp", p: int = 8) -> DataFrame:
+    """HLL as a GROUPED aggregate: distinct-``term`` cardinality PER GROUP
+    (per host, per language, per shard) — the audit statistic a crawl
+    operator watches at 100 TB, where per-group countDistinct would shuffle
+    every item row but the sketch shuffles at most m cells per group.
+
+    Same integer fixed-point arithmetic as ``hll_cardinality`` (shared rho
+    ladder, estimator constants and linear-counting table), keyed by the
+    group column end to end; the exact per-group distinct count rides along
+    so accuracy is value-checked per group.  -> ONE row per group: (grp,
+    est, est_raw, n_exact, n_empty_buckets)."""
+    m = 1 << p
+    alpha_fp = round(0.7213 / (1 + 1.079 / m) * _HLL_ALPHA_SCALE)
+    h = md5_long(F.col("term"))
+    toks = items.select(
+        F.col(group_col).alias("grp"),
+        F.pmod(h, F.lit(m)).alias("bucket"),
+        _hll_rho(F.shiftright(h, p), _HLL_HASH_BITS - p + 1).alias("rho"),
+    )
+    reg = toks.groupBy("grp", "bucket").agg(F.max("rho").alias("register"))
+    contrib = F.when(F.col("register") > _HLL_K, F.lit(0).cast("long")).otherwise(
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_K} - register)")
+    )
+    stats = reg.groupBy("grp").agg(
+        F.sum(contrib).alias("d_present"), F.count("*").alias("n_present")
+    ).select(
+        "grp",
+        (F.lit(m) - F.col("n_present")).cast("int").alias("n_empty_buckets"),
+        (
+            F.col("d_present")
+            + (F.lit(m) - F.col("n_present")) * F.lit(1 << _HLL_K).cast("long")
+        ).alias("d"),
+    )
+    raw = stats.select(
+        "grp",
+        "n_empty_buckets",
+        F.expr(
+            f"CAST(({alpha_fp} * least({m * m * (1 << _HLL_K)} DIV "
+            f"greatest(d, 1), {10**13})) DIV {_HLL_ALPHA_SCALE} AS BIGINT)"
+        ).alias("est_raw"),
+    )
+    lc = F.lit(None).cast("long")
+    for v, e in hll_linear_counting_table(m).items():
+        lc = F.when(F.col("n_empty_buckets") == v, F.lit(e).cast("long")).otherwise(lc)
+    est = raw.select(
+        "grp",
+        "n_empty_buckets",
+        "est_raw",
+        F.when(
+            (F.col("n_empty_buckets") > 0) & (F.col("est_raw") <= (5 * m) // 2), lc
+        )
+        .otherwise(F.col("est_raw"))
+        .alias("est"),
+    )
+    exact = items.groupBy(F.col(group_col).alias("grp")).agg(
+        F.countDistinct("term").alias("n_exact")
+    )
+    return est.join(exact, "grp").select(
+        "grp", "est", "est_raw", "n_exact", "n_empty_buckets"
+    )
+
+
 def quality_filter(docs: DataFrame, min_words: int = 15, max_mean_word_len: float = 12.0,
                    min_mean_word_len: float = 2.0, max_digit_ratio: float = 0.3,
                    extra_cols: tuple = ()) -> DataFrame:
