@@ -270,3 +270,33 @@ def test_hll_group_cardinality_matches_per_group_replication(spark):  # noqa: F8
         assert got[grp] == (est, est_raw, len(set(sub)), 256 - len(regs)), grp
     # group b sits in the LC regime, group a exercises more registers
     assert got["b"][3] > got["a"][3]
+
+
+def test_badwords_gate_whole_word_and_nulls(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        badwords_gate,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "a classic assignment",  # substrings must NOT match
+                    "play the CASINO, win the Lottery!",  # case + punct
+                    None,  # fail-open
+                    "clean page entirely",
+                ],
+            }
+        )
+    )
+    got = {
+        int(r.doc_id): (bool(r.keep), int(r.n_badword_types), r.matched)
+        for r in badwords_gate(docs, badwords=["ass", "casino", "lottery"])
+        .toPandas()
+        .itertuples()
+    }
+    assert got[0] == (True, 0, "")
+    assert got[1] == (False, 2, "casino,lottery")
+    assert got[2] == (True, 0, "")
+    assert got[3] == (True, 0, "")

@@ -1184,6 +1184,18 @@ def q_streamed_cardinality_hll(spark, sf_dir):
     )
 
 
+def q_badwords_gate(spark, sf_dir):
+    """C4's banned-word page gate with WHOLE-WORD matching (substring
+    matching would drop 'classic' for 'ass'): tokenise on
+    non-alphanumerics, intersect with the broadcast term list, drop on any
+    hit.  The demo list mixes absent spam terms with words the corpus DOES
+    contain so both branches of the gate are value-checked; production
+    swaps in the real public list through the same argument."""
+    docs = _tbl(spark, sf_dir, "documents")
+    terms = ["casino", "lottery", "spark", "viagra", "window"]
+    return textstats.badwords_gate(docs, badwords=terms)
+
+
 def q_lang_cardinality_hll(spark, sf_dir):
     """HLL as a GROUPED aggregate: distinct-shingle cardinality PER
     LANGUAGE — the per-group audit shape (per host, per shard) where a
@@ -2197,6 +2209,7 @@ QUERIES = {
     "corpus_cardinality_hll": q_corpus_cardinality_hll,
     "streamed_cardinality_hll": q_streamed_cardinality_hll,
     "lang_cardinality_hll": q_lang_cardinality_hll,
+    "badwords_gate": q_badwords_gate,
     "embedding_kmeans": q_embedding_kmeans,
     "extract_fields_pdf": q_extract_fields_pdf,
     # Round-5 session-8 rotation: quality_filter, multimodal_image_decode,
@@ -4183,6 +4196,29 @@ ORACLE_SQL = {
         SELECT CAST(bucket AS INT) AS bucket, CAST(register AS INT) AS register,
                est, est_raw, n_exact, n_empty_buckets
         FROM reg, est, exact
+    """,
+    "badwords_gate": """
+        -- whole-word banned-term gate replay: identical tokenisation
+        -- ([^a-z0-9]+ on lowercased text), distinct-intersect, sorted
+        -- comma-joined audit column; NULL text keeps (fail-open like the
+        -- host blocklist)
+        SELECT doc_id,
+               CASE WHEN text IS NULL THEN TRUE ELSE len(matched) = 0 END AS keep,
+               CAST(CASE WHEN text IS NULL THEN 0 ELSE len(matched) END AS INT)
+                   AS n_badword_types,
+               CASE WHEN text IS NULL THEN ''
+                    ELSE coalesce(list_aggregate(matched, 'string_agg', ','), '')
+                    END AS matched
+        FROM (
+            SELECT doc_id, text,
+                   list_sort(list_filter(
+                       list_distinct(string_split_regex(lower(coalesce(text, '')),
+                                                        '[^a-z0-9]+')),
+                       t -> t <> '' AND list_contains(
+                           ['casino', 'lottery', 'spark', 'viagra', 'window'], t)
+                   )) AS matched
+            FROM documents
+        )
     """,
     "lang_cardinality_hll": f"""
         -- grouped HLL replay: the corpus_cardinality_hll arithmetic keyed

@@ -24,6 +24,12 @@ if TYPE_CHECKING:  # pandas only enters at runtime inside the Arrow stage
 EN_STOPWORDS = ["the", "and", "of", "to", "is"]
 ID_STOPWORDS = ["yang", "dan", "di", "untuk", "dengan"]
 
+#: demo banned-word list for badwords_gate (C4 §2.2 drops any page
+#: containing a term from the public "List of Dirty, Naughty, Obscene..."
+#: — that list ships with production configs; these spam-family stand-ins
+#: exercise the identical mechanism)
+DEMO_BADWORDS = ["casino", "viagra", "xxx", "lottery", "pills"]
+
 
 def token_count(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens) — whitespace tokens of trimmed text."""
@@ -1297,6 +1303,53 @@ def c4_line_clean(
         .cast("long")
         .alias("n_lines_kept"),
         F.when(fail.isNull(), F.array_join(kept, "\n")).alias("clean_text"),
+    )
+
+
+def badwords_gate(
+    docs: DataFrame,
+    badwords: list[str] | None = None,
+    id_col: str = "doc_id",
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """C4's banned-word page gate (Raffel et al. 2020 §2.2: drop any page
+    containing a word from the banned list) with WHOLE-WORD matching — a
+    substring test would drop "classic" for "ass"; the reference list is
+    word-level, so the gate tokenises on non-alphanumerics and intersects.
+
+    ``badwords`` defaults to the neutral ``DEMO_BADWORDS`` stand-ins;
+    production swaps in the real list via this argument (same mechanism,
+    list-size-independent plan: the terms ride as ONE literal/broadcast
+    array, never a join).
+
+    -> (id, keep, n_badword_types, matched) — matched is the sorted
+    distinct offending terms comma-joined (auditable, like scrub_pii's
+    counts; a plain string so any engine renders it identically).
+    Entirely row-local array expressions inside one codegen'd projection:
+    no explode, no shuffle, no Python — at 100 TB this fuses onto the
+    scan like every other gate in the family."""
+    terms = sorted(set(w.lower() for w in (badwords or DEMO_BADWORDS)))
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
+        )
+    )
+    matched = F.array_sort(
+        F.array_intersect(toks, F.array(*[F.lit(t) for t in terms]))
+    )
+    return docs.select(
+        id_col,
+        *extra_cols,
+        F.when(F.col("text").isNull(), F.lit(True))
+        .otherwise(F.size(matched) == 0)
+        .alias("keep"),
+        F.when(F.col("text").isNull(), F.lit(0))
+        .otherwise(F.size(matched))
+        .cast("int")
+        .alias("n_badword_types"),
+        F.when(F.col("text").isNull(), F.lit(""))
+        .otherwise(F.array_join(matched, ","))
+        .alias("matched"),
     )
 
 
