@@ -300,3 +300,35 @@ def test_badwords_gate_whole_word_and_nulls(spark):  # noqa: F811
     assert got[1] == (False, 2, "casino,lottery")
     assert got[2] == (True, 0, "")
     assert got[3] == (True, 0, "")
+
+
+def test_hll_randomised_multisets_match_python(spark):  # noqa: F811
+    """200 random term multisets (mixed unicode, dup-heavy, singleton and
+    empty-ish), ONE grouped-HLL Spark job, per-set compare against the
+    independent Python replication — randomised coverage of bucket/rho/
+    estimator/LC arithmetic in the grouped shape."""
+    import random
+
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        hll_group_cardinality,
+    )
+
+    rng = random.Random(1234)
+    alphabet = ["tok", "x", "木", "ümlaut", "9" * 12, "a b", "", "Zz"]
+    rows = []
+    truth = {}
+    for s in range(200):
+        n = rng.choice([1, 2, 5, 40, 300])
+        terms = [
+            rng.choice(alphabet) + str(rng.randint(0, rng.choice([3, 50, 10**6])))
+            for _ in range(n)
+        ]
+        rows += [(s, t) for t in terms]
+        regs, est_raw, est = _hll_python(terms)
+        truth[s] = (est, est_raw, len(set(terms)), 256 - len(regs))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["grp", "term"]))
+    got = {
+        int(r.grp): (int(r.est), int(r.est_raw), int(r.n_exact), int(r.n_empty_buckets))
+        for r in hll_group_cardinality(df).toPandas().itertuples()
+    }
+    assert got == truth
