@@ -174,8 +174,11 @@ def main() -> None:
         # full-pipeline capstone, z-order clustering, count-min sketch)
         "multimodal_webp_decode", "multimodal_tiff_decode",
         "training_batch_plan", "lakehouse_zorder", "corpus_heavy_hitters",
-        # round 5, twelfth session (mergeable-sketch + clustering family)
+        # round 5, twelfth session (mergeable-sketch + clustering family +
+        # the C4 banned-word gate; streamed_cardinality_hll excluded like
+        # the other streaming queries — staging/checkpoint setup dominates)
         "corpus_cardinality_hll", "embedding_kmeans",
+        "lang_cardinality_hll", "badwords_gate",
     ]
 
     best: dict[str, float] = {}

@@ -137,6 +137,8 @@ def main() -> None:
         ("dedup_incremental_embedding", "incremental embedding dedup: batch-side Hamming<=1 probe explode equi-joins the persisted bucket index; exact cosine only on the candidate sliver; committed corpus never re-hashed"),
         ("corpus_cardinality_hll", "HLL cardinality: shingle Generate -> codegen'd bucket/rho projection -> ONE combinable max groupBy of <=256 cells; estimator + LC ladder run on the tiny register table (broadcast back onto it)"),
         ("embedding_kmeans", "fixed-point k-means: per iteration the corpus crossJoins a ONE-row broadcast centroid array (row-local HOF argmin, no amplification) + ONE combinable k*dim-cell sum/count shuffle; no float mean anywhere"),
+        ("lang_cardinality_hll", "grouped HLL: the register groupBy keys on (grp, bucket) — <= m cells per group, map-side combinable; estimator runs per group on the tiny register table"),
+        ("badwords_gate", "banned-word gate: ONE codegen'd projection (split + array_intersect with a literal term array) — no explode, no shuffle, no Python; fuses onto the scan"),
     ]
     for name, note in named:
         sections.append((name, note, formatted(api.QUERIES[name](spark, SF))))
