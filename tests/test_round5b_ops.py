@@ -332,3 +332,35 @@ def test_hll_randomised_multisets_match_python(spark):  # noqa: F811
         for r in hll_group_cardinality(df).toPandas().itertuples()
     }
     assert got == truth
+
+
+def test_kmeans_randomised_configs_match_numpy(spark):  # noqa: F811
+    """Randomised sweep: several (n, dim, k, iters) shapes with duplicate
+    points and tight/far clusters mixed in, each compared against the
+    independent numpy replication — randomised coverage of init order,
+    tie-breaks, empty-cluster keeps and the fixed-point update."""
+    import random
+
+    rng = random.Random(99)
+    for n, dim, k, iters in [(30, 4, 3, 1), (50, 8, 5, 2), (17, 2, 6, 3)]:
+        ids = list(range(n))
+        vecs = []
+        for i in ids:
+            if i % 7 == 0 and i > 0:
+                vecs.append(list(vecs[i - 1]))  # exact duplicate point
+            else:
+                base = 10.0 * (i % 3)
+                vecs.append([base + rng.uniform(-0.01, 0.01) for _ in range(dim)])
+        got = (
+            kmeans_assign(_emb_df(spark, ids, vecs), k=k, iters=iters)
+            .toPandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        truth = _kmeans_numpy(
+            ids, [np.array(v, dtype=np.float32) for v in vecs], k, iters
+        )
+        for r in got.itertuples():
+            assert truth[int(r.vec_id)] == (int(r.sq_dist), int(r.cluster)), (
+                n, dim, k, iters, int(r.vec_id),
+            )
