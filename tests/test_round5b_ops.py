@@ -364,3 +364,25 @@ def test_kmeans_randomised_configs_match_numpy(spark):  # noqa: F811
             assert truth[int(r.vec_id)] == (int(r.sq_dist), int(r.cluster)), (
                 n, dim, k, iters, int(r.vec_id),
             )
+
+
+def test_hll_xxhash64_production_path(spark):  # noqa: F811
+    # Production hash seam (the dedup-family pattern): same sketch
+    # semantics and error bounds, different register values — so no
+    # cross-engine oracle, but accuracy vs the exact count still holds.
+    terms = [f"item-{i % 2000}-{i % 7}" for i in range(20000)]
+    df = _terms_df(spark, terms)
+    got = hll_cardinality(df, hasher="xxhash64").toPandas()
+    n_exact = int(got.n_exact.iloc[0])
+    assert n_exact == len(set(terms))
+    # 4 sigma at p=8 (std err ~6.5%)
+    assert abs(int(got.est.iloc[0]) - n_exact) <= 0.26 * n_exact
+    # and it genuinely differs from the md5 registers (distinct hash family)
+    md5_regs = {(r.bucket, r.register) for r in hll_sketch(df).toPandas().itertuples()}
+    xx_regs = {
+        (r.bucket, r.register)
+        for r in hll_sketch(df, hasher="xxhash64").toPandas().itertuples()
+    }
+    assert md5_regs != xx_regs
+    with pytest.raises(ValueError):
+        hll_sketch(df, hasher="sha1")

@@ -534,6 +534,19 @@ _HLL_ALPHA_SCALE = 10**6
 _HLL_K = 40
 
 
+def _hll_hash(col, hasher: str) -> F.Column:
+    """60-bit nonneg item hash behind the same production seam the dedup
+    family uses (``dedup.set_hash_impl``): 'md5' is byte-reproducible in
+    any engine (what makes the oracle replay possible); 'xxhash64' is the
+    JVM-native fast path — same sketch semantics and error bounds, but
+    register VALUES differ, so cross-engine oracles don't apply."""
+    if hasher == "xxhash64":
+        return F.shiftrightunsigned(F.xxhash64(col), 4)
+    if hasher != "md5":
+        raise ValueError(f"hasher must be 'md5' or 'xxhash64', got {hasher!r}")
+    return md5_long(col)
+
+
 def _hll_rho(w: F.Column, max_rho: int) -> F.Column:
     """Position of the lowest set bit of ``w`` plus one (w == 0 -> cap).
 
@@ -549,7 +562,7 @@ def _hll_rho(w: F.Column, max_rho: int) -> F.Column:
     return rho.cast("int")
 
 
-def hll_sketch(items: DataFrame, p: int = 8) -> DataFrame:
+def hll_sketch(items: DataFrame, p: int = 8, hasher: str = "md5") -> DataFrame:
     """HyperLogLog register table (Flajolet et al. 2007) over an item
     stream (any DataFrame with a string ``term`` column — tokens, shingles,
     urls, fingerprints): (bucket, register), at most m = 2^p rows.
@@ -563,7 +576,7 @@ def hll_sketch(items: DataFrame, p: int = 8) -> DataFrame:
     re-reading anything.  md5 fixed-point hashing as everywhere else,
     replayable bit-for-bit in any engine."""
     m = 1 << p
-    h = md5_long(F.col("term"))
+    h = _hll_hash(F.col("term"), hasher)
     toks = items.select(
         F.pmod(h, F.lit(m)).alias("bucket"),
         _hll_rho(F.shiftright(h, p), _HLL_HASH_BITS - p + 1).alias("rho"),
@@ -581,7 +594,7 @@ def hll_linear_counting_table(m: int) -> dict[int, int]:
     return {v: round(m * math.log(m / v)) for v in range(1, m + 1)}
 
 
-def hll_cardinality(items: DataFrame, p: int = 8) -> DataFrame:
+def hll_cardinality(items: DataFrame, p: int = 8, hasher: str = "md5") -> DataFrame:
     """Distinct-item cardinality estimate from the HLL sketch, integer
     fixed-point end to end so the oracle replays it exactly.
 
@@ -603,7 +616,7 @@ def hll_cardinality(items: DataFrame, p: int = 8) -> DataFrame:
     most m cells, map-side combinable); everything after runs on <= m rows.
     (``n_exact`` adds the exact countDistinct the sketch exists to avoid —
     it is the CHECK, not the operator; production drops that column.)"""
-    return hll_estimate(hll_sketch(items, p=p), items, p=p)
+    return hll_estimate(hll_sketch(items, p=p, hasher=hasher), items, p=p)
 
 
 def hll_estimate(reg: DataFrame, items: DataFrame, p: int = 8) -> DataFrame:
@@ -662,7 +675,9 @@ def hll_estimate(reg: DataFrame, items: DataFrame, p: int = 8) -> DataFrame:
     )
 
 
-def hll_group_cardinality(items: DataFrame, group_col: str = "grp", p: int = 8) -> DataFrame:
+def hll_group_cardinality(
+    items: DataFrame, group_col: str = "grp", p: int = 8, hasher: str = "md5"
+) -> DataFrame:
     """HLL as a GROUPED aggregate: distinct-``term`` cardinality PER GROUP
     (per host, per language, per shard) — the audit statistic a crawl
     operator watches at 100 TB, where per-group countDistinct would shuffle
@@ -675,7 +690,7 @@ def hll_group_cardinality(items: DataFrame, group_col: str = "grp", p: int = 8) 
     est, est_raw, n_exact, n_empty_buckets)."""
     m = 1 << p
     alpha_fp = round(0.7213 / (1 + 1.079 / m) * _HLL_ALPHA_SCALE)
-    h = md5_long(F.col("term"))
+    h = _hll_hash(F.col("term"), hasher)
     toks = items.select(
         F.col(group_col).alias("grp"),
         F.pmod(h, F.lit(m)).alias("bucket"),
