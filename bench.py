@@ -185,6 +185,7 @@ def main() -> None:
     counts: dict[str, int] = {}
     new_best: dict[str, float] = {}
     md5_lsh_times: list[float] = []
+    hll_xx_times: list[float] = []
     for _rep in range(reps):
         for name in ["extract_pages", *bench_queries]:
             dt, n = run_query(name)
@@ -197,12 +198,27 @@ def main() -> None:
         t0 = time.time()
         api.QUERIES["dedup_minhash_lsh"](spark, SF_DIR).count()
         md5_lsh_times.append(time.time() - t0)
+        # HLL hash-seam A/B (the inverse direction: the QUERY runs md5 for
+        # the oracle; this times the xxhash64 production sketch alone)
+        from universal_key_value_based_text_processing_with_ocr_spark.operators import (
+            dedup as _dd,
+        )
+        from universal_key_value_based_text_processing_with_ocr_spark.operators import (
+            textstats as _ts,
+        )
+        _sh = _dd.char_shingles(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet"), n=10
+        ).selectExpr("shingle AS term")
+        t0 = time.time()
+        _ts.hll_sketch(_sh, hasher="xxhash64").count()
+        hll_xx_times.append(time.time() - t0)
         spark.catalog.clearCache()
 
     timings = {k: round(v, 3) for k, v in best.items()}
     extracted = counts["extract_pages"]
     docs_per_sec = round(extracted / timings["extract_pages"], 1)
     md5_lsh_sec = round(min(md5_lsh_times), 3)
+    hll_xx_sec = round(min(hll_xx_times), 3)
 
     # --- ANN recall@10 vs the exact scan (quality, not time) -------------
     from universal_key_value_based_text_processing_with_ocr_spark.operators import similarity
@@ -261,6 +277,7 @@ def main() -> None:
         # this is the same query on the md5 oracle-replay path (the
         # cross-engine-reproducibility tax, best-of-N interleaved)
         "dedup_minhash_lsh_md5_sec": md5_lsh_sec,
+        "hll_sketch_xxhash64_sec": hll_xx_sec,
     }
     if sf1_out is not None:
         out["sf1_extraction"] = sf1_out
