@@ -125,11 +125,21 @@ def embedding_near_dup_lsh(
     the all-pairs crossJoin of ``embedding_near_dup`` (kept as the small-N
     exact oracle).  At 100 TB, add bits to ``dims`` to keep buckets bounded.
     """
+    # Norms are hoisted to ONE per-row projection: inside the pair select
+    # they would re-run the O(dim) aggregate per CANDIDATE (bucket fanout
+    # times per row).  sqrt(dot(a,a)) on the same array is bit-identical
+    # wherever it is evaluated, so results are unchanged.
     b = embeddings.select(
-        "vec_id", "embedding", sign_bucket(F.col("embedding"), dims).alias("bucket")
+        "vec_id",
+        "embedding",
+        sign_bucket(F.col("embedding"), dims).alias("bucket"),
+        _norm(F.col("embedding")).alias("nrm"),
     )
     left = b.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+        "bucket",
     )
     probe_keys = F.array(
         F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(len(dims))]
@@ -137,6 +147,7 @@ def embedding_near_dup_lsh(
     right = b.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
         F.explode(probe_keys).alias("probe"),
     )
     # hamming(a,b)==d<=1 matches exactly one probe key, so no pair dedup needed
@@ -146,7 +157,7 @@ def embedding_near_dup_lsh(
             "vec_a",
             "vec_b",
             F.round(
-                _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))), 6
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
             ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
@@ -201,21 +212,30 @@ def incremental_embedding_dedup(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(len(dims))],
     )
+    # Norms hoisted to one per-ROW projection on each join side: inside the
+    # candidate predicate they would re-run the O(dim) aggregate per PAIR
+    # (bucket-occupancy fanout).  sqrt(dot(a,a)) over the same array is
+    # bit-identical wherever evaluated, so the drop set is unchanged.
     probed = nb.select(
-        F.col("vec_id"), F.col("embedding").alias("ne"), F.explode(probe_keys).alias("probe")
+        F.col("vec_id"),
+        F.col("embedding").alias("ne"),
+        _norm(F.col("embedding")).alias("n_ne"),
+        F.explode(probe_keys).alias("probe"),
     )
 
-    def _cos(a, b):
-        return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
+    def _cos(a, b, na, nb_):
+        return F.round(_dot(a, b) / (na * nb_), 6)
 
     vs_committed = (
         probed.join(
             committed_index.select(
-                F.col("bucket").alias("c_bucket"), F.col("embedding").alias("ce")
+                F.col("bucket").alias("c_bucket"),
+                F.col("embedding").alias("ce"),
+                _norm(F.col("embedding")).alias("n_ce"),
             ),
             F.col("probe") == F.col("c_bucket"),
         )
-        .where(_cos(F.col("ne"), F.col("ce")) >= threshold)
+        .where(_cos(F.col("ne"), F.col("ce"), F.col("n_ne"), F.col("n_ce")) >= threshold)
         .select("vec_id")
     )
     vs_batch = (
@@ -224,10 +244,11 @@ def incremental_embedding_dedup(
                 F.col("vec_id").alias("k_id"),
                 F.col("bucket").alias("k_bucket"),
                 F.col("embedding").alias("ke"),
+                _norm(F.col("embedding")).alias("n_ke"),
             ),
             (F.col("probe") == F.col("k_bucket")) & (F.col("k_id") < F.col("vec_id")),
         )
-        .where(_cos(F.col("ne"), F.col("ke")) >= threshold)
+        .where(_cos(F.col("ne"), F.col("ke"), F.col("n_ne"), F.col("n_ke")) >= threshold)
         .select("vec_id")
     )
     dropped = vs_committed.unionByName(vs_batch).distinct()
@@ -323,16 +344,23 @@ def lsh_bucketed_topk(
     a pure per-row expression — no centroid table to maintain, so it works
     on an append-only stream without re-clustering."""
     planes = lsh_hyperplanes(n_planes, dim)
+    # Norms are one per-row projection on each side — inside the scored
+    # select they would re-run the O(dim) aggregate per (probe x bucket
+    # occupancy) candidate.  Bit-identical wherever evaluated.
     with_bucket = embeddings.withColumn(
         "bucket", hyperplane_bucket(F.col("embedding"), planes)
-    )
+    ).withColumn("nrm", _norm(F.col("embedding")))
     queries = with_bucket.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"), F.col("bucket").alias("qb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        F.col("nrm").alias("qn"),
+        F.col("bucket").alias("qb"),
     )
     masks = probe_masks(n_planes, radius)
     qprobes = queries.select(
         "query_id",
         "q",
+        "qn",
         F.explode(
             F.array(*[F.col("qb").bitwiseXOR(F.lit(m)) for m in masks])
         ).alias("probe"),
@@ -345,8 +373,7 @@ def lsh_bucketed_topk(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                _dot(F.col("q"), F.col("embedding"))
-                / (_norm(F.col("q")) * _norm(F.col("embedding"))),
+                _dot(F.col("q"), F.col("embedding")) / (F.col("qn") * F.col("nrm")),
                 9,
             ).alias("cos"),
         )
@@ -401,17 +428,24 @@ def ivf_topk(
     cent = (
         embeddings.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
         .limit(n_centroids)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("ce"),
+            _norm(F.col("embedding")).alias("cn"),
+        )
     )
+    # Row norm computed ONCE per vector, not per (vector x centroid) pair
+    # nor per candidate — sqrt(dot(a,a)) is bit-identical wherever run.
+    with_norm = embeddings.withColumn("nrm", _norm(F.col("embedding")))
     sims = (
-        embeddings.crossJoin(F.broadcast(cent))
+        with_norm.crossJoin(F.broadcast(cent))
         .select(
             "vec_id",
             "embedding",
+            "nrm",
             "cid",
             F.round(
-                _dot(F.col("embedding"), F.col("ce"))
-                / (_norm(F.col("embedding")) * _norm(F.col("ce"))),
+                _dot(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cn")),
                 9,
             ).alias("sim"),
         )
@@ -419,10 +453,13 @@ def ivf_topk(
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid").asc())
     ranked = sims.withColumn("rn", F.row_number().over(w_assign))
     cells = ranked.filter(F.col("rn") == 1).select(
-        "vec_id", "embedding", F.col("cid").alias("cell")
+        "vec_id", "embedding", "nrm", F.col("cid").alias("cell")
     )
     qprobe = ranked.filter((F.col("vec_id") < n_queries) & (F.col("rn") <= nprobe)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"), F.col("cid").alias("cell")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        F.col("nrm").alias("qn"),
+        F.col("cid").alias("cell"),
     )
     # cells are disjoint (top-1 assignment), so a candidate appears at most
     # once per query even when the query probes several cells
@@ -434,8 +471,7 @@ def ivf_topk(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                _dot(F.col("q"), F.col("embedding"))
-                / (_norm(F.col("q")) * _norm(F.col("embedding"))),
+                _dot(F.col("q"), F.col("embedding")) / (F.col("qn") * F.col("nrm")),
                 9,
             ).alias("cos"),
         )
@@ -487,30 +523,35 @@ def semdedup(
     cent = (
         embeddings.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
         .limit(n_centroids)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("ce"),
+            _norm(F.col("embedding")).alias("cn"),
+        )
     )
-    sims = embeddings.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "embedding",
-        "cid",
-        F.round(
-            _dot(F.col("embedding"), F.col("ce"))
-            / (_norm(F.col("embedding")) * _norm(F.col("ce"))),
-            9,
-        ).alias("csim"),
+    # the vector's norm is computed ONCE per row and carried through the
+    # centroid assignment (16x fanout) AND the quadratic pair stage, which
+    # then evaluate only the dot — 3x less fold work where it multiplies
+    # out, and bitwise identical (same left-fold over the same array)
+    sims = (
+        embeddings.withColumn("nrm", _norm(F.col("embedding")))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            "cid",
+            F.round(
+                _dot(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cn")),
+                9,
+            ).alias("csim"),
+        )
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid").asc())
     members = (
         sims.withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        # the vector's norm is computed ONCE here and carried into the
-        # quadratic stage, which then evaluates only the dot per pair —
-        # 3x less fold work where it multiplies out, and bitwise identical
-        # (same left-fold over the same array either way)
-        .select(
-            "vec_id", "embedding", F.col("cid").alias("cluster"), "csim",
-            _norm(F.col("embedding")).alias("nrm"),
-        )
+        .select("vec_id", "embedding", F.col("cid").alias("cluster"), "csim", "nrm")
     )
     # paper: keep the member farthest from the centroid -> rank ascending
     w_rank = Window.partitionBy("cluster").orderBy(F.col("csim").asc(), F.col("vec_id").asc())
