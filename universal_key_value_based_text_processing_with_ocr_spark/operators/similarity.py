@@ -36,10 +36,18 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10) -> DataF
 
     Returns (query_id, neighbor_id, rank) with rank 1..k, self excluded;
     ties broken by neighbor_id for determinism."""
+    # Norms projected once per row, not per (query x corpus) pair —
+    # sqrt(dot(a,a)) over the same array is bit-identical either way.
     queries = embeddings.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        _norm(F.col("embedding")).alias("qn"),
     )
-    corpus = embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e"))
+    corpus = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("e"),
+        _norm(F.col("embedding")).alias("en"),
+    )
     scored = (
         F.broadcast(queries)
         .crossJoin(corpus)
@@ -47,7 +55,7 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10) -> DataF
         .select(
             "query_id",
             "neighbor_id",
-            (_dot(F.col("q"), F.col("e")) / (_norm(F.col("q")) * _norm(F.col("e")))).alias("cos"),
+            (_dot(F.col("q"), F.col("e")) / (F.col("qn") * F.col("en"))).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
@@ -93,8 +101,17 @@ def embedding_near_dup(
     _guard_quadratic(
         embeddings, QUADRATIC_GUARD_MAX_ROWS, allow_quadratic, "embedding_near_dup_lsh"
     )
-    a = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    # Norms projected once per row, not per O(N^2) pair — bit-identical.
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        _norm(F.col("embedding")).alias("na"),
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        _norm(F.col("embedding")).alias("nb"),
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -102,7 +119,7 @@ def embedding_near_dup(
             "vec_a",
             "vec_b",
             F.round(
-                _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))), 6
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
             ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
@@ -801,17 +818,23 @@ def pq_topk_rerank(
         "query_id", "neighbor_id"
     )
     cand = short.join(
-        embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")),
+        embeddings.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("ne"),
+            _norm(F.col("embedding")).alias("nn"),
+        ),
         "neighbor_id",
     )
     queries = embeddings.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qn"),
     )
     scored = cand.join(F.broadcast(queries), "query_id").select(
         "query_id",
         "neighbor_id",
         F.round(
-            _dot(F.col("qe"), F.col("ne")) / (_norm(F.col("qe")) * _norm(F.col("ne"))), 6
+            _dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")), 6
         ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
