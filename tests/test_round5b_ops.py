@@ -251,6 +251,56 @@ def test_streamed_hll_bit_equal_to_batch(spark):  # noqa: F811
     assert streamed.equals(batch)
 
 
+def test_streamed_sketches_count_null_doc_id_rows(spark, tmp_path):  # noqa: F811
+    """A NULL doc_id row must land in exactly one staged micro-batch:
+    pmod(NULL, n) == k is NULL for every k, so before the coalesce fix the
+    row vanished from the streamed sketch while the batch twin counted it
+    — streamed-vs-batch bit-equality is the regression pin, on BOTH the
+    SUM-merged CMS and the MAX-merged HLL."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators import (
+        dedup,
+        textstats,
+    )
+    from universal_key_value_based_text_processing_with_ocr_spark.streaming.incremental import (
+        streamed_cardinality_hll,
+        streamed_heavy_hitters,
+    )
+
+    rows = [(i, f"streamed null routing fixture text {i} " * 3) for i in range(12)]
+    rows.append((None, "the null keyed document that must still be counted"))
+    path = str(tmp_path / "docs_with_null.parquet")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]).astype({"doc_id": "Int64"})
+    ).write.parquet(path)
+    docs = spark.read.parquet(path)
+
+    streamed_cms = (
+        streamed_heavy_hitters(spark, path, top=10)
+        .toPandas()
+        .sort_values(["est", "term"])
+        .reset_index(drop=True)
+    )
+    batch_cms = (
+        textstats.token_cms_heavy_hitters(docs, top=10)
+        .toPandas()
+        .sort_values(["est", "term"])
+        .reset_index(drop=True)
+    )
+    assert streamed_cms.equals(batch_cms)
+
+    streamed_hll = (
+        streamed_cardinality_hll(spark, path)
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    sh = dedup.char_shingles(docs, n=10).select(F.col("shingle").alias("term"))
+    batch_hll = (
+        hll_cardinality(sh).toPandas().sort_values("bucket").reset_index(drop=True)
+    )
+    assert streamed_hll.equals(batch_hll)
+
+
 def test_hll_group_cardinality_matches_per_group_replication(spark):  # noqa: F811
     from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
         hll_group_cardinality,

@@ -166,6 +166,40 @@ def streamed_extraction_job(
     return {"run_id": run_id, "n_epochs": len(epochs), "snapshot_id": results_tbl.snapshot_id()}
 
 
+def _staged_micro_batches(spark: SparkSession, docs_path: str, batches: int, prefix: str):
+    """Stage the corpus as ``batches`` single-file slices and open an
+    AvailableNow + maxFilesPerTrigger=1 stream over them — the shared
+    scaffolding of the streamed-sketch twins (one copy, so a staging fix
+    cannot drift between them).
+
+    Rows with a NULL ``doc_id`` route to slice 0 (``coalesce``):
+    ``pmod(NULL, n) == k`` is NULL for every k, so without the coalesce a
+    NULL-keyed row would land in NO slice and silently vanish from the
+    streamed sketch while the batch twin (and the shared oracle) counts
+    it.  Returns (docs, stream, staging_dir)."""
+    import tempfile
+    from pathlib import Path
+
+    staging = Path(tempfile.mkdtemp(prefix=prefix))
+    docs = spark.read.parquet(docs_path).select("doc_id", "text")
+    slice_key = F.pmod(F.coalesce(F.col("doc_id"), F.lit(0)), F.lit(batches))
+    for k in range(batches):
+        docs.where(slice_key == k).coalesce(1).write.mode("overwrite").parquet(
+            str(staging / "in" / f"b{k}")
+        )
+    # flatten the per-slice dirs into one source dir of single files
+    src = staging / "src"
+    src.mkdir()
+    for k, p in enumerate(sorted((staging / "in").rglob("*.parquet"))):
+        p.rename(src / f"batch-{k}.parquet")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    return docs, stream, staging
+
+
 def streamed_heavy_hitters(
     spark: SparkSession,
     docs_path: str,
@@ -177,43 +211,33 @@ def streamed_heavy_hitters(
     """Count-min sketch built INCREMENTALLY over micro-batches, then
     probed: the corpus is staged as ``batches`` files so AvailableNow +
     maxFilesPerTrigger=1 delivers genuine multiple epochs; each epoch
-    appends its batch's (row, bucket, cnt) cells, and the final sketch is
+    writes its batch's (row, bucket, cnt) cells, and the final sketch is
     the cell-wise SUM across epochs — the CMS merge property made
     operational.  The batch twin (``textstats.token_cms_heavy_hitters``)
     computes the identical sketch in one pass, so the streamed result is
     bit-equal to the batch result and shares its oracle: a merge bug
-    (double count, dropped epoch, wrong cell key) fails the value hash."""
-    import tempfile
-    from pathlib import Path
+    (double count, dropped epoch, wrong cell key) fails the value hash.
 
+    Epoch commits are IDEMPOTENT: each epoch overwrites its own
+    ``epoch=<id>`` partition directory, so an at-least-once foreachBatch
+    replay (driver restart after the parquet write but before the offset
+    commit) rewrites the same cells instead of double-counting them into
+    the SUM merge — the CMS needs this guard where the HLL twin's MAX
+    merge is replay-safe by algebra."""
     from ..operators import textstats
 
-    staging = Path(tempfile.mkdtemp(prefix="ukv_cms_stream_"))
-    docs = spark.read.parquet(docs_path).select("doc_id", "text")
-    for k in range(batches):
-        docs.where(F.pmod(F.col("doc_id"), F.lit(batches)) == k).coalesce(
-            1
-        ).write.mode("overwrite").parquet(str(staging / "in" / f"b{k}"))
-    # flatten the per-slice dirs into one source dir of single files
-    src = staging / "src"
-    src.mkdir()
-    for k, p in enumerate(sorted((staging / "in").rglob("*.parquet"))):
-        p.rename(src / f"batch-{k}.parquet")
-
-    cells_dir = str(staging / "cells")
-    schema = docs.schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(src))
+    docs, stream, staging = _staged_micro_batches(
+        spark, docs_path, batches, "ukv_cms_stream_"
     )
+    cells_dir = str(staging / "cells")
 
     def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        # one epoch = one batch sketch, appended; mergeability means no
-        # read-modify-write of the accumulated state is ever needed
-        textstats.cms_sketch(batch_df, rows=rows, m=m).write.mode("append").parquet(
-            cells_dir
-        )
+        # one epoch = one batch sketch in its OWN epoch-keyed partition,
+        # overwritten on replay; mergeability means no read-modify-write
+        # of the accumulated state is ever needed
+        textstats.cms_sketch(batch_df, rows=rows, m=m).write.mode(
+            "overwrite"
+        ).parquet(f"{cells_dir}/epoch={int(epoch_id)}")
 
     q = (
         stream.writeStream.foreachBatch(commit_batch)
@@ -247,38 +271,24 @@ def streamed_cardinality_hll(
     the identical registers in one pass, so the streamed result is
     bit-equal to the batch result and shares its oracle: a merge bug
     (dropped epoch, wrong cell key, sum-instead-of-max) fails the hash."""
-    import tempfile
-    from pathlib import Path
-
     from ..operators import dedup, textstats
 
-    staging = Path(tempfile.mkdtemp(prefix="ukv_hll_stream_"))
-    docs = spark.read.parquet(docs_path).select("doc_id", "text")
-    for k in range(batches):
-        docs.where(F.pmod(F.col("doc_id"), F.lit(batches)) == k).coalesce(
-            1
-        ).write.mode("overwrite").parquet(str(staging / "in" / f"b{k}"))
-    src = staging / "src"
-    src.mkdir()
-    for k, path in enumerate(sorted((staging / "in").rglob("*.parquet"))):
-        path.rename(src / f"batch-{k}.parquet")
-
-    regs_dir = str(staging / "regs")
-    stream = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(src))
+    docs, stream, staging = _staged_micro_batches(
+        spark, docs_path, batches, "ukv_hll_stream_"
     )
+    regs_dir = str(staging / "regs")
 
     def _shingle_terms(df: DataFrame) -> DataFrame:
         return dedup.char_shingles(df, n=10).select(F.col("shingle").alias("term"))
 
     def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        # one epoch = one batch register table, appended; mergeability
-        # means no read-modify-write of accumulated state is ever needed
+        # one epoch = one batch register table in its own epoch-keyed
+        # partition (same idempotent layout as the CMS twin — MAX merge
+        # wouldn't strictly need it, but one write contract for both);
+        # mergeability means no read-modify-write of accumulated state
         textstats.hll_sketch(_shingle_terms(batch_df), p=p).write.mode(
-            "append"
-        ).parquet(regs_dir)
+            "overwrite"
+        ).parquet(f"{regs_dir}/epoch={int(epoch_id)}")
 
     q = (
         stream.writeStream.foreachBatch(commit_batch)
