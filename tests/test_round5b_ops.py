@@ -352,6 +352,43 @@ def test_badwords_gate_whole_word_and_nulls(spark):  # noqa: F811
     assert got[3] == (True, 0, "")
 
 
+def test_badwords_gate_phrases_and_punctuated_terms(spark):  # noqa: F811
+    """The real C4 list is full of multi-word phrases and punctuated
+    obfuscations — the gate must match them literally on alphanumeric
+    boundaries (the pre-fix token-equality test silently never matched
+    any of them: keep=True with n_badword_types=0)."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        badwords_gate,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3, 4, 5],
+                "text": [
+                    "watch deep throat online",  # phrase hit
+                    "deep thought, throat lozenge",  # words split -> no hit
+                    "grade a$$ material",  # punctuated term, exact punct
+                    "grade a!! material",  # same positions, other punct -> hit
+                    "grade ass material",  # alnum where punct expected -> miss
+                    "a deepthroat compound",  # no boundary -> miss
+                ],
+            }
+        )
+    )
+    terms = ["deep throat", "a$$", "!!!"]  # pure punctuation is excluded
+    got = {
+        int(r.doc_id): (bool(r.keep), int(r.n_badword_types), r.matched)
+        for r in badwords_gate(docs, badwords=terms).toPandas().itertuples()
+    }
+    assert got[0] == (False, 1, "deep throat")
+    assert got[1] == (True, 0, "")
+    assert got[2] == (False, 1, "a$$")
+    assert got[3] == (False, 1, "a$$")  # documented positional-punct widening
+    assert got[4] == (True, 0, "")
+    assert got[5] == (True, 0, "")
+
+
 def test_hll_randomised_multisets_match_python(spark):  # noqa: F811
     """200 random term multisets (mixed unicode, dup-heavy, singleton and
     empty-ish), ONE grouped-HLL Spark job, per-set compare against the

@@ -1185,14 +1185,26 @@ def q_streamed_cardinality_hll(spark, sf_dir):
 
 
 def q_badwords_gate(spark, sf_dir):
-    """C4's banned-word page gate with WHOLE-WORD matching (substring
-    matching would drop 'classic' for 'ass'): tokenise on
-    non-alphanumerics, intersect with the broadcast term list, drop on any
-    hit.  The demo list mixes absent spam terms with words the corpus DOES
-    contain so both branches of the gate are value-checked; production
-    swaps in the real public list through the same argument."""
+    """C4's banned-word page gate with boundary-guarded LITERAL matching
+    (the tensorflow_datasets c4_utils regex shape: whole-word, so
+    'classic' never matches 'ass', but multi-word phrases and punctuated
+    obfuscations from the real list DO match).  The demo list exercises
+    every branch against corpus content: absent spam words, present
+    single words, a present multi-word phrase, a punctuated term whose
+    normalised form occurs ('fast,table' hits 'fast table'), and an
+    absent obfuscation; production swaps in the real public list through
+    the same argument."""
     docs = _tbl(spark, sf_dir, "documents")
-    terms = ["casino", "lottery", "spark", "viagra", "window"]
+    terms = [
+        "casino",
+        "lottery",
+        "spark",
+        "viagra",
+        "window",
+        "fast,table",
+        "batch window",
+        "v1@gra",
+    ]
     return textstats.badwords_gate(docs, badwords=terms)
 
 
@@ -4198,10 +4210,12 @@ ORACLE_SQL = {
         FROM reg, est, exact
     """,
     "badwords_gate": """
-        -- whole-word banned-term gate replay: identical tokenisation
-        -- ([^a-z0-9]+ on lowercased text), distinct-intersect, sorted
-        -- comma-joined audit column; NULL text keeps (fail-open like the
-        -- host blocklist)
+        -- boundary-guarded literal banned-term gate replay: every
+        -- non-alnum CHAR in text and term becomes one space (positions
+        -- preserved), both padded with a boundary space, term hits iff
+        -- plain substring — identical pair list, sorted comma-joined
+        -- audit column; NULL text keeps (fail-open like the host
+        -- blocklist)
         SELECT doc_id,
                CASE WHEN text IS NULL THEN TRUE ELSE len(matched) = 0 END AS keep,
                CAST(CASE WHEN text IS NULL THEN 0 ELSE len(matched) END AS INT)
@@ -4211,12 +4225,20 @@ ORACLE_SQL = {
                     END AS matched
         FROM (
             SELECT doc_id, text,
-                   list_sort(list_filter(
-                       list_distinct(string_split_regex(lower(coalesce(text, '')),
-                                                        '[^a-z0-9]+')),
-                       t -> t <> '' AND list_contains(
-                           ['casino', 'lottery', 'spark', 'viagra', 'window'], t)
-                   )) AS matched
+                   list_sort(list_transform(list_filter(
+                       [{'o': 'batch window', 'r': ' batch window '},
+                        {'o': 'casino',       'r': ' casino '},
+                        {'o': 'fast,table',   'r': ' fast table '},
+                        {'o': 'lottery',      'r': ' lottery '},
+                        {'o': 'spark',        'r': ' spark '},
+                        {'o': 'v1@gra',       'r': ' v1 gra '},
+                        {'o': 'viagra',       'r': ' viagra '},
+                        {'o': 'window',       'r': ' window '}],
+                       e -> contains(
+                           ' ' || regexp_replace(lower(coalesce(text, '')),
+                                                 '[^a-z0-9]', ' ', 'g') || ' ',
+                           e.r)
+                   ), e -> e.o)) AS matched
             FROM documents
         )
     """,

@@ -1328,14 +1328,30 @@ def badwords_gate(
     extra_cols: tuple = (),
 ) -> DataFrame:
     """C4's banned-word page gate (Raffel et al. 2020 §2.2: drop any page
-    containing a word from the banned list) with WHOLE-WORD matching — a
-    substring test would drop "classic" for "ass"; the reference list is
-    word-level, so the gate tokenises on non-alphanumerics and intersects.
+    containing a term from the banned list), matching the reference
+    implementation's boundary-guarded LITERAL containment
+    (tensorflow_datasets c4_utils builds ``[^a-z](term)[^a-z]`` around each
+    escaped list entry): the real public list is full of multi-word
+    phrases and punctuated obfuscations, so a token-equality test would
+    silently never match them, while a bare substring test would drop
+    "classic" for "ass" — this does neither.
+
+    Mechanics (regex-free, so no per-term pattern compiles and no
+    escaping hazards): every non-alphanumeric CHAR in the lowercased text
+    AND in each term becomes a single space (1:1, position-preserving —
+    runs are NOT collapsed), both are padded with one boundary space, and
+    a term hits iff its padded form is a plain substring.  Equivalent to
+    the reference regex on alphanumeric boundaries; the one documented
+    divergence is that a punctuated term matches any same-POSITION
+    punctuation, not the exact characters ('a$$' also hits 'a!!'), which
+    only widens obfuscation coverage.  Terms that normalise to all
+    spaces (pure punctuation) are excluded — they would match any
+    whitespace run.
 
     ``badwords`` defaults to the neutral ``DEMO_BADWORDS`` stand-ins;
     production swaps in the real list via this argument (same mechanism,
-    list-size-independent plan: the terms ride as ONE literal/broadcast
-    array, never a join).
+    list-size-independent plan: the (term, padded form) pairs ride as ONE
+    literal array, never a join).
 
     -> (id, keep, n_badword_types, matched) — matched is the sorted
     distinct offending terms comma-joined (auditable, like scrub_pii's
@@ -1343,14 +1359,28 @@ def badwords_gate(
     Entirely row-local array expressions inside one codegen'd projection:
     no explode, no shuffle, no Python — at 100 TB this fuses onto the
     scan like every other gate in the family."""
-    terms = sorted(set(w.lower() for w in (badwords or DEMO_BADWORDS)))
-    toks = F.array_distinct(
-        F.filter(
-            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
-        )
+    import re as _re
+
+    pairs = sorted(
+        {
+            (t, " " + _re.sub(r"[^a-z0-9]", " ", t) + " ")
+            for t in (w.lower() for w in (badwords or DEMO_BADWORDS))
+            if _re.sub(r"[^a-z0-9]", " ", t).strip()
+        }
+    )
+    pair_arr = F.array(
+        *[F.struct(F.lit(o).alias("o"), F.lit(r).alias("r")) for o, r in pairs]
+    )
+    padded = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", " "),
+        F.lit(" "),
     )
     matched = F.array_sort(
-        F.array_intersect(toks, F.array(*[F.lit(t) for t in terms]))
+        F.transform(
+            F.filter(pair_arr, lambda e: F.contains(padded, e["r"])),
+            lambda e: e["o"],
+        )
     )
     return docs.select(
         id_col,
