@@ -108,6 +108,54 @@ def test_zvalue_known_answers(spark):
     assert got[(3, 2)] == 0b1110
 
 
+def test_zvalue_wide_domain_no_int64_wrap(spark):
+    """Microsecond-epoch-scale domains (width ~2^48) used to wrap the
+    (v - lo) * 65535 product negative under Spark's non-ANSI arithmetic,
+    producing garbage z-values.  The overflow shift must keep values in
+    [0, 2^32), monotone along each axis, bit-equal to the DuckDB twin
+    under BOTH bound styles (int literals and SQL expressions), and equal
+    to the pure-Python replay of the same shifted arithmetic."""
+    lo, hi = 1_600_000_000_000_000, 1_600_000_000_000_000 + (1 << 48)
+    step = (hi - lo) // 7
+    vals = [lo + i * step for i in range(8)] + [hi]
+    df = spark.createDataFrame(
+        [(v, lo) for v in vals], "a long, b long"
+    ).withColumn("z", zvalue("a", (lo, hi), "b", (lo, hi)))
+    got = [(r.a, r.z) for r in df.collect()]
+    zs = [z for _, z in sorted(got)]
+    assert all(0 <= z < (1 << 32) for z in zs), zs
+    assert zs == sorted(zs)  # monotone along a (b fixed at lo)
+    assert zs[-1] > 0  # the wide domain actually spreads the values
+
+    width = hi - lo
+    s = max(0, width.bit_length() - (63 - 16))
+
+    def py_q(v):
+        return ((min(max(v, lo), hi) - lo) >> s) * ((1 << 16) - 1) // (width >> s)
+
+    def py_z(a, b):
+        qa, qb = py_q(a), py_q(b)
+        return sum(
+            (((qa >> i) & 1) << (2 * i + 1)) + (((qb >> i) & 1) << (2 * i))
+            for i in range(16)
+        )
+
+    con = duckdb.connect()
+    int_expr = zvalue_sql("a", (lo, hi), "b", (lo, hi))
+    sql_expr = zvalue_sql("a", ("r.lo", "r.hi"), "b", ("r.lo", "r.hi"))
+    for a, z in got:
+        assert z == py_z(a, lo), a
+        (dz,) = con.execute(
+            f"SELECT {int_expr} FROM (SELECT {a} AS a, {lo} AS b)"
+        ).fetchone()
+        assert dz == z, a
+        (dz2,) = con.execute(
+            f"SELECT {sql_expr} FROM (SELECT {a} AS a, {lo} AS b), "
+            f"(SELECT {lo} AS lo, {hi} AS hi) r"
+        ).fetchone()
+        assert dz2 == z, a
+
+
 def test_quantize_clamps_out_of_range(spark):
     df = spark.createDataFrame(
         [(-5, 0), (100, 0), (3, 0)], "a long, b long"

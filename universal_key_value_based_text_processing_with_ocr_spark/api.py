@@ -21,6 +21,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .lakehouse.zorder import zvalue_sql as _zvalue_sql
 from .operators import dedup, evalmetrics, multimodal, relational, similarity, textstats
 from .operators.extract import (
     SAMPLE_CUSTOM_CONFIG,
@@ -2563,19 +2564,22 @@ ORACLE_SQL = {
         SELECT doc_id, 'REBORN:' || lang AS text, lang
         FROM documents WHERE doc_id % 39 = 0
     """,
-    "lakehouse_zorder": """
-        -- replay of lakehouse/zorder.py's exact fixed-point quantisation
-        -- + Morton interleave; ranges derive from the data via the same
-        -- min/max aggregate the engine runs.  The pruned flag is pinned
-        -- TRUE: the clustered layout must skip files for the band
-        -- predicate (a linear layout would not).
+    # replay of lakehouse/zorder.py's exact fixed-point quantisation +
+    # Morton interleave, GENERATED by the engine's own zvalue_sql at
+    # import time (a hand-pasted copy drifted from the overflow-shift
+    # fix once — never again); ranges derive from the data via the same
+    # min/max aggregate the engine runs.  The pruned flag is pinned
+    # TRUE: the clustered layout must skip files for the band predicate
+    # (a linear layout would not).
+    "lakehouse_zorder": f"""
         WITH r AS (
             SELECT min(user_id) AS ulo, max(user_id) AS uhi,
                    min(event_id) AS elo, max(event_id) AS ehi
             FROM events
         )
         SELECT event_id, user_id,
-               ((((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 0) & 1) << 1) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 0) & 1) << 0) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 1) & 1) << 3) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 1) & 1) << 2) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 2) & 1) << 5) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 2) & 1) << 4) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 3) & 1) << 7) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 3) & 1) << 6) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 4) & 1) << 9) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 4) & 1) << 8) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 5) & 1) << 11) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 5) & 1) << 10) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 6) & 1) << 13) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 6) & 1) << 12) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 7) & 1) << 15) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 7) & 1) << 14) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 8) & 1) << 17) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 8) & 1) << 16) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 9) & 1) << 19) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 9) & 1) << 18) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 10) & 1) << 21) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 10) & 1) << 20) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 11) & 1) << 23) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 11) & 1) << 22) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 12) & 1) << 25) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 12) & 1) << 24) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 13) & 1) << 27) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 13) & 1) << 26) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 14) & 1) << 29) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 14) & 1) << 28) + (((((greatest(least(CAST(user_id AS BIGINT), (r.uhi)), (r.ulo)) - (r.ulo)) * 65535 // ((r.uhi) - (r.ulo))) >> 15) & 1) << 31) + (((((greatest(least(CAST(event_id AS BIGINT), (r.ehi)), (r.elo)) - (r.elo)) * 65535 // ((r.ehi) - (r.elo))) >> 15) & 1) << 30)) AS zval,
+               {_zvalue_sql("user_id", ("r.ulo", "r.uhi"),
+                            "event_id", ("r.elo", "r.ehi"))} AS zval,
                TRUE AS pruned
         FROM events, r
     """,

@@ -33,17 +33,34 @@ from .catalog import SnapshotTable
 ZBITS = 16
 
 
+def _overflow_shift(width: int, bits: int) -> int:
+    """Right-shift that keeps ``(width >> s) * (2^bits - 1)`` inside int64.
+
+    The naive ``(v - lo) * (2^bits - 1)`` product wraps (Spark non-ANSI)
+    once ``hi - lo`` reaches 2^(63-bits) — e.g. a microsecond-epoch
+    timestamp column spanning ~5 years at bits=16.  Quantization is a
+    coarsening anyway, so pre-coarsening the value AND the width by the
+    same power of two keeps the arithmetic exact-integer and monotone
+    while restoring the headroom; s = 0 (a no-op) for every narrow
+    domain, so existing layouts are unchanged."""
+    return max(0, width.bit_length() - (63 - bits))
+
+
 def quantize_int(col: str, lo: int, hi: int, bits: int = ZBITS) -> F.Column:
     """Exact fixed-point quantization of an integer column to [0, 2^bits):
-    q = clamp(v, lo, hi); (q - lo) * (2^bits - 1) DIV (hi - lo).
+    q = clamp(v, lo, hi); ((q - lo) >> s) * (2^bits - 1) DIV ((hi - lo) >> s)
+    with s = ``_overflow_shift`` (0 unless the domain is wider than
+    2^(63-bits), where the unshifted product would wrap int64).
 
     Integer-only (BIGINT products with 64-bit headroom, Spark's integral
     DIV — never float division), so DuckDB replays it bit-for-bit."""
     if hi <= lo:
         raise ValueError("quantize needs hi > lo")
+    width = hi - lo
+    s = _overflow_shift(width, bits)
     return F.expr(
-        f"CAST(((greatest(least(CAST({col} AS BIGINT), {hi}), {lo}) - {lo})"
-        f" * {(1 << bits) - 1}) DIV {hi - lo} AS BIGINT)"
+        f"CAST((((greatest(least(CAST({col} AS BIGINT), {hi}), {lo}) - {lo}) >> {s})"
+        f" * {(1 << bits) - 1}) DIV {width >> s} AS BIGINT)"
     )
 
 
@@ -72,11 +89,33 @@ def zvalue_sql(a: str, a_range: tuple, b: str, b_range: tuple,
     """The DuckDB replay of :func:`zvalue` (oracle side), same arithmetic.
     Range bounds may be integers or SQL expressions (e.g. scalar-subquery
     aliases), so oracles can derive ranges from the data exactly like the
-    engine side does."""
+    engine side does.
+
+    Integer bounds take the same Python-computed overflow shift as
+    :func:`quantize_int`; expression bounds compute it in SQL as a CASE
+    ladder over power-of-two width thresholds — pure BIGINT comparisons,
+    bit-identical to ``width.bit_length()`` by construction (never a
+    float log, which engines round differently near 2^53)."""
     def q(col, lo, hi):
+        clamped = f"(greatest(least(CAST({col} AS BIGINT), ({hi})), ({lo})) - ({lo}))"
+        if isinstance(lo, int) and isinstance(hi, int):
+            if hi <= lo:
+                raise ValueError("quantize needs hi > lo")
+            width = hi - lo
+            s = _overflow_shift(width, bits)
+            return f"(({clamped} >> {s}) * {(1 << bits) - 1} // {width >> s})"
+        width = f"(({hi}) - ({lo}))"
+        ladder = (
+            "(CASE "
+            + " ".join(
+                f"WHEN {width} >= {1 << (63 - bits + s)} THEN {s + 1}"
+                for s in reversed(range(bits))
+            )
+            + " ELSE 0 END)"
+        )
         return (
-            f"((greatest(least(CAST({col} AS BIGINT), ({hi})), ({lo})) - ({lo}))"
-            f" * {(1 << bits) - 1} // (({hi}) - ({lo})))"
+            f"(({clamped} >> {ladder}) * {(1 << bits) - 1}"
+            f" // ({width} >> {ladder}))"
         )
 
     qa, qb = q(a, *a_range), q(b, *b_range)
