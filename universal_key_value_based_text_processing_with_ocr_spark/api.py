@@ -2612,35 +2612,6 @@ ORACLE_SQL = {
                CAST(row_number() OVER (ORDER BY est DESC, term ASC) AS INT) AS rank
         FROM est QUALIFY rank <= 50
     """,
-    "streamed_heavy_hitters": r"""
-        -- count-min sketch replay: identical md5 fixed-point cell hashing,
-        -- cell-wise counts, min-over-rows estimate; est >= n (the CMS
-        -- overestimate guarantee) is implicitly value-checked row by row
-        WITH toks AS (
-            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
-            FROM documents WHERE text IS NOT NULL
-        ),
-        t AS (SELECT term FROM toks WHERE length(term) > 0),
-        cell AS (
-            SELECT term, r.row,
-                   ('0x' || substr(md5(term || '#' || CAST(r.row AS VARCHAR)), 1, 15))::BIGINT % 1024 AS bucket
-            FROM t, range(0, 4) r(row)
-        ),
-        cms AS (SELECT row, bucket, count(*) AS cnt FROM cell GROUP BY row, bucket),
-        exact AS (SELECT term, count(*) AS n FROM t GROUP BY term),
-        probes AS (
-            SELECT e.term, e.n, r.row,
-                   ('0x' || substr(md5(e.term || '#' || CAST(r.row AS VARCHAR)), 1, 15))::BIGINT % 1024 AS bucket
-            FROM exact e, range(0, 4) r(row)
-        ),
-        est AS (
-            SELECT term, n, min(cnt) AS est
-            FROM probes JOIN cms USING (row, bucket) GROUP BY term, n
-        )
-        SELECT term, est, n,
-               CAST(row_number() OVER (ORDER BY est DESC, term ASC) AS INT) AS rank
-        FROM est QUALIFY rank <= 50
-    """,
     "lakehouse_compact": """
         -- closed-form compaction spec: the %11 delete is applied by the
         -- replacing rewrite, the post-compact %44 append stays visible,
@@ -5573,3 +5544,7 @@ ORACLE_SQL = {
 # so any streaming divergence (dropped epoch, wrong key, sum-not-max) is a
 # value-hash failure against the SAME spec.
 ORACLE_SQL["streamed_cardinality_hll"] = ORACLE_SQL["corpus_cardinality_hll"]
+# Same sharing for the CMS pair: SUM-merge of per-epoch cell tables equals
+# the one-pass sketch, so the streamed query replays the batch oracle (was
+# a verbatim copy — an alias can't drift when the replay is fixed).
+ORACLE_SQL["streamed_heavy_hitters"] = ORACLE_SQL["corpus_heavy_hitters"]

@@ -619,29 +619,42 @@ def hll_cardinality(items: DataFrame, p: int = 8, hasher: str = "md5") -> DataFr
     return hll_estimate(hll_sketch(items, p=p, hasher=hasher), items, p=p)
 
 
-def hll_estimate(reg: DataFrame, items: DataFrame, p: int = 8) -> DataFrame:
-    """The estimator applied to a PRE-BUILT register table — the seam the
-    streamed twin uses: a register table max-merged across micro-batches is
-    indistinguishable from a one-pass build, so both paths share one oracle
-    (see ``hll_cardinality`` for the arithmetic contract)."""
-    m = 1 << p
-    alpha_fp = round(0.7213 / (1 + 1.079 / m) * _HLL_ALPHA_SCALE)
+def _hll_stats(reg: DataFrame, m: int, keys: tuple[str, ...] = ()) -> DataFrame:
+    """Register table -> (*keys, n_empty_buckets, d): the exact harmonic
+    denominator D = sum over present buckets of 2^(K - register) plus 2^K
+    per empty bucket (BIGINT, order-independent).  ONE copy shared by the
+    corpus-wide and grouped estimators — keys=() is a global aggregate."""
     contrib = F.when(F.col("register") > _HLL_K, F.lit(0).cast("long")).otherwise(
         F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_K} - register)")
     )
-    stats = reg.agg(
-        F.sum(contrib).alias("d_present"), F.count("*").alias("n_present")
-    ).select(
-        (F.lit(m) - F.col("n_present")).cast("int").alias("n_empty_buckets"),
-        (
-            F.col("d_present")
-            + (F.lit(m) - F.col("n_present")) * F.lit(1 << _HLL_K).cast("long")
-        ).alias("d"),
+    return (
+        reg.groupBy(*keys)
+        .agg(F.sum(contrib).alias("d_present"), F.count("*").alias("n_present"))
+        .select(
+            *keys,
+            (F.lit(m) - F.col("n_present")).cast("int").alias("n_empty_buckets"),
+            (
+                F.col("d_present")
+                + (F.lit(m) - F.col("n_present")) * F.lit(1 << _HLL_K).cast("long")
+            ).alias("d"),
+        )
     )
-    # m^2 * 2^K fits BIGINT (p=8, K=40 -> 2^56); `least` bounds the quotient
-    # so the alpha multiply can never overflow even in the all-registers->K
-    # corner (identical guard in the oracle, so equality is preserved)
+
+
+def _hll_finalize(stats: DataFrame, m: int, keys: tuple[str, ...] = ()) -> DataFrame:
+    """Estimator tail shared by the corpus-wide and grouped paths — the
+    constants and guards live in exactly ONE place so the two paths can
+    never drift: (*keys, n_empty_buckets, d) -> (*keys, n_empty_buckets,
+    est_raw, est).
+
+    m^2 * 2^K fits BIGINT (p=8, K=40 -> 2^56); `least` bounds the quotient
+    so the alpha multiply can never overflow even in the all-registers->K
+    corner (identical guard in the oracle, so equality is preserved); the
+    classic small-range linear-counting correction applies as a literal
+    integer ladder via ``hll_linear_counting_table``."""
+    alpha_fp = round(0.7213 / (1 + 1.079 / m) * _HLL_ALPHA_SCALE)
     raw = stats.select(
+        *keys,
         "n_empty_buckets",
         F.expr(
             f"CAST(({alpha_fp} * least({m * m * (1 << _HLL_K)} DIV "
@@ -651,7 +664,8 @@ def hll_estimate(reg: DataFrame, items: DataFrame, p: int = 8) -> DataFrame:
     lc = F.lit(None).cast("long")
     for v, e in hll_linear_counting_table(m).items():
         lc = F.when(F.col("n_empty_buckets") == v, F.lit(e).cast("long")).otherwise(lc)
-    est = raw.select(
+    return raw.select(
+        *keys,
         "n_empty_buckets",
         "est_raw",
         F.when(
@@ -660,6 +674,15 @@ def hll_estimate(reg: DataFrame, items: DataFrame, p: int = 8) -> DataFrame:
         .otherwise(F.col("est_raw"))
         .alias("est"),
     )
+
+
+def hll_estimate(reg: DataFrame, items: DataFrame, p: int = 8) -> DataFrame:
+    """The estimator applied to a PRE-BUILT register table — the seam the
+    streamed twin uses: a register table max-merged across micro-batches is
+    indistinguishable from a one-pass build, so both paths share one oracle
+    (see ``hll_cardinality`` for the arithmetic contract)."""
+    m = 1 << p
+    est = _hll_finalize(_hll_stats(reg, m), m)
     exact = items.agg(F.countDistinct("term").alias("n_exact"))
     return (
         reg.crossJoin(F.broadcast(est))
@@ -683,13 +706,13 @@ def hll_group_cardinality(
     operator watches at 100 TB, where per-group countDistinct would shuffle
     every item row but the sketch shuffles at most m cells per group.
 
-    Same integer fixed-point arithmetic as ``hll_cardinality`` (shared rho
-    ladder, estimator constants and linear-counting table), keyed by the
-    group column end to end; the exact per-group distinct count rides along
-    so accuracy is value-checked per group.  -> ONE row per group: (grp,
-    est, est_raw, n_exact, n_empty_buckets)."""
+    Same integer fixed-point arithmetic as ``hll_cardinality`` — the
+    shared ``_hll_stats`` / ``_hll_finalize`` tail keyed by the group
+    column, so the two paths are ONE estimator by construction; the exact
+    per-group distinct count rides along so accuracy is value-checked per
+    group.  -> ONE row per group: (grp, est, est_raw, n_exact,
+    n_empty_buckets)."""
     m = 1 << p
-    alpha_fp = round(0.7213 / (1 + 1.079 / m) * _HLL_ALPHA_SCALE)
     h = _hll_hash(F.col("term"), hasher)
     toks = items.select(
         F.col(group_col).alias("grp"),
@@ -697,40 +720,7 @@ def hll_group_cardinality(
         _hll_rho(F.shiftright(h, p), _HLL_HASH_BITS - p + 1).alias("rho"),
     )
     reg = toks.groupBy("grp", "bucket").agg(F.max("rho").alias("register"))
-    contrib = F.when(F.col("register") > _HLL_K, F.lit(0).cast("long")).otherwise(
-        F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_K} - register)")
-    )
-    stats = reg.groupBy("grp").agg(
-        F.sum(contrib).alias("d_present"), F.count("*").alias("n_present")
-    ).select(
-        "grp",
-        (F.lit(m) - F.col("n_present")).cast("int").alias("n_empty_buckets"),
-        (
-            F.col("d_present")
-            + (F.lit(m) - F.col("n_present")) * F.lit(1 << _HLL_K).cast("long")
-        ).alias("d"),
-    )
-    raw = stats.select(
-        "grp",
-        "n_empty_buckets",
-        F.expr(
-            f"CAST(({alpha_fp} * least({m * m * (1 << _HLL_K)} DIV "
-            f"greatest(d, 1), {10**13})) DIV {_HLL_ALPHA_SCALE} AS BIGINT)"
-        ).alias("est_raw"),
-    )
-    lc = F.lit(None).cast("long")
-    for v, e in hll_linear_counting_table(m).items():
-        lc = F.when(F.col("n_empty_buckets") == v, F.lit(e).cast("long")).otherwise(lc)
-    est = raw.select(
-        "grp",
-        "n_empty_buckets",
-        "est_raw",
-        F.when(
-            (F.col("n_empty_buckets") > 0) & (F.col("est_raw") <= (5 * m) // 2), lc
-        )
-        .otherwise(F.col("est_raw"))
-        .alias("est"),
-    )
+    est = _hll_finalize(_hll_stats(reg, m, ("grp",)), m, ("grp",))
     exact = items.groupBy(F.col(group_col).alias("grp")).agg(
         F.countDistinct("term").alias("n_exact")
     )
