@@ -830,6 +830,42 @@ def test_apply_robots_precedence(spark):  # noqa: F811
     assert by_url["https://r.example/a/x"].allowed is True
 
 
+def test_apply_robots_empty_disallow_exemption_shadows_star(spark):  # noqa: F811
+    """The common exemption idiom — ``User-agent: x / Disallow:`` (empty =
+    allow everything) next to a blanket ``User-agent: * / Disallow: /`` —
+    must SELECT x's empty group and shadow the * rules.  Group existence
+    used to be decided after the empty-pattern filter, so x fell through
+    to * and was wrongly blocked from the whole site.  A crawl-delay-only
+    group must likewise count as existing."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.robots import (
+        apply_robots,
+        parse_robots,
+    )
+
+    body = (
+        "User-agent: archivebot\n"
+        "Disallow:\n"
+        "\n"
+        "User-agent: slowbot\n"
+        "Crawl-delay: 10\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+    )
+    robots = spark.createDataFrame(
+        [("x.example", body)], schema="host string, robots_txt string"
+    )
+    rules = parse_robots(robots)
+    urls = spark.createDataFrame(
+        [("https://x.example/anything",)], schema="url string"
+    )
+    for bot, want in [("archivebot", True), ("slowbot", True), ("otherbot", False)]:
+        (row,) = apply_robots(urls, rules, agent=bot).collect()
+        assert row.allowed is want, bot
+        if want:
+            assert row.rule_pattern is None  # allowed by ABSENCE of rules
+
+
 def test_classifier_oov_bias_and_sigmoid(spark):  # noqa: F811
     """OOV tokens contribute nothing; empty/NULL docs score exactly the
     bias; logit is the exact integer dot product; the float prob column

@@ -149,16 +149,25 @@ def apply_robots(
     (host, path, allowed, rule_pattern, rule_directive).  RFC 9309:
     exact agent-token groups win over ``*`` groups; longest pattern (in
     octets, BEFORE regex translation) wins; equal length -> Allow wins;
-    no rule / no robots.txt / empty pattern -> allowed."""
+    no rule / no robots.txt / empty pattern -> allowed.
+
+    Group EXISTENCE is decided over every rule row of the group —
+    including empty-pattern and crawl-delay rows — and only then are the
+    non-matchable rows dropped: the common exemption idiom
+    ``User-agent: x / Disallow:`` (empty = allow everything) must select
+    x's empty group and shadow the ``*`` rules, not fall through to
+    them.  (A group declared with NO rule lines at all still falls
+    through — parse_robots emits rows per rule, so a rule-less group is
+    invisible here; real files exempt with the empty Disallow.)"""
     agent = agent.lower()
-    r = rules.where(F.col("directive").isin("allow", "disallow")).where(
-        F.col("pattern") != ""
-    )
-    has_exact = r.groupBy("host").agg(
+    rdir = rules.where(F.col("directive").isin("allow", "disallow", "crawl-delay"))
+    has_exact = rdir.groupBy("host").agg(
         F.max((F.col("agent") == agent).cast("int")).alias("_has_exact")
     )
     r = (
-        r.join(has_exact, "host")
+        rdir.where(F.col("directive").isin("allow", "disallow"))
+        .where(F.col("pattern") != "")
+        .join(has_exact, "host")
         .where(
             ((F.col("agent") == agent) & (F.col("_has_exact") == 1))
             | ((F.col("agent") == "*") & (F.col("_has_exact") == 0))
