@@ -481,3 +481,19 @@ def test_doc_script_detect_single_projection(spark):  # noqa: F811
     plan = _formatted(detect_scripts(docs))
     assert "Exchange" not in plan
     assert "Generate" not in plan and "Python" not in plan
+
+
+def test_badwords_gate_single_projection(spark):  # noqa: F811
+    """The banned-term gate must stay one codegen'd projection over the
+    scan at ANY list size — zero exchanges, zero Generates, zero Python;
+    the (term, padded-form) pairs ride as literals, never a join."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        badwords_gate,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    terms = ["deep throat", "a$$", "casino"] + [f"spamword{i}" for i in range(200)]
+    plan = _formatted(badwords_gate(docs, badwords=terms))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan and "Python" not in plan
+    assert "Join" not in plan
