@@ -1379,3 +1379,54 @@ def test_incremental_embedding_dedup(spark):  # noqa: F811
     assert kept == [12]
     rows = new_rows.collect()
     assert [r["vec_id"] for r in rows] == [12] and "bucket" in rows[0].asDict()
+
+
+def test_whitespace_class_matches_re2_on_vertical_tab(spark):  # noqa: F811
+    """Java's \\s matches U+000B (vertical tab) where RE2/DuckDB's does
+    not; the tokenising operators spell the class out ([ \\t\\n\\r\\f]) so
+    both engines see identical tokens.  A VT must therefore NOT split —
+    pinned against DuckDB evaluating the oracle-side regex on the same
+    string."""
+    import duckdb
+
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.textstats import (
+        lexical_diversity,
+        token_count,
+    )
+
+    text = "alpha\x0bbeta gamma"
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": [text]}).astype({"doc_id": "int64"})
+    )
+    (tc,) = token_count(docs).collect()
+    (ld,) = lexical_diversity(docs).collect()
+    (duck_n,) = (
+        duckdb.connect()
+        .execute(
+            "SELECT len(string_split_regex(trim(?), '\\s+'))", [text]
+        )
+        .fetchone()
+    )
+    assert tc.n_tokens == duck_n == 2  # VT is NOT a separator in either engine
+    assert ld.n_tokens == 2
+
+
+def test_export_wet_sweeps_stale_previous_layout(spark, tmp_path):  # noqa: F811
+    """Re-exporting with fewer shards (or the other gzip extension) must
+    not leave the old layout's files for scan_wet's part-* glob to read
+    back as duplicate rows."""
+    from universal_key_value_based_text_processing_with_ocr_spark.sources.warc import (
+        export_wet,
+        scan_wet,
+    )
+
+    rows = [
+        (f"https://w.example/{i}", "2024-01-01T00:00:00Z", f"doc {i}") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "url string, date string, text string")
+    out = str(tmp_path / "wet")
+    export_wet(df, out, shards=8).collect()
+    export_wet(df, out, shards=3, gzip_files=False).collect()
+    got = scan_wet(spark, out + "/part-*").collect()
+    assert len(got) == 40  # stale part-00003..7 .gz shards were swept
+    assert sorted(r.url for r in got) == sorted(r[0] for r in rows)

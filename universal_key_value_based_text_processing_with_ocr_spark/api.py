@@ -476,8 +476,18 @@ def _warc_fixture_dir(sf_dir: str) -> str:
     key = hashlib.md5(src.encode()).hexdigest()[:10]
     out = Path(tempfile.gettempdir()) / f"ukv_warc_{key}"
     tbl = pq.read_table(src, columns=["doc_id", "text"])
+    # staleness marker is a CONTENT digest, not a row count: a regenerated
+    # fixture with the same row count but different text (new seed) must
+    # rebuild, or the archives silently disagree with the oracle's view
+    digest = hashlib.md5()
+    for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        digest.update(str(doc_id).encode())
+        digest.update(b"\x00")
+        digest.update((text or "").encode("utf-8"))
+        digest.update(b"\x01")
+    content_key = f"{tbl.num_rows}:{digest.hexdigest()}"
     marker = out / "_OK"
-    if marker.exists() and marker.read_text() == str(tbl.num_rows):
+    if marker.exists() and marker.read_text() == content_key:
         return str(out)
     out.mkdir(parents=True, exist_ok=True)
     shards: list[list[dict]] = [[] for _ in range(8)]
@@ -501,7 +511,7 @@ def _warc_fixture_dir(sf_dir: str) -> str:
         gz = s % 2 == 1
         name = f"part-{s}.warc" + (".gz" if gz else "")
         warcmod.write_warc(str(out / name), records, gzip_file=gz)
-    marker.write_text(str(tbl.num_rows))
+    marker.write_text(content_key)
     return str(out)
 
 
@@ -2667,7 +2677,7 @@ ORACLE_SQL = {
     "doc_token_count_bpe": r"""
         SELECT doc_id,
                CASE WHEN text IS NULL THEN NULL
-                    ELSE CAST(length(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT)
+                    ELSE CAST(length(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^ \t\n\f\r\p{L}\p{N}]+|[ \t\n\f\r]+')) AS BIGINT)
                END AS n_bpe_tokens
         FROM documents
     """,
@@ -4696,9 +4706,11 @@ ORACLE_SQL = {
             WHERE text IS NOT NULL AND length(trim(text)) > 0
         ),
         idx AS (
-            SELECT b.doc_id, b.t, i.i AS chunk_idx
-            FROM base b, range(0, 256) i(i)
-            WHERE i.i <= (len(b.t) - 1) // 12
+            -- per-doc bound (NOT a hard-coded ceiling): a doc longer than
+            -- any fixed N chunks must still enumerate every window
+            SELECT doc_id, t,
+                   unnest(range(0, (len(t) - 1) // 12 + 1)) AS chunk_idx
+            FROM base
         ),
         c AS (
             SELECT doc_id, chunk_idx,

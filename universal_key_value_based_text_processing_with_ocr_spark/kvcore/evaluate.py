@@ -144,19 +144,23 @@ _NIK_BOUNDED_BUDGET = 500_000
 #: per-DOCUMENT work ceiling across ALL eval_nik calls (ADVICE r4): the
 #: blended parser's NIK_1 re-scan feeds every line here, so a hostile page
 #: with thousands of 19-22-run lines costs ~5.6 s EACH under the per-call
-#: exact bound — hours per document.  The document sweep arms this budget
-#: (reset_nik_doc_budget in parse_page_row); every exact enumeration
-#: deducts its 2^n subsets and every bounded search its visited nodes.
-#: Once spent, later calls in the same document fall to the bounded search
-#: (ultimately an empty one) under the same documented-divergence
-#: contract.  Direct library/parity calls never arm it (None = unlimited).
+#: exact bound — hours per document.  Every per-row extraction entry
+#: point arms this budget by wrapping its parse in the ``nik_doc_budget``
+#: context manager below (arm/restore, never a bare reset — see its
+#: docstring); every exact enumeration deducts its 2^n subsets and every
+#: bounded search its visited nodes.  Once spent, later calls in the same
+#: document fall to the bounded search (ultimately an empty one) under
+#: the same documented-divergence contract.  Direct library/parity calls
+#: never arm it (None = unlimited).
 _NIK_DOC_BUDGET = 1 << 22
 _nik_doc_budget: list = [None]
 
 
 def reset_nik_doc_budget() -> None:
-    """Arm/refill the per-document NIK work budget (called once per page
-    by the document sweep)."""
+    """TEST-ONLY arming knob: refill the budget without the restore that
+    ``nik_doc_budget`` (the production arm/restore pair) guarantees.  Not
+    called by any extraction entry point — a bare reset in a reused
+    worker leaks armed, partially-spent state across documents."""
     _nik_doc_budget[0] = _NIK_DOC_BUDGET
 
 

@@ -673,7 +673,7 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """
     toks = docs.filter(
         F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
-    ).select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    ).select("doc_id", F.explode(F.split(F.trim("text"), r"[ \t\n\r\f]+")).alias("tok"))
     h = toks.select("doc_id", _md5_long(F.col("tok")).alias("h"))
     bit = F.explode(F.array([F.lit(i) for i in range(bits)])).alias("bit")
     contrib = h.select(

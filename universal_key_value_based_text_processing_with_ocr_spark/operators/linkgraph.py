@@ -180,9 +180,15 @@ def pagerank_hosts(
     spine = nodes.join(outdeg, "host", "left").select(
         "host", F.coalesce("outdeg", F.lit(0)).alias("outdeg")
     )
-    # cache the spine: it anchors every iteration's join and the final
-    # output; without it Spark re-derives nodes+outdeg n_iter times
-    spine = spine.cache()
+    # Materialise the spine ONCE (it anchors every iteration's join and
+    # the final output; without a cut Spark re-derives nodes+outdeg
+    # n_iter times).  localCheckpoint, NOT cache(): CacheManager entries
+    # persist until an explicit unpersist nobody can issue (the returned
+    # plan is lazy), so repeated calls would pin one orphaned cached
+    # table per call for the session's life; localCheckpoint blocks are
+    # reclaimed by the ContextCleaner as soon as the returned plan is
+    # garbage collected (same reasoning as dedup.connected_components).
+    spine = spine.localCheckpoint(eager=True)
     n = spine.select(F.count("*").alias("n_hosts"))  # 1-row broadcast
     ranks = spine.crossJoin(F.broadcast(n)).select(
         "host",

@@ -75,7 +75,7 @@ def _clean_cell(c: F.Column) -> F.Column:
         ("&amp;", "&"),  # last — see module docstring
     ):
         c = F.regexp_replace(c, ent, rep)
-    return F.trim(F.regexp_replace(c, r"\s+", " "))
+    return F.trim(F.regexp_replace(c, r"[ \t\n\r\f]+", " "))
 
 
 def extract_html_tables(

@@ -37,7 +37,7 @@ def token_count(docs: DataFrame) -> DataFrame:
     n = (
         F.when(F.col("text").isNull(), F.lit(None).cast("long"))
         .when(F.length(trimmed) == 0, F.lit(0).cast("long"))
-        .otherwise(F.size(F.split(trimmed, r"\s+")).cast("long"))
+        .otherwise(F.size(F.split(trimmed, r"[ \t\n\r\f]+")).cast("long"))
     )
     return docs.select(F.col("doc_id"), n.alias("n_tokens"))
 
@@ -437,7 +437,7 @@ def corpus_top_terms(docs: DataFrame, n: int = 50) -> DataFrame:
     """Corpus-wide term frequencies, top-n (deterministic tie-break):
     the canonical partial+final-aggregated shuffle-heavy text statistic."""
     toks = docs.filter(F.col("text").isNotNull()).select(
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term")
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+")).alias("term")
     ).filter(F.length("term") > 0)
     counts = toks.groupBy("term").agg(F.count("*").alias("n"))
     # orderBy+limit plans as TakeOrderedAndProject (per-partition top-n, then
@@ -476,7 +476,7 @@ def token_cms_heavy_hitters(
 
 def _cms_tokens(docs: DataFrame) -> DataFrame:
     return docs.filter(F.col("text").isNotNull()).select(
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term")
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+")).alias("term")
     ).filter(F.length("term") > 0)
 
 
@@ -739,8 +739,8 @@ def quality_filter(docs: DataFrame, min_words: int = 15, max_mean_word_len: floa
     All thresholds are per-document scalars from one projection — at corpus
     scale this is a single codegen'd scan feeding the keep/drop split."""
     trimmed = F.trim(F.col("text"))
-    n_words = F.when(F.length(trimmed) == 0, 0).otherwise(F.size(F.split(trimmed, r"\s+")))
-    n_chars_nospace = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    n_words = F.when(F.length(trimmed) == 0, 0).otherwise(F.size(F.split(trimmed, r"[ \t\n\r\f]+")))
+    n_chars_nospace = F.length(F.regexp_replace(F.col("text"), r"[ \t\n\r\f]", ""))
     mean_wl = n_chars_nospace / F.when(n_words > 0, n_words).otherwise(F.lit(None))
     digit_ratio = F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")) / F.when(
         F.length("text") > 0, F.length("text")
@@ -837,10 +837,15 @@ def gopher_quality(
     )
 
 
-# GPT-2-flavoured pre-tokeniser regex (no lookaheads, so it behaves
-# identically on Java regex and RE2-based engines): contractions, letter
-# runs, digit runs, punctuation runs, whitespace runs.
-BPE_ISH_PATTERN = "'(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+# GPT-2-flavoured pre-tokeniser regex (no lookaheads, and the whitespace
+# class spelled out — Java's \s matches \x0B where RE2's does not — so it
+# behaves identically on Java regex and RE2-based engines): contractions,
+# letter runs, digit runs, punctuation runs, whitespace runs.  The api.py
+# oracle embeds the SAME explicit class.
+BPE_ISH_PATTERN = (
+    "'(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+"
+    "| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+"
+)
 
 
 def token_count_bpe(docs: DataFrame) -> DataFrame:
@@ -1399,7 +1404,7 @@ def lexical_diversity(docs: DataFrame) -> DataFrame:
     sorted neighbours) — no explode, no shuffle, whole-stage codegen'd.
     The SQL oracle is the explode + group-by spec of the same counts.
     TTR is a single division of exact longs, rounded to 9 decimals."""
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"[ \t\n\r\f]+")
     empty = F.col("text").isNull() | (F.length(F.trim(F.col("text"))) == 0)
     s = F.array_sort(toks)
     hapax = F.expr(
@@ -1645,13 +1650,13 @@ def pack_sequences(
     trimmed = F.trim(F.col("text"))
     n = (
         F.when(F.col("text").isNull() | (F.length(trimmed) == 0), F.lit(0))
-        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .otherwise(F.size(F.split(trimmed, r"[ \t\n\r\f]+")))
         .cast("long")
     )
-    shard = F.pmod(
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("long"),
-        F.lit(shards),
-    )
+    # the shared md5_long seam (functions/columns.py), not an inline copy:
+    # when the hash seam flips (xxhash64 production path) every operator
+    # must flip together
+    shard = F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(shards))
     base = docs.select(F.col(id_col), n.alias("n_tokens"), shard.alias("shard"))
     w = (
         Window.partitionBy("shard")
@@ -1704,7 +1709,7 @@ def mixture_sample(
     trimmed = F.trim(F.col("text"))
     n = (
         F.when(F.col("text").isNull() | (F.length(trimmed) == 0), F.lit(0))
-        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .otherwise(F.size(F.split(trimmed, r"[ \t\n\r\f]+")))
         .cast("long")
     )
     base = docs.select(F.col(id_col), F.col(source_col), n.alias("n_tokens"))
@@ -1749,7 +1754,7 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     step = chunk_tokens - overlap
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")
     nonempty = docs.filter(F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0))
     base = nonempty.select(F.col(id_col), toks.alias("_t"))
     # start indices 0, step, 2*step, ... while start < n; slice is 1-based
@@ -1850,7 +1855,7 @@ def corpus_datasheet(docs: DataFrame) -> DataFrame:
     n_toks = (
         F.when(F.col("text").isNull(), F.lit(0).cast("long"))
         .when(F.length(trimmed) == 0, F.lit(0).cast("long"))
-        .otherwise(F.size(F.split(trimmed, r"\s+")).cast("long"))
+        .otherwise(F.size(F.split(trimmed, r"[ \t\n\r\f]+")).cast("long"))
     )
     base = docs.select(
         "lang",

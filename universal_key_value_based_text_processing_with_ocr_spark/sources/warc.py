@@ -360,18 +360,22 @@ def export_wet(
     can reach (shared mount / fuse; in local mode any dir).  Rows are
     sorted by ``shard_col`` inside each shard and gzip uses mtime=0, so
     re-runs are byte-identical; every partition writes its file even when
-    empty, so stale files from a previous layout cannot survive an
-    overwrite."""
+    empty, AND task 0 sweeps part files OUTSIDE the expected layout (a
+    previous export with more shards, or the other gzip extension), so a
+    stale previous layout cannot leak rows into ``scan_wet``'s part-*
+    glob."""
     import os
 
     import pandas as pd
     from pyspark import TaskContext
 
+    ext = ".warc" + (".gz" if gzip_files else "")
+    expected = {f"part-{i:05d}{ext}" for i in range(shards)}
     parted = df.repartition(shards, F.col(shard_col)).sortWithinPartitions(shard_col)
 
     def write_shard(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         pid = TaskContext.get().partitionId()
-        name = f"part-{pid:05d}.warc" + (".gz" if gzip_files else "")
+        name = f"part-{pid:05d}{ext}"
         path = os.path.join(out_dir, name)
         records = []
         for pdf in batches:
@@ -380,6 +384,15 @@ def export_wet(
                     {"url": row["url"], "date": row["date"], "text": row["text"]}
                 )
         os.makedirs(out_dir, exist_ok=True)
+        if pid == 0:
+            # race-free: stale names are disjoint from every current
+            # writer's target, and only task 0 deletes
+            for f in os.listdir(out_dir):
+                if f.startswith("part-") and f not in expected:
+                    try:
+                        os.unlink(os.path.join(out_dir, f))
+                    except OSError:
+                        pass
         n = write_wet(path, records, gzip_file=gzip_files)
         yield pd.DataFrame(
             [(path, n - 1, os.path.getsize(path))],
