@@ -81,6 +81,19 @@ class TestMergeSemantics:
         assert res["rows_inserted"] == 1
         assert _sorted(t.read(spark)) == [("u1", "x")]
 
+    def test_rewrite_accounting_excludes_carried_survivors(self, spark, table):
+        """A merge that rewrites a file must report the UPSERT batch size,
+        not the rewritten footer total — survivors carried into the new
+        file are not insertions (the old accounting double-counted them
+        in every history rollup)."""
+        res = table.merge_upsert(spark, _rows(spark, [("https://a00", "A0-new")]))
+        assert res["files_rewritten"] == 1
+        assert res["rows_inserted"] == 1  # the one update row, NOT 1+survivors
+        assert res["rows_written"] == res["rows_inserted"] + res["rows_carried"]
+        assert res["rows_carried"] == 3  # 4-row file rewritten, 3 survivors
+        assert table.latest_manifest()["summary"]["n_rows"] == 1
+        assert table.latest_manifest()["summary"]["n_rows_written"] == 4
+
 
 class TestCopyOnWriteScope:
     def test_single_url_rewrites_one_file(self, spark, table):

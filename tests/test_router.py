@@ -31,6 +31,17 @@ class TestSniff:
         # a '<' later in the payload does not make it html
         assert sniff_modality(b"a < b and b > c") == "text"
 
+    def test_leading_angle_needs_tag_opener(self):
+        """A bare leading '<' is html only when tag-like ('<'+letter/!/?//)
+        — '<3 so cool' is text (the old tuple's bare b'<' member routed
+        it to the densitometry stripper, which extracted it as empty)."""
+        assert sniff_modality(b"<3 so cool") == "text"
+        assert sniff_modality(b"< 5% CTR improvement") == "text"
+        assert sniff_modality(b"<div>fragment</div>") == "html"
+        assert sniff_modality(b"</td> orphan close") == "html"
+        assert sniff_modality(b"<!-- comment first -->hi") == "html"
+        assert sniff_modality(b"<?php echo 1; ?>") == "html"
+
 
 class TestRouting:
     def test_three_modalities_identity(self, spark):

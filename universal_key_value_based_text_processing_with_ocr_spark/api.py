@@ -5345,7 +5345,7 @@ ORACLE_SQL = {
                CAST(a.mx AS DOUBLE) / 1000.0 AS max_luma
         FROM dims d JOIN agg a USING (doc_id)
     """,
-    "training_batch_plan": """
+    "training_batch_plan": f"""
         -- the full pipeline replayed over the committed golden extraction
         -- parquet: normalise -> gate -> exact dedup -> BPE merge chain ->
         -- hash-shard concat-and-chunk packing.  Golden text is proven
@@ -5355,7 +5355,7 @@ ORACLE_SQL = {
             SELECT url,
                    trim(regexp_replace(regexp_replace(lower(extracted_text), '[\\x00-\\x1f]', ' ', 'g'),
                                        '\\s+', ' ', 'g')) AS norm_text
-            FROM '/root/repo/tests/golden/extract_golden.parquet'
+            FROM '{GOLDEN_EXTRACT}'
             WHERE extracted_text IS NOT NULL
         ),
         gated AS (

@@ -384,13 +384,23 @@ class SnapshotTable:
                         f"found {actual}: a concurrent append landed — recompute "
                         "the replacement from the current table and retry"
                     )
+            # schema_json=None means "carry the FRESH parent's schema":
+            # a metadata-only commit (delete_where) that captured schema
+            # before the loop would revert a schema evolved by a
+            # concurrent append when the CAS retry rebases (review
+            # finding) — resolve it per attempt instead.
+            schema = schema_json
+            if schema is None:
+                if parent is None:
+                    raise FileNotFoundError(f"no committed snapshot in {self.path}")
+                schema = parent["schema"]
             seq = (parent["sequence"] + 1) if parent else 1
             manifest = {
                 "snapshot_id": snapshot_id,
                 "parent_id": parent["snapshot_id"] if parent else None,
                 "sequence": seq,
                 "committed_at_ms": int(time.time() * 1000),
-                "schema": schema_json,
+                "schema": schema,
                 "chunks": build_chunks(parent, seq),
                 "delete_files": build_deletes(parent, seq),
                 "summary": summary,
@@ -752,7 +762,14 @@ class SnapshotTable:
                     rebuilt["added_seq"] = s["added_seq"]
                 carried.append(rebuilt)
 
-        n_inserted = sum(c.get("rows", 0) for c in new_chunks)
+        # Accounting (review finding): the new chunks' footer total counts
+        # the rewritten files' SURVIVOR rows too, so it is the physical
+        # write size, NOT the upsert size — reporting it as rows_inserted
+        # made every history rollup double-count survivors.  The upsert
+        # size is the update batch itself (one count job over the
+        # batch-sized input); survivors = written - upserted.
+        n_written = sum(c.get("rows", 0) for c in new_chunks)
+        n_upserted = updates.count()
 
         def build_chunks(parent, seq):
             for c in new_chunks:
@@ -764,7 +781,8 @@ class SnapshotTable:
             new_data.schema.json(),
             {
                 "op": "merge-upsert",
-                "n_rows": n_inserted,
+                "n_rows": n_upserted,
+                "n_rows_written": n_written,
                 "files_rewritten": len(hit_rel),
                 **(summary or {}),
             },
@@ -776,7 +794,9 @@ class SnapshotTable:
             "files_rewritten": len(hit_rel),
             "files_kept": kept_count,
             "candidate_files": len(candidates),
-            "rows_inserted": n_inserted,
+            "rows_inserted": n_upserted,
+            "rows_written": n_written,
+            "rows_carried": n_written - n_upserted,
         }
 
     def delete_where(
@@ -800,12 +820,6 @@ class SnapshotTable:
         manifest = self.latest_manifest()
         if manifest is None:
             raise FileNotFoundError(f"no committed snapshot in {self.path}")
-        for d in manifest.get("delete_files", []):
-            if d["key"] != key:
-                raise ValueError(
-                    f"table already carries equality deletes on {d['key']!r}; "
-                    f"mixed delete keys ({key!r}) are not supported — compact first"
-                )
         snapshot_id = uuid.uuid4().hex[:16]
         del_dir = self.path / "data" / f"{snapshot_id}-del"
         dkeys = keys.select(key).distinct()
@@ -826,6 +840,18 @@ class SnapshotTable:
 
         def build_deletes(parent, seq):
             prior = list(parent.get("delete_files", [])) if parent else []
+            # validated against the FRESH parent on every CAS retry: two
+            # concurrent delete_where calls with different keys both pass
+            # a pre-loop check against the same stale manifest, then the
+            # retry rebases the loser onto the winner's deletes and the
+            # table ends up with mixed keys read() cannot apply (review
+            # finding) — the invariant must hold where the rebase happens.
+            for d in prior:
+                if d["key"] != key:
+                    raise ValueError(
+                        f"table already carries equality deletes on {d['key']!r}; "
+                        f"mixed delete keys ({key!r}) are not supported — compact first"
+                    )
             return prior + [
                 {"path": rel, "seq": seq, "key": key, "n_keys": n_keys}
                 for rel in new_files
@@ -833,7 +859,7 @@ class SnapshotTable:
 
         self._commit(
             snapshot_id,
-            manifest["schema"],
+            None,  # carry the fresh parent's schema (see _commit)
             {"op": "equality-delete", "n_delete_keys": n_keys, **(summary or {})},
             build_chunks,
             build_deletes=build_deletes,

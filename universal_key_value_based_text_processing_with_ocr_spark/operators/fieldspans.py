@@ -45,31 +45,48 @@ _COLS = [
 ]
 
 
-def line_field_spans(line: str, configs=None) -> list[tuple]:
-    """Pure-Python core: (field, key_start, key_end, value_start,
-    value_end, value) for every key any spec finds on this line.
-
-    ``match_line_regex`` specs (whole-line fields) report the regex hit as
-    the key span and the full line as the value span — the same "value is
-    the whole line" semantics the extractor itself has."""
-    import re
-
+def build_span_specs(configs=None) -> list[dict]:
+    """The exact spec list the text-path document parse runs
+    (ktpspec.parse_document: build_ktp_specs + NIK spec inserted at 2),
+    built ONCE as a read-only template: ``line_field_spans`` copies each
+    spec's mutable args per line, so per-line purity costs a cheap
+    structural copy instead of re-running the whole 16-spec construction
+    per LINE (review finding — spec building dominated the spans stage)."""
     from ..kvcore.ktpspec import (
         DEFAULT_FIELD_CONFIG,
         _text_path_nik_spec,
         build_ktp_specs,
     )
-    from ..kvcore.matching import match_keys_in_line, match_line_regex
 
-    # the exact spec list the text-path document parse runs
-    # (ktpspec.parse_document: build_ktp_specs + NIK spec inserted at 2)
     specs = build_ktp_specs(configs)
     specs.insert(2, _text_path_nik_spec(configs or DEFAULT_FIELD_CONFIG))
+    return specs
+
+
+def line_field_spans(line: str, configs=None, spec_template=None) -> list[tuple]:
+    """Pure-Python core: (field, key_start, key_end, value_start,
+    value_end, value) for every key any spec finds on this line.
+
+    ``match_line_regex`` specs (whole-line fields) report the regex hit as
+    the key span and the full line as the value span — the same "value is
+    the whole line" semantics the extractor itself has.
+
+    ``spec_template`` (from ``build_span_specs``) amortises spec
+    construction across lines; the template is never mutated — each
+    line's matcher runs on structural COPIES of the mutable args, so the
+    ``wo_space`` in-place growth quirk stays line-local and every row
+    remains a pure function of its line."""
+    import re
+
+    from ..kvcore.ktpspec import _copy_config
+    from ..kvcore.matching import match_keys_in_line, match_line_regex
+
+    specs = spec_template if spec_template is not None else build_span_specs(configs)
 
     out: list[tuple] = []
     for te in specs:
         extractor = te["extractor"]
-        args = dict(te["extractor_args"])
+        args = {k: _copy_config(v) for k, v in te["extractor_args"].items()}
         if extractor is match_keys_in_line:
             args["line"] = line
             args["with_spans"] = True
@@ -95,11 +112,14 @@ def extract_line_field_spans(lines_df, configs=None):
     pruned = lines_df.select("url", "line_no", "line")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        specs = build_span_specs(configs)  # once per task, copied per line
         for batch in batches:
             rows = []
             for r in batch.itertuples(index=False):
                 line = r.line if r.line is not None else ""
-                for field, ks, ke, vs, ve, value in line_field_spans(line, configs):
+                for field, ks, ke, vs, ve, value in line_field_spans(
+                    line, configs, spec_template=specs
+                ):
                     rows.append(
                         (r.url, int(r.line_no), field, ks, ke, vs, ve, value)
                     )
@@ -126,6 +146,7 @@ def extract_page_field_spans(pages_df, configs=None):
     pruned = pages_df.select("url", "html", "text")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        specs = build_span_specs(configs)  # once per task, copied per line
         for batch in batches:
             rows = []
             for r in batch.itertuples(index=False):
@@ -140,7 +161,7 @@ def extract_page_field_spans(pages_df, configs=None):
                     lines = []
                 for i, line in enumerate(lines):
                     for field, ks, ke, vs, ve, value in line_field_spans(
-                        line, configs
+                        line, configs, spec_template=specs
                     ):
                         rows.append((r.url, i, field, ks, ke, vs, ve, value))
             yield pd.DataFrame(rows, columns=_COLS)

@@ -24,8 +24,15 @@ import pandas as pd
 
 ROUTED_SCHEMA = "doc_id long, modality string, text string"
 
-#: html-ish leading bytes after whitespace strip
-_HTML_PREFIXES = (b"<!doctype", b"<html", b"<head", b"<body", b"<?xml", b"<")
+#: html-ish leading bytes after whitespace strip; beyond these, any
+#: TAG-LIKE opener ('<' + ascii letter / '!' / '?' / '/') routes to html
+#: so fragments ('<div>...') still hit the markup path.  A bare '<'
+#: followed by anything else ('<3 so cool', '< 5% CTR') is text — the
+#: old rule had a bare b"<" in this tuple, which made every other entry
+#: dead code and markup'd any payload whose first byte was '<' (review
+#: finding).
+_HTML_PREFIXES = (b"<!doctype", b"<html", b"<head", b"<body", b"<?xml")
+_TAG_OPENERS = b"abcdefghijklmnopqrstuvwxyz!?/"
 
 
 def sniff_modality(payload: bytes) -> str:
@@ -34,6 +41,8 @@ def sniff_modality(payload: bytes) -> str:
         return "pdf"
     head = payload[:256].lstrip(b"\r\n\t ").lower()
     if head.startswith(_HTML_PREFIXES):
+        return "html"
+    if head[:1] == b"<" and head[1:2] and head[1:2] in _TAG_OPENERS:
         return "html"
     return "text"
 

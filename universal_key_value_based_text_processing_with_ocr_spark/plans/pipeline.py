@@ -148,7 +148,11 @@ def run_extraction_job(
         span_sid = spans_tbl.append(
             span_rows, summary={"run_id": run_id, "stage": "spans"}
         )
-        if spans_tbl.latest_manifest()["summary"].get("n_rows", 0) == 0:
+        # Read the manifest of the snapshot THIS job just wrote — under
+        # concurrent appends latest_manifest() may be another writer's,
+        # and acting on its n_rows would roll back (or spare) the wrong
+        # snapshot (review finding).
+        if spans_tbl._resolve_manifest(span_sid)["summary"].get("n_rows", 0) == 0:
             # all-duplicate (healing rerun) or span-free batch: keep the
             # manifest chain junk-free, same policy as the results rollback
             spans_tbl.rollback_latest(span_sid)
@@ -175,8 +179,12 @@ def run_extraction_job(
     batch = spark.read.parquet(str(results_tbl.path / "data" / snapshot_id))
     # Row count comes from the manifest the append just committed (parquet
     # footer totals) — a batch.count() here was a whole extra Spark job
-    # spent re-deriving a number the sink already recorded.
-    n_rows = results_tbl.latest_manifest()["summary"]["n_rows"]
+    # spent re-deriving a number the sink already recorded.  Resolved by
+    # the snapshot id THIS append returned, never latest_manifest():
+    # under concurrent appends "latest" may be another writer's snapshot,
+    # and its n_rows would trigger the empty-batch early-return for a
+    # batch that DID commit rows (review finding).
+    n_rows = results_tbl._resolve_manifest(snapshot_id)["summary"]["n_rows"]
     if n_rows == 0:
         # Only reachable via dedup_content dropping every row (extraction
         # itself is row-preserving): withdraw the empty snapshot so reruns
