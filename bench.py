@@ -179,6 +179,8 @@ def main() -> None:
         # the other streaming queries — staging/checkpoint setup dominates)
         "corpus_cardinality_hll", "embedding_kmeans",
         "lang_cardinality_hll", "badwords_gate",
+        # round 5, final session (Manku banded-Hamming text near-dup)
+        "dedup_simhash_pairs",
     ]
 
     best: dict[str, float] = {}
@@ -313,6 +315,7 @@ def main() -> None:
         "host_boilerplate_strip", "url_templates", "doc_script_detect",
         "dedup_incremental_embedding", "pdf_extract", "extract_fields_pdf",
         "pages_field_spans", "bpe_encode", "dedup_incremental_minhash",
+        "dedup_simhash_pairs",
     ]
     out["new_queries_total_sec"] = round(sum(new_best.values()), 3)
     out["new_queries_sec"] = {

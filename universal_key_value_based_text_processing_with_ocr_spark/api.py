@@ -718,6 +718,14 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash(_tbl(spark, sf_dir, "documents"))
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """Manku-style banded-Hamming near-dup pairs over 32-bit SimHash
+    signatures (dedup.simhash_near_dup_pairs) — the oracle is the
+    INDEPENDENT brute-force all-pairs spec, equal to the banded plan by
+    the pigeonhole guarantee (max_hamming <= n_bands - 1)."""
+    return dedup.simhash_near_dup_pairs(_tbl(spark, sf_dir, "documents"))
+
+
 def q_similarity_topk(spark, sf_dir):
     return similarity.cosine_topk(_tbl(spark, sf_dir, "embeddings"), n_queries=5, k=10)
 
@@ -2381,6 +2389,7 @@ QUERIES = {
     "dedup_paragraphs": q_dedup_paragraphs,
     "multimodal_image_meta": q_multimodal_image_meta,
     "similarity_topk_pq_rerank": q_similarity_topk_pq_rerank,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
 }
 
 
@@ -4441,6 +4450,33 @@ ORACLE_SQL = {
                -- driver's value hash matches Spark's bigint output.
                CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
         FROM per_bit GROUP BY doc_id
+    """,
+    "dedup_simhash_pairs": r"""
+        -- brute-force all-pairs Hamming spec of the engine's banded
+        -- equi-join: an INDEPENDENT candidate generation, equal to the
+        -- banded plan because hamming <= 3 forces one exact 8-bit band
+        -- match among 4 (pigeonhole) — so a banded-join recall bug
+        -- surfaces as missing rows here, not as a shared blind spot
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+        ),
+        h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        contrib AS (
+            SELECT doc_id, CAST(b.bit AS INT) AS bit,
+                   CASE WHEN (h >> CAST(b.bit AS INT)) & 1 = 1 THEN 1 ELSE -1 END AS c
+            FROM h, generate_series(0, 31) AS b(bit)
+        ),
+        per_bit AS (SELECT doc_id, bit, sum(c) AS s FROM contrib GROUP BY doc_id, bit),
+        sig AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+            FROM per_bit GROUP BY doc_id
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS INT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 3
     """,
     "similarity_topk": """
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),

@@ -689,6 +689,88 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     )
 
 
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Text near-dup PAIRS from SimHash signatures via a banded Hamming
+    equi-join — Manku et al. 2007 (Google's web-crawl near-dup detector)
+    and the text twin of ``multimodal.image_near_dup``.
+
+    The signature is banded into ``n_bands`` equal slices; two signatures
+    within Hamming distance ``n_bands - 1`` must agree EXACTLY on at least
+    one band (pigeonhole), so candidates come from an equi-join on
+    (band, band_value) — never an all-pairs comparison — and the banded
+    result is PROVABLY equal to the brute-force spec for
+    ``max_hamming <= n_bands - 1`` (the oracle/pytest pin).  Exact
+    ``bit_count(xor)`` then filters candidates.  Returns
+    (doc_a, doc_b, hamming), doc_a < doc_b.
+
+    Defaults are fixture-scaled (32-bit signature keeps the 500-doc corpus
+    producing a non-trivial pair set); production is Manku's 64-bit /
+    k = 3, which this shape reaches by ``bits=60, n_bands=4`` on the
+    md5-60-bit seam (or xxhash64 via ``set_hash_impl``).
+
+    Physical shape vs ``image_near_dup``: the signature stage here is a
+    deterministic JVM aggregate, so the self-join's two references
+    collapse under ReuseExchange — signatures compute ONCE (asserted in
+    tests), where the image path's Arrow decode stages never canonicalize
+    equal and pay a second decode.  Band values shuffle <= n_bands small
+    rows per doc; at 10^12 docs the banked-signature side-table pattern
+    (the dedup fp-table discipline) applies unchanged."""
+    if bits % n_bands:
+        raise ValueError("bits must divide evenly into n_bands bands")
+    if not 0 <= max_hamming <= n_bands - 1:
+        raise ValueError(
+            "banded join guarantees recall only for max_hamming <= n_bands - 1"
+        )
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    sigs = simhash(docs, bits=bits)
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), width * b)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    # co-partitioned SMJ at any scale: both sides ARE the same corpus-sized
+    # table (see image_near_dup's note on why AQE broadcast is a toy-scale
+    # artifact here)
+    bands = bands.repartition("band", "val").hint("shuffle_merge")
+    a = bands.select(
+        F.col("band"), F.col("val"),
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a"),
+    )
+    b = bands.select(
+        F.col("band"), F.col("val"),
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"),
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 20,
