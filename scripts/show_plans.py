@@ -139,6 +139,7 @@ def main() -> None:
         ("embedding_kmeans", "fixed-point k-means: per iteration the corpus crossJoins a ONE-row broadcast centroid array (row-local HOF argmin, no amplification) + ONE combinable k*dim-cell sum/count shuffle; no float mean anywhere"),
         ("lang_cardinality_hll", "grouped HLL: the register groupBy keys on (grp, bucket) — <= m cells per group, map-side combinable; estimator runs per group on the tiny register table"),
         ("badwords_gate", "banned-word gate: ONE codegen'd projection (split + array_intersect with a literal term array) — no explode, no shuffle, no Python; fuses onto the scan"),
+        ("dedup_simhash_pairs", "Manku banded-Hamming near-dup pairs: band equi-join SMJ on (band, val), exact bit_count(xor) filter. The static dump below repeats the signature subtree on both join sides, but at RUNTIME the deterministic JVM aggregate collapses under ReusedExchange and signatures compute ONCE (see the header NOTE; asserted on the executed plan in tests/test_simhash_pairs.py) — the contrast to the image path's unsharable Arrow decode"),
     ]
     for name, note in named:
         sections.append((name, note, formatted(api.QUERIES[name](spark, SF))))
