@@ -718,6 +718,25 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash(_tbl(spark, sf_dir, "documents"))
 
 
+def q_dedup_cluster_policy(spark, sf_dir):
+    """FineWeb keep-best + SoftDeDup weighting over the near-dup clusters:
+    every doc gets (cluster_id, cluster_size, quality, keep, soft_weight);
+    singletons keep themselves at weight 1."""
+    return dedup.cluster_policy(_tbl(spark, sf_dir, "documents"))
+
+
+def q_doc_sentences(spark, sf_dir):
+    """Sentence segmentation + per-doc sentence-shape features — one
+    codegen'd row-local projection (boundary mark -> split -> fold)."""
+    return textstats.sentence_stats(_tbl(spark, sf_dir, "documents"))
+
+
+def q_tokenizer_fertility(spark, sf_dir):
+    """Per-language BPE-tokens-per-word fertility audit — one combinable
+    groupBy(lang) over row-local counts."""
+    return textstats.tokenizer_fertility(_tbl(spark, sf_dir, "documents"))
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
     """Manku-style banded-Hamming near-dup pairs over 32-bit SimHash
     signatures (dedup.simhash_near_dup_pairs) — the oracle is the
@@ -2390,6 +2409,9 @@ QUERIES = {
     "multimodal_image_meta": q_multimodal_image_meta,
     "similarity_topk_pq_rerank": q_similarity_topk_pq_rerank,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_cluster_policy": q_dedup_cluster_policy,
+    "doc_sentences": q_doc_sentences,
+    "tokenizer_fertility": q_tokenizer_fertility,
 }
 
 
@@ -5584,6 +5606,96 @@ ORACLE_SQL = {
         SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start, event_type,
                count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2
+    """,
+    # keep-best + soft-weight policy over the SAME recursive-CTE cluster
+    # replay dedup_clusters pins, extended with the doc_quality score and
+    # the two window policies; singletons (docs with no LSH edge, incl.
+    # NULL-text docs that form no shingles) cluster as themselves.
+    "dedup_cluster_policy": f"""
+        WITH RECURSIVE {_MINHASH_CTE},
+        bands AS (
+            SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
+                   md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_hash
+            FROM sig GROUP BY doc_id, CAST(floor(seed / 4) AS INT)
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+        ),
+        adj AS (
+            SELECT doc_a, doc_b FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        reach AS (
+            SELECT doc_a AS doc_id, doc_b AS other FROM adj
+            UNION
+            SELECT r.doc_id, a.doc_b FROM reach r JOIN adj a ON r.other = a.doc_a
+        ),
+        cl AS (
+            SELECT doc_id, least(doc_id, min(other)) AS cluster_id
+            FROM reach GROUP BY doc_id
+        ),
+        labeled AS (
+            SELECT d.doc_id,
+                   coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+                   round(length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) / CAST(nullif(length(d.text),0) AS DOUBLE)
+                         - 0.5 * (length(regexp_replace(d.text, '[^0-9]', '', 'g')) / CAST(nullif(length(d.text),0) AS DOUBLE)), 6) AS quality
+            FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+        )
+        SELECT doc_id, cluster_id,
+               CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+               quality,
+               (row_number() OVER (PARTITION BY cluster_id
+                                   ORDER BY quality DESC NULLS LAST, doc_id ASC) = 1) AS keep,
+               round(1.0 / count(*) OVER (PARTITION BY cluster_id), 6) AS soft_weight
+        FROM labeled
+    """,
+    # sentence segmentation: IDENTICAL pattern text on RE2 ('g' flag for the
+    # global replace Spark does by default); chr(30) is the injected RS
+    # separator, '\\1'/'\\2' the RE2 group references
+    "doc_sentences": r"""
+        WITH s AS (
+            SELECT doc_id,
+                   list_filter(
+                       list_transform(
+                           string_split(
+                               regexp_replace(text, '([.!?])[ \t]+([A-Z])',
+                                              '\1' || chr(30) || '\2', 'g'),
+                               chr(30)),
+                           x -> trim(x)),
+                       x -> length(x) > 0) AS sents
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN sents IS NULL THEN NULL
+                    ELSE CAST(len(sents) AS BIGINT) END AS n_sentences,
+               CASE WHEN len(sents) > 0
+                    THEN round(list_sum(list_transform(sents, x -> length(x)))
+                               / CAST(len(sents) AS DOUBLE), 6) END AS avg_sentence_chars,
+               CASE WHEN len(sents) > 0
+                    THEN CAST(list_max(list_transform(sents, x -> length(x))) AS BIGINT)
+                    END AS max_sentence_chars
+        FROM s
+    """,
+    # per-language fertility over the SAME explicit-class BPE pre-tokeniser
+    # pattern doc_token_count_bpe pins
+    "tokenizer_fertility": r"""
+        WITH rows_ AS (
+            SELECT lang,
+                   CAST(length(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^ \t\n\f\r\p{L}\p{N}]+|[ \t\n\f\r]+')) AS BIGINT) AS b,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE CAST(length(string_split_regex(trim(text), '[ \t\n\r\f]+')) AS BIGINT) END AS w,
+                   CAST(length(text) AS BIGINT) AS c
+            FROM documents WHERE text IS NOT NULL
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(b) AS BIGINT) AS n_bpe_tokens,
+               CAST(sum(w) AS BIGINT) AS n_words,
+               round(sum(b) / CAST(nullif(sum(w), 0) AS DOUBLE), 6) AS fertility,
+               round(sum(c) / CAST(nullif(sum(b), 0) AS DOUBLE), 6) AS chars_per_token
+        FROM rows_ GROUP BY lang
     """,
 }
 

@@ -916,3 +916,59 @@ def near_dup_clusters(
         minhash_lsh_pairs(docs, n_hashes, band_size, shingle_n),
         max_iterations=max_iterations,
     )
+
+
+def cluster_policy(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 10,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Quality-aware duplicate-cluster retention policy.
+
+    The two published endgames of near-dup clustering in one frame:
+    FineWeb-style *keep the best representative per cluster* (``keep`` =
+    argmax quality, ties -> lowest doc_id) and SoftDeDup-style *down-weight
+    instead of drop* (``soft_weight`` = 1/cluster_size, so a cluster
+    contributes ~one document's worth of sampling mass however many mirrors
+    it has).  Output: (doc_id, cluster_id, cluster_size, quality, keep,
+    soft_weight) for EVERY input document — docs with no near-dup edge
+    (including NULL/short text, which form no shingles) are singleton
+    clusters of themselves with weight 1.
+
+    Plan: the MinHash/LSH + connected-components graph
+    (:func:`near_dup_clusters`) touches only dup-connected docs; a LEFT
+    join folds the labels back over the full corpus (cluster_id defaults to
+    the doc's own id); the policy itself is two window functions over the
+    SAME cluster_id hash distribution, so the size count and the quality
+    rank share one exchange.  Cluster sizes are near-dup cliques — bounded
+    by the LSH band collision rate, never corpus-sized — so the window
+    partitions cannot skew.  At 100 TB the cost is the cluster stage
+    itself; the policy adds one combinable shuffle.
+    """
+    from pyspark.sql import Window
+
+    from .textstats import quality_score
+
+    clusters = near_dup_clusters(
+        docs, n_hashes, band_size, shingle_n, max_iterations
+    )
+    labeled = (
+        quality_score(docs)
+        .select("doc_id", "quality")
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+    )
+    by_cluster = Window.partitionBy("cluster_id")
+    rank = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc_nulls_last(), F.col("doc_id").asc()
+    )
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(by_cluster).cast("long").alias("cluster_size"),
+        "quality",
+        (F.row_number().over(rank) == 1).alias("keep"),
+        F.round(F.lit(1.0) / F.count("*").over(by_cluster), 6).alias("soft_weight"),
+    )

@@ -857,6 +857,91 @@ def token_count_bpe(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", n.alias("n_bpe_tokens"))
 
 
+#: sentence boundary: terminal punctuation, horizontal whitespace, then an
+#: uppercase letter (which BELONGS to the next sentence, so the replacement
+#: re-emits it after the separator).  No lookahead — the same pattern text
+#: must run on Java regex (Spark) and RE2 (DuckDB oracle), and RE2 has none.
+#: Consecutive boundaries stay safe under non-overlapping global replace:
+#: each match consumes its uppercase letter, and the NEXT boundary's
+#: punctuation is a different character.
+SENTENCE_BOUNDARY = r"([.!?])[ \t]+([A-Z])"
+
+#: RS (record separator) — cannot appear in text; the split marker the
+#: boundary replacement injects
+_SENT_SEP = "\x1e"
+
+
+def sentence_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_sentences, avg_sentence_chars, max_sentence_chars) —
+    regex sentence segmentation + per-document shape features (the
+    sentence-level companions of the Gopher document-shape rules; very
+    long max-sentence is the classic minified-JS/crawl-junk tell).
+
+    Row-local higher-order expressions only — mark boundaries with one
+    ``regexp_replace``, split, trim, filter empties, then fold lengths —
+    no explode, no shuffle, whole-stage codegen end to end.  NULL text
+    rows report NULL counts (recorded-failure posture); empty/whitespace
+    text is 0 sentences.
+    """
+    text = F.col(text_col)
+    marked = F.regexp_replace(text, SENTENCE_BOUNDARY, "$1" + _SENT_SEP + "$2")
+    sents = F.filter(
+        F.transform(F.split(marked, _SENT_SEP), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+    n = F.size(sents)
+    lens = F.transform(sents, lambda s: F.length(s).cast("long"))
+    total = F.aggregate(lens, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return docs.select(
+        id_col,
+        F.when(text.isNull(), F.lit(None).cast("long"))
+        .otherwise(n.cast("long"))
+        .alias("n_sentences"),
+        F.when(n > 0, F.round(total / n, 6)).alias("avg_sentence_chars"),
+        F.when(n > 0, F.array_max(lens)).alias("max_sentence_chars"),
+    )
+
+
+def tokenizer_fertility(docs: DataFrame) -> DataFrame:
+    """Per-language tokenizer-fertility audit: (lang, n_docs, n_bpe_tokens,
+    n_words, fertility, chars_per_token) where fertility = BPE tokens per
+    whitespace word — THE multilingual tokenizer-cost number every mixture
+    plan weighs (a language whose fertility is 3x pays 3x the context
+    budget for the same text).
+
+    One groupBy(lang) over row-local token counts: partial aggregation
+    combines map-side, the shuffle moves five longs per language — at
+    100 TB this is a scan-bound job with a few-hundred-row result.  NULL
+    text rows are excluded (no tokens to count); ratios are NULL for a
+    language with zero denominator.
+    """
+    text = F.col("text")
+    trimmed = F.trim(text)
+    bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), F.lit(0))).cast("long")
+    words = (
+        F.when(F.length(trimmed) == 0, F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"[ \t\n\r\f]+")))
+        .cast("long")
+    )
+    rows = docs.filter(text.isNotNull()).select(
+        "lang",
+        bpe.alias("b"),
+        words.alias("w"),
+        F.length(text).cast("long").alias("c"),
+    )
+    return rows.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("b").alias("n_bpe_tokens"),
+        F.sum("w").alias("n_words"),
+        F.round(F.sum("b") / F.when(F.sum("w") > 0, F.sum("w")), 6).alias("fertility"),
+        F.round(F.sum("c") / F.when(F.sum("b") > 0, F.sum("b")), 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
 def dedup_paragraphs(
     docs: DataFrame,
     min_docs: int = 2,
