@@ -181,6 +181,9 @@ def main() -> None:
         "lang_cardinality_hll", "badwords_gate",
         # round 5, final session (Manku banded-Hamming text near-dup)
         "dedup_simhash_pairs",
+        # round 5, session 13 (cluster retention policy + sentence shape +
+        # tokenizer-cost audit)
+        "dedup_cluster_policy", "doc_sentences", "tokenizer_fertility",
     ]
 
     best: dict[str, float] = {}
@@ -315,7 +318,8 @@ def main() -> None:
         "host_boilerplate_strip", "url_templates", "doc_script_detect",
         "dedup_incremental_embedding", "pdf_extract", "extract_fields_pdf",
         "pages_field_spans", "bpe_encode", "dedup_incremental_minhash",
-        "dedup_simhash_pairs",
+        "dedup_simhash_pairs", "dedup_cluster_policy", "doc_sentences",
+        "tokenizer_fertility",
     ]
     out["new_queries_total_sec"] = round(sum(new_best.values()), 3)
     out["new_queries_sec"] = {

@@ -140,6 +140,9 @@ def main() -> None:
         ("lang_cardinality_hll", "grouped HLL: the register groupBy keys on (grp, bucket) — <= m cells per group, map-side combinable; estimator runs per group on the tiny register table"),
         ("badwords_gate", "banned-word gate: ONE codegen'd projection (split + array_intersect with a literal term array) — no explode, no shuffle, no Python; fuses onto the scan"),
         ("dedup_simhash_pairs", "Manku banded-Hamming near-dup pairs: band equi-join SMJ on (band, val), exact bit_count(xor) filter. The static dump below repeats the signature subtree on both join sides, but at RUNTIME the deterministic JVM aggregate collapses under ReusedExchange and signatures compute ONCE (see the header NOTE; asserted on the executed plan in tests/test_simhash_pairs.py) — the contrast to the image path's unsharable Arrow decode"),
+        ("dedup_cluster_policy", "cluster retention policy: the LSH/CC label frame LEFT-joins back over the corpus, then size count + quality rank run as two Windows over the SAME cluster_id hash distribution — one policy exchange total; quality is a codegen'd projection on the probe side"),
+        ("doc_sentences", "sentence segmentation: boundary regexp_replace -> split -> trim/filter/fold HOFs, all ONE codegen'd projection over the scan — no explode, no shuffle, no Python"),
+        ("tokenizer_fertility", "fertility audit: row-local token counts -> ONE combinable groupBy(lang) — partial_sum/partial_count before the exchange; five longs per language cross the wire"),
     ]
     for name, note in named:
         sections.append((name, note, formatted(api.QUERIES[name](spark, SF))))
