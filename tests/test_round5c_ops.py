@@ -200,3 +200,141 @@ def test_tokenizer_fertility_partial_agg(spark):  # noqa: F811
         .toString()
     )
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+# ---------------------------------------------------------------------------
+# ngram_containment_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_containment_finds_subset_jaccard_misses(spark):  # noqa: F811
+    """A short quote fully embedded in a long page: containment_a = 1.0
+    while jaccard is tiny — the pair must surface here and NOT in the
+    jaccard scorer at the same threshold."""
+    quote = "the market closed sharply higher on tuesday afternoon trading"
+    page = ("in a week of turbulence " * 30) + quote + (" analysts noted broad gains " * 30)
+    docs = _docs(spark, [(1, quote), (2, page)])
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in dedup.ngram_containment_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in got
+    assert got[(1, 2)]["containment_a"] == 1.0
+    assert got[(1, 2)]["containment_b"] < 0.5
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert jac == []
+
+
+def test_containment_matches_python_replication(spark):  # noqa: F811
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3, "alpha beta gamma delta epsilon something else entirely here"),
+        (4, "totally unrelated content with its own distinct words only"),
+    ]
+    docs = _docs(spark, rows)
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["containment_a"], r["containment_b"])
+        for r in dedup.ngram_containment_pairs(docs, threshold=0.3).collect()
+    }
+
+    def shingles(t):
+        return {t[i : i + 10] for i in range(len(t) - 9)}
+
+    sets = {d: shingles(t) for d, t in rows}
+    exp = {}
+    for a in sets:
+        for b in sets:
+            if a >= b:
+                continue
+            inter = len(sets[a] & sets[b])
+            if not inter:
+                continue
+            ca = round(inter / len(sets[a]), 6)
+            cb = round(inter / len(sets[b]), 6)
+            if max(ca, cb) >= 0.3:
+                exp[(a, b)] = (ca, cb)
+    assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# readability
+# ---------------------------------------------------------------------------
+
+
+def test_readability_known_answer(spark):  # noqa: F811
+    out = (
+        textstats.readability(_docs(spark, [(0, "The cat sat. The dog ran.")]))
+        .collect()[0]
+        .asDict()
+    )
+    # 6 words, 2 sentences, 6 vowel groups
+    assert (out["n_words"], out["n_sentences"], out["n_syllables"]) == (6, 2, 6)
+    assert out["flesch"] == round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 6)
+
+
+def test_readability_null_empty_and_floor(spark):  # noqa: F811
+    df = (
+        textstats.readability(_docs(spark, [(0, None), (1, ""), (2, "fragment")]))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert pd.isna(df.loc[0, "n_words"]) and pd.isna(df.loc[0, "flesch"])
+    assert df.loc[1, "n_words"] == 0 and pd.isna(df.loc[1, "flesch"])
+    # a fragment with no boundary still counts as one sentence
+    assert df.loc[2, "n_sentences"] == 1 and df.loc[2, "flesch"] is not None
+
+
+def test_readability_is_one_projection(spark):  # noqa: F811
+    plan = (
+        textstats.readability(_docs(spark, [(0, "Hi. There.")]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# host_quota_sample
+# ---------------------------------------------------------------------------
+
+
+def _url_docs(spark, n):  # noqa: F811
+    rows = []
+    for i in range(n):
+        url = "bad-url" if i % 17 == 0 else f"https://h{i % 3}.example.com/p/{i}"
+        rows.append((i, url))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "url"]).astype({"doc_id": "int64"}),
+        schema="doc_id long, url string",
+    )
+
+
+def test_host_quota_cap_and_determinism(spark):  # noqa: F811
+    docs = _url_docs(spark, 60)
+    got = textstats.host_quota_sample(docs, quota=4).toPandas()
+    counts = got.groupby(got["host"].fillna("<null>")).size()
+    assert (counts <= 4).all()
+    # unparseable urls form the NULL group and obey the cap too
+    assert counts["<null>"] == 4
+    # deterministic under repartitioning
+    again = (
+        textstats.host_quota_sample(docs.repartition(16, "doc_id"), quota=4)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert again.equals(got.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_host_quota_uses_window_group_limit(spark):  # noqa: F811
+    """rank<=k must compile to WindowGroupLimit so map tasks pre-prune a
+    mega-host to k rows before the exchange."""
+    plan = (
+        textstats.host_quota_sample(_url_docs(spark, 60), quota=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan

@@ -737,6 +737,36 @@ def q_tokenizer_fertility(spark, sf_dir):
     return textstats.tokenizer_fertility(_tbl(spark, sf_dir, "documents"))
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric near-subset pairs (quote/excerpt detection): char-n-gram
+    containment in both directions, same df-capped candidate plan as the
+    exact jaccard baseline."""
+    return dedup.ngram_containment_pairs(
+        _tbl(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+def q_doc_readability(spark, sf_dir):
+    """Flesch reading-ease with vowel-group syllables — one codegen'd
+    row-local projection."""
+    return textstats.readability(_tbl(spark, sf_dir, "documents"))
+
+
+def q_host_quota_sample(spark, sf_dir):
+    """Per-host quota sampling (crawl balancing): deterministic md5-draw
+    top-5 per url host; unparseable urls share the NULL group and obey the
+    same cap; the rank filter compiles to WindowGroupLimit."""
+    d = F.col("doc_id")
+    url = F.when(d % 97 == 0, F.lit("not-a-url")).otherwise(
+        F.concat(
+            F.lit("https://Host"), (d % 50).cast("string"),
+            F.lit(".example.com/page/"), d.cast("string"),
+        )
+    )
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    return textstats.host_quota_sample(docs, quota=5)
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
     """Manku-style banded-Hamming near-dup pairs over 32-bit SimHash
     signatures (dedup.simhash_near_dup_pairs) — the oracle is the
@@ -2412,6 +2442,9 @@ QUERIES = {
     "dedup_cluster_policy": q_dedup_cluster_policy,
     "doc_sentences": q_doc_sentences,
     "tokenizer_fertility": q_tokenizer_fertility,
+    "dedup_containment": q_dedup_containment,
+    "doc_readability": q_doc_readability,
+    "host_quota_sample": q_host_quota_sample,
 }
 
 
@@ -5696,6 +5729,83 @@ ORACLE_SQL = {
                round(sum(b) / CAST(nullif(sum(w), 0) AS DOUBLE), 6) AS fertility,
                round(sum(c) / CAST(nullif(sum(b), 0) AS DOUBLE), 6) AS chars_per_token
         FROM rows_ GROUP BY lang
+    """,
+    # containment shares the jaccard candidate spec verbatim; only the
+    # final scoring differs (per-side |A∩B|/|A|, keep if EITHER side >=
+    # threshold — the near-subset detector jaccard structurally misses)
+    "dedup_containment": """
+        WITH """ + _SHINGLES_CTE + """,
+        kept AS (
+            SELECT doc_id, shingle FROM sh
+            QUALIFY count(*) OVER (PARTITION BY shingle) <= 100
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_shingles FROM kept GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(n_inter / CAST(sa.n_shingles AS DOUBLE), 6) AS containment_a,
+               round(n_inter / CAST(sb.n_shingles AS DOUBLE), 6) AS containment_b
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE greatest(round(n_inter / CAST(sa.n_shingles AS DOUBLE), 6),
+                       round(n_inter / CAST(sb.n_shingles AS DOUBLE), 6)) >= 0.5
+    """,
+    # Flesch reading-ease: the SAME sentence machinery doc_sentences pins
+    # (floored at 1), vowel-group syllables, whitespace words
+    "doc_readability": r"""
+        WITH feats AS (
+            SELECT doc_id, text,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE CAST(length(string_split_regex(trim(text), '[ \t\n\r\f]+')) AS BIGINT) END AS w,
+                   CAST(length(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT) AS syl,
+                   greatest(CAST(len(list_filter(
+                       list_transform(
+                           string_split(
+                               regexp_replace(text, '([.!?])[ \t]+([A-Z])',
+                                              '\1' || chr(30) || '\2', 'g'),
+                               chr(30)),
+                           x -> trim(x)),
+                       x -> length(x) > 0)) AS BIGINT), 1) AS s
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN text IS NULL THEN NULL ELSE w END AS n_words,
+               CASE WHEN text IS NULL THEN NULL ELSE s END AS n_sentences,
+               CASE WHEN text IS NULL THEN NULL ELSE syl END AS n_syllables,
+               CASE WHEN text IS NOT NULL AND w > 0
+                    THEN round(206.835 - 1.015 * (w / CAST(s AS DOUBLE))
+                               - 84.6 * (syl / CAST(w AS DOUBLE)), 6)
+                    END AS flesch
+        FROM feats
+    """,
+    # per-host quota: same deterministic md5 draw, same host parse as the
+    # blocklist gate; NULL hosts share one quota'd group (fail-closed)
+    "host_quota_sample": """
+        WITH u AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 97 = 0 THEN 'not-a-url'
+                        ELSE 'https://Host' || CAST(doc_id % 50 AS VARCHAR)
+                             || '.example.com/page/' || CAST(doc_id AS VARCHAR)
+                   END AS url
+            FROM documents
+        ),
+        t AS (
+            SELECT doc_id, url,
+                   lower(nullif(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1), '')) AS host
+            FROM u
+        )
+        SELECT doc_id, url, host, rk FROM (
+            SELECT doc_id, url, host,
+                   CAST(row_number() OVER (
+                       PARTITION BY host
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+            FROM t)
+        WHERE rk <= 5
     """,
 }
 

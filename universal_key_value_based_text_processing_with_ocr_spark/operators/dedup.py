@@ -111,6 +111,30 @@ def ngram_jaccard_pairs(
     from .similarity import _guard_quadratic
 
     _guard_quadratic(docs, JACCARD_GUARD_MAX_DOCS, allow_quadratic, "minhash_lsh_pairs")
+    inter, sizes = _shingle_pair_stats(docs, n, max_doc_freq)
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _shingle_pair_stats(docs: DataFrame, n: int, max_doc_freq: int):
+    """Shared candidate machinery of the exact pair scorers
+    (:func:`ngram_jaccard_pairs`, :func:`ngram_containment_pairs`):
+    per-pair intersection counts + per-doc set sizes over df-capped char
+    shingles.  Returns ``(inter, sizes)``."""
     raw = char_shingles(docs, n)
     # Plan: stop-shingle count pass -> broadcast anti-join -> ONE
     # groupBy(shingle) collecting the (bounded, <= max_doc_freq) per-shingle
@@ -162,6 +186,37 @@ def ngram_jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
+    return inter, sizes
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    n: int = 10,
+    threshold: float = 0.5,
+    max_doc_freq: int = 100,
+    allow_quadratic: bool = False,
+) -> DataFrame:
+    """Asymmetric near-SUBSET pairs by char-n-gram containment (Broder's
+    second resemblance measure): containment_a = |A∩B| / |A| — how much of
+    doc_a's shingle set lives inside doc_b — and symmetrically for b; keep
+    pairs where EITHER direction >= threshold.
+
+    This is the detector Jaccard structurally cannot be: a 200-char quote
+    fully embedded in a 20 000-char page has jaccard ~0.01 but
+    containment_a = 1.0 — quote/excerpt mining, article-in-aggregator
+    detection, and train/eval leakage through partial copies all key on
+    containment, not resemblance.  Same df-capped candidate plan as
+    :func:`ngram_jaccard_pairs` (one shingle repartition shared by the
+    stop-count and collect passes via ReuseExchange, bounded in-group pair
+    explode), so the scale posture is identical; only the final scoring
+    projection differs.
+    """
+    from .similarity import _guard_quadratic
+
+    _guard_quadratic(
+        docs, JACCARD_GUARD_MAX_DOCS, allow_quadratic, "minhash_lsh_pairs"
+    )
+    inter, sizes = _shingle_pair_stats(docs, n, max_doc_freq)
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return (
@@ -170,13 +225,16 @@ def ngram_jaccard_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.col("n_inter")
-                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_inter")),
-                6,
-            ).alias("jaccard"),
+            F.round(F.col("n_inter") / F.col("sa.n_shingles"), 6).alias(
+                "containment_a"
+            ),
+            F.round(F.col("n_inter") / F.col("sb.n_shingles"), 6).alias(
+                "containment_b"
+            ),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(
+            F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold
+        )
     )
 
 

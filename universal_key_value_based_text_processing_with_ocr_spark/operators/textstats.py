@@ -871,6 +871,17 @@ SENTENCE_BOUNDARY = r"([.!?])[ \t]+([A-Z])"
 _SENT_SEP = "\x1e"
 
 
+def _sentence_array(text):
+    """Column expression: the trimmed, non-empty sentence array of ``text``
+    (boundary mark -> split -> trim -> drop empties) — shared by
+    :func:`sentence_stats` and :func:`readability`."""
+    marked = F.regexp_replace(text, SENTENCE_BOUNDARY, "$1" + _SENT_SEP + "$2")
+    return F.filter(
+        F.transform(F.split(marked, _SENT_SEP), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+
+
 def sentence_stats(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -886,11 +897,7 @@ def sentence_stats(
     text is 0 sentences.
     """
     text = F.col(text_col)
-    marked = F.regexp_replace(text, SENTENCE_BOUNDARY, "$1" + _SENT_SEP + "$2")
-    sents = F.filter(
-        F.transform(F.split(marked, _SENT_SEP), lambda s: F.trim(s)),
-        lambda s: F.length(s) > 0,
-    )
+    sents = _sentence_array(text)
     n = F.size(sents)
     lens = F.transform(sents, lambda s: F.length(s).cast("long"))
     total = F.aggregate(lens, F.lit(0).cast("long"), lambda acc, x: acc + x)
@@ -939,6 +946,86 @@ def tokenizer_fertility(docs: DataFrame) -> DataFrame:
         F.round(F.sum("c") / F.when(F.sum("b") > 0, F.sum("b")), 6).alias(
             "chars_per_token"
         ),
+    )
+
+
+def readability(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_words, n_sentences, n_syllables, flesch) — Flesch
+    reading-ease with the standard vowel-group syllable approximation
+    (every maximal ``[aeiouyAEIOUY]+`` run is one syllable; 'the'→1,
+    'beautiful'→4-ish).  The readability band is a routine quality-mixture
+    signal: reference-grade corpora skew 40-60, SEO spam and OCR soup land
+    far outside.
+
+    ``flesch = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)``
+    with sentences floored at 1 (a fragment is one sentence).  Everything
+    is row-local codegen'd regex counting — no shuffle; NULL text and
+    zero-word rows report NULL score.
+    """
+    text = F.col(text_col)
+    trimmed = F.trim(text)
+    words = (
+        F.when(F.length(trimmed) == 0, F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"[ \t\n\r\f]+")))
+        .cast("long")
+    )
+    syllables = F.size(
+        F.regexp_extract_all(text_col, F.lit("[aeiouyAEIOUY]+"), F.lit(0))
+    ).cast("long")
+    sentences = F.greatest(F.size(_sentence_array(text)).cast("long"), F.lit(1).cast("long"))
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sentences)
+        - F.lit(84.6) * (syllables / words),
+        6,
+    )
+    null_long = F.lit(None).cast("long")
+    return docs.select(
+        id_col,
+        F.when(text.isNull(), null_long).otherwise(words).alias("n_words"),
+        F.when(text.isNull(), null_long).otherwise(sentences).alias("n_sentences"),
+        F.when(text.isNull(), null_long).otherwise(syllables).alias("n_syllables"),
+        F.when(text.isNotNull() & (words > 0), flesch).alias("flesch"),
+    )
+
+
+def host_quota_sample(
+    docs: DataFrame,
+    quota: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-host quota sampling: keep at most ``quota`` documents per url
+    host, chosen deterministically (md5 of the doc id — a seedless
+    pseudo-random draw both engines replay bit-for-bit, id tie-break).
+    THE crawl-balancing step before mixing: without it one mega-host
+    (pinterest, blogspot) dominates any uniform sample of the crawl.
+
+    Rows whose host cannot be parsed share the NULL group and obey the
+    same quota (fail-closed for balancing: junk urls must not bypass the
+    cap).  The rank<=k filter compiles to WindowGroupLimit (Spark >= 3.5):
+    each partition pre-prunes to its local top-k per host BEFORE the
+    exchange, so a mega-host ships quota rows per map task, not its whole
+    corpus, and the final per-host sort touches ~quota * n_partitions
+    rows — the skew posture that survives 100 TB.
+    """
+    from pyspark.sql import Window
+
+    host = F.lower(
+        F.regexp_extract(
+            F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1
+        )
+    )
+    host = F.when(host == "", F.lit(None)).otherwise(host)
+    tagged = docs.withColumn("host", host)
+    w = Window.partitionBy("host").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        tagged.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= quota)
     )
 
 
