@@ -182,8 +182,9 @@ def main() -> None:
         # round 5, final session (Manku banded-Hamming text near-dup)
         "dedup_simhash_pairs",
         # round 5, session 13 (cluster retention policy + sentence shape +
-        # tokenizer-cost audit)
+        # tokenizer-cost audit + containment/readability/quota batch)
         "dedup_cluster_policy", "doc_sentences", "tokenizer_fertility",
+        "dedup_containment", "doc_readability", "host_quota_sample",
     ]
 
     best: dict[str, float] = {}
@@ -319,7 +320,8 @@ def main() -> None:
         "dedup_incremental_embedding", "pdf_extract", "extract_fields_pdf",
         "pages_field_spans", "bpe_encode", "dedup_incremental_minhash",
         "dedup_simhash_pairs", "dedup_cluster_policy", "doc_sentences",
-        "tokenizer_fertility",
+        "tokenizer_fertility", "dedup_containment", "doc_readability",
+        "host_quota_sample",
     ]
     out["new_queries_total_sec"] = round(sum(new_best.values()), 3)
     out["new_queries_sec"] = {

@@ -143,6 +143,9 @@ def main() -> None:
         ("dedup_cluster_policy", "cluster retention policy: the LSH/CC label frame LEFT-joins back over the corpus, then size count + quality rank run as two Windows over the SAME cluster_id hash distribution — one policy exchange total; quality is a codegen'd projection on the probe side"),
         ("doc_sentences", "sentence segmentation: boundary regexp_replace -> split -> trim/filter/fold HOFs, all ONE codegen'd projection over the scan — no explode, no shuffle, no Python"),
         ("tokenizer_fertility", "fertility audit: row-local token counts -> ONE combinable groupBy(lang) — partial_sum/partial_count before the exchange; five longs per language cross the wire"),
+        ("dedup_containment", "asymmetric near-subset pairs: the SAME df-capped shingle candidate machinery as the exact jaccard (shared repartition + ReuseExchange), only the scoring projection differs — per-side |A-and-B|/|A| with an either-direction threshold"),
+        ("doc_readability", "Flesch reading-ease: words/sentences/vowel-group syllables all row-local regex counts folded into one codegen'd projection — no exchange"),
+        ("host_quota_sample", "per-host quota: md5-draw row_number per host compiles to WindowGroupLimit — map tasks pre-prune a mega-host to k rows BEFORE the exchange (asserted in tests)"),
     ]
     for name, note in named:
         sections.append((name, note, formatted(api.QUERIES[name](spark, SF))))
