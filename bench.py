@@ -185,6 +185,7 @@ def main() -> None:
         # tokenizer-cost audit + containment/readability/quota batch)
         "dedup_cluster_policy", "doc_sentences", "tokenizer_fertility",
         "dedup_containment", "doc_readability", "host_quota_sample",
+        "bitext_mine",
     ]
 
     best: dict[str, float] = {}
@@ -321,7 +322,7 @@ def main() -> None:
         "pages_field_spans", "bpe_encode", "dedup_incremental_minhash",
         "dedup_simhash_pairs", "dedup_cluster_policy", "doc_sentences",
         "tokenizer_fertility", "dedup_containment", "doc_readability",
-        "host_quota_sample",
+        "host_quota_sample", "bitext_mine",
     ]
     out["new_queries_total_sec"] = round(sum(new_best.values()), 3)
     out["new_queries_sec"] = {

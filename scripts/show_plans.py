@@ -146,6 +146,7 @@ def main() -> None:
         ("dedup_containment", "asymmetric near-subset pairs: the SAME df-capped shingle candidate machinery as the exact jaccard (shared repartition + ReuseExchange), only the scoring projection differs — per-side |A-and-B|/|A| with an either-direction threshold"),
         ("doc_readability", "Flesch reading-ease: words/sentences/vowel-group syllables all row-local regex counts folded into one codegen'd projection — no exchange"),
         ("host_quota_sample", "per-host quota: md5-draw row_number per host compiles to WindowGroupLimit — map tasks pre-prune a mega-host to k rows BEFORE the exchange (asserted in tests)"),
+        ("bitext_mine", "margin bitext mining: cross-score computes ONCE into integer micro-unit cosines, then rank + neighbourhood-sum window pairs over src then tgt distributions (2 exchanges) and a final per-src argmax reusing the src distribution; at corpus scale the crossJoin seeds from the ANN shortlist instead"),
     ]
     for name, note in named:
         sections.append((name, note, formatted(api.QUERIES[name](spark, SF))))

@@ -737,6 +737,16 @@ def q_tokenizer_fertility(spark, sf_dir):
     return textstats.tokenizer_fertility(_tbl(spark, sf_dir, "documents"))
 
 
+def q_bitext_mine(spark, sf_dir):
+    """Margin-based bitext mining (LASER/CCMatrix): deterministic parity
+    split of the embeddings table into a src/tgt 'language' pair, ratio
+    margin over integer micro-unit cosines, top-1 tgt per src."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    return similarity.bitext_margin_mine(src, tgt, k=4)
+
+
 def q_dedup_containment(spark, sf_dir):
     """Asymmetric near-subset pairs (quote/excerpt detection): char-n-gram
     containment in both directions, same df-capped candidate plan as the
@@ -2445,6 +2455,7 @@ QUERIES = {
     "dedup_containment": q_dedup_containment,
     "doc_readability": q_doc_readability,
     "host_quota_sample": q_host_quota_sample,
+    "bitext_mine": q_bitext_mine,
 }
 
 
@@ -5781,6 +5792,47 @@ ORACLE_SQL = {
                                - 84.6 * (syl / CAST(w AS DOUBLE)), 6)
                     END AS flesch
         FROM feats
+    """,
+    # bitext margin mining: cosines snapped to integer micro-units BEFORE
+    # the k-NN neighbourhood sums, so both engines aggregate exact ints and
+    # the ratio margin is bit-stable; parity split = the two 'languages'
+    "bitext_mine": """
+        WITH a AS (SELECT vec_id AS src_id, embedding::DOUBLE[] AS ea
+                   FROM embeddings WHERE vec_id % 2 = 0),
+        b AS (SELECT vec_id AS tgt_id, embedding::DOUBLE[] AS eb
+              FROM embeddings WHERE vec_id % 2 = 1),
+        scored AS (
+            SELECT src_id, tgt_id,
+                   CAST(round(round(list_cosine_similarity(ea, eb), 6) * 1000000) AS BIGINT) AS cos_u
+            FROM a, b
+        ),
+        t AS (
+            SELECT src_id, tgt_id, cos_u,
+                   row_number() OVER (PARTITION BY src_id ORDER BY cos_u DESC, tgt_id ASC) AS rx,
+                   row_number() OVER (PARTITION BY tgt_id ORDER BY cos_u DESC, src_id ASC) AS ry
+            FROM scored
+        ),
+        t2 AS (
+            SELECT src_id, tgt_id, cos_u,
+                   sum(CASE WHEN rx <= 4 THEN cos_u END) OVER (PARTITION BY src_id) AS sx,
+                   count(CASE WHEN rx <= 4 THEN cos_u END) OVER (PARTITION BY src_id) AS cx,
+                   sum(CASE WHEN ry <= 4 THEN cos_u END) OVER (PARTITION BY tgt_id) AS sy,
+                   count(CASE WHEN ry <= 4 THEN cos_u END) OVER (PARTITION BY tgt_id) AS cy
+            FROM t
+        ),
+        m AS (
+            SELECT src_id, tgt_id,
+                   round(cos_u / 1000000.0, 6) AS cos,
+                   CASE WHEN ((sx / CAST(cx AS DOUBLE)) + (sy / CAST(cy AS DOUBLE))) / 2.0 > 0
+                        THEN round(cos_u / (((sx / CAST(cx AS DOUBLE)) + (sy / CAST(cy AS DOUBLE))) / 2.0), 6)
+                   END AS margin
+            FROM t2
+        )
+        SELECT src_id, tgt_id, cos, margin FROM (
+            SELECT m.*, row_number() OVER (PARTITION BY src_id
+                                           ORDER BY margin DESC, tgt_id ASC) AS rb
+            FROM m WHERE margin IS NOT NULL)
+        WHERE rb = 1
     """,
     # per-host quota: same deterministic md5 draw, same host parse as the
     # blocklist gate; NULL hosts share one quota'd group (fail-closed)

@@ -181,6 +181,96 @@ def embedding_near_dup_lsh(
     )
 
 
+def bitext_margin_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    min_margin: float | None = None,
+    allow_quadratic: bool = False,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    LASER/CCMatrix parallel-corpus miner): for every src vector, the tgt
+    vector maximising the RATIO margin
+    ``cos(x,y) / ((knn_mean(x) + knn_mean(y)) / 2)`` — raw cosine retrieves
+    hubs (vectors close to everything); dividing by the average of each
+    side's k-NN neighbourhood density is what makes mined pairs actually
+    parallel.  Returns (src_id, tgt_id, cos, margin), one row per src
+    (ties -> lowest tgt_id), optionally thresholded on margin.
+
+    Determinism across engines: cosines are snapped to integer MICRO-UNITS
+    (round(cos*1e6) as long) BEFORE the neighbourhood sums, so the k-NN
+    means are exact integer arithmetic — no float-summation-order
+    divergence between Spark's and an oracle's aggregation.
+
+    Plan: the cross-score computes ONCE; rank + neighbourhood-sum run as
+    window pairs over the src then tgt hash distributions (2 exchanges),
+    and the final per-src argmax reuses the src distribution.  This is the
+    exact small-N scorer (quadratic-guarded like its siblings): at corpus
+    scale the (x, y) candidate set comes from the ANN family
+    (``ivf_topk``/``lsh_bucketed_topk`` shortlists) instead of a
+    crossJoin — the margin math downstream is unchanged.
+    """
+    _guard_quadratic(src, QUADRATIC_GUARD_MAX_ROWS, allow_quadratic, "ivf_topk")
+    _guard_quadratic(tgt, QUADRATIC_GUARD_MAX_ROWS, allow_quadratic, "ivf_topk")
+    a = src.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("embedding").alias("ea"),
+        _norm(F.col("embedding")).alias("na"),
+    )
+    b = tgt.select(
+        F.col("vec_id").alias("tgt_id"),
+        F.col("embedding").alias("eb"),
+        _norm(F.col("embedding")).alias("nb"),
+    )
+    scored = a.crossJoin(b).select(
+        "src_id",
+        "tgt_id",
+        F.round(
+            F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+            * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("cos_u"),
+    )
+    rank_x = Window.partitionBy("src_id").orderBy(
+        F.col("cos_u").desc(), F.col("tgt_id").asc()
+    )
+    part_x = Window.partitionBy("src_id")
+    rank_y = Window.partitionBy("tgt_id").orderBy(
+        F.col("cos_u").desc(), F.col("src_id").asc()
+    )
+    part_y = Window.partitionBy("tgt_id")
+    in_topk_x = F.when(F.col("rx") <= k, F.col("cos_u"))
+    in_topk_y = F.when(F.col("ry") <= k, F.col("cos_u"))
+    t = (
+        scored.withColumn("rx", F.row_number().over(rank_x))
+        .withColumn("sx", F.sum(in_topk_x).over(part_x))
+        .withColumn("cx", F.count(in_topk_x).over(part_x))
+        .withColumn("ry", F.row_number().over(rank_y))
+        .withColumn("sy", F.sum(in_topk_y).over(part_y))
+        .withColumn("cy", F.count(in_topk_y).over(part_y))
+    )
+    denom = (F.col("sx") / F.col("cx") + F.col("sy") / F.col("cy")) / F.lit(2.0)
+    t = t.select(
+        "src_id",
+        "tgt_id",
+        F.round(F.col("cos_u") / F.lit(1e6), 6).alias("cos"),
+        F.when(denom > 0, F.round(F.col("cos_u") / denom, 6)).alias("margin"),
+    ).filter(F.col("margin").isNotNull())
+    best = Window.partitionBy("src_id").orderBy(
+        F.col("margin").desc(), F.col("tgt_id").asc()
+    )
+    out = (
+        t.withColumn("rb", F.row_number().over(best))
+        .filter(F.col("rb") == 1)
+        .drop("rb")
+    )
+    if min_margin is not None:
+        out = out.filter(F.col("margin") >= min_margin)
+    return out
+
+
 def embedding_index(
     embeddings: DataFrame, dims: tuple[int, ...] = (0, 7, 21, 42)
 ) -> DataFrame:
