@@ -147,6 +147,10 @@ def main() -> None:
         ("doc_readability", "Flesch reading-ease: words/sentences/vowel-group syllables all row-local regex counts folded into one codegen'd projection — no exchange"),
         ("host_quota_sample", "per-host quota: md5-draw row_number per host compiles to WindowGroupLimit — map tasks pre-prune a mega-host to k rows BEFORE the exchange (asserted in tests)"),
         ("bitext_mine", "margin bitext mining: cross-score computes ONCE into integer micro-unit cosines, then rank + neighbourhood-sum window pairs over src then tgt distributions (2 exchanges) and a final per-src argmax reusing the src distribution; at corpus scale the crossJoin seeds from the ANN shortlist instead"),
+        ("scrub_cards", "Luhn-validated card redaction: regexp_extract_all + filter/aggregate HOFs (integer Luhn, literal-replace fold) in ONE codegen'd projection — no explode, no shuffle, no Python"),
+        ("code_switch", "per-line language ID: split -> per-line stopword CASE ladder -> adjacency fold, all row-local array arithmetic in one projection — zero exchanges"),
+        ("decontaminate_fuzzy", "fuzzy decontamination: corpus minhash signature (the SAME combinable groupBy the dedup family shares) + BROADCAST eval-set signatures; the (seed,minhash) agreement join never shuffles the corpus; final (doc,probe) count combinable"),
+        ("embedding_quantize", "int8 quantization: posexplode -> combinable 64-row absmax agg -> ONE-row scale array broadcast back over the vectors (BroadcastNestedLoopJoin of a single row) -> codegen'd zip_with integer rounding"),
     ]
     for name, note in named:
         sections.append((name, note, formatted(api.QUERIES[name](spark, SF))))

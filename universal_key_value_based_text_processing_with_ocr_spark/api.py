@@ -290,6 +290,58 @@ def q_mask_repeated_ngrams(spark, sf_dir):
     return textstats.mask_repeated_ngrams(_tbl(spark, sf_dir, "documents"))
 
 
+#: deterministic card-number augmentation for q_scrub_cards: the synthetic
+#: corpus has no 13-19 digit runs, so both engines append two DERIVED
+#: candidates per doc (one plain 16-digit, one dash-grouped 4-4-4-4);
+#: Luhn validity falls out of the arithmetic (~10% of derivations pass),
+#: exercising both the mask and keep branches.
+_CARD_AUG_SPARK = (
+    "concat(text, ' pay ', "
+    "lpad(CAST((doc_id * 982451653) % 10000000000000000 AS STRING), 16, '0'), "
+    "' and ', "
+    + ", '-', ".join(
+        "substring(lpad(CAST((doc_id * 179424673 + 11) % 10000000000000000 "
+        f"AS STRING), 16, '0'), {p}, 4)"
+        for p in (1, 5, 9, 13)
+    )
+    + ")"
+)
+
+
+def q_scrub_cards(spark, sf_dir):
+    """Luhn-validated payment-card redaction (textstats.scrub_cards) over
+    the card-augmented corpus — one codegen'd projection, zero UDFs."""
+    docs = (
+        _tbl(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.expr(_CARD_AUG_SPARK).alias("text"))
+    )
+    return textstats.scrub_cards(docs)
+
+
+def q_code_switch(spark, sf_dir):
+    """Per-line language ID + code-switch stats (textstats.
+    line_lang_segments) — row-local array arithmetic, scan + project."""
+    return textstats.line_lang_segments(_tbl(spark, sf_dir, "documents"))
+
+
+def q_decontaminate_fuzzy(spark, sf_dir):
+    """MinHash-estimated Jaccard decontamination: corpus (doc_id >= 5) vs
+    the tiny probe 'eval set' (doc_id < 5) — the fuzzy complement of
+    contamination_check's exact n-gram probe; eval signatures broadcast."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return dedup.decontaminate_fuzzy(
+        docs.filter(F.col("doc_id") >= 5), docs.filter(F.col("doc_id") < 5)
+    )
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric per-dimension int8 quantization of the embedding corpus
+    (similarity.quantize_int8) — BIGINT-exact, one combinable 64-row scale
+    agg broadcast back over the vectors."""
+    return similarity.quantize_int8(_tbl(spark, sf_dir, "embeddings"))
+
+
 def q_events_asof_join(spark, sf_dir):
     """Point-in-time join: every click gets the user's most recent
     purchase at-or-before it (relational.asof_join — union + running
@@ -2246,10 +2298,10 @@ QUERIES = {
     "warc_scan": q_warc_scan,
     "fineweb_pipeline": q_fineweb_pipeline,
     "bpe_pairs": q_bpe_pairs,
-    "chunk_documents": q_chunk_documents,
-    "mixture_sample": q_mixture_sample,
-    "pack_sequences": q_pack_sequences,
-    "bigram_lm_score": q_bigram_lm_score,
+    "scrub_cards": q_scrub_cards,
+    "code_switch": q_code_switch,
+    "decontaminate_fuzzy": q_decontaminate_fuzzy,
+    "embedding_quantize": q_embedding_quantize,
     "ccnet_buckets": q_ccnet_buckets,
     "crawl_diff": q_crawl_diff,
     "corpus_datasheet": q_corpus_datasheet,
@@ -2275,6 +2327,19 @@ QUERIES = {
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
     "multimodal_webp_decode": q_multimodal_webp_decode,
     # ---------------- past the driver's 50-entry cap -------------------
+    # Round-5 session-14 rotation: chunk_documents / pack_sequences /
+    # mixture_sample / bigram_lm_score moved past the cap to admit the
+    # NEW scrub_cards / code_switch / decontaminate_fuzzy /
+    # embedding_quantize — each displaced query keeps strong in-window
+    # siblings in its module (textstats: gopher_quality, c4_line_clean,
+    # dsir_importance, doc_keywords, doc_lexical_diversity; the packing/
+    # mixture pair is additionally composed by training_batch_plan and
+    # pinned against closed-form lane/budget arithmetic in pytest), and
+    # ALL remain replica-checked green every round.
+    "chunk_documents": q_chunk_documents,
+    "mixture_sample": q_mixture_sample,
+    "pack_sequences": q_pack_sequences,
+    "bigram_lm_score": q_bigram_lm_score,
     # Round-5 session-10 rotation: extract_fields_pdf moved past the cap
     # to admit the NEW multimodal_webp_decode — it COMPOSES pdf_extract +
     # the extraction core, and both components stay in-window standalone
@@ -2609,6 +2674,49 @@ def _lsh_topk_oracle() -> str:
         SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
     """
 
+
+# ---- scrub_cards / code_switch oracle building blocks --------------------
+# DuckDB mirror of _CARD_AUG_SPARK (lpad/CAST spellings differ, arithmetic
+# identical)
+_CARD_AUG_DUCK = (
+    "text || ' pay ' || "
+    "lpad(CAST((doc_id * 982451653) % 10000000000000000 AS VARCHAR), 16, '0') "
+    "|| ' and ' || "
+    + " || '-' || ".join(
+        "substring(lpad(CAST((doc_id * 179424673 + 11) % 10000000000000000 "
+        f"AS VARCHAR), 16, '0'), {p}, 4)"
+        for p in (1, 5, 9, 13)
+    )
+)
+_CARD_RE_DUCK = r"\b\d(?:[ -]?\d){12,18}\b"
+_LUHN_D_DUCK = "regexp_replace(c, '[ -]', '', 'g')"
+_LUHN_SUM_DUCK = (
+    f"list_sum(list_transform(range(1, length({_LUHN_D_DUCK}) + 1), i -> "
+    f"CASE WHEN (length({_LUHN_D_DUCK}) - i) % 2 = 1 "
+    f"THEN CASE WHEN 2 * CAST(substring({_LUHN_D_DUCK}, CAST(i AS INT), 1) AS INT) > 9 "
+    f"     THEN 2 * CAST(substring({_LUHN_D_DUCK}, CAST(i AS INT), 1) AS INT) - 9 "
+    f"     ELSE 2 * CAST(substring({_LUHN_D_DUCK}, CAST(i AS INT), 1) AS INT) END "
+    f"ELSE CAST(substring({_LUHN_D_DUCK}, CAST(i AS INT), 1) AS INT) END))"
+)
+
+
+def _duck_line_hits(words) -> str:
+    pad = "concat(' ', lower(x), ' ')"
+    return (
+        "("
+        + " + ".join(
+            f"(CASE WHEN {pad} LIKE '% {w} %' THEN 1 ELSE 0 END)" for w in words
+        )
+        + ")"
+    )
+
+
+_LINE_LANG_CASE_DUCK = (
+    f"CASE WHEN {_duck_line_hits(textstats.EN_STOPWORDS)} = 0 "
+    f"AND {_duck_line_hits(textstats.ID_STOPWORDS)} = 0 THEN 'und' "
+    f"WHEN {_duck_line_hits(textstats.EN_STOPWORDS)} >= "
+    f"{_duck_line_hits(textstats.ID_STOPWORDS)} THEN 'en' ELSE 'ind' END"
+)
 
 ORACLE_SQL = {
     "extract_fields": f"""
@@ -4203,6 +4311,125 @@ ORACLE_SQL = {
         FROM base b
         LEFT JOIN line_stats ls USING (doc_id)
         LEFT JOIN bigram_stats bs USING (doc_id)
+    """,
+    # Luhn-validated card redaction: identical derived augmentation, then
+    # candidate extraction + integer Luhn (sum over positions — no
+    # sequential dependence, so list_sum of per-position contributions),
+    # then literal replace of the validated candidates only.  list_reduce
+    # over list_prepend(text, valid) replays Spark's aggregate(valid, text).
+    "scrub_cards": f"""
+        WITH aug AS (
+            SELECT doc_id, {_CARD_AUG_DUCK} AS text
+            FROM documents WHERE text IS NOT NULL
+        ),
+        c AS (
+            SELECT doc_id, text,
+                   regexp_extract_all(text, '{_CARD_RE_DUCK}') AS cands
+            FROM aug
+        ),
+        v AS (
+            SELECT doc_id, text, cands,
+                   list_distinct(list_filter(cands, c -> ({_LUHN_SUM_DUCK}) % 10 = 0)) AS valid
+            FROM c
+        )
+        SELECT doc_id,
+               list_reduce(list_prepend(text, valid),
+                           (t, c) -> replace(t, c, '<CARD>')) AS scrubbed,
+               CAST(len(cands) AS INT) AS n_candidates,
+               CAST(len(valid) AS INT) AS n_cards
+        FROM v
+    """,
+    # per-line language ID + code-switch stats: same stopword CASE ladder
+    # as doc_langid applied per non-blank line, adjacency diff via
+    # range(2, n+1) (empty below 2 lines -> coalesce 0), integer per-mille
+    "code_switch": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_transform(
+                       list_filter(string_split(text, chr(10)),
+                                   x -> regexp_matches(x, '[^ \t\r]')),
+                       x -> {_LINE_LANG_CASE_DUCK}) AS langs
+            FROM documents WHERE text IS NOT NULL
+        ),
+        c AS (
+            SELECT doc_id,
+                   CAST(len(langs) AS INT) AS n_lines,
+                   CAST(len(list_filter(langs, x -> x = 'en')) AS INT) AS n_en,
+                   CAST(len(list_filter(langs, x -> x = 'ind')) AS INT) AS n_ind,
+                   CAST(len(list_filter(langs, x -> x = 'und')) AS INT) AS n_und,
+                   CAST(coalesce(list_sum(list_transform(range(2, len(langs) + 1),
+                       i -> CASE WHEN langs[CAST(i AS INT)] <> langs[CAST(i AS INT) - 1]
+                            THEN 1 ELSE 0 END)), 0) AS INT) AS n_switches
+            FROM t
+        )
+        SELECT *,
+               CASE WHEN n_lines = 0 THEN 'und'
+                    WHEN n_en >= n_ind AND n_en >= n_und THEN 'en'
+                    WHEN n_ind >= n_und THEN 'ind' ELSE 'und' END AS dominant_lang,
+               CAST(CASE WHEN n_lines = 0 THEN 0
+                    ELSE (CAST(greatest(n_en, n_ind, n_und) AS BIGINT) * 1000) // n_lines
+                    END AS INT) AS dom_pmille
+        FROM c
+    """,
+    # fuzzy decontamination: the proven minhash replay (same md5 32-bit
+    # base hash + (a*x+b) % p family) on BOTH sides, signature-position
+    # agreement join, integer percent
+    "decontaminate_fuzzy": f"""
+        WITH seeds(seed, a, b) AS (VALUES {_SEED_ROWS}),
+        sh_d AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, length(text) - 8),
+                                         i -> substring(text, CAST(i AS INT), 10))) AS shingle
+            FROM documents
+            WHERE doc_id >= 5 AND text IS NOT NULL AND length(text) >= 10
+        ),
+        xh_d AS (
+            SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x FROM sh_d
+        ),
+        sig_d AS (
+            SELECT doc_id, CAST(seed AS INT) AS seed,
+                   min((a * x + b) % {MINHASH_PRIME}) AS minhash
+            FROM xh_d, seeds GROUP BY doc_id, CAST(seed AS INT)
+        ),
+        sh_p AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, length(text) - 8),
+                                         i -> substring(text, CAST(i AS INT), 10))) AS shingle
+            FROM documents
+            WHERE doc_id < 5 AND text IS NOT NULL AND length(text) >= 10
+        ),
+        xh_p AS (
+            SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x FROM sh_p
+        ),
+        sig_p AS (
+            SELECT doc_id, CAST(seed AS INT) AS seed,
+                   min((a * x + b) % {MINHASH_PRIME}) AS minhash
+            FROM xh_p, seeds GROUP BY doc_id, CAST(seed AS INT)
+        )
+        SELECT d.doc_id, p.doc_id AS probe_id,
+               CAST(count(*) AS INT) AS n_agree,
+               CAST((CAST(count(*) AS BIGINT) * 100) // 16 AS INT) AS agree_pct
+        FROM sig_d d JOIN sig_p p ON d.seed = p.seed AND d.minhash = p.minhash
+        GROUP BY d.doc_id, p.doc_id
+    """,
+    # int8 quantization: micro-unit floor, per-dim BIGINT absmax, exact
+    # round-half-up integer division — bit-identical by construction
+    "embedding_quantize": """
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+            FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        d AS (
+            SELECT vec_id, UNNEST(q) AS v, UNNEST(range(0, len(q))) AS dim FROM q
+        ),
+        a AS (SELECT dim, max(abs(v)) AS amax FROM d GROUP BY dim)
+        SELECT d.vec_id, CAST(d.dim AS INT) AS dim,
+               CAST(CASE WHEN a.amax = 0 THEN 0
+                         WHEN d.v < 0 THEN -(((-d.v) * 254 + a.amax) // (2 * a.amax))
+                         ELSE ((d.v * 254 + a.amax) // (2 * a.amax)) END AS INT) AS code
+        FROM d JOIN a USING (dim)
     """,
     "doc_scrub_pii": r"""
         WITH t AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL)

@@ -1030,3 +1030,55 @@ def cluster_policy(
         (F.row_number().over(rank) == 1).alias("keep"),
         F.round(F.lit(1.0) / F.count("*").over(by_cluster), 6).alias("soft_weight"),
     )
+
+
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    probes: DataFrame,
+    n_hashes: int = 16,
+    shingle_n: int = 10,
+    min_agree: int = 1,
+) -> DataFrame:
+    """FUZZY benchmark decontamination: MinHash-estimated Jaccard between
+    every corpus document and a small eval set.
+
+    :func:`~..operators.textstats.contamination_check` catches exact
+    n-gram overlap; paraphrased or lightly-edited eval leakage slips
+    through.  This estimates Jaccard as the fraction of agreeing MinHash
+    signature positions (the standard unbiased estimator), so a reworded
+    contaminated page still scores high.
+
+    Physical shape at 100 TB: the corpus-side signature is the SAME
+    map-side-combinable groupBy :func:`minhash_signatures` builds (one
+    exchange over hashed shingles, shared via ReuseExchange with any other
+    minhash consumer); the eval set is tiny, so its signature BROADCASTS
+    and the (seed, minhash) equi-join never shuffles the corpus; the final
+    (doc_id, probe_id) count is partially aggregated.  Pairs with zero
+    agreeing positions are absent by construction (estimated Jaccard 0).
+
+    Returns (doc_id, probe_id, n_agree, agree_pct) for pairs with
+    ``n_agree >= min_agree``; agree_pct is integer percent of ``n_hashes``.
+    """
+    sig_d = minhash_signatures(docs, n_hashes, shingle_n)
+    sig_p = minhash_signatures(probes, n_hashes, shingle_n).select(
+        F.col("doc_id").alias("probe_id"),
+        F.col("seed").alias("p_seed"),
+        F.col("minhash").alias("p_minhash"),
+    )
+    agree = sig_d.join(
+        F.broadcast(sig_p),
+        (F.col("seed") == F.col("p_seed")) & (F.col("minhash") == F.col("p_minhash")),
+    )
+    return (
+        agree.groupBy("doc_id", "probe_id")
+        .agg(F.count("*").cast("int").alias("n_agree"))
+        .filter(F.col("n_agree") >= min_agree)
+        .select(
+            "doc_id",
+            "probe_id",
+            "n_agree",
+            F.expr(f"CAST((CAST(n_agree AS BIGINT) * 100) div {n_hashes} AS INT)").alias(
+                "agree_pct"
+            ),
+        )
+    )

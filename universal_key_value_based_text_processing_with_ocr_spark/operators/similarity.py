@@ -1077,3 +1077,41 @@ def kmeans_assign(embeddings: DataFrame, k: int = 8, iters: int = 2) -> DataFram
     return final.select(
         "vec_id", F.col("cluster").cast("int").alias("cluster"), "sq_dist"
     )
+
+
+def quantize_int8(embeddings: DataFrame) -> DataFrame:
+    """Symmetric per-dimension int8 quantization of the embedding corpus —
+    the standard 4x storage/bandwidth reduction for a 100 TB vector store.
+
+    Integer discipline end-to-end (the family's engine-exactness rule):
+    coordinates become micro-units ``q = floor(x * 1e6)`` (the same
+    quantisation :func:`kmeans_assign` uses), the per-dimension scale is
+    ``amax_d = max(|q_d|)`` over the corpus, and the code is round-half-up
+    ``sign(q) * ((|q| * 254 + amax) div (2 * amax))`` — all BIGINT, no
+    float division anywhere, so any engine reproduces it bit-for-bit.
+
+    Physical shape: one posexplode + map-side-combinable groupBy produces
+    the 64-row scale table, which collapses to a ONE-ROW array and
+    broadcasts back over the corpus (BroadcastNestedLoopJoin of a single
+    row — never a shuffle of the vectors).  Long-form output
+    (vec_id, dim, code) keeps the oracle comparable and the codes
+    repackable by any consumer.
+    """
+    quant = _kmeans_quant(embeddings)  # (vec_id, q: array<long>)
+    dims = quant.select(F.posexplode("q").alias("dim", "v"))
+    amax = dims.groupBy("dim").agg(F.max(F.abs(F.col("v"))).alias("amax"))
+    scale_row = amax.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("dim", "amax"))).alias("sc")
+    )
+    codes = F.expr(
+        "zip_with(q, transform(sc, s -> s.amax), (x, m) -> "
+        "CAST(CASE WHEN m = 0 THEN 0 "
+        "WHEN x < 0 THEN -(((-x) * 254 + m) div (2 * m)) "
+        "ELSE ((x * 254 + m) div (2 * m)) END AS INT))"
+    )
+    return (
+        quant.crossJoin(F.broadcast(scale_row))
+        .select("vec_id", codes.alias("codes"))
+        .select("vec_id", F.posexplode("codes").alias("dim", "code"))
+        .select("vec_id", F.col("dim").cast("int").alias("dim"), "code")
+    )

@@ -2049,3 +2049,129 @@ def corpus_datasheet(docs: DataFrame) -> DataFrame:
         F.col("p90").alias("p90_chars"),
     )
     return sums.join(pcts, F.col("lang").eqNullSafe(F.col("_pl"))).drop("_pl")
+
+
+#: payment-card candidate: 13-19 digits, optionally single-space/dash
+#: separated (the grouping real card numbers are written with)
+CARD_CANDIDATE_RE = r"\b\d(?:[ -]?\d){12,18}\b"
+
+
+def scrub_cards(docs: DataFrame) -> DataFrame:
+    """Luhn-validated payment-card redaction (PCI-style PII pass).
+
+    The plain ``\\d{8,}`` mask in :func:`scrub_pii` over-redacts: order
+    ids, timestamps and hashes all look like long digit runs.  Real
+    pipelines validate the ISO/IEC 7812 Luhn checksum before treating a
+    digit run as a card number.  This operator extracts 13-19 digit
+    candidates (separators allowed), strips separators, checks Luhn with
+    exact integer arithmetic, and replaces only the VALID candidates with
+    ``<CARD>`` — all inside ONE codegen'd projection (regexp_extract_all +
+    higher-order functions), zero UDFs, zero exchanges: the plan is a
+    scan + project at any corpus size.
+
+    Known over-redaction (deterministic, documented): the final masking is
+    a literal substring replace per validated candidate, so a valid card
+    string that also occurs INSIDE a longer unvalidated digit run is
+    masked there too.
+
+    Returns (doc_id, scrubbed, n_candidates, n_cards) — counts make the
+    redaction auditable per document.
+    """
+    # Luhn over the separator-stripped digits d: from the RIGHT, double
+    # every second digit (positions with (len-i) % 2 = 1 for 1-based i),
+    # subtracting 9 when doubling overflows; valid iff sum % 10 = 0.
+    # ``d`` is an SQL expression string for the digit run (the raw match
+    # with separators stripped) — inlined because HOF lambdas cannot host
+    # subqueries or lateral aliases.
+    def luhn_sum(d: str) -> str:
+        digit = f"CAST(substring({d}, i, 1) AS INT)"
+        return (
+            f"aggregate(sequence(1, length({d})), 0, (acc, i) -> acc + "
+            f"(CASE WHEN (length({d}) - i) % 2 = 1 "
+            f" THEN CASE WHEN 2 * {digit} > 9 THEN 2 * {digit} - 9 "
+            f"      ELSE 2 * {digit} END "
+            f" ELSE {digit} END))"
+        )
+
+    # Spark SQL string literals process backslash escapes — double them so
+    # the regex engine sees \b, not a backspace character
+    pat = CARD_CANDIDATE_RE.replace("\\", "\\\\")
+    cands = f"regexp_extract_all(text, '{pat}', 0)"
+    # validate on the stripped digits but keep the RAW match for masking
+    stripped = "regexp_replace(c, '[ -]', '')"
+    valid = f"filter({cands}, c -> ({luhn_sum(stripped)}) % 10 = 0)"
+    scrubbed = (
+        f"aggregate(array_distinct({valid}), text, (t, c) -> replace(t, c, '<CARD>'))"
+    )
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.expr(scrubbed).alias("scrubbed"),
+        F.expr(f"size({cands})").cast("int").alias("n_candidates"),
+        F.expr(f"size(array_distinct({valid}))").cast("int").alias("n_cards"),
+    )
+
+
+def line_lang_segments(docs: DataFrame) -> DataFrame:
+    """Per-LINE language ID + code-switch stats (multilingual-corpus audit).
+
+    :func:`lang_id` labels a whole document; real crawl pages mix languages
+    (boilerplate in one, body in another, quoted passages).  This operator
+    applies the SAME stopword-hit heuristic to every non-blank line and
+    reports, per document: line counts per language, the number of
+    adjacent-line language SWITCHES (the code-switching signal), the
+    dominant language and its share in integer per-mille.
+
+    Everything is row-local array arithmetic over ``split(text, '\\n')`` —
+    one codegen'd projection, zero UDFs, zero exchanges; at 100 TB the plan
+    is still scan + project.  Ties break exactly like :func:`lang_id`
+    (en >= ind -> en) and dominance ties break en > ind > und.
+    """
+
+    def hits_sql(words, var="x"):
+        pad = f"concat(' ', lower({var}), ' ')"
+        return "(" + " + ".join(
+            f"(CASE WHEN {pad} LIKE '% {w} %' THEN 1 ELSE 0 END)" for w in words
+        ) + ")"
+
+    en, ind = hits_sql(EN_STOPWORDS), hits_sql(ID_STOPWORDS)
+    lang_case = (
+        f"CASE WHEN {en} = 0 AND {ind} = 0 THEN 'und' "
+        f"WHEN {en} >= {ind} THEN 'en' ELSE 'ind' END"
+    )
+    nonblank = r"filter(split(text, '\n'), x -> x rlike '[^ \t\r]')"
+    with_langs = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.expr(f"transform({nonblank}, x -> {lang_case})").alias("langs"),
+    )
+    n = F.size("langs")
+    n_en = F.size(F.expr("filter(langs, x -> x = 'en')"))
+    n_ind = F.size(F.expr("filter(langs, x -> x = 'ind')"))
+    n_und = F.size(F.expr("filter(langs, x -> x = 'und')"))
+    # sequence(2, 1) would be DESCENDING in Spark — guard short docs
+    switches = F.expr(
+        "CASE WHEN size(langs) >= 2 THEN aggregate(sequence(2, size(langs)), 0, "
+        "(acc, i) -> acc + (CASE WHEN element_at(langs, i) <> element_at(langs, i - 1) "
+        "THEN 1 ELSE 0 END)) ELSE 0 END"
+    )
+    counts = with_langs.select(
+        "doc_id",
+        n.cast("int").alias("n_lines"),
+        n_en.cast("int").alias("n_en"),
+        n_ind.cast("int").alias("n_ind"),
+        n_und.cast("int").alias("n_und"),
+        switches.cast("int").alias("n_switches"),
+    )
+    # integer per-mille via `div` — no float anywhere, engine-exact
+    return counts.select(
+        "*",
+        F.expr(
+            "CASE WHEN n_lines = 0 THEN 'und' "
+            "WHEN n_en >= n_ind AND n_en >= n_und THEN 'en' "
+            "WHEN n_ind >= n_und THEN 'ind' ELSE 'und' END"
+        ).alias("dominant_lang"),
+        F.expr(
+            "CAST(CASE WHEN n_lines = 0 THEN 0 ELSE "
+            "(CAST(greatest(n_en, n_ind, n_und) AS BIGINT) * 1000) div n_lines "
+            "END AS INT)"
+        ).alias("dom_pmille"),
+    )
