@@ -186,6 +186,14 @@ def main() -> None:
         "dedup_cluster_policy", "doc_sentences", "tokenizer_fertility",
         "dedup_containment", "doc_readability", "host_quota_sample",
         "bitext_mine",
+        # round 5, session 14 (Luhn cards, code-switch, fuzzy decontam,
+        # int8 quantization)
+        "scrub_cards", "code_switch", "decontaminate_fuzzy",
+        "embedding_quantize",
+        # round 5, session 15 (histogram Gini, MAD outliers, PMI pairs;
+        # streamed_length_quantiles excluded like the other streaming
+        # queries — staging/checkpoint setup dominates its wall time)
+        "corpus_gini", "length_outliers", "pmi_pairs",
     ]
 
     best: dict[str, float] = {}

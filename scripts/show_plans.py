@@ -151,6 +151,10 @@ def main() -> None:
         ("code_switch", "per-line language ID: split -> per-line stopword CASE ladder -> adjacency fold, all row-local array arithmetic in one projection — zero exchanges"),
         ("decontaminate_fuzzy", "fuzzy decontamination: corpus minhash signature (the SAME combinable groupBy the dedup family shares) + BROADCAST eval-set signatures; the (seed,minhash) agreement join never shuffles the corpus; final (doc,probe) count combinable"),
         ("embedding_quantize", "int8 quantization: posexplode -> combinable 64-row absmax agg -> ONE-row scale array broadcast back over the vectors (BroadcastNestedLoopJoin of a single row) -> codegen'd zip_with integer rounding"),
+        ("corpus_gini", "exact histogram Gini: combinable (lang, x) histogram -> window cumsum over HISTOGRAM rows (tied-block rank-sum in DECIMAL(38,0)) -> one per-lang agg; the corpus is never globally sorted"),
+        ("length_outliers", "median+MAD gate: TWO stacked histogram-percentile passes (each combinable agg + histogram window) joined back as tiny per-lang tables — the corpus scans, never sorts"),
+        ("pmi_pairs", "windowed collocations: row-local HOF pair generation (no text into Generate) -> combinable (a,b) and unigram aggs -> 1-row broadcast totals -> TakeOrderedAndProject top-k"),
+        ("streamed_length_quantiles", "streamed exact quantiles: SUM-merged per-epoch (lang,len,cnt) histograms -> the shared cum/total min-when percentile rule over histogram rows only"),
     ]
     for name, note in named:
         sections.append((name, note, formatted(api.QUERIES[name](spark, SF))))

@@ -1,0 +1,212 @@
+"""Round-5 session-15 operators: exact histogram Gini (closed-form +
+brute-force textbook parity on tied data), median+MAD outlier gate
+(hand-derived), windowed PMI pair mining (hand-derived counts/lift and
+the SQL-literal '\\f' tokenizer regression), and the streamed exact
+quantile twin (bit-equality with the one-pass batch computation)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.test_spark_pipeline import spark  # session fixture  # noqa: F401
+from universal_key_value_based_text_processing_with_ocr_spark.operators import (
+    textstats,
+)
+from universal_key_value_based_text_processing_with_ocr_spark.operators.relational import (
+    grouped_percentile_disc,
+    grouped_percentile_from_hist,
+)
+
+
+def _docs(spark, rows):  # noqa: F811
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"]),
+        schema="doc_id long, text string, lang string",
+    )
+
+
+def _text_of(n_tokens: int) -> str:
+    return " ".join(["w"] * n_tokens) if n_tokens else ""
+
+
+# ---------------------------------------------------------------------------
+# length_gini
+# ---------------------------------------------------------------------------
+
+
+def _gini_pmille_ref(xs):
+    """Textbook formula on explicitly sorted values — exact ints."""
+    xs = sorted(xs)
+    n, t = len(xs), sum(xs)
+    if t == 0:
+        return 0
+    s = sum((i + 1) * x for i, x in enumerate(xs))
+    return (1000 * (2 * s - (n + 1) * t)) // (n * t)
+
+
+def test_gini_closed_form(spark):  # noqa: F811
+    rows = (
+        # lang a: perfectly equal -> 0
+        [(i, _text_of(7), "a") for i in range(4)]
+        # lang b: one doc holds everything -> 750 for n=4
+        + [(10, _text_of(0), "b"), (11, "", "b"), (12, None, "b"),
+           (13, _text_of(10), "b")]
+    )
+    out = {
+        r["lang"]: r.asDict()
+        for r in textstats.length_gini(_docs(spark, rows)).collect()
+    }
+    assert out["a"]["gini_pmille"] == 0
+    assert out["a"]["n_docs"] == 4 and out["a"]["total_tokens"] == 28
+    # x = [0,0,0,10]: G = (2*40 - 5*10)/(4*10) = 0.75
+    assert out["b"]["gini_pmille"] == 750
+    assert out["b"]["total_tokens"] == 10
+
+
+def test_gini_matches_textbook_on_tied_data(spark):  # noqa: F811
+    # deterministic pseudo-random token counts with heavy ties — the
+    # histogram block rank-sum must equal the explicit per-row ranking
+    xs = [(i * 7919) % 13 for i in range(97)]  # values 0..12, many ties
+    rows = [(i, _text_of(x), "z") for i, x in enumerate(xs)]
+    row = textstats.length_gini(_docs(spark, rows)).collect()[0]
+    assert row["gini_pmille"] == _gini_pmille_ref(xs)
+    assert row["n_docs"] == len(xs) and row["total_tokens"] == sum(xs)
+
+
+def test_gini_null_only_language_is_zero(spark):  # noqa: F811
+    rows = [(1, None, "n"), (2, None, "n")]
+    row = textstats.length_gini(_docs(spark, rows)).collect()[0]
+    assert row["total_tokens"] == 0 and row["gini_pmille"] == 0
+
+
+# ---------------------------------------------------------------------------
+# length_mad_outliers
+# ---------------------------------------------------------------------------
+
+
+def test_mad_outliers_hand_case(spark):  # noqa: F811
+    # lens 10,10,12,14,100 -> med=12 (cum rule), dev=2,2,0,2,88 -> mad=2,
+    # outlier iff dev > 3*2=6 -> only the 100-char doc
+    rows = [
+        (1, "a" * 10, "x"), (2, "b" * 10, "x"), (3, "c" * 12, "x"),
+        (4, "d" * 14, "x"), (5, "e" * 100, "x"),
+    ]
+    out = {r["doc_id"]: r.asDict() for r in
+           textstats.length_mad_outliers(_docs(spark, rows)).collect()}
+    assert len(out) == 5
+    assert all(v["med"] == 12 and v["mad"] == 2 for v in out.values())
+    assert [d for d, v in sorted(out.items()) if v["is_outlier"]] == [5]
+
+
+def test_mad_all_equal_lengths_no_outliers(spark):  # noqa: F811
+    rows = [(i, "q" * 9, "y") for i in range(6)]
+    out = textstats.length_mad_outliers(_docs(spark, rows)).collect()
+    assert all(not r["is_outlier"] and r["mad"] == 0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# pmi_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_pairs_hand_case(spark):  # noqa: F811
+    rows = [(1, "a b c", "en"), (2, "a b", "en")]
+    out = {(r["a"], r["b"]): r.asDict() for r in
+           textstats.pmi_pairs(_docs(spark, rows), window=2, top=10).collect()}
+    # doc1 pairs: (a,b),(a,c),(b,c); doc2: (a,b)
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = out[("a", "b")]
+    assert ab["pair_n"] == 2 and ab["cnt_a"] == 2 and ab["cnt_b"] == 2
+    # tt=5 toks, tp=4 pairs: lift = (2*25*1e6)//(4*2*2) = 3_125_000
+    assert ab["lift_ppm"] == 3_125_000
+    assert ab["rank"] == 1
+    bc = out[("b", "c")]
+    assert bc["pair_n"] == 1 and bc["lift_ppm"] == (25_000_000 // 8)
+
+
+def test_pmi_window_1_is_adjacent_only(spark):  # noqa: F811
+    rows = [(1, "x y z", "en")]
+    out = {(r["a"], r["b"]) for r in
+           textstats.pmi_pairs(_docs(spark, rows), window=1, top=10).collect()}
+    assert out == {("x", "y"), ("y", "z")}
+
+
+def test_pmi_tokenizer_not_split_on_letter_f(spark):  # noqa: F811
+    """Regression: the split pattern once rode inside an F.expr SQL
+    literal where the unknown escape '\\f' C-unescapes to the LETTER f —
+    'fast' tokenized as 'ast'.  Form feed must split; 'f' must not."""
+    rows = [(1, "fast \x0c food fast food", "en")]
+    out = textstats.pmi_pairs(_docs(spark, rows), window=1, top=10).collect()
+    terms = {r["a"] for r in out} | {r["b"] for r in out}
+    assert terms == {"fast", "food"}
+    pair = {(r["a"], r["b"]): r["pair_n"] for r in out}
+    assert pair[("fast", "food")] == 2 and pair[("food", "fast")] == 1
+
+
+def test_pmi_single_token_docs_contribute_unigrams_only(spark):  # noqa: F811
+    # 'c' appears only in 1-token docs: pairable nowhere, but its mass
+    # still counts in total_toks (lift denominators shift accordingly)
+    rows = [(1, "a b", "en"), (2, "c", "en"), (3, "c", "en")]
+    out = textstats.pmi_pairs(_docs(spark, rows), window=2, top=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    # tt=4, tp=1: lift = (1*16*1e6)//(1*1*1)
+    assert (r["a"], r["b"], r["lift_ppm"]) == ("a", "b", 16_000_000)
+
+
+def test_pmi_plan_is_takeordered_no_python(spark):  # noqa: F811
+    rows = [(i, f"t{i} u{i} v{i}", "en") for i in range(20)]
+    df = textstats.pmi_pairs(_docs(spark, rows))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pmi_rejects_bad_params(spark):  # noqa: F811
+    with pytest.raises(ValueError):
+        textstats.pmi_pairs(_docs(spark, [(1, "a b", "en")]), window=0)
+
+
+# ---------------------------------------------------------------------------
+# streamed_length_quantiles / grouped_percentile_from_hist
+# ---------------------------------------------------------------------------
+
+
+def test_percentile_from_hist_equals_batch(spark):  # noqa: F811
+    rows = [(i, "k" * ((i * 31) % 17), ["p", "q"][i % 2]) for i in range(60)]
+    base = _docs(spark, rows).select(
+        "lang", F.length(F.coalesce("text", F.lit(""))).cast("long").alias("len")
+    )
+    direct = grouped_percentile_disc(base, "len", "lang", (50, 90))
+    hist = base.groupBy("lang", "len").agg(F.count("*").alias("cnt"))
+    via_hist = grouped_percentile_from_hist(hist, "len", "lang", "cnt", (50, 90))
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, via_hist.collect())
+    )
+
+
+def test_streamed_length_quantiles_bit_equal_to_batch(spark, tmp_path):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.streaming.incremental import (
+        streamed_length_quantiles,
+    )
+
+    rows = [(i, None if i % 11 == 0 else "c" * ((i * 13) % 23), ["en", "ind"][i % 2])
+            for i in range(80)]
+    docs = _docs(spark, rows)
+    path = str(tmp_path / "docs.parquet")
+    docs.write.parquet(path)
+    streamed = streamed_length_quantiles(spark, path, batches=3)
+    batch = grouped_percentile_disc(
+        docs.select(
+            "lang",
+            F.length(F.coalesce("text", F.lit(""))).cast("long").alias("len"),
+        ),
+        "len",
+        "lang",
+        (50, 90),
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )

@@ -342,6 +342,43 @@ def q_embedding_quantize(spark, sf_dir):
     return similarity.quantize_int8(_tbl(spark, sf_dir, "embeddings"))
 
 
+def q_corpus_gini(spark, sf_dir):
+    """Per-language Gini concentration of token mass across documents
+    (textstats.length_gini): exact rank-sum from the distinct-value
+    histogram — tied blocks contribute cnt*(cum-cnt)+cnt*(cnt+1)/2 —
+    DECIMAL(38,0) end-to-end, the corpus never globally sorts."""
+    return textstats.length_gini(_tbl(spark, sf_dir, "documents"))
+
+
+def q_length_outliers(spark, sf_dir):
+    """Robust per-language length anomaly flags: |len - P50| > 3 * MAD
+    with both medians exact via the stacked histogram-quantile passes
+    (textstats.length_mad_outliers) — integer-exact, no sorts."""
+    return textstats.length_mad_outliers(_tbl(spark, sf_dir, "documents"))
+
+
+def q_pmi_pairs(spark, sf_dir):
+    """Top windowed token co-occurrence pairs with exact integer
+    association lift (textstats.pmi_pairs): row-local HOF pair
+    generation, two combinable aggs, 1-row broadcast totals,
+    DECIMAL(38,0) lift_ppm, TakeOrdered top-k."""
+    return textstats.pmi_pairs(_tbl(spark, sf_dir, "documents"))
+
+
+def q_streamed_length_quantiles(spark, sf_dir):
+    """EXACT per-language length percentiles built incrementally: 4
+    genuine micro-batches, per-epoch (lang, len, cnt) histograms in
+    idempotent epoch-keyed partitions, cell-wise SUM merge, then the
+    shared cum/total percentile rule — bit-equal to the one-pass batch
+    computation, so the oracle replays it directly."""
+    from .streaming.incremental import streamed_length_quantiles
+    from pathlib import Path
+
+    return streamed_length_quantiles(
+        spark, str(Path(sf_dir) / "documents.parquet")
+    )
+
+
 def q_events_asof_join(spark, sf_dir):
     """Point-in-time join: every click gets the user's most recent
     purchase at-or-before it (relational.asof_join — union + running
@@ -2322,11 +2359,22 @@ QUERIES = {
     "outlink_extract": q_outlink_extract,
     "robots_gate": q_robots_gate,
     "quality_classifier": q_quality_classifier,
+    "corpus_gini": q_corpus_gini,
+    "length_outliers": q_length_outliers,
+    "pmi_pairs": q_pmi_pairs,
+    "streamed_length_quantiles": q_streamed_length_quantiles,
+    # ---------------- past the driver's 50-entry cap -------------------
+    # Round-5 session-15 rotation: dedup_incremental_embedding,
+    # host_boilerplate_strip and the jpeg/webp decode pair moved past the
+    # cap to admit the NEW corpus_gini / length_outliers / pmi_pairs /
+    # streamed_length_quantiles — the decoders keep their hand-derived
+    # known-answer pytest vectors and the tiff twin's replica row,
+    # host_boilerplate_strip and the embedding-dedup path their pipeline
+    # pytest, and ALL remain replica-checked green every round.
     "dedup_incremental_embedding": q_dedup_incremental_embedding,
     "host_boilerplate_strip": q_host_boilerplate_strip,
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
     "multimodal_webp_decode": q_multimodal_webp_decode,
-    # ---------------- past the driver's 50-entry cap -------------------
     # Round-5 session-14 rotation: chunk_documents / pack_sequences /
     # mixture_sample / bigram_lm_score moved past the cap to admit the
     # NEW scrub_cards / code_switch / decontaminate_fuzzy /
@@ -6097,3 +6145,149 @@ ORACLE_SQL["streamed_cardinality_hll"] = ORACLE_SQL["corpus_cardinality_hll"]
 # the one-pass sketch, so the streamed query replays the batch oracle (was
 # a verbatim copy — an alias can't drift when the replay is fixed).
 ORACLE_SQL["streamed_heavy_hitters"] = ORACLE_SQL["corpus_heavy_hitters"]
+
+ORACLE_SQL["corpus_gini"] = r"""
+    -- exact Gini from the distinct-value histogram: a tied block of cnt
+    -- docs at value x spans ranks (cum-cnt, cum], rank-sum
+    -- cnt*(cum-cnt) + cnt*(cnt+1)/2; HUGEINT mirrors the engine's
+    -- DECIMAL(38,0) (both integer-exact, // == div on non-negatives)
+    WITH base AS (
+        SELECT lang,
+               CAST(CASE WHEN text IS NULL THEN 0
+                         WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(string_split_regex(trim(text), '\s+'))
+                    END AS BIGINT) AS x
+        FROM documents
+    ),
+    hist AS (
+        SELECT lang, x, CAST(count(*) AS BIGINT) AS cnt
+        FROM base GROUP BY lang, x
+    ),
+    cum AS (
+        SELECT lang, x, cnt,
+               sum(cnt) OVER (PARTITION BY lang ORDER BY x) AS cum
+        FROM hist
+    ),
+    per AS (
+        SELECT lang,
+               sum(cnt) AS n_docs,
+               sum(x::HUGEINT * cnt) AS t,
+               sum(x::HUGEINT * ((cum - cnt)::HUGEINT * cnt
+                                 + (cnt::HUGEINT * (cnt + 1)) // 2)) AS s
+        FROM cum GROUP BY lang
+    )
+    SELECT lang,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(t AS BIGINT) AS total_tokens,
+           CAST(CASE WHEN t = 0 THEN 0
+                     ELSE (1000 * (2 * s - (n_docs + 1)::HUGEINT * t))
+                          // (n_docs::HUGEINT * t)
+                END AS INT) AS gini_pmille
+    FROM per
+"""
+
+ORACLE_SQL["length_outliers"] = r"""
+    -- median + MAD gate, both medians via the same exact histogram
+    -- PERCENTILE_DISC rule (cum*100 >= 50*total) the engine uses
+    WITH base AS (
+        SELECT doc_id, lang,
+               CAST(length(coalesce(text, '')) AS BIGINT) AS len
+        FROM documents
+    ),
+    t1 AS (SELECT lang, CAST(count(*) AS BIGINT) AS total FROM base GROUP BY lang),
+    h1 AS (SELECT lang, len, count(*) AS cnt FROM base GROUP BY lang, len),
+    c1 AS (
+        SELECT lang, len,
+               sum(cnt) OVER (PARTITION BY lang ORDER BY len) AS cum
+        FROM h1
+    ),
+    med AS (
+        SELECT c.lang,
+               CAST(min(CASE WHEN c.cum * 100 >= 50 * t.total THEN c.len END) AS BIGINT) AS med
+        FROM c1 c JOIN t1 t ON c.lang IS NOT DISTINCT FROM t.lang
+        GROUP BY c.lang
+    ),
+    d AS (
+        SELECT b.doc_id, b.lang, b.len, m.med, abs(b.len - m.med) AS dev
+        FROM base b JOIN med m ON b.lang IS NOT DISTINCT FROM m.lang
+    ),
+    h2 AS (SELECT lang, dev, count(*) AS cnt FROM d GROUP BY lang, dev),
+    c2 AS (
+        SELECT lang, dev,
+               sum(cnt) OVER (PARTITION BY lang ORDER BY dev) AS cum
+        FROM h2
+    ),
+    mad AS (
+        SELECT c.lang,
+               CAST(min(CASE WHEN c.cum * 100 >= 50 * t.total THEN c.dev END) AS BIGINT) AS mad
+        FROM c2 c JOIN t1 t ON c.lang IS NOT DISTINCT FROM t.lang
+        GROUP BY c.lang
+    )
+    SELECT d.doc_id, d.lang, d.len, d.med, m.mad,
+           (d.dev > 3 * m.mad) AS is_outlier
+    FROM d JOIN mad m ON d.lang IS NOT DISTINCT FROM m.lang
+"""
+
+ORACLE_SQL["pmi_pairs"] = r"""
+    -- windowed co-occurrence (i < j <= i+2 within a doc) over the
+    -- corpus tokenizer; lift in HUGEINT mirrors DECIMAL(38,0) exactly
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> length(x) > 0) AS tk
+        FROM documents WHERE text IS NOT NULL
+    ),
+    p AS (
+        SELECT doc_id, unnest(tk) AS term,
+               unnest(range(1, len(tk) + 1)) AS i
+        FROM t
+    ),
+    pr AS (
+        SELECT p1.term AS a, p2.term AS b
+        FROM p p1 JOIN p p2
+          ON p1.doc_id = p2.doc_id AND p2.i > p1.i AND p2.i <= p1.i + 2
+    ),
+    pc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS pair_n FROM pr GROUP BY a, b),
+    uni AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY term),
+    tot AS (
+        SELECT (SELECT sum(c) FROM uni) AS tt,
+               (SELECT sum(pair_n) FROM pc) AS tp
+    ),
+    scored AS (
+        SELECT pc.a, pc.b, pc.pair_n, ua.c AS cnt_a, ub.c AS cnt_b,
+               CAST((pc.pair_n::HUGEINT * tt * tt * 1000000)
+                    // (tp::HUGEINT * ua.c * ub.c) AS BIGINT) AS lift_ppm
+        FROM pc
+        JOIN uni ua ON pc.a = ua.term
+        JOIN uni ub ON pc.b = ub.term, tot
+    )
+    SELECT a, b, pair_n, cnt_a, cnt_b, lift_ppm,
+           CAST(row_number() OVER (ORDER BY pair_n DESC, a ASC, b ASC) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 40
+"""
+
+# The streamed exact-quantile twin: SUM-merged per-epoch histograms are
+# definitionally equal to the one-pass histogram, so the oracle computes
+# the percentiles directly with the shared cum/total rule.
+ORACLE_SQL["streamed_length_quantiles"] = r"""
+    WITH base AS (
+        SELECT lang, CAST(length(coalesce(text, '')) AS BIGINT) AS len
+        FROM documents
+    ),
+    hist AS (
+        SELECT lang, len, CAST(count(*) AS BIGINT) AS cnt
+        FROM base GROUP BY lang, len
+    ),
+    cum AS (
+        SELECT lang, len,
+               sum(cnt) OVER (PARTITION BY lang ORDER BY len) AS cum
+        FROM hist
+    ),
+    tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS total FROM base GROUP BY lang)
+    SELECT c.lang,
+           CAST(min(CASE WHEN c.cum * 100 >= 50 * t.total THEN c.len END) AS BIGINT) AS p50_chars,
+           CAST(min(CASE WHEN c.cum * 100 >= 90 * t.total THEN c.len END) AS BIGINT) AS p90_chars
+    FROM cum c JOIN tot t ON c.lang IS NOT DISTINCT FROM t.lang
+    GROUP BY c.lang
+"""

@@ -412,15 +412,39 @@ def grouped_percentile_disc(
     ``value_col`` must be non-null integral; percentiles are integer
     percents in (0, 100].
     """
+    hist = df.groupBy(group_col, value_col).agg(F.count("*").alias("cnt"))
+    return grouped_percentile_from_hist(
+        hist, value_col, group_col, cnt_col="cnt", percentiles=percentiles
+    )
+
+
+def grouped_percentile_from_hist(
+    hist: DataFrame,
+    value_col: str,
+    group_col: str,
+    cnt_col: str = "cnt",
+    percentiles: tuple = (50, 90),
+) -> DataFrame:
+    """The mergeable half of :func:`grouped_percentile_disc`: exact disc
+    percentiles computed from a PRE-AGGREGATED ``(group, value, cnt)``
+    histogram.  Split out so incremental builders (the streamed-quantiles
+    twin sums per-epoch histograms cell-wise before calling this) share
+    the one cum/total/min-when implementation with the batch path —
+    histogram counts are mergeable by plain addition, which is what makes
+    exact quantiles streamable at all.
+
+    ``(group, value)`` must be distinct in ``hist`` (any groupBy/SUM-merge
+    construction guarantees it); duplicate value rows would make the
+    RANGE-frame cumulative sum double-count ties.
+    """
     qs = [int(q) for q in percentiles]
     if not qs or any(q < 1 or q > 100 for q in qs):
         raise ValueError(f"percentiles must be integers in 1..100, got {percentiles}")
-    hist = df.groupBy(group_col, value_col).agg(F.count("*").alias("cnt"))
-    totals = hist.groupBy(group_col).agg(F.sum("cnt").alias("total")).select(
+    totals = hist.groupBy(group_col).agg(F.sum(cnt_col).alias("total")).select(
         F.col(group_col).alias("_tg"), "total"
     )
     w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
-    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    cum = hist.withColumn("cum", F.sum(cnt_col).over(w))
     joined = cum.join(totals, F.col(group_col).eqNullSafe(F.col("_tg")))
     aggs = [
         F.min(

@@ -2023,12 +2023,7 @@ def corpus_datasheet(docs: DataFrame) -> DataFrame:
     from .relational import grouped_percentile_disc
 
     length = F.length(F.coalesce(F.col("text"), F.lit("")))
-    trimmed = F.trim(F.col("text"))
-    n_toks = (
-        F.when(F.col("text").isNull(), F.lit(0).cast("long"))
-        .when(F.length(trimmed) == 0, F.lit(0).cast("long"))
-        .otherwise(F.size(F.split(trimmed, r"[ \t\n\r\f]+")).cast("long"))
-    )
+    n_toks = _ws_token_count()
     base = docs.select(
         "lang",
         length.cast("long").alias("len"),
@@ -2175,3 +2170,219 @@ def line_lang_segments(docs: DataFrame) -> DataFrame:
             "END AS INT)"
         ).alias("dom_pmille"),
     )
+
+
+def _ws_token_count() -> "F.Column":
+    """Whitespace token count of ``text`` as BIGINT, NULL/blank -> 0 —
+    the one tokenizer-cardinality expression shared by corpus_datasheet,
+    length_gini and corpus accounting (one definition, so the oracles
+    can replicate it once)."""
+    trimmed = F.trim(F.col("text"))
+    return (
+        F.when(F.col("text").isNull(), F.lit(0).cast("long"))
+        .when(F.length(trimmed) == 0, F.lit(0).cast("long"))
+        .otherwise(F.size(F.split(trimmed, r"[ \t\n\r\f]+")).cast("long"))
+    )
+
+
+def length_gini(docs: DataFrame) -> DataFrame:
+    """Per-language GINI CONCENTRATION of token mass across documents —
+    the inequality statistic dataset cards report to show whether a
+    corpus's volume is spread across many documents or dominated by a few
+    giants (the same diagnostic crawl audits run per host).
+
+    Definition (exact, ascending ranks): with per-doc token counts
+    x_(1) <= ... <= x_(n) in a language,
+    ``G = (2*sum_i(i*x_(i)) - (n+1)*sum(x)) / (n*sum(x))``, reported as
+    integer per-mille ``gini_pmille`` in 0..1000 (0 = perfectly equal,
+    ->1000 = one document holds everything).
+
+    Scale shape — the corpus is NEVER globally sorted (the textbook
+    formula ranks every row): a tied block of ``cnt`` documents at value
+    ``v`` occupies the contiguous rank interval (cum-cnt, cum], so its
+    exact rank-sum is ``cnt*(cum-cnt) + cnt*(cnt+1)/2`` — computable from
+    the map-side-combinable ``groupBy(lang, x)`` DISTINCT-VALUE histogram
+    plus one window cumsum over histogram rows only (the same shape as
+    ``grouped_percentile_disc``).  At 100 TB the window touches
+    (languages x distinct lengths) rows, not 1e12 documents.
+
+    Arithmetic is DECIMAL(38,0) end-to-end: at 1e12 docs the
+    rank-weighted sum ``sum(v * ranksum)`` tops int64 by ~10 orders of
+    magnitude (rank 1e12 * cnt 1e6 * v 1e4), and ``div`` on decimals is
+    engine-exact, so the result is bit-reproducible — no float anywhere.
+    -> (lang, n_docs, total_tokens, gini_pmille)
+    """
+    base = docs.select("lang", _ws_token_count().alias("x"))
+    hist = base.groupBy("lang", "x").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("x").asc())
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    # exact rank-sum of the tied block, all DECIMAL(38,0)
+    ranksum = F.expr(
+        "CAST(cum - cnt AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0))"
+        " + (CAST(cnt AS DECIMAL(38,0)) * CAST(cnt + 1 AS DECIMAL(38,0))) div 2"
+    )
+    per_lang = cum.select(
+        "lang",
+        F.col("cnt"),
+        (F.col("x").cast("decimal(38,0)") * ranksum).alias("rs"),
+        (F.col("x").cast("decimal(38,0)") * F.col("cnt").cast("decimal(38,0)")).alias(
+            "mass"
+        ),
+    ).groupBy("lang").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.sum("mass").alias("_t"),
+        F.sum("rs").alias("_s"),
+    )
+    return per_lang.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("_t").cast("long").alias("total_tokens"),
+        F.expr(
+            "CAST(CASE WHEN _t = 0 THEN 0 ELSE"
+            " (1000 * (2 * _s - CAST(n_docs + 1 AS DECIMAL(38,0)) * _t))"
+            " div (CAST(n_docs AS DECIMAL(38,0)) * _t) END AS INT)"
+        ).alias("gini_pmille"),
+    )
+
+
+def length_mad_outliers(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Robust per-language length-anomaly flags: median + MAD (median
+    absolute deviation) gate, the standard outlier rule that — unlike
+    mean/stddev — a handful of pathological giant documents cannot drag
+    (FineWeb-style anomaly screening before quality filtering).
+
+    ``is_outlier`` is exact and float-free: ``|len - med| > k * mad``
+    with ``med = P50(len)`` and ``mad = P50(|len - med|)`` per language,
+    both computed by :func:`relational.grouped_percentile_disc` — i.e.
+    TWO stacked exact-quantile passes, each a map-side-combinable
+    distinct-value histogram + a window over histogram rows only.  The
+    per-language (med, mad) tables are tiny (one row per language) and
+    come back as AQE-broadcast equi-joins, so the corpus itself is
+    scanned, never sorted and never re-shuffled.
+    -> (doc_id, lang, len, med, mad, is_outlier)
+    """
+    from .relational import grouped_percentile_disc
+
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("len"),
+    )
+    med = grouped_percentile_disc(
+        base.select("lang", "len"), "len", "lang", percentiles=(50,)
+    ).select(F.col("lang").alias("_ml"), F.col("p50").alias("med"))
+    with_med = base.join(med, F.col("lang").eqNullSafe(F.col("_ml"))).drop("_ml")
+    dev = with_med.withColumn("dev", F.abs(F.col("len") - F.col("med")))
+    mad = grouped_percentile_disc(
+        dev.select("lang", "dev"), "dev", "lang", percentiles=(50,)
+    ).select(F.col("lang").alias("_mm"), F.col("p50").alias("mad"))
+    return (
+        dev.join(mad, F.col("lang").eqNullSafe(F.col("_mm")))
+        .select(
+            "doc_id",
+            "lang",
+            "len",
+            "med",
+            "mad",
+            (F.col("dev") > F.lit(int(k)) * F.col("mad")).alias("is_outlier"),
+        )
+    )
+
+
+def length_histogram(docs: DataFrame) -> DataFrame:
+    """Per-language distinct-char-length histogram ``(lang, len, cnt)`` —
+    the MERGEABLE carrier of exact quantiles: two histograms over disjoint
+    slices merge by cell-wise ``SUM(cnt)``, which is what lets the
+    streamed twin build exact percentiles incrementally (the sketch-free
+    analog of the CMS/HLL cell tables)."""
+    return (
+        docs.select(
+            "lang",
+            F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("len"),
+        )
+        .groupBy("lang", "len")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def pmi_pairs(docs: DataFrame, window: int = 2, top: int = 40) -> DataFrame:
+    """Top co-occurring token pairs with an EXACT integer association
+    lift — the collocation statistic (PMI's argument) used to mine
+    multi-word expressions and to audit boilerplate phrases a cleaning
+    pass should have removed.
+
+    A pair is an ordered position pair (i < j <= i+window) WITHIN a
+    document over the corpus tokenizer (lower, whitespace split, empties
+    dropped — same definition as :func:`corpus_top_terms`).  Pair
+    generation is ROW-LOCAL (one flatten/transform HOF chain inside the
+    projection — output is bounded by window * n_tokens per doc, text is
+    never replicated into a Generate), then ONE map-side-combinable
+    ``groupBy(a, b)``; unigram counts are a second combinable agg over
+    the same scan shape, and the two corpus totals ride in as a 1-row
+    broadcast cross join.
+
+    ``lift_ppm = 1e6 * P(a,b) / (P(a)P(b)) = (pair_n * total_toks^2 *
+    1e6) div (total_pairs * cnt_a * cnt_b)`` in DECIMAL(38,0): engine-
+    exact and oracle-replayable (DuckDB HUGEINT).  SEAM: at 1e12-token
+    scale ``total_toks^2 * 1e6`` exceeds 38 digits — a production run
+    emits the 5 integer counts and computes log-PMI downstream in float;
+    the exact integer lift here is the oracle-parity form (> 1e6 means
+    positively associated).  Top-k plans as TakeOrderedAndProject, never
+    a single-partition vocabulary sort.
+    -> (a, b, pair_n, cnt_a, cnt_b, lift_ppm, rank)
+    """
+    wnd, n = int(window), int(top)
+    if wnd < 1 or n < 1:
+        raise ValueError(f"window and top must be >= 1, got {window}, {top}")
+    # NB: the split pattern is built with F.split (a Python-level string),
+    # NOT inside an F.expr SQL literal — SQL literals C-unescape, and the
+    # unknown escape '\f' silently becomes the LETTER f (measured: 'fast'
+    # tokenized as 'ast'), while the Python string reaches Java regex
+    # intact.  Same tokenizer as corpus_top_terms, one definition of it.
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+"),
+            lambda x: F.length(x) > 0,
+        ).alias("t")
+    )
+    # sequence(a, b) is DESCENDING when a > b — both sequences are guarded
+    # (outer: only docs with >= 2 tokens; inner: i <= size-1 so i+1 <= size)
+    pairs = toks.filter(F.size("t") >= 2).select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, size(t) - 1), i ->"
+                f" transform(sequence(i + 1, least(i + {wnd}, size(t))), j ->"
+                f" struct(element_at(t, i) AS a, element_at(t, j) AS b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    pair_counts = pairs.groupBy("a", "b").agg(F.count("*").alias("pair_n"))
+    uni = (
+        toks.select(F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = pair_counts.agg(F.sum("pair_n").alias("tp")).crossJoin(
+        uni.agg(F.sum("c").alias("tt"))
+    )
+    scored = (
+        pair_counts.join(uni.select(F.col("term").alias("a"), F.col("c").alias("cnt_a")), "a")
+        .join(uni.select(F.col("term").alias("b"), F.col("c").alias("cnt_b")), "b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "a",
+            "b",
+            "pair_n",
+            "cnt_a",
+            "cnt_b",
+            F.expr(
+                "CAST((CAST(pair_n AS DECIMAL(38,0)) * tt * tt * 1000000)"
+                " div (CAST(tp AS DECIMAL(38,0)) * cnt_a * cnt_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    topk = scored.orderBy(
+        F.col("pair_n").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(n)
+    w = Window.orderBy(F.col("pair_n").desc(), F.col("a").asc(), F.col("b").asc())
+    return topk.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -166,7 +166,13 @@ def streamed_extraction_job(
     return {"run_id": run_id, "n_epochs": len(epochs), "snapshot_id": results_tbl.snapshot_id()}
 
 
-def _staged_micro_batches(spark: SparkSession, docs_path: str, batches: int, prefix: str):
+def _staged_micro_batches(
+    spark: SparkSession,
+    docs_path: str,
+    batches: int,
+    prefix: str,
+    cols: tuple = ("doc_id", "text"),
+):
     """Stage the corpus as ``batches`` single-file slices and open an
     AvailableNow + maxFilesPerTrigger=1 stream over them — the shared
     scaffolding of the streamed-sketch twins (one copy, so a staging fix
@@ -181,7 +187,7 @@ def _staged_micro_batches(spark: SparkSession, docs_path: str, batches: int, pre
     from pathlib import Path
 
     staging = Path(tempfile.mkdtemp(prefix=prefix))
-    docs = spark.read.parquet(docs_path).select("doc_id", "text")
+    docs = spark.read.parquet(docs_path).select(*cols)
     slice_key = F.pmod(F.coalesce(F.col("doc_id"), F.lit(0)), F.lit(batches))
     for k in range(batches):
         docs.where(slice_key == k).coalesce(1).write.mode("overwrite").parquet(
@@ -303,3 +309,61 @@ def streamed_cardinality_hll(
         .agg(F.max("register").alias("register"))
     )
     return textstats.hll_estimate(merged, _shingle_terms(docs), p=p)
+
+
+def streamed_length_quantiles(
+    spark: SparkSession,
+    docs_path: str,
+    batches: int = 4,
+    percentiles: tuple = (50, 90),
+) -> DataFrame:
+    """EXACT per-language length percentiles built INCREMENTALLY over
+    micro-batches — the sketch-free member of the streamed-twin family:
+    the distinct-length histogram ``(lang, len, cnt)`` is a mergeable
+    carrier (cell-wise SUM, same algebra as the CMS), so exact quantiles
+    stream without any approximation.  Each epoch writes its batch's
+    histogram into its OWN epoch-keyed partition (overwritten on replay —
+    the SUM merge needs the same idempotent-commit guard as the CMS; a
+    MAX-merge sketch would not), the final histogram is the cell-wise SUM
+    across epochs, and percentiles come from
+    ``relational.grouped_percentile_from_hist`` — the identical cum/total
+    rule the batch path (``corpus_datasheet``) uses, so the streamed
+    result is bit-equal to a one-pass computation and the oracle replays
+    it directly.
+    -> (lang, p50_chars, p90_chars)
+    """
+    from ..operators import textstats
+    from ..operators.relational import grouped_percentile_from_hist
+
+    docs, stream, staging = _staged_micro_batches(
+        spark, docs_path, batches, "ukv_lq_stream_", cols=("doc_id", "text", "lang")
+    )
+    hist_dir = str(staging / "hist")
+
+    def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # one epoch = one batch histogram in its own epoch-keyed partition,
+        # overwritten on replay (at-least-once foreachBatch + SUM merge)
+        textstats.length_histogram(batch_df).write.mode("overwrite").parquet(
+            f"{hist_dir}/epoch={int(epoch_id)}"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", str(staging / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = (
+        spark.read.parquet(hist_dir)
+        .groupBy("lang", "len")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    pcts = grouped_percentile_from_hist(
+        merged, "len", "lang", cnt_col="cnt", percentiles=percentiles
+    )
+    renames = {f"p{q_}": f"p{q_}_chars" for q_ in percentiles}
+    out = pcts
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out
