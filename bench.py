@@ -194,6 +194,7 @@ def main() -> None:
         # streamed_length_quantiles excluded like the other streaming
         # queries — staging/checkpoint setup dominates its wall time)
         "corpus_gini", "length_outliers", "pmi_pairs",
+        "ip_geo_join", "invisible_chars",
     ]
 
     best: dict[str, float] = {}

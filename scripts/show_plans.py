@@ -155,6 +155,8 @@ def main() -> None:
         ("length_outliers", "median+MAD gate: TWO stacked histogram-percentile passes (each combinable agg + histogram window) joined back as tiny per-lang tables — the corpus scans, never sorts"),
         ("pmi_pairs", "windowed collocations: row-local HOF pair generation (no text into Generate) -> combinable (a,b) and unigram aggs -> 1-row broadcast totals -> TakeOrderedAndProject top-k"),
         ("streamed_length_quantiles", "streamed exact quantiles: SUM-merged per-epoch (lang,len,cnt) histograms -> the shared cum/total min-when percentile rule over histogram rows only"),
+        ("ip_geo_join", "bucketed interval join: ranges explode to covering buckets (bounded sequence HOF), points compute ONE bucket each -> BroadcastHashJoin on the bucket + residual containment filter — never a BroadcastNestedLoop"),
+        ("invisible_chars", "invisible-char hygiene: augmentation CASE + two class-strip regex counts + clean projection, all ONE codegen'd projection — no explode, no shuffle, no Python"),
     ]
     for name, note in named:
         sections.append((name, note, formatted(api.QUERIES[name](spark, SF))))

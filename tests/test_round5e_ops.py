@@ -210,3 +210,99 @@ def test_streamed_length_quantiles_bit_equal_to_batch(spark, tmp_path):  # noqa:
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# interval_join / ip_geo_join
+# ---------------------------------------------------------------------------
+
+
+def _ij_frames(spark):
+    points = spark.createDataFrame(
+        pd.DataFrame({"pid": [1, 2, 3, 4, 5], "p": [0, 10, 15, 25, 99]}),
+        schema="pid long, p long",
+    )
+    ranges = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "label": ["a", "b", "c", "empty", "inverted"],
+                "lo": [0, 10, 12, 50, 60],
+                "hi": [10, 20, 30, 50, 40],
+            }
+        ),
+        schema="label string, lo long, hi long",
+    )
+    return points, ranges
+
+
+def test_interval_join_semantics(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.relational import (
+        interval_join,
+    )
+
+    points, ranges = _ij_frames(spark)
+    for w in (4, 7, 100):  # bucket width must not change the answer
+        got = sorted(
+            (r["pid"], r["label"])
+            for r in interval_join(points, ranges, "p", "lo", "hi", w).collect()
+        )
+        # p=0 -> a (lo inclusive); p=10 -> b NOT a (hi exclusive);
+        # p=15 -> b AND c (overlap); p=25 -> c; p=99 -> nothing;
+        # empty + inverted ranges match nothing
+        assert got == [(1, "a"), (2, "b"), (3, "b"), (3, "c"), (4, "c")], (w, got)
+
+
+def test_interval_join_no_nested_loop_with_broadcast(spark):  # noqa: F811
+    from pyspark.sql import functions as SF
+
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.relational import (
+        interval_join,
+    )
+
+    points, ranges = _ij_frames(spark)
+    df = interval_join(points, SF.broadcast(ranges), "p", "lo", "hi", 8)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_interval_join_reserved_column_and_width(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.relational import (
+        interval_join,
+    )
+
+    points, ranges = _ij_frames(spark)
+    with pytest.raises(ValueError):
+        interval_join(points, ranges, "p", "lo", "hi", 0)
+    with pytest.raises(ValueError):
+        interval_join(points.withColumnRenamed("pid", "_bucket"), ranges, "p", "lo", "hi")
+
+
+# ---------------------------------------------------------------------------
+# invisible_char_audit
+# ---------------------------------------------------------------------------
+
+
+def test_invisible_char_audit_hand_case(spark):  # noqa: F811
+    rows = [
+        (1, "ab​cd­", "en"),          # 2 zero-widths
+        (2, "‮hidden⁩ x", "en"),       # 2 bidi controls
+        (3, "plain text", "en"),
+        (4, None, "en"),
+        (5, "‎​", "en"),               # 1 bidi + 1 zw -> empty clean
+    ]
+    out = {r["doc_id"]: r.asDict() for r in
+           textstats.invisible_char_audit(_docs(spark, rows)).collect()}
+    assert (out[1]["n_zw"], out[1]["n_bidi"], out[1]["clean_text"]) == (2, 0, "abcd")
+    assert (out[2]["n_zw"], out[2]["n_bidi"], out[2]["clean_text"]) == (0, 2, "hidden x")
+    assert (out[3]["n_zw"], out[3]["n_bidi"], out[3]["clean_len"]) == (0, 0, 10)
+    assert (out[4]["n_zw"], out[4]["n_bidi"], out[4]["clean_text"]) == (0, 0, None)
+    assert (out[5]["n_zw"], out[5]["n_bidi"], out[5]["clean_text"]) == (1, 1, "")
+
+
+def test_invisible_char_constants_cover_trojan_source_set(spark):  # noqa: F811
+    # the CVE-2021-42574 bidi set: LRE RLE PDF LRO RLO LRI RLI FSI PDI
+    for ch in "‪‫‬‭‮⁦⁧⁨⁩":
+        assert ch in textstats.BIDI_CONTROL_CHARS

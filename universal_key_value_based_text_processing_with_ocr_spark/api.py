@@ -379,6 +379,57 @@ def q_streamed_length_quantiles(spark, sf_dir):
     )
 
 
+def q_ip_geo_join(spark, sf_dir):
+    """Point-in-range lookup (relational.interval_join): events get
+    deterministic md5-derived 'IPs', nations become geo blocks with
+    mixed overlap/gap coverage; the bucketed equi-join replaces the
+    BroadcastNestedLoop a naive lo<=p<hi theta-join would plan — the
+    points side is never amplified and the residual filter is cheap."""
+    from .functions.columns import md5_long
+    from .operators.relational import interval_join
+
+    ev = _tbl(spark, sf_dir, "events")
+    points = ev.select(
+        "event_id",
+        F.pmod(md5_long(F.col("event_id").cast("string")), F.lit(1050000)).alias("ip"),
+    )
+    k = F.col("n_nationkey")
+    lo = (k * 40000 + (k % 3) * 1000).cast("long")
+    ranges = _tbl(spark, sf_dir, "nation").select(
+        "n_name",
+        lo.alias("lo"),
+        (lo + 25000 + (k % 7) * 5000).alias("hi"),
+    )
+    return interval_join(points, ranges, "ip", "lo", "hi", bucket_width=8192).select(
+        "event_id", "ip", "n_name"
+    )
+
+
+def q_invisible_chars(spark, sf_dir):
+    """Invisible-char hygiene audit (textstats.invisible_char_audit) over
+    a deterministically AUGMENTED corpus (the scrub_cards pattern: the
+    synthetic docs are clean, so zero-width + soft-hyphen pairs are
+    spliced into doc_id%7 rows and a bidi override/isolate wrap onto
+    doc_id%11 rows — both branches of every counter execute)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    t = F.col("text")
+    # Python literals, not SQL literals (the '\f' C-unescape lesson)
+    zw_pair = F.lit("\u200b\u00ad")  # ZWSP + soft hyphen
+    mid = F.concat(
+        F.substring(t, 1, 12), zw_pair, F.substring(t, 13, 1 << 30)
+    )
+    wrapped = F.concat(F.lit("\u202e"), t, F.lit("\u2069"))  # RLO ... PDI
+    aug = docs.select(
+        "doc_id",
+        F.when(t.isNull(), F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 7 == 0, mid)
+        .when(F.col("doc_id") % 11 == 0, wrapped)
+        .otherwise(t)
+        .alias("text"),
+    )
+    return textstats.invisible_char_audit(aug)
+
+
 def q_events_asof_join(spark, sf_dir):
     """Point-in-time join: every click gets the user's most recent
     purchase at-or-before it (relational.asof_join — union + running
@@ -2356,21 +2407,24 @@ QUERIES = {
     "semdedup": q_semdedup,
     "html_meta": q_html_meta,
     "bm25_score": q_bm25_score,
-    "outlink_extract": q_outlink_extract,
-    "robots_gate": q_robots_gate,
     "quality_classifier": q_quality_classifier,
     "corpus_gini": q_corpus_gini,
     "length_outliers": q_length_outliers,
     "pmi_pairs": q_pmi_pairs,
     "streamed_length_quantiles": q_streamed_length_quantiles,
+    "ip_geo_join": q_ip_geo_join,
+    "invisible_chars": q_invisible_chars,
     # ---------------- past the driver's 50-entry cap -------------------
-    # Round-5 session-15 rotation: dedup_incremental_embedding,
-    # host_boilerplate_strip and the jpeg/webp decode pair moved past the
-    # cap to admit the NEW corpus_gini / length_outliers / pmi_pairs /
-    # streamed_length_quantiles — the decoders keep their hand-derived
-    # known-answer pytest vectors and the tiff twin's replica row,
-    # host_boilerplate_strip and the embedding-dedup path their pipeline
-    # pytest, and ALL remain replica-checked green every round.
+    # Round-5 session-15 rotation: outlink_extract, robots_gate,
+    # dedup_incremental_embedding, host_boilerplate_strip and the
+    # jpeg/webp decode pair moved past the cap to admit the NEW
+    # corpus_gini / length_outliers / pmi_pairs /
+    # streamed_length_quantiles / ip_geo_join / invisible_chars — the
+    # decoders keep their hand-derived known-answer pytest vectors and
+    # the tiff twin's replica row, the others their pipeline pytest, and
+    # ALL remain replica-checked green every round.
+    "outlink_extract": q_outlink_extract,
+    "robots_gate": q_robots_gate,
     "dedup_incremental_embedding": q_dedup_incremental_embedding,
     "host_boilerplate_strip": q_host_boilerplate_strip,
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
@@ -6290,4 +6344,63 @@ ORACLE_SQL["streamed_length_quantiles"] = r"""
            CAST(min(CASE WHEN c.cum * 100 >= 90 * t.total THEN c.len END) AS BIGINT) AS p90_chars
     FROM cum c JOIN tot t ON c.lang IS NOT DISTINCT FROM t.lang
     GROUP BY c.lang
+"""
+
+ORACLE_SQL["ip_geo_join"] = r"""
+    -- the oracle states the SEMANTIC contract (a plain range join, lo <=
+    -- p < hi); the engine's bucketed equi-join must reproduce it exactly,
+    -- overlaps multi-matching and gaps dropping out
+    WITH points AS (
+        SELECT event_id,
+               ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 1050000 AS ip
+        FROM events
+    ),
+    ranges AS (
+        SELECT n_name,
+               CAST(n_nationkey * 40000 + (n_nationkey % 3) * 1000 AS BIGINT) AS lo,
+               CAST(n_nationkey * 40000 + (n_nationkey % 3) * 1000
+                    + 25000 + (n_nationkey % 7) * 5000 AS BIGINT) AS hi
+        FROM nation
+    )
+    SELECT p.event_id, p.ip, r.n_name
+    FROM points p JOIN ranges r ON r.lo <= p.ip AND p.ip < r.hi
+"""
+
+ORACLE_SQL["invisible_chars"] = r"""
+    -- same deterministic augmentation (chr() builds the invisible chars —
+    -- neither engine's SQL literal escapes are trusted with them), then
+    -- length-diff counts against class-strips
+    WITH aug AS (
+        SELECT doc_id,
+               CASE WHEN text IS NULL THEN NULL
+                    WHEN doc_id % 7 = 0 THEN
+                        substr(text, 1, 12) || chr(8203) || chr(173)
+                        || substr(text, 13)
+                    WHEN doc_id % 11 = 0 THEN
+                        chr(8238) || text || chr(8297)
+                    ELSE text END AS text
+        FROM documents
+    ),
+    cls AS (
+        SELECT '[' || chr(8203) || chr(8204) || chr(8205) || chr(65279)
+                   || chr(173) || ']' AS zw,
+               '[' || chr(8206) || chr(8207) || chr(8234) || chr(8235)
+                   || chr(8236) || chr(8237) || chr(8238) || chr(8294)
+                   || chr(8295) || chr(8296) || chr(8297) || ']' AS bidi
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN text IS NULL THEN 0 ELSE
+                length(text) - length(regexp_replace(text, zw, '', 'g'))
+           END AS INT) AS n_zw,
+           CAST(CASE WHEN text IS NULL THEN 0 ELSE
+                length(text) - length(regexp_replace(text, bidi, '', 'g'))
+           END AS INT) AS n_bidi,
+           CAST(CASE WHEN text IS NULL THEN 0 ELSE
+                length(regexp_replace(regexp_replace(text, zw, '', 'g'),
+                                      bidi, '', 'g'))
+           END AS BIGINT) AS clean_len,
+           regexp_replace(regexp_replace(text, zw, '', 'g'), bidi, '', 'g')
+               AS clean_text
+    FROM aug, cls
 """

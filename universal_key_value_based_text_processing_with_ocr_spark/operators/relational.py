@@ -453,3 +453,62 @@ def grouped_percentile_from_hist(
         for q in qs
     ]
     return joined.groupBy(group_col).agg(*aggs)
+
+
+def interval_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int = 8192,
+) -> DataFrame:
+    """Bucketed INTERVAL JOIN — point-in-range lookup (IP -> geo block,
+    timestamp -> maintenance window, byte offset -> span label): the
+    classic Spark-hard join shape.  Expressed naively as a theta-join
+    ``lo <= p AND p < hi`` Catalyst can only plan a BroadcastNestedLoop —
+    O(|points| x |ranges|) comparisons, a scale-killer the moment the
+    range table outgrows a broadcast.
+
+    Bucketing turns it into an EQUI-join: every range explodes to the
+    fixed-width buckets it overlaps (one sequence HOF, bounded by
+    ``ceil(len/W) + 1`` rows per range), every point computes its single
+    bucket with one integer division, the join keys on the bucket, and a
+    cheap residual containment filter finishes.  The POINTS side — the
+    corpus-sized side — is never amplified and shuffles at most once on
+    the bucket key (zero times when the exploded range table broadcasts,
+    the common case).  ``bucket_width`` trades range-side amplification
+    against per-bucket candidate fan-in; set it near the median range
+    length.  A mega-range (a /8 in the IP case) costs len/W bucket rows
+    on the RANGE side only — split such rows upstream if the range table
+    itself is corpus-sized.
+
+    Contract: half-open ``[lo, hi)`` (adjacent ranges never double-match
+    a boundary point); empty/inverted ranges (hi <= lo) are dropped;
+    overlapping ranges multi-match like any join; coordinates must be
+    non-negative integers (``div`` truncates toward zero, which is floor
+    only for non-negatives — IPs, timestamps and offsets all qualify).
+    NULL points/bounds drop out of the equi-join like any NULL key.
+    """
+    w = int(bucket_width)
+    if w < 1:
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
+    if "_bucket" in points.columns or "_bucket" in ranges.columns:
+        raise ValueError("'_bucket' column name is reserved by interval_join")
+    r = (
+        ranges.filter(F.col(hi_col) > F.col(lo_col))
+        .withColumn(
+            "_bucket",
+            F.explode(
+                F.expr(f"sequence({lo_col} div {w}, ({hi_col} - 1) div {w})")
+            ),
+        )
+    )
+    p = points.withColumn("_bucket", F.expr(f"{point_col} div {w}"))
+    return (
+        p.join(r, "_bucket")
+        .where(
+            (F.col(lo_col) <= F.col(point_col)) & (F.col(point_col) < F.col(hi_col))
+        )
+        .drop("_bucket")
+    )

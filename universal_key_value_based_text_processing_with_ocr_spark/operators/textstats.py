@@ -2386,3 +2386,46 @@ def pmi_pairs(docs: DataFrame, window: int = 2, top: int = 40) -> DataFrame:
     ).limit(n)
     w = Window.orderBy(F.col("pair_n").desc(), F.col("a").asc(), F.col("b").asc())
     return topk.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+#: invisible/control characters a webtext hygiene pass must account for:
+#: zero-widths + soft hyphen (token/dedup poison — two visually identical
+#: pages hash differently), and bidi override/isolate controls (the
+#: Trojan-Source class: text that RENDERS differently than it compares)
+ZERO_WIDTH_CHARS = "\u200b\u200c\u200d\ufeff\u00ad"
+BIDI_CONTROL_CHARS = (
+    "\u200e\u200f\u202a\u202b\u202c\u202d\u202e\u2066\u2067\u2068\u2069"
+)
+
+
+def invisible_char_audit(docs: DataFrame) -> DataFrame:
+    """Invisible-character hygiene audit + strip: per-doc counts of
+    zero-width characters (ZWSP/ZWNJ/ZWJ/BOM + soft hyphen — the chars
+    that silently split tokens and break exact dedup between visually
+    identical pages) and bidi control characters (LRM/RLM, the
+    embedding/override/isolate set — the Trojan-Source vector where
+    rendered text diverges from compared text), plus the text with both
+    classes removed.
+
+    Counts are length diffs against a class-strip (the repo's standard
+    regex-free counting shape), the whole thing ONE codegen'd projection
+    — no explode, no shuffle, no Python; at 100 TB the plan is scan +
+    project.  The char classes are built from PYTHON string literals,
+    never SQL literals (the '\\f' C-unescape lesson from pmi_pairs).
+    NULL text stays NULL with zero counts.
+    -> (doc_id, n_zw, n_bidi, clean_len, clean_text)
+    """
+    zw_class = "[" + ZERO_WIDTH_CHARS + "]"
+    bidi_class = "[" + BIDI_CONTROL_CHARS + "]"
+    t = F.col("text")
+    no_zw = F.regexp_replace(t, zw_class, "")
+    no_bidi = F.regexp_replace(t, bidi_class, "")
+    clean = F.regexp_replace(no_zw, bidi_class, "")
+    zero_if_null = lambda c: F.when(t.isNull(), F.lit(0)).otherwise(c)  # noqa: E731
+    return docs.select(
+        "doc_id",
+        zero_if_null(F.length(t) - F.length(no_zw)).cast("int").alias("n_zw"),
+        zero_if_null(F.length(t) - F.length(no_bidi)).cast("int").alias("n_bidi"),
+        zero_if_null(F.length(clean)).cast("long").alias("clean_len"),
+        clean.alias("clean_text"),
+    )
