@@ -194,7 +194,8 @@ def main() -> None:
         # streamed_length_quantiles excluded like the other streaming
         # queries — staging/checkpoint setup dominates its wall time)
         "corpus_gini", "length_outliers", "pmi_pairs",
-        "ip_geo_join", "invisible_chars",
+        "ip_geo_join", "invisible_chars", "events_rolling_agg",
+        "homoglyph_audit",
     ]
 
     best: dict[str, float] = {}

@@ -157,6 +157,8 @@ def main() -> None:
         ("streamed_length_quantiles", "streamed exact quantiles: SUM-merged per-epoch (lang,len,cnt) histograms -> the shared cum/total min-when percentile rule over histogram rows only"),
         ("ip_geo_join", "bucketed interval join: ranges explode to covering buckets (bounded sequence HOF), points compute ONE bucket each -> BroadcastHashJoin on the bucket + residual containment filter — never a BroadcastNestedLoop"),
         ("invisible_chars", "invisible-char hygiene: augmentation CASE + two class-strip regex counts + clean projection, all ONE codegen'd projection — no explode, no shuffle, no Python"),
+        ("events_rolling_agg", "rolling RANGE-frame agg: TZ-free field-built microsecond key, one user_id exchange + per-key sort, RunningWindowFunction frame — no self-join, no bucket quantisation"),
+        ("homoglyph_audit", "homoglyph audit: translate skeleton + class-strip count + mixed-script flag, ONE codegen'd projection over the scan"),
     ]
     for name, note in named:
         sections.append((name, note, formatted(api.QUERIES[name](spark, SF))))

@@ -306,3 +306,135 @@ def test_invisible_char_constants_cover_trojan_source_set(spark):  # noqa: F811
     # the CVE-2021-42574 bidi set: LRE RLE PDF LRO RLO LRI RLI FSI PDI
     for ch in "‪‫‬‭‮⁦⁧⁨⁩":
         assert ch in textstats.BIDI_CONTROL_CHARS
+
+
+# ---------------------------------------------------------------------------
+# events_rolling_agg
+# ---------------------------------------------------------------------------
+
+
+def _events(spark, rows):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    data = pd.DataFrame(
+        [
+            {
+                "event_id": i,
+                "user_id": u,
+                "ts": base + dt.timedelta(seconds=s, microseconds=us),
+                "value": v,
+            }
+            for i, (u, s, us, v) in enumerate(rows)
+        ]
+    )
+    return spark.createDataFrame(
+        data, schema="event_id long, user_id long, ts timestamp_ntz, value double"
+    )
+
+
+def test_rolling_agg_hand_case(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.relational import (
+        events_rolling_agg,
+    )
+
+    rows = [
+        (1, 0, 0, 10.0),      # u1 @ t0
+        (1, 800, 0, 1.0),     # u1 @ t+800   (t0 still inside 900s)
+        (1, 901, 0, 2.0),     # u1 @ t+901   (t0 just OUTSIDE: 901 > 900)
+        (1, 900, 0, 5.0),     # u1 @ t+900   (t0 exactly on the bound: inside)
+        (2, 0, 0, 7.0),       # other user: independent
+    ]
+    out = {r["event_id"]: r.asDict() for r in
+           events_rolling_agg(_events(spark, rows)).collect()}
+    assert out[0]["n_roll"] == 1 and float(out[0]["sum_value_roll"]) == 10.0
+    assert out[1]["n_roll"] == 2 and float(out[1]["sum_value_roll"]) == 11.0
+    assert out[3]["n_roll"] == 3 and float(out[3]["sum_value_roll"]) == 16.0
+    assert out[2]["n_roll"] == 3 and float(out[2]["sum_value_roll"]) == 8.0
+    assert out[4]["n_roll"] == 1 and float(out[4]["sum_value_roll"]) == 7.0
+
+
+def test_rolling_agg_range_frame_includes_ties(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.relational import (
+        events_rolling_agg,
+    )
+
+    # three events at the IDENTICAL microsecond: RANGE semantics put all
+    # ties in each other's frames regardless of physical row order
+    rows = [(1, 5, 123456, 1.0), (1, 5, 123456, 2.0), (1, 5, 123456, 4.0)]
+    out = events_rolling_agg(_events(spark, rows)).collect()
+    assert [r["n_roll"] for r in out] == [3, 3, 3]
+    assert [float(r["sum_value_roll"]) for r in out] == [7.0, 7.0, 7.0]
+
+
+def test_rolling_agg_tz_free(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.relational import (
+        events_rolling_agg,
+    )
+
+    rows = [(1, 0, 500000, 1.0), (1, 900, 499999, 2.0), (1, 900, 500001, 4.0)]
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
+        a = sorted(map(tuple, events_rolling_agg(_events(spark, rows)).collect()))
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        b = sorted(map(tuple, events_rolling_agg(_events(spark, rows)).collect()))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+    assert a == b
+    # microsecond exactness: event1 @900.499999 still sees t0=0.500000
+    # (bound inclusive); event2 @900.500001 sees event1 (2us apart) but
+    # NOT t0 — 1us past the bound — so its frame is {e1, e2}, sum 6
+    byid = {t[0]: t for t in a}
+    assert byid[1][2] == 2 and float(byid[1][3]) == 3.0
+    assert byid[2][2] == 2 and float(byid[2][3]) == 6.0
+
+
+def test_rolling_agg_rejects_bad_window(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.relational import (
+        events_rolling_agg,
+    )
+
+    with pytest.raises(ValueError):
+        events_rolling_agg(_events(spark, [(1, 0, 0, 1.0)]), window_seconds=0)
+
+
+# ---------------------------------------------------------------------------
+# homoglyph_audit
+# ---------------------------------------------------------------------------
+
+
+def test_homoglyph_hand_case(spark):  # noqa: F811
+    cyr_paypal = "pаypаl"       # Cyrillic а twice
+    pure_cyr = "аео"       # no Latin at all
+    greek_mix = "twο"                # Greek omicron
+    rows = [
+        (1, cyr_paypal, "en"),
+        (2, pure_cyr, "ru"),
+        (3, "plain ascii", "en"),
+        (4, None, "en"),
+        (5, greek_mix, "en"),
+    ]
+    out = {r["doc_id"]: r.asDict() for r in
+           textstats.homoglyph_audit(_docs(spark, rows)).collect()}
+    assert (out[1]["n_confusables"], out[1]["is_mixed"], out[1]["skeleton"]) == (
+        2, True, "paypal")
+    # confusables but NO latin letters -> not "mixed" (plain Russian)
+    assert (out[2]["n_confusables"], out[2]["is_mixed"], out[2]["skeleton"]) == (
+        3, False, "aeo")
+    assert (out[3]["n_confusables"], out[3]["is_mixed"], out[3]["skeleton"]) == (
+        0, False, "plain ascii")
+    assert (out[4]["n_confusables"], out[4]["is_mixed"], out[4]["skeleton"]) == (
+        0, False, None)
+    assert (out[5]["n_confusables"], out[5]["is_mixed"], out[5]["skeleton"]) == (
+        1, True, "two")
+
+
+def test_homoglyph_mapping_is_aligned(spark):  # noqa: F811
+    # every source char maps to exactly one Latin twin, and the skeleton
+    # of the full confusable alphabet is the full Latin string
+    assert len(textstats.CONFUSABLE_SOURCE) == len(textstats.CONFUSABLE_LATIN)
+    rows = [(1, textstats.CONFUSABLE_SOURCE, "x")]
+    out = textstats.homoglyph_audit(_docs(spark, rows)).collect()[0]
+    assert out["skeleton"] == textstats.CONFUSABLE_LATIN
+    assert out["n_confusables"] == len(textstats.CONFUSABLE_SOURCE)

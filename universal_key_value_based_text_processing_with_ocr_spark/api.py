@@ -430,6 +430,35 @@ def q_invisible_chars(spark, sf_dir):
     return textstats.invisible_char_audit(aug)
 
 
+def q_events_rolling_agg(spark, sf_dir):
+    """Per-event trailing 15-minute count/value-sum for the same user
+    (relational.events_rolling_agg): a RANGE frame over a TZ-free
+    microsecond field key — tie-stable, decimal sums, one user shuffle;
+    DuckDB replays it with a native INTERVAL RANGE frame."""
+    from .operators.relational import events_rolling_agg
+
+    return events_rolling_agg(_tbl(spark, sf_dir, "events"))
+
+
+def q_homoglyph_audit(spark, sf_dir):
+    """Mixed-script homoglyph audit (textstats.homoglyph_audit) over a
+    deterministically AUGMENTED corpus: Cyrillic lookalikes translate
+    into doc_id%5 rows and Greek omicron/nu into doc_id%9 rows, so the
+    counter, the is_mixed flag and the skeleton all exercise both
+    branches; pure-ASCII rows pass through untouched."""
+    docs = _tbl(spark, sf_dir, "documents")
+    t = F.col("text")
+    aug = docs.select(
+        "doc_id",
+        F.when(t.isNull(), F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 5 == 0, F.translate(t, "aeo", "\u0430\u0435\u043e"))
+        .when(F.col("doc_id") % 9 == 0, F.translate(t, "ov", "\u03bf\u03bd"))
+        .otherwise(t)
+        .alias("text"),
+    )
+    return textstats.homoglyph_audit(aug)
+
+
 def q_events_asof_join(spark, sf_dir):
     """Point-in-time join: every click gets the user's most recent
     purchase at-or-before it (relational.asof_join — union + running
@@ -2405,8 +2434,6 @@ QUERIES = {
     "pq_encode": q_pq_encode,
     "similarity_topk_pq": q_similarity_topk_pq,
     "semdedup": q_semdedup,
-    "html_meta": q_html_meta,
-    "bm25_score": q_bm25_score,
     "quality_classifier": q_quality_classifier,
     "corpus_gini": q_corpus_gini,
     "length_outliers": q_length_outliers,
@@ -2414,15 +2441,20 @@ QUERIES = {
     "streamed_length_quantiles": q_streamed_length_quantiles,
     "ip_geo_join": q_ip_geo_join,
     "invisible_chars": q_invisible_chars,
+    "events_rolling_agg": q_events_rolling_agg,
+    "homoglyph_audit": q_homoglyph_audit,
     # ---------------- past the driver's 50-entry cap -------------------
     # Round-5 session-15 rotation: outlink_extract, robots_gate,
-    # dedup_incremental_embedding, host_boilerplate_strip and the
-    # jpeg/webp decode pair moved past the cap to admit the NEW
-    # corpus_gini / length_outliers / pmi_pairs /
-    # streamed_length_quantiles / ip_geo_join / invisible_chars — the
-    # decoders keep their hand-derived known-answer pytest vectors and
-    # the tiff twin's replica row, the others their pipeline pytest, and
-    # ALL remain replica-checked green every round.
+    # html_meta, bm25_score, dedup_incremental_embedding,
+    # host_boilerplate_strip and the jpeg/webp decode pair moved past
+    # the cap to admit the NEW corpus_gini / length_outliers / pmi_pairs
+    # / streamed_length_quantiles / ip_geo_join / invisible_chars /
+    # events_rolling_agg / homoglyph_audit — the decoders keep their
+    # hand-derived known-answer pytest vectors and the tiff twin's
+    # replica row, the others their pipeline pytest, and ALL remain
+    # replica-checked green every round.
+    "html_meta": q_html_meta,
+    "bm25_score": q_bm25_score,
     "outlink_extract": q_outlink_extract,
     "robots_gate": q_robots_gate,
     "dedup_incremental_embedding": q_dedup_incremental_embedding,
@@ -6404,3 +6436,56 @@ ORACLE_SQL["invisible_chars"] = r"""
                AS clean_text
     FROM aug, cls
 """
+
+ORACLE_SQL["events_rolling_agg"] = r"""
+    -- native INTERVAL RANGE frame on the naive timestamp — the TZ-free
+    -- semantic the engine reconstructs from date/time fields; RANGE (not
+    -- ROWS) so key ties are frame-stable in both engines
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_roll,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DECIMAL(38,6))
+               AS sum_value_roll
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL 900 SECONDS PRECEDING AND CURRENT ROW
+    )
+"""
+
+
+def _homoglyph_oracle_sql() -> str:
+    """GENERATED from textstats.CONFUSABLE_SOURCE/_LATIN (the
+    fix_mojibake pattern: the oracle cannot drift from the engine's
+    mapping table).  chr()-built strings — confusable characters never
+    appear literally in SQL text."""
+    from .operators.textstats import CONFUSABLE_LATIN, CONFUSABLE_SOURCE
+
+    src = " || ".join(f"chr({ord(c)})" for c in CONFUSABLE_SOURCE)
+    # the Latin targets are plain ASCII — a normal SQL literal is fine
+    latin = CONFUSABLE_LATIN.replace("'", "''")
+    return f"""
+    WITH aug AS (
+        SELECT doc_id,
+               CASE WHEN text IS NULL THEN NULL
+                    WHEN doc_id % 5 = 0 THEN
+                        translate(text, 'aeo', chr(1072)||chr(1077)||chr(1086))
+                    WHEN doc_id % 9 = 0 THEN
+                        translate(text, 'ov', chr(959)||chr(957))
+                    ELSE text END AS text
+        FROM documents
+    ),
+    cls AS (SELECT {src} AS f, '{latin}' AS t)
+    SELECT doc_id,
+           CAST(CASE WHEN text IS NULL THEN 0 ELSE
+                length(text) - length(regexp_replace(text, '[' || f || ']', '', 'g'))
+           END AS INT) AS n_confusables,
+           CASE WHEN text IS NULL THEN FALSE ELSE
+                length(text) - length(regexp_replace(text, '[' || f || ']', '', 'g')) > 0
+                AND regexp_matches(text, '[A-Za-z]')
+           END AS is_mixed,
+           translate(text, f, t) AS skeleton
+    FROM aug, cls
+    """
+
+
+ORACLE_SQL["homoglyph_audit"] = _homoglyph_oracle_sql()

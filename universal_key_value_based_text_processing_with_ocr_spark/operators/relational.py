@@ -512,3 +512,56 @@ def interval_join(
         )
         .drop("_bucket")
     )
+
+
+def events_rolling_agg(events: DataFrame, window_seconds: int = 900) -> DataFrame:
+    """Rolling (sliding) RANGE-frame aggregation: every event gets the
+    count and value-sum of ITS OWN trailing ``window_seconds`` for the
+    same user — the per-entity rate/velocity statistic (crawl politeness
+    budgets, burst/abuse detection) that tumbling windows quantise away
+    at bucket boundaries.  Completes the ordered-analytics family next to
+    the tumbling window, sessionization and the AS-OF join.
+
+    Two correctness subtleties, both pinned by the oracle:
+
+    - The order key is built from DATE/TIME FIELDS of the TIMESTAMP_NTZ
+      column (days-since-epoch and field micros, ``date_part('SECOND')``
+      keeping the fraction) — microsecond-exact and TZ-FREE by
+      construction, verified under a deliberately exotic session
+      timezone; ``unix_timestamp``-style conversions would shift with
+      the session TZ and even diverge across a DST boundary.
+    - The frame is RANGE, not ROWS: all events tied on the key enter
+      every frame together, so the result is partition- and sort-stable
+      (a ROWS frame would depend on the arbitrary order among ties).
+
+    Sum is decimal (order-independent addition).  ONE shuffle on
+    user_id; per-key frame state is O(events inside the window), and a
+    hot user skews one partition — pre-split such keys upstream (the
+    salting pattern) if a single entity can exceed a partition.
+    -> (event_id, user_id, n_roll, sum_value_roll)
+    """
+    us = int(window_seconds) * 1_000_000
+    if us <= 0:
+        raise ValueError(f"window_seconds must be positive, got {window_seconds}")
+    micros = (
+        F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))).cast(
+            "long"
+        )
+        * 86_400_000_000
+        + F.hour("ts").cast("long") * 3_600_000_000
+        + F.minute("ts").cast("long") * 60_000_000
+        + (F.expr("date_part('SECOND', ts)") * 1_000_000).cast("long")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("_us").asc()).rangeBetween(-us, 0)
+    return (
+        events.withColumn("_us", micros)
+        .select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).cast("long").alias("n_roll"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .over(w)
+            .cast("decimal(38,6)")
+            .alias("sum_value_roll"),
+        )
+    )

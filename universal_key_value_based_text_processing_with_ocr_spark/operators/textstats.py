@@ -2429,3 +2429,51 @@ def invisible_char_audit(docs: DataFrame) -> DataFrame:
         zero_if_null(F.length(clean)).cast("long").alias("clean_len"),
         clean.alias("clean_text"),
     )
+
+
+#: homoglyph confusables -> Latin skeleton (conservative, 1:1 by code
+#: point so both engines' ``translate`` apply it identically): Cyrillic
+#: lower/upper lookalikes and the Greek capitals + omicron/nu set — the
+#: spoofing alphabet of mixed-script spam, typosquats and cloaked
+#: keywords.  Escapes only; literal invisible/confusable chars never
+#: appear in source (the invisible-chars lesson).
+CONFUSABLE_SOURCE = (
+    "\u0430\u0435\u043e\u0440\u0441\u0443\u0445\u0456\u0455\u0458"  # cyr lower
+    "\u0410\u0412\u0415\u0417\u041a\u041c\u041d\u041e\u0420\u0421\u0422\u0423\u0425"  # cyr upper
+    "\u03bf\u039f\u03bd\u0391\u0392\u0395\u0396\u0397\u0399\u039a\u039c\u039d\u03a1\u03a4\u03a5\u03a7"  # greek
+)
+CONFUSABLE_LATIN = "aeopcyxisj" + "ABE3KMHOPCTYX" + "oOvABEZHIKMNPTYX"
+assert len(CONFUSABLE_SOURCE) == len(CONFUSABLE_LATIN)
+
+
+def homoglyph_audit(docs: DataFrame) -> DataFrame:
+    """Mixed-script homoglyph audit + Latin skeleton — the spoofing
+    detector for text where Cyrillic/Greek lookalikes impersonate Latin
+    (typosquat hosts, cloaked spam keywords that defeat literal
+    banned-word gates, plagiarism masking that defeats exact dedup).
+
+    ``skeleton`` maps every confusable to its Latin twin with ONE
+    ``translate`` (1:1 by code point — identical semantics in Spark and
+    DuckDB/RE2 engines); ``n_confusables`` is the usual length-diff
+    class-strip count; ``is_mixed`` flags documents where confusables
+    coexist with genuine ASCII letters — the signature of deliberate
+    spoofing (pure-Cyrillic text is just Russian, not an attack).
+    ONE codegen'd projection: no explode, no shuffle, no Python.
+    NULL text -> zero counts, NULL skeleton.
+    -> (doc_id, n_confusables, is_mixed, skeleton)
+    """
+    t = F.col("text")
+    cls = "[" + CONFUSABLE_SOURCE + "]"
+    stripped = F.regexp_replace(t, cls, "")
+    n_conf = F.length(t) - F.length(stripped)
+    has_latin = t.rlike("[A-Za-z]")
+    return docs.select(
+        "doc_id",
+        F.when(t.isNull(), F.lit(0)).otherwise(n_conf).cast("int").alias(
+            "n_confusables"
+        ),
+        F.when(t.isNull(), F.lit(False))
+        .otherwise((n_conf > 0) & has_latin)
+        .alias("is_mixed"),
+        F.translate(t, CONFUSABLE_SOURCE, CONFUSABLE_LATIN).alias("skeleton"),
+    )
