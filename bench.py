@@ -195,7 +195,7 @@ def main() -> None:
         # queries — staging/checkpoint setup dominates its wall time)
         "corpus_gini", "length_outliers", "pmi_pairs",
         "ip_geo_join", "invisible_chars", "events_rolling_agg",
-        "homoglyph_audit",
+        "homoglyph_audit", "events_pivot",
     ]
 
     best: dict[str, float] = {}

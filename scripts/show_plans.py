@@ -159,6 +159,7 @@ def main() -> None:
         ("invisible_chars", "invisible-char hygiene: augmentation CASE + two class-strip regex counts + clean projection, all ONE codegen'd projection — no explode, no shuffle, no Python"),
         ("events_rolling_agg", "rolling RANGE-frame agg: TZ-free field-built microsecond key, one user_id exchange + per-key sort, RunningWindowFunction frame — no self-join, no bucket quantisation"),
         ("homoglyph_audit", "homoglyph audit: translate skeleton + class-strip count + mixed-script flag, ONE codegen'd projection over the scan"),
+        ("events_pivot", "explicit-domain PIVOT: schema-on-read JSON projection -> ONE combinable groupBy with a 2x|domain|-cell aggregate buffer — no category-discovery scan, no join"),
     ]
     for name, note in named:
         sections.append((name, note, formatted(api.QUERIES[name](spark, SF))))

@@ -438,3 +438,47 @@ def test_homoglyph_mapping_is_aligned(spark):  # noqa: F811
     out = textstats.homoglyph_audit(_docs(spark, rows)).collect()[0]
     assert out["skeleton"] == textstats.CONFUSABLE_LATIN
     assert out["n_confusables"] == len(textstats.CONFUSABLE_SOURCE)
+
+
+# ---------------------------------------------------------------------------
+# user_event_pivot
+# ---------------------------------------------------------------------------
+
+
+def test_user_event_pivot_hand_case(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.relational import (
+        user_event_pivot,
+    )
+
+    rows = pd.DataFrame(
+        [
+            (1, "click", '{"k": 3}'),
+            (1, "click", '{"k": 4}'),
+            (1, "view", "not json"),       # corrupt -> NULL k, still counted
+            (2, "refund", '{"k": 9}'),     # outside the declared domain
+            (2, "view", '{"k": 5}'),
+        ],
+        columns=["user_id", "event_type", "props"],
+    )
+    ev = spark.createDataFrame(rows, schema="user_id long, event_type string, props string")
+    out = {r["user_id"]: r.asDict() for r in
+           user_event_pivot(ev, event_types=("click", "view")).collect()}
+    u1, u2 = out[1], out[2]
+    assert (u1["click_n"], u1["click_k_sum"]) == (2, 7)
+    assert (u1["view_n"], u1["view_k_sum"]) == (1, None)   # corrupt json
+    assert (u2["click_n"], u2["click_k_sum"]) == (0, None)  # absent combo
+    assert (u2["view_n"], u2["view_k_sum"]) == (1, 5)
+    assert "refund_n" not in u2  # outside the explicit domain: no column
+
+
+def test_user_event_pivot_rejects_empty_domain(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.relational import (
+        user_event_pivot,
+    )
+
+    ev = spark.createDataFrame(
+        pd.DataFrame([(1, "click", "{}")], columns=["user_id", "event_type", "props"]),
+        schema="user_id long, event_type string, props string",
+    )
+    with pytest.raises(ValueError):
+        user_event_pivot(ev, event_types=())

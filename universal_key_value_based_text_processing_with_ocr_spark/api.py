@@ -459,6 +459,16 @@ def q_homoglyph_audit(spark, sf_dir):
     return textstats.homoglyph_audit(aug)
 
 
+def q_events_pivot(spark, sf_dir):
+    """Long->wide user profiles (relational.user_event_pivot): explicit-
+    domain PIVOT with per-type counts + schema-on-read JSON k sums — one
+    combinable groupBy, no category-discovery scan; the oracle replays
+    it with FILTERed aggregates."""
+    from .operators.relational import user_event_pivot
+
+    return user_event_pivot(_tbl(spark, sf_dir, "events"))
+
+
 def q_events_asof_join(spark, sf_dir):
     """Point-in-time join: every click gets the user's most recent
     purchase at-or-before it (relational.asof_join — union + running
@@ -2433,7 +2443,6 @@ QUERIES = {
     "multimodal_audio_decode": q_multimodal_audio_decode,
     "pq_encode": q_pq_encode,
     "similarity_topk_pq": q_similarity_topk_pq,
-    "semdedup": q_semdedup,
     "quality_classifier": q_quality_classifier,
     "corpus_gini": q_corpus_gini,
     "length_outliers": q_length_outliers,
@@ -2443,9 +2452,10 @@ QUERIES = {
     "invisible_chars": q_invisible_chars,
     "events_rolling_agg": q_events_rolling_agg,
     "homoglyph_audit": q_homoglyph_audit,
+    "events_pivot": q_events_pivot,
     # ---------------- past the driver's 50-entry cap -------------------
     # Round-5 session-15 rotation: outlink_extract, robots_gate,
-    # html_meta, bm25_score, dedup_incremental_embedding,
+    # html_meta, bm25_score, semdedup, dedup_incremental_embedding,
     # host_boilerplate_strip and the jpeg/webp decode pair moved past
     # the cap to admit the NEW corpus_gini / length_outliers / pmi_pairs
     # / streamed_length_quantiles / ip_geo_join / invisible_chars /
@@ -2455,6 +2465,7 @@ QUERIES = {
     # replica-checked green every round.
     "html_meta": q_html_meta,
     "bm25_score": q_bm25_score,
+    "semdedup": q_semdedup,
     "outlink_extract": q_outlink_extract,
     "robots_gate": q_robots_gate,
     "dedup_incremental_embedding": q_dedup_incremental_embedding,
@@ -6489,3 +6500,26 @@ def _homoglyph_oracle_sql() -> str:
 
 
 ORACLE_SQL["homoglyph_audit"] = _homoglyph_oracle_sql()
+
+ORACLE_SQL["events_pivot"] = r"""
+    -- FILTERed aggregates replay the explicit-domain pivot; counts
+    -- coalesce to 0 for absent combos, sums stay NULL (FILTER semantics)
+    WITH base AS (
+        SELECT user_id, event_type,
+               CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click_n,
+           CAST(sum(k) FILTER (event_type = 'click') AS BIGINT) AS click_k_sum,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error_n,
+           CAST(sum(k) FILTER (event_type = 'error') AS BIGINT) AS error_k_sum,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase_n,
+           CAST(sum(k) FILTER (event_type = 'purchase') AS BIGINT) AS purchase_k_sum,
+           CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup_n,
+           CAST(sum(k) FILTER (event_type = 'signup') AS BIGINT) AS signup_k_sum,
+           CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view_n,
+           CAST(sum(k) FILTER (event_type = 'view') AS BIGINT) AS view_k_sum
+    FROM base
+    GROUP BY user_id
+"""

@@ -565,3 +565,39 @@ def events_rolling_agg(events: DataFrame, window_seconds: int = 900) -> DataFram
             .alias("sum_value_roll"),
         )
     )
+
+
+def user_event_pivot(
+    events: DataFrame,
+    event_types: tuple = ("click", "error", "purchase", "signup", "view"),
+) -> DataFrame:
+    """PIVOT — the long->wide reshaping member of the relational family:
+    one profile row per user with per-event-type activity counts and
+    per-type sums of the JSON payload's ``k`` field (schema-on-read:
+    ``get_json_object`` parses the ``props`` string in the projection —
+    no pre-materialised struct column needed, corrupt/missing JSON
+    degrades to NULL and falls out of the sums).
+
+    The category domain is EXPLICIT — the 100 TB posture: ``pivot()``
+    without a value list first runs a whole extra distinct JOB over the
+    corpus to discover the columns, and an unbounded domain would mint
+    unbounded columns.  A declared domain keeps the plan static: the
+    pivot compiles to ONE map-side-combinable groupBy whose aggregate
+    buffer holds 2x|domain| cells per user — no join, no second scan,
+    one shuffle on user_id.  Counts for absent (user, type) combos are
+    coalesced to 0 (pivot's native NULL); sums stay NULL-when-absent
+    (SQL FILTER semantics, replayed by the oracle).
+    -> (user_id, <type>_n, <type>_k_sum, ...)
+    """
+    if not event_types:
+        raise ValueError("event_types must be a non-empty explicit domain")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    base = events.select("user_id", "event_type", k.alias("k"))
+    wide = base.groupBy("user_id").pivot("event_type", list(event_types)).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("k").alias("k_sum")
+    )
+    cols = [F.col("user_id")]
+    for t in event_types:
+        cols.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("long").alias(f"{t}_n"))
+        cols.append(F.col(f"{t}_k_sum").cast("long").alias(f"{t}_k_sum"))
+    return wide.select(*cols)
