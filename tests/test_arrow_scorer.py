@@ -129,6 +129,46 @@ def test_arrow_scorer_empty_tgt(spark):  # noqa: F811
     assert [f.name for f in out.schema.fields] == ["src_id", "tgt_id", "cos_u"]
 
 
+def test_embedding_near_dup_arrow_parity(spark):  # noqa: F811
+    """embedding_near_dup over the Arrow scorer returns exactly the rows
+    the crossJoin + round(dot/(na*nb), 6) form returned — same pairs,
+    bit-equal cos doubles."""
+    rng = np.random.RandomState(11)
+    base = rng.randn(12)
+    vecs = [(i, base + rng.randn(12) * rng.choice([0.05, 2.0])) for i in range(30)]
+    df = _df(spark, vecs)
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in similarity.embedding_near_dup(df, threshold=0.3).collect()
+    }
+    a = df.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        _norm(F.col("embedding")).alias("na"),
+    )
+    b = df.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        _norm(F.col("embedding")).alias("nb"),
+    )
+    exp = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.3)
+        .collect()
+    }
+    assert got == exp
+    assert len(got) > 10  # the clustered fixture must actually pair up
+
+
 def test_bitext_margin_unchanged_by_arrow_swap(spark):  # noqa: F811
     """End-to-end: bitext_margin_mine over the Arrow scorer returns the
     same rows the windowed HOF implementation returned (golden from the

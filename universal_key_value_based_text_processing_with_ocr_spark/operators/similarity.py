@@ -117,7 +117,7 @@ def arrow_cosine_scored(
     - rounding reimplements Spark's BigDecimal HALF_UP
       (``sign(x)*floor(abs(x)*10^s + 0.5)``), not numpy's half-even.
 
-    Parity is pinned by tests/test_similarity.py::test_arrow_scorer_parity
+    Parity is pinned by tests/test_arrow_scorer.py::test_arrow_scorer_parity
     (every pair equal vs the HOF expression).  Rows with NULL embeddings
     are dropped up front on both sides — the expression form propagates
     NULL cos for them and every downstream consumer filters those out, so
@@ -209,30 +209,27 @@ def embedding_near_dup(
 
     All-pairs: the small-N exact oracle for ``embedding_near_dup_lsh``.
     Inputs above ``QUADRATIC_GUARD_MAX_ROWS`` raise unless
-    ``allow_quadratic=True``."""
+    ``allow_quadratic=True``.
+
+    Scoring runs on :func:`arrow_cosine_scored` (bit-identical to the
+    JVM ``round(dot/(na*nb), 6)`` crossJoin form it replaced, ~9x faster
+    per pair — see the scorer's contract).  ``cos_u / 1e6`` recovers the
+    6-decimal rounded cosine EXACTLY: ``round(x, 6)`` yields the double
+    nearest to the decimal m/10^6, the micro-unit snap yields that same
+    integer m (y*1e6 lands within ~1e-4 of m, never on a .5 tie), and
+    IEEE division m/1e6 is correctly rounded — the nearest double to
+    m/10^6 again.  Pinned pair-for-pair vs the crossJoin expression in
+    tests/test_arrow_scorer.py::test_embedding_near_dup_arrow_parity."""
     _guard_quadratic(
         embeddings, QUADRATIC_GUARD_MAX_ROWS, allow_quadratic, "embedding_near_dup_lsh"
     )
-    # Norms projected once per row, not per O(N^2) pair — bit-identical.
-    a = embeddings.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        _norm(F.col("embedding")).alias("na"),
-    )
-    b = embeddings.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        _norm(F.col("embedding")).alias("nb"),
-    )
     return (
-        a.crossJoin(b)
+        arrow_cosine_scored(embeddings, embeddings, "vec_a", "vec_b")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            F.round(
-                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
-            ).alias("cos"),
+            (F.col("cos_u") / F.lit(1e6)).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
