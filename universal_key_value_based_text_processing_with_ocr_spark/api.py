@@ -916,6 +916,57 @@ def q_tokenizer_fertility(spark, sf_dir):
     return textstats.tokenizer_fertility(_tbl(spark, sf_dir, "documents"))
 
 
+def q_feed_parse(spark, sf_dir):
+    """RSS/Atom feed parsing (frontier discovery's second source next to
+    sitemaps): deterministic per-doc payloads carrying BOTH formats —
+    a full RSS item (CDATA-wrapped title on every 4th doc), a link-less
+    item that must be dropped, a link-only item (all else NULL), a full
+    Atom entry (href-attribute link, attributed <link> tag), and an
+    href-less entry that must be dropped.  The oracle DERIVES the rows
+    closed form from the same construction arithmetic — parser and
+    constructor check each other (the sitemap_parse pattern)."""
+    from .operators.robots import parse_feeds
+
+    docs = _tbl(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    host = F.concat(F.lit("h"), (did % 11).cast("string"), F.lit(".feed.example"))
+    base = F.concat(F.lit("https://"), host)
+    day = F.lpad(((did % 27) + 1).cast("string"), 2, "0")
+    title1 = F.when(
+        did % 4 == 0,
+        F.concat(F.lit("<![CDATA[ Post "), ids, F.lit(" ]]>")),
+    ).otherwise(F.concat(F.lit("Post "), ids))
+    xml = F.concat(
+        F.lit('<rss version="2.0"><channel>\n <item><title>'),
+        title1,
+        F.lit("</title><link>"),
+        base, F.lit("/post/"), ids,
+        F.lit('</link><guid isPermaLink="false">tag:feed.example,2024:'),
+        ids,
+        F.lit("</guid><pubDate>Mon, "),
+        day,
+        F.lit(" Jan 2024 10:00:00 +0000</pubDate></item>\n"),
+        F.lit(" <item><title>orphan</title></item>\n"),
+        F.lit(" <item>\n  <link>  "),
+        base, F.lit("/bare/"), ids,
+        F.lit("  </link>\n </item>\n</channel></rss>\n"),
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom">\n'),
+        F.lit(' <entry><title>Entry '),
+        ids,
+        F.lit('</title><link rel="alternate" href="'),
+        base, F.lit("/entry/"), ids,
+        F.lit('"/><id>urn:feed:'),
+        ids,
+        F.lit("</id><updated>2024-01-"),
+        day,
+        F.lit("T10:00:00Z</updated></entry>\n"),
+        F.lit(" <entry><title>no-href</title><id>urn:x</id></entry>\n</feed>\n"),
+    )
+    feeds = docs.select(host.alias("host"), xml.alias("feed_xml"))
+    return parse_feeds(feeds)
+
+
 def q_bitext_mine(spark, sf_dir):
     """Margin-based bitext mining (LASER/CCMatrix): deterministic parity
     split of the embeddings table into a src/tgt 'language' pair, ratio
@@ -2666,6 +2717,7 @@ QUERIES = {
     "doc_readability": q_doc_readability,
     "host_quota_sample": q_host_quota_sample,
     "bitext_mine": q_bitext_mine,
+    "feed_parse": q_feed_parse,
 }
 
 
@@ -6522,4 +6574,34 @@ ORACLE_SQL["events_pivot"] = r"""
            CAST(sum(k) FILTER (event_type = 'view') AS BIGINT) AS view_k_sum
     FROM base
     GROUP BY user_id
+"""
+
+# feed parsing: the oracle never parses XML — it derives the expected rows
+# from the SAME construction arithmetic the Spark query uses to build the
+# payloads, so the regex parser and the constructor check each other
+# (identical posture to the sitemap_parse oracle).
+ORACLE_SQL["feed_parse"] = r"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(doc_id AS VARCHAR) AS ids,
+               'h' || CAST(doc_id % 11 AS VARCHAR) || '.feed.example' AS host,
+               lpad(CAST((doc_id % 27) + 1 AS VARCHAR), 2, '0') AS day
+        FROM documents
+    )
+    SELECT host, 'rss' AS kind,
+           'Post ' || ids AS title,
+           'https://' || host || '/post/' || ids AS link,
+           'tag:feed.example,2024:' || ids AS entry_id,
+           'Mon, ' || day || ' Jan 2024 10:00:00 +0000' AS published
+    FROM d
+    UNION ALL
+    SELECT host, 'rss', NULL, 'https://' || host || '/bare/' || ids, NULL, NULL
+    FROM d
+    UNION ALL
+    SELECT host, 'atom',
+           'Entry ' || ids,
+           'https://' || host || '/entry/' || ids,
+           'urn:feed:' || ids,
+           '2024-01-' || day || 'T10:00:00Z'
+    FROM d
 """
