@@ -196,6 +196,9 @@ def main() -> None:
         "corpus_gini", "length_outliers", "pmi_pairs",
         "ip_geo_join", "invisible_chars", "events_rolling_agg",
         "homoglyph_audit", "events_pivot",
+        # round 5, session 16 (RSS/Atom feed discovery parse + pointer-
+        # doubling redirect canonicalisation)
+        "feed_parse", "redirect_resolve",
     ]
 
     best: dict[str, float] = {}

@@ -967,6 +967,38 @@ def q_feed_parse(spark, sf_dir):
     return parse_feeds(feeds)
 
 
+def q_redirect_resolve(spark, sf_dir):
+    """Redirect-chain canonicalisation: a deterministic CDX-style edge
+    fixture with multi-hop chains (up to 6 via consecutive-id runs),
+    2-cycles, tails that feed INTO a cycle, and self-loops; pointer
+    doubling resolves each src to its terminal with exact hop counts
+    while the oracle walks the SAME edges with a recursive CTE under the
+    same hop cap — two different fixed-point encodings, identical rows."""
+    from .operators.linkgraph import resolve_redirects
+
+    docs = _tbl(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    u = F.concat(F.lit("u"), ids)
+    c = F.concat(F.lit("c"), ids)
+    s = F.concat(F.lit("s"), ids)
+    prev = F.concat(F.lit("u"), (did - 1).cast("string"))
+    e1 = docs.filter(did % 7 != 0).select(
+        u.alias("src_url"), prev.alias("dst_url")
+    )
+    e2 = docs.filter(did % 35 == 0).select(
+        u.alias("src_url"), c.alias("dst_url")
+    )
+    e3 = docs.filter(did % 35 == 0).select(
+        c.alias("src_url"), u.alias("dst_url")
+    )
+    e4 = docs.filter(did % 91 == 0).select(
+        s.alias("src_url"), s.alias("dst_url")
+    )
+    edges = e1.unionByName(e2).unionByName(e3).unionByName(e4)
+    return resolve_redirects(edges)
+
+
 def q_bitext_mine(spark, sf_dir):
     """Margin-based bitext mining (LASER/CCMatrix): deterministic parity
     split of the embeddings table into a src/tgt 'language' pair, ratio
@@ -2718,6 +2750,7 @@ QUERIES = {
     "host_quota_sample": q_host_quota_sample,
     "bitext_mine": q_bitext_mine,
     "feed_parse": q_feed_parse,
+    "redirect_resolve": q_redirect_resolve,
 }
 
 
@@ -6604,4 +6637,42 @@ ORACLE_SQL["feed_parse"] = r"""
            'urn:feed:' || ids,
            '2024-01-' || day || 'T10:00:00Z'
     FROM d
+"""
+
+# redirect resolution: the oracle walks the SAME deterministic edge fixture
+# with a recursive CTE under the same 16-hop cap; cycles / tails-into-cycles
+# never reach a terminal and come back unresolved with NULL final/hops.
+ORACLE_SQL["redirect_resolve"] = r"""
+    WITH RECURSIVE ed AS (
+        SELECT 'u' || CAST(doc_id AS VARCHAR) AS src,
+               'u' || CAST(doc_id - 1 AS VARCHAR) AS dst
+        FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT 'u' || CAST(doc_id AS VARCHAR), 'c' || CAST(doc_id AS VARCHAR)
+        FROM documents WHERE doc_id % 35 = 0
+        UNION ALL
+        SELECT 'c' || CAST(doc_id AS VARCHAR), 'u' || CAST(doc_id AS VARCHAR)
+        FROM documents WHERE doc_id % 35 = 0
+        UNION ALL
+        SELECT 's' || CAST(doc_id AS VARCHAR), 's' || CAST(doc_id AS VARCHAR)
+        FROM documents WHERE doc_id % 91 = 0
+    ),
+    f AS (SELECT src, min(dst) AS dst FROM ed GROUP BY src),
+    walk(src, cur, hops) AS (
+        SELECT src, dst, CAST(1 AS BIGINT) FROM f
+        UNION ALL
+        SELECT w.src, f2.dst, w.hops + 1
+        FROM walk w JOIN f f2 ON w.cur = f2.src
+        WHERE w.hops < 16
+    ),
+    term AS (
+        SELECT w.src, w.cur, w.hops
+        FROM walk w
+        WHERE w.cur NOT IN (SELECT src FROM f)
+    )
+    SELECT f.src AS src_url,
+           t.cur AS final_url,
+           t.hops AS hops,
+           t.src IS NOT NULL AS resolved
+    FROM f LEFT JOIN term t ON f.src = t.src
 """
