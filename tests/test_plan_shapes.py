@@ -497,3 +497,25 @@ def test_badwords_gate_single_projection(spark):  # noqa: F811
     assert "Exchange" not in plan
     assert "Generate" not in plan and "Python" not in plan
     assert "Join" not in plan
+
+
+def test_redirect_resolve_is_hash_joins_only(spark):  # noqa: F811
+    """Pointer doubling must plan as equi hash/sort-merge joins on the url
+    key — never a cartesian/nested-loop — and the edge-dedup aggregate
+    keeps a partial (map-side) phase."""
+    from pyspark.sql import functions as F
+
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.linkgraph import (
+        resolve_redirects,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    did = F.col("doc_id")
+    edges = docs.filter(did % 7 != 0).select(
+        F.concat(F.lit("u"), did.cast("string")).alias("src_url"),
+        F.concat(F.lit("u"), (did - 1).cast("string")).alias("dst_url"),
+    )
+    plan = _formatted(resolve_redirects(edges))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan  # edge dedup combines map-side
