@@ -335,7 +335,8 @@ def main() -> None:
         "pages_field_spans", "bpe_encode", "dedup_incremental_minhash",
         "dedup_simhash_pairs", "dedup_cluster_policy", "doc_sentences",
         "tokenizer_fertility", "dedup_containment", "doc_readability",
-        "host_quota_sample", "bitext_mine",
+        "host_quota_sample", "bitext_mine", "feed_parse",
+        "redirect_resolve",
     ]
     out["new_queries_total_sec"] = round(sum(new_best.values()), 3)
     out["new_queries_sec"] = {
