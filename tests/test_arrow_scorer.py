@@ -169,6 +169,56 @@ def test_embedding_near_dup_arrow_parity(spark):  # noqa: F811
     assert len(got) > 10  # the clustered fixture must actually pair up
 
 
+def test_pair_cosine_udf_parity(spark):  # noqa: F811
+    """pair_cosine (row-aligned Arrow pair scorer) is bit-equal to the
+    JVM round(dot/(na*nb), scale) expression on float32 pairs, returns
+    NULL where either side is NULL, and raises on zero norms like ANSI."""
+    rng = np.random.RandomState(3)
+    rows = [
+        (
+            int(i),
+            [float(x) for x in rng.randn(24).astype(np.float32)],
+            [float(x) for x in rng.randn(24).astype(np.float32)],
+        )
+        for i in range(500)
+    ]
+    rows.append((9998, None, [1.0] * 24))
+    rows.append((9999, [1.0] * 24, None))
+    df = spark.createDataFrame(rows, schema="id long, a array<float>, b array<float>")
+    pc = similarity.pair_cosine(6)
+    got = {r.id: r.c for r in df.select("id", pc(F.col("a"), F.col("b")).alias("c")).collect()}
+    exp = {
+        r.id: r.c
+        for r in df.select(
+            "id",
+            F.round(
+                _dot(F.col("a"), F.col("b")) / (_norm(F.col("a")) * _norm(F.col("b"))),
+                6,
+            ).alias("c"),
+        ).collect()
+    }
+    assert got == exp
+    assert got[9998] is None and got[9999] is None
+    zdf = spark.createDataFrame(
+        [(1, [0.0, 0.0], [1.0, 1.0])], schema="id long, a array<float>, b array<float>"
+    )
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        zdf.select(pc(F.col("a"), F.col("b"))).collect()
+
+
+def test_round_half_up_decimal_boundary_path(spark):  # noqa: F811
+    """_np_round_half_up's Decimal re-round must agree with Spark's
+    BigDecimal HALF_UP exactly ON the .5 boundaries the float fast path
+    could flip."""
+    vals = [0.1234565, -0.1234565, 0.9999995, 2.5e-7, -2.5e-7, 0.5e-6]
+    import numpy as np  # noqa: F401
+
+    got = similarity._np_round_half_up(np.array(vals), 6).tolist()
+    df = spark.createDataFrame([(v,) for v in vals], schema="x double")
+    exp = [r.r for r in df.select(F.round(F.col("x"), 6).alias("r")).collect()]
+    assert got == exp
+
+
 def test_bitext_margin_unchanged_by_arrow_swap(spark):  # noqa: F811
     """End-to-end: bitext_margin_mine over the Arrow scorer returns the
     same rows the windowed HOF implementation returned (golden from the

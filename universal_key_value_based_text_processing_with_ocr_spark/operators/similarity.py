@@ -20,6 +20,7 @@ aggregation; the bucketed variants shuffle once on their bucket/cell key.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -90,6 +91,56 @@ def _guard_quadratic(df: DataFrame, max_rows: int, allow: bool, sibling: str) ->
         )
 
 
+def _np_fold_norm(A):
+    """Row norms with the exact left-fold IEEE order of
+    ``sqrt(aggregate(zip_with(a,a,x*y),0.0,acc+v))``."""
+    import numpy as np
+
+    acc = np.zeros(A.shape[0])
+    for i in range(A.shape[1]):
+        acc = acc + A[:, i] * A[:, i]
+    return np.sqrt(acc)
+
+
+def _np_round_half_up(x, scale: int):
+    """Spark's ``round(double, scale)`` in numpy — exact, not
+    approximate.  Spark rounds via ``BigDecimal.valueOf(double)``, i.e.
+    the SHORTEST-DECIMAL string of the double (Double.toString), THEN
+    setScale(HALF_UP) — so 0.1234565 (binary value 0.12345649999...)
+    still rounds UP: the tie is judged on the decimal literal, not the
+    exact binary expansion.  The fast path here scales by 10^scale in
+    float and floors at +0.5; any element whose scaled value lands
+    within 1e-6 of a .5 tie (where the float path and the
+    shortest-decimal tie rule can disagree) is re-rounded through
+    ``decimal.Decimal(repr(x))`` — repr is Python's shortest round-trip
+    decimal, the same literal Double.toString yields, and
+    ``quantize(.., ROUND_HALF_UP)`` is setScale(HALF_UP) — so boundary
+    cases are bit-identical BY CONSTRUCTION, not just empirically
+    (pinned in tests/test_arrow_scorer.py on literal .5 ties).  The
+    ``+ 0.0`` normalises IEEE -0.0 to +0.0, matching
+    BigDecimal.doubleValue()."""
+    import decimal
+
+    import numpy as np
+
+    f = 10.0**scale
+    y = np.abs(x) * f
+    out = np.sign(x) * np.floor(y + 0.5) / f + 0.0
+    frac = y - np.floor(y)
+    risky = np.isfinite(y) & (np.abs(frac - 0.5) < 1e-6)
+    if np.any(risky):
+        q = decimal.Decimal(1).scaleb(-scale)
+        flat = out.reshape(-1)
+        xr = x.reshape(-1)
+        for idx in np.flatnonzero(risky.reshape(-1)):
+            flat[idx] = float(
+                decimal.Decimal(repr(float(xr[idx]))).quantize(
+                    q, rounding=decimal.ROUND_HALF_UP
+                )
+            ) + 0.0
+    return out
+
+
 def arrow_cosine_scored(
     src: DataFrame,
     tgt: DataFrame,
@@ -130,17 +181,9 @@ def arrow_cosine_scored(
     (batch x tgt) score block.  One narrow stage, no shuffle.
     """
     import numpy as np
-    import pandas as pd
 
-    def _fold_norm(A: "np.ndarray") -> "np.ndarray":
-        acc = np.zeros(A.shape[0])
-        for i in range(A.shape[1]):
-            acc = acc + A[:, i] * A[:, i]
-        return np.sqrt(acc)
-
-    def _round_half_up(x: "np.ndarray", scale: int) -> "np.ndarray":
-        f = 10.0**scale
-        return np.sign(x) * np.floor(np.abs(x) * f + 0.5) / f
+    _fold_norm = _np_fold_norm
+    _round_half_up = _np_round_half_up
 
     spark = src.sparkSession
     tgt_rows = tgt.filter(F.col("embedding").isNotNull()).select(
@@ -363,6 +406,49 @@ def bitext_margin_mine(
     return out
 
 
+def pair_cosine(scale: int = 6):
+    """Arrow-vectorised rounded cosine over ROW-ALIGNED embedding pairs —
+    the fast exact scorer for candidate-pair frames (bucket-join slivers,
+    LSH shortlists), where :func:`arrow_cosine_scored`'s broadcast
+    block-matmul shape doesn't apply because the pairs are arbitrary.
+
+    Returns a pandas UDF ``(array, array) -> double`` bit-identical to
+    ``round(dot(a,b)/(norm(a)*norm(b)), scale)`` in the JVM expression
+    form: the dot and norms accumulate as the same left fold over
+    dimensions, the rounding is :func:`_np_round_half_up` (BigDecimal
+    HALF_UP incl. the exact Decimal boundary path), NULL on either side
+    yields NULL (as the HOF dot does), and a zero-norm vector raises
+    like ANSI division.  Spark evaluates HOF lambdas interpreted
+    (~7 µs/pair measured); this ships the pair frame once over Arrow and
+    does the arithmetic vectorised.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        valid = (a.notna() & b.notna()).to_numpy()
+        out = pd.array([pd.NA] * len(a), dtype="Float64")
+        if valid.any():
+            A = np.array(a[valid].tolist(), dtype=np.float64)
+            B = np.array(b[valid].tolist(), dtype=np.float64)
+            na = _np_fold_norm(A)
+            nb = _np_fold_norm(B)
+            if np.any(na == 0.0) or np.any(nb == 0.0):
+                raise ArithmeticError(
+                    "[DIVIDE_BY_ZERO] zero-norm embedding: cosine undefined"
+                )
+            acc = np.zeros(A.shape[0])
+            for i in range(A.shape[1]):  # left fold == aggregate(zip_with)
+                acc = acc + A[:, i] * B[:, i]
+            out[np.flatnonzero(valid)] = _np_round_half_up(
+                acc / (na * nb), scale
+            )
+        return pd.Series(out)
+
+    return _cos
+
+
 def embedding_index(
     embeddings: DataFrame, dims: tuple[int, ...] = (0, 7, 21, 42)
 ) -> DataFrame:
@@ -411,30 +497,26 @@ def incremental_embedding_dedup(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(len(dims))],
     )
-    # Norms hoisted to one per-ROW projection on each join side: inside the
-    # candidate predicate they would re-run the O(dim) aggregate per PAIR
-    # (bucket-occupancy fanout).  sqrt(dot(a,a)) over the same array is
-    # bit-identical wherever evaluated, so the drop set is unchanged.
     probed = nb.select(
         F.col("vec_id"),
         F.col("embedding").alias("ne"),
-        _norm(F.col("embedding")).alias("n_ne"),
         F.explode(probe_keys).alias("probe"),
     )
 
-    def _cos(a, b, na, nb_):
-        return F.round(_dot(a, b) / (na * nb_), 6)
-
+    # Candidate-sliver scoring runs on the Arrow pair scorer — the
+    # bucket-occupancy fanout made the interpreted JVM HOF dot the whole
+    # query's cost (~5 s of the 5.0 s sf0.1 wall); bit-identical swap
+    # (see pair_cosine's contract + tests/test_arrow_scorer.py).
+    pc = pair_cosine(6)
     vs_committed = (
         probed.join(
             committed_index.select(
                 F.col("bucket").alias("c_bucket"),
                 F.col("embedding").alias("ce"),
-                _norm(F.col("embedding")).alias("n_ce"),
             ),
             F.col("probe") == F.col("c_bucket"),
         )
-        .where(_cos(F.col("ne"), F.col("ce"), F.col("n_ne"), F.col("n_ce")) >= threshold)
+        .where(pc(F.col("ne"), F.col("ce")) >= threshold)
         .select("vec_id")
     )
     vs_batch = (
@@ -443,11 +525,10 @@ def incremental_embedding_dedup(
                 F.col("vec_id").alias("k_id"),
                 F.col("bucket").alias("k_bucket"),
                 F.col("embedding").alias("ke"),
-                _norm(F.col("embedding")).alias("n_ke"),
             ),
             (F.col("probe") == F.col("k_bucket")) & (F.col("k_id") < F.col("vec_id")),
         )
-        .where(_cos(F.col("ne"), F.col("ke"), F.col("n_ne"), F.col("n_ke")) >= threshold)
+        .where(pc(F.col("ne"), F.col("ke")) >= threshold)
         .select("vec_id")
     )
     dropped = vs_committed.unionByName(vs_batch).distinct()
