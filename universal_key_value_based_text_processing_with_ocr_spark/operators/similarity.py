@@ -294,20 +294,19 @@ def embedding_near_dup_lsh(
     the all-pairs crossJoin of ``embedding_near_dup`` (kept as the small-N
     exact oracle).  At 100 TB, add bits to ``dims`` to keep buckets bounded.
     """
-    # Norms are hoisted to ONE per-row projection: inside the pair select
-    # they would re-run the O(dim) aggregate per CANDIDATE (bucket fanout
-    # times per row).  sqrt(dot(a,a)) on the same array is bit-identical
-    # wherever it is evaluated, so results are unchanged.
+    # Candidate scoring runs on the Arrow pair scorer (pair_cosine):
+    # bit-identical to the hoisted-norm HOF expression it replaced (same
+    # fold order, same HALF_UP rounding — see the scorer's contract) and
+    # vectorised instead of interpreted per element across the bucket
+    # fanout.
     b = embeddings.select(
         "vec_id",
         "embedding",
         sign_bucket(F.col("embedding"), dims).alias("bucket"),
-        _norm(F.col("embedding")).alias("nrm"),
     )
     left = b.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
         "bucket",
     )
     probe_keys = F.array(
@@ -316,7 +315,6 @@ def embedding_near_dup_lsh(
     right = b.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
         F.explode(probe_keys).alias("probe"),
     )
     # hamming(a,b)==d<=1 matches exactly one probe key, so no pair dedup needed
@@ -325,9 +323,7 @@ def embedding_near_dup_lsh(
         .select(
             "vec_a",
             "vec_b",
-            F.round(
-                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
-            ).alias("cos"),
+            pair_cosine(6)(F.col("ea"), F.col("eb")).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -806,32 +802,30 @@ def semdedup(
         .select(
             F.col("vec_id").alias("cid"),
             F.col("embedding").alias("ce"),
-            _norm(F.col("embedding")).alias("cn"),
         )
     )
-    # the vector's norm is computed ONCE per row and carried through the
-    # centroid assignment (16x fanout) AND the quadratic pair stage, which
-    # then evaluate only the dot — 3x less fold work where it multiplies
-    # out, and bitwise identical (same left-fold over the same array)
+    # Both cosine sites run on the Arrow pair scorer (pair_cosine — the
+    # norms recompute per pair inside the vectorised batch, bit-identical
+    # to the hoisted-norm HOF form since sqrt(dot(a,a)) over the same
+    # array is the same bits wherever evaluated; rounding and fold order
+    # pinned by tests/test_arrow_scorer.py): the k-fanout assignment and
+    # the within-cluster quadratic stage were the query's interpreted-HOF
+    # hot spots.
+    pc9 = pair_cosine(9)
     sims = (
-        embeddings.withColumn("nrm", _norm(F.col("embedding")))
-        .crossJoin(F.broadcast(cent))
+        embeddings.crossJoin(F.broadcast(cent))
         .select(
             "vec_id",
             "embedding",
-            "nrm",
             "cid",
-            F.round(
-                _dot(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cn")),
-                9,
-            ).alias("csim"),
+            pc9(F.col("embedding"), F.col("ce")).alias("csim"),
         )
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid").asc())
     members = (
         sims.withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cid").alias("cluster"), "csim", "nrm")
+        .select("vec_id", "embedding", F.col("cid").alias("cluster"), "csim")
     )
     # paper: keep the member farthest from the centroid -> rank ascending
     w_rank = Window.partitionBy("cluster").orderBy(F.col("csim").asc(), F.col("vec_id").asc())
@@ -839,25 +833,17 @@ def semdedup(
     a = ranked.select(
         F.col("cluster"), F.col("rank").alias("rank_a"),
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"),
-        F.col("nrm").alias("n_a"),
     )
     b = ranked.select(
         F.col("cluster"), F.col("rank").alias("rank_b"),
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"),
-        F.col("nrm").alias("n_b"),
     )
     # within-cluster pairs only: the join key IS the cluster id, so this
     # is one co-partitioned self-join, never a global cross join
     dropped = (
         a.join(b, "cluster")
         .filter(F.col("rank_a") < F.col("rank_b"))
-        .filter(
-            F.round(
-                _dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")),
-                9,
-            )
-            >= tau
-        )
+        .filter(pc9(F.col("e_a"), F.col("e_b")) >= tau)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )
