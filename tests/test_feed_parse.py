@@ -77,3 +77,26 @@ def test_both_formats_one_payload(spark):  # noqa: F811
 def test_null_and_empty_xml(spark):  # noqa: F811
     df = _feeds(spark, [("h1", None), ("h2", ""), ("h3", "<rss></rss>")])
     assert parse_feeds(df).count() == 0
+
+
+def test_byte_soup_never_crashes_schema_stable(spark):  # noqa: F811
+    """Fuzz: random tag-soup / truncated / nested-garbage payloads must
+    never crash the parser; every emitted row has a non-null link and
+    kind in {rss, atom}."""
+    import random
+
+    rng = random.Random(99)
+    frags = [
+        "<item>", "</item>", "<entry>", "</entry>", "<link>", "</link>",
+        '<link href="', '"/>', "<title>", "</title>", "<![CDATA[", "]]>",
+        "<guid>", "</guid>", "<id>", "</id>", "\x00\x01\xff", "&&&<<<>>>",
+        "https://h/", "plain text ", "\n", "<item><item>", "</entry></entry>",
+    ]
+    rows = []
+    for i in range(60):
+        xml = "".join(rng.choice(frags) for _ in range(rng.randrange(1, 40)))
+        rows.append((f"h{i}", xml))
+    out = parse_feeds(_feeds(spark, rows)).collect()
+    for r in out:
+        assert r.link is not None and r.link != ""
+        assert r.kind in ("rss", "atom")

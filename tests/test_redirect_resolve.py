@@ -74,3 +74,41 @@ def test_smaller_cap(spark):  # noqa: F811
     got = _resolve(spark, pairs, max_hops=2)
     assert got["a"] == (None, None, False)
     assert got["c"] == ("T", 2, True)
+
+
+def test_random_functional_graphs_match_python_reference(spark):  # noqa: F811
+    """Property: on random functional graphs (each src one outgoing edge,
+    dsts drawn from a mixed node pool so chains, merges, cycles and
+    tails-into-cycles all occur), pointer doubling must agree with a
+    plain Python follow-the-chain reference under the same hop cap."""
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(5):
+        n = 120
+        nodes = [f"n{trial}_{i}" for i in range(n)]
+        # ~70% of nodes get an outgoing edge; targets biased toward a
+        # small core so merges and cycles actually form
+        pairs = []
+        for i, s in enumerate(nodes):
+            if rng.random() < 0.7:
+                t = nodes[rng.randrange(n // 4)] if rng.random() < 0.5 else nodes[
+                    rng.randrange(n)
+                ]
+                pairs.append((s, t))
+        cap = 16
+        fmap = {}
+        for s, t in pairs:
+            fmap[s] = min(fmap[s], t) if s in fmap else t
+        exp = {}
+        for s in fmap:
+            cur, hops = fmap[s], 1
+            while cur in fmap and hops <= cap:
+                cur = fmap[cur]
+                hops += 1
+            if cur not in fmap and hops <= cap:
+                exp[s] = (cur, hops, True)
+            else:
+                exp[s] = (None, None, False)
+        got = _resolve(spark, pairs, max_hops=cap)
+        assert got == exp, f"trial {trial}"
