@@ -197,8 +197,9 @@ def main() -> None:
         "ip_geo_join", "invisible_chars", "events_rolling_agg",
         "homoglyph_audit", "events_pivot",
         # round 5, session 16 (RSS/Atom feed discovery parse + pointer-
-        # doubling redirect canonicalisation)
-        "feed_parse", "redirect_resolve",
+        # doubling redirect canonicalisation; embedding_near_dup_lsh
+        # joins the timed set now that its scoring is Arrow-vectorised)
+        "feed_parse", "redirect_resolve", "embedding_near_dup_lsh",
     ]
 
     best: dict[str, float] = {}
