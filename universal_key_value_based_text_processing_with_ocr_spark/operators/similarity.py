@@ -165,8 +165,9 @@ def arrow_cosine_scored(
       (``acc = acc + A[:,i]*B[:,i]``), the exact IEEE operation order of
       ``aggregate(zip_with(...))`` — NOT ``np.dot``, whose pairwise/SIMD
       summation differs in ulps;
-    - rounding reimplements Spark's BigDecimal HALF_UP
-      (``sign(x)*floor(abs(x)*10^s + 0.5)``), not numpy's half-even.
+    - rounding is :func:`_np_round_half_up` — Spark's
+      shortest-decimal-literal HALF_UP (BigDecimal.valueOf semantics,
+      exact Decimal re-round on .5 boundaries), not numpy's half-even.
 
     Parity is pinned by tests/test_arrow_scorer.py::test_arrow_scorer_parity
     (every pair equal vs the HOF expression).  Rows with NULL embeddings
