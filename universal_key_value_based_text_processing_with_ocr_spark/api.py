@@ -999,6 +999,37 @@ def q_redirect_resolve(spark, sf_dir):
     return resolve_redirects(edges)
 
 
+def q_html_outline(spark, sf_dir):
+    """Heading-outline extraction with hierarchical parents: per-doc
+    synthetic HTML exercising a pre-h1 root (every 5th doc), a skipped
+    level (h1 -> h3), repeated h2 siblings, inner tags in titles, and a
+    deep h6 under the latest h2 (every 3rd doc).  The oracle re-parses
+    the SAME payloads in DuckDB (RE2) with the identical no-backref
+    regex and replays the six running-max window columns + greatest
+    sentinel logic — two window engines, identical trees."""
+    from .operators.tables import html_outline
+
+    docs = _tbl(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    html = F.concat(
+        F.when(did % 5 == 0, F.concat(F.lit("<h2>Pre "), ids, F.lit("</h2>"))).otherwise(F.lit("")),
+        F.lit("<h1>Doc "), ids, F.lit("</h1>"),
+        F.lit('<h3 id="a">Skip <em>'), ids, F.lit("</em></h3>"),
+        F.lit("<h2>Sec "), ids, F.lit("-A</h2>"),
+        F.lit("<h4>Deep "), ids, F.lit("</h4>"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit("<h2>Sec "), ids, F.lit("-B</h2><h6>Tiny "), ids, F.lit("</h6>")),
+        ).otherwise(F.lit("")),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://o.example/"), ids).alias("url"),
+        html.alias("html_str"),
+    )
+    return html_outline(pages)
+
+
 def q_bitext_mine(spark, sf_dir):
     """Margin-based bitext mining (LASER/CCMatrix): deterministic parity
     split of the embeddings table into a src/tgt 'language' pair, ratio
@@ -2751,6 +2782,7 @@ QUERIES = {
     "bitext_mine": q_bitext_mine,
     "feed_parse": q_feed_parse,
     "redirect_resolve": q_redirect_resolve,
+    "html_outline": q_html_outline,
 }
 
 
@@ -6675,4 +6707,65 @@ ORACLE_SQL["redirect_resolve"] = r"""
            t.hops AS hops,
            t.src IS NOT NULL AS resolved
     FROM f LEFT JOIN term t ON f.src = t.src
+"""
+
+# heading outline: the oracle re-parses the SAME constructed payloads with
+# the identical no-backreference regex (RE2-safe) and replays the running-
+# max window + greatest(-1 sentinel) parent rule; DuckDB's regexp_replace
+# needs the explicit 'g' flag to match Spark's global default.
+ORACLE_SQL["html_outline"] = r"""
+    WITH d AS (
+        SELECT 'https://o.example/' || CAST(doc_id AS VARCHAR) AS url,
+               (CASE WHEN doc_id % 5 = 0
+                     THEN '<h2>Pre ' || CAST(doc_id AS VARCHAR) || '</h2>'
+                     ELSE '' END)
+               || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'
+               || '<h3 id="a">Skip <em>' || CAST(doc_id AS VARCHAR) || '</em></h3>'
+               || '<h2>Sec ' || CAST(doc_id AS VARCHAR) || '-A</h2>'
+               || '<h4>Deep ' || CAST(doc_id AS VARCHAR) || '</h4>'
+               || (CASE WHEN doc_id % 3 = 0
+                        THEN '<h2>Sec ' || CAST(doc_id AS VARCHAR) || '-B</h2><h6>Tiny '
+                             || CAST(doc_id AS VARCHAR) || '</h6>'
+                        ELSE '' END) AS html_str
+        FROM documents
+    ),
+    lists AS (
+        SELECT url, regexp_extract_all(html_str, '(?is)<h[1-6][^>]*>.*?</h[1-6]>', 0) AS hs
+        FROM d
+    ),
+    heads AS (
+        SELECT url,
+               CAST(generate_subscripts(hs, 1) - 1 AS INT) AS pos,
+               unnest(hs) AS h
+        FROM lists
+    ),
+    typed AS (
+        SELECT url, pos,
+               CAST(regexp_extract(h, '(?i)^<h([1-6])', 1) AS INT) AS level,
+               trim(regexp_replace(
+                   regexp_extract(h, '(?is)^<h[1-6][^>]*>(.*?)</h[1-6]>$', 1),
+                   '<[^>]*>', '', 'g')) AS title
+        FROM heads
+    ),
+    lasts AS (
+        SELECT url, pos, level, title,
+               coalesce(max(CASE WHEN level = 1 THEN pos END) OVER w, -1) AS l1,
+               coalesce(max(CASE WHEN level = 2 THEN pos END) OVER w, -1) AS l2,
+               coalesce(max(CASE WHEN level = 3 THEN pos END) OVER w, -1) AS l3,
+               coalesce(max(CASE WHEN level = 4 THEN pos END) OVER w, -1) AS l4,
+               coalesce(max(CASE WHEN level = 5 THEN pos END) OVER w, -1) AS l5
+        FROM typed
+        WINDOW w AS (PARTITION BY url ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT url, pos, level, title,
+           CAST(nullif(CASE level
+                WHEN 1 THEN -1
+                WHEN 2 THEN l1
+                WHEN 3 THEN greatest(l1, l2)
+                WHEN 4 THEN greatest(l1, l2, l3)
+                WHEN 5 THEN greatest(l1, l2, l3, l4)
+                WHEN 6 THEN greatest(l1, l2, l3, l4, l5)
+           END, -1) AS INT) AS parent_pos
+    FROM lasts
 """

@@ -48,6 +48,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window
 
 #: fan-out caps, applied with ``slice`` before each posexplode (document
 #: order keeps the FIRST n, like every other cap in this engine).
@@ -147,3 +148,77 @@ def tables_to_markdown(
         f"ELSE array({line}) END)))"
     )
     return g.select(*ids, "table_idx", "n_rows", md.alias("markdown"))
+
+
+def html_outline(
+    pages: DataFrame, html_col: str = "html_str", url_col: str = "url"
+) -> DataFrame:
+    """Heading outline with hierarchical parents: every ``<h1>``-``<h6>``
+    in document order as (url, pos, level, title, parent_pos), where
+    ``parent_pos`` is the NEAREST PRECEDING heading of a strictly lower
+    level (NULL for roots) — the section tree a RAG chunker or a
+    document-structure model needs, which flat token chunking
+    (``textstats.chunk_documents``) cannot see.
+
+    The classic stack algorithm, declaratively: six running-max window
+    columns over ONE (url, pos) distribution track "last position of a
+    level-l heading so far" (frame = unbounded preceding to 1 preceding),
+    and the parent is ``greatest`` of the levels below mine — a CASE over
+    six codegen'd columns, never a self-join or a UDF.  Skipped levels
+    (h1 -> h3 with no h2), repeated levels, and documents that never open
+    with h1 all fall out of the same rule; the level-2-before-any-h1 case
+    is a root.  NULL bookkeeping crosses engines via a -1 sentinel
+    (DuckDB's greatest() propagates NULL where Spark's skips it).
+
+    The heading regex avoids backreferences (``</h[1-6]>`` not
+    ``</h\\1>``): Spark's Java regex supports them but the oracle's RE2
+    does not — mismatched open/close levels are a decode-layer concern
+    and the shared pattern keeps both engines on identical spans.  Inner
+    tags are stripped from titles, whitespace trimmed.
+
+    Plan: codegen regex projection + ONE posexplode + ONE url-key window
+    exchange.  At 10^12 pages the exchange key is the url the table is
+    bucketed by — co-located, no extra shuffle.
+    """
+    pat = r"(?is)<h[1-6][^>]*>.*?</h[1-6]>"
+    x = F.coalesce(F.col(html_col), F.lit(""))
+    heads = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.expr(
+                f"regexp_extract_all({html_col}, '{pat}', 0)".replace(
+                    html_col, "coalesce(" + html_col + ", '')"
+                )
+            )
+        ).alias("pos", "_h"),
+    )
+    h = F.col("_h")
+    level = F.regexp_extract(h, r"(?i)^<h([1-6])", 1).cast("int")
+    title = F.trim(F.regexp_replace(F.regexp_extract(h, r"(?is)^<h[1-6][^>]*>(.*?)</h[1-6]>$", 1), r"<[^>]*>", ""))
+    typed = heads.select("url", "pos", level.alias("level"), title.alias("title"))
+
+    w = (
+        Window.partitionBy("url")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last = [
+        F.coalesce(
+            F.max(F.when(F.col("level") == l, F.col("pos"))).over(w), F.lit(-1)
+        ).alias(f"_l{l}")
+        for l in range(1, 6)
+    ]
+    typed = typed.select("url", "pos", "level", "title", *last)
+    parent = F.when(F.col("level") == 1, F.lit(None).cast("int"))
+    for lv in range(2, 7):
+        cand = F.greatest(*[F.col(f"_l{l}") for l in range(1, lv)]) if lv > 2 else F.col("_l1")
+        parent = parent.when(
+            F.col("level") == lv, F.nullif(cand, F.lit(-1)).cast("int")
+        )
+    return typed.select(
+        "url",
+        "pos",
+        "level",
+        "title",
+        parent.alias("parent_pos"),
+    )
