@@ -62,3 +62,43 @@ def test_case_insensitive_and_multiline(spark):  # noqa: F811
         ("u", 0, 2, "Upper\nCase", None),
         ("u", 1, 3, "next", 0),
     ]
+
+
+# ---------------------------------------------------------------------------
+# section_chunks
+# ---------------------------------------------------------------------------
+
+
+def _chunks(spark, rows):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.tables import (
+        section_chunks,
+    )
+
+    df = spark.createDataFrame(rows, schema="url string, html_str string")
+    return [
+        (r.url, r.pos, r.level, r.title, r.text)
+        for r in section_chunks(df).orderBy("url", "pos").collect()
+    ]
+
+
+def test_section_chunks_basic(spark):  # noqa: F811
+    html = (
+        "intro text <h1>T</h1><p>body A</p><h2>S</h2>body <b>B</b>"
+        "<h2>E</h2>"
+    )
+    assert _chunks(spark, [("u", html)]) == [
+        ("u", -1, None, None, "intro text"),
+        ("u", 0, 1, "T", "body A"),
+        ("u", 1, 2, "S", "body B"),
+        ("u", 2, 2, "E", ""),  # back-to-back/tail heading keeps its row
+    ]
+
+
+def test_section_chunks_no_preamble_row_when_empty(spark):  # noqa: F811
+    got = _chunks(spark, [("u", "<h1>T</h1>tail")])
+    assert got == [("u", 0, 1, "T", "tail")]
+
+
+def test_section_chunks_null_and_headless(spark):  # noqa: F811
+    got = _chunks(spark, [("a", None), ("b", "just <i>prose</i>")])
+    assert got == [("b", -1, None, None, "just prose")]

@@ -1030,6 +1030,31 @@ def q_html_outline(spark, sf_dir):
     return html_outline(pages)
 
 
+def q_section_chunks(spark, sf_dir):
+    """Heading-aligned section text: payloads with a preamble (every 7th
+    doc), inner-tag prose bodies, an EMPTY section (back-to-back
+    headings), and a tail section.  The oracle splits the SAME payloads
+    with DuckDB's string_split_regex on the identical pattern and
+    re-derives every (pos, level, title, text) row."""
+    from .operators.tables import section_chunks
+
+    docs = _tbl(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    html = F.concat(
+        F.when(did % 7 == 0, F.concat(F.lit("Preamble "), ids, F.lit(" text. "))).otherwise(F.lit("")),
+        F.lit("<h1>Doc "), ids, F.lit("</h1><p>Intro body "), ids, F.lit(".</p>"),
+        F.lit("<h2>Sec "), ids, F.lit("-A</h2>Body <b>A"), ids, F.lit("</b> prose."),
+        F.lit("<h2>Sec "), ids, F.lit("-B</h2>"),
+        F.lit("<h3>Deep "), ids, F.lit("</h3><p>tail "), ids, F.lit("</p>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://s.example/"), ids).alias("url"),
+        html.alias("html_str"),
+    )
+    return section_chunks(pages)
+
+
 def q_bitext_mine(spark, sf_dir):
     """Margin-based bitext mining (LASER/CCMatrix): deterministic parity
     split of the embeddings table into a src/tgt 'language' pair, ratio
@@ -2783,6 +2808,7 @@ QUERIES = {
     "feed_parse": q_feed_parse,
     "redirect_resolve": q_redirect_resolve,
     "html_outline": q_html_outline,
+    "section_chunks": q_section_chunks,
 }
 
 
@@ -6768,4 +6794,48 @@ ORACLE_SQL["html_outline"] = r"""
                 WHEN 6 THEN greatest(l1, l2, l3, l4, l5)
            END, -1) AS INT) AS parent_pos
     FROM lasts
+"""
+
+# section chunks: the oracle splits the SAME constructed payloads with
+# string_split_regex on the identical no-backref pattern; segment i+1
+# follows heading i; preamble rows at pos -1 only when non-empty.
+ORACLE_SQL["section_chunks"] = r"""
+    WITH d AS (
+        SELECT 'https://s.example/' || CAST(doc_id AS VARCHAR) AS url,
+               (CASE WHEN doc_id % 7 = 0
+                     THEN 'Preamble ' || CAST(doc_id AS VARCHAR) || ' text. '
+                     ELSE '' END)
+               || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>Intro body '
+               || CAST(doc_id AS VARCHAR) || '.</p>'
+               || '<h2>Sec ' || CAST(doc_id AS VARCHAR) || '-A</h2>Body <b>A'
+               || CAST(doc_id AS VARCHAR) || '</b> prose.'
+               || '<h2>Sec ' || CAST(doc_id AS VARCHAR) || '-B</h2>'
+               || '<h3>Deep ' || CAST(doc_id AS VARCHAR) || '</h3><p>tail '
+               || CAST(doc_id AS VARCHAR) || '</p>' AS html_str
+        FROM documents
+    ),
+    lists AS (
+        SELECT url,
+               regexp_extract_all(html_str, '(?is)<h[1-6][^>]*>.*?</h[1-6]>', 0) AS hs,
+               string_split_regex(html_str, '(?is)<h[1-6][^>]*>.*?</h[1-6]>') AS ss
+        FROM d
+    ),
+    secs AS (
+        SELECT url,
+               CAST(generate_subscripts(hs, 1) - 1 AS INT) AS pos,
+               unnest(hs) AS h,
+               ss
+        FROM lists
+    )
+    SELECT url, pos,
+           CAST(regexp_extract(h, '(?i)^<h([1-6])', 1) AS INT) AS level,
+           trim(regexp_replace(
+               regexp_extract(h, '(?is)^<h[1-6][^>]*>(.*?)</h[1-6]>$', 1),
+               '<[^>]*>', '', 'g')) AS title,
+           trim(regexp_replace(ss[pos + 2], '<[^>]*>', '', 'g')) AS text
+    FROM secs
+    UNION ALL
+    SELECT url, -1, NULL, NULL, trim(regexp_replace(ss[1], '<[^>]*>', '', 'g'))
+    FROM lists
+    WHERE trim(regexp_replace(ss[1], '<[^>]*>', '', 'g')) <> ''
 """

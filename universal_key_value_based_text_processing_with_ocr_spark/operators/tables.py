@@ -222,3 +222,70 @@ def html_outline(
         "title",
         parent.alias("parent_pos"),
     )
+
+
+def section_chunks(
+    pages: DataFrame, html_col: str = "html_str", url_col: str = "url"
+) -> DataFrame:
+    """Heading-aligned section text: one row per heading carrying the
+    PROSE that follows it up to the next heading — (url, pos, level,
+    title, text) — plus a ``pos = -1`` preamble row for non-empty text
+    before the first heading (NULL level/title).  The section-granular
+    splitter a RAG index actually wants: :func:`html_outline` gives the
+    tree, ``textstats.chunk_documents`` gives flat token windows, this
+    gives the semantically-bounded units in between.
+
+    One codegen'd projection: the SAME no-backreference heading regex
+    (shared verbatim with html_outline and the RE2 oracle) drives BOTH
+    ``regexp_extract_all`` (the headings) and ``split`` (the segments
+    between them — segment i+1 follows heading i), zipped row-locally
+    and posexploded once; per-section text strips inner tags and trims.
+    Empty sections (back-to-back headings) keep their row with ''
+    text — the tree shape stays intact for consumers that join back to
+    the outline on (url, pos).  No shuffle at all.
+    """
+    pat = "(?is)<h[1-6][^>]*>.*?</h[1-6]>"
+    x = F.coalesce(F.col(html_col), F.lit(""))
+
+    def _clean(c):
+        return F.trim(F.regexp_replace(c, r"<[^>]*>", ""))
+
+    base = pages.select(
+        F.col(url_col).alias("url"),
+        F.expr(
+            f"regexp_extract_all(coalesce({html_col}, ''), '{pat}', 0)"
+        ).alias("_hs"),
+        F.split(x, pat).alias("_ss"),
+    )
+    sections = base.select(
+        "url",
+        F.posexplode(
+            F.arrays_zip(
+                F.col("_hs").alias("h"),
+                F.expr("slice(_ss, 2, size(_hs))").alias("s"),
+            )
+        ).alias("pos", "_z"),
+    ).select(
+        "url",
+        "pos",
+        F.regexp_extract(F.col("_z.h"), r"(?i)^<h([1-6])", 1)
+        .cast("int")
+        .alias("level"),
+        _clean(
+            F.regexp_extract(
+                F.col("_z.h"), r"(?is)^<h[1-6][^>]*>(.*?)</h[1-6]>$", 1
+            )
+        ).alias("title"),
+        _clean(F.col("_z.s")).alias("text"),
+    )
+    preamble = (
+        base.select(
+            "url",
+            F.lit(-1).alias("pos"),
+            F.lit(None).cast("int").alias("level"),
+            F.lit(None).cast("string").alias("title"),
+            _clean(F.element_at("_ss", 1)).alias("text"),
+        )
+        .filter(F.col("text") != "")
+    )
+    return sections.unionByName(preamble)
