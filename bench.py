@@ -200,7 +200,7 @@ def main() -> None:
         # doubling redirect canonicalisation; embedding_near_dup_lsh
         # joins the timed set now that its scoring is Arrow-vectorised)
         "feed_parse", "redirect_resolve", "embedding_near_dup_lsh",
-        "html_outline", "section_chunks",
+        "html_outline", "section_chunks", "page_directives",
     ]
 
     best: dict[str, float] = {}

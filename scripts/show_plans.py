@@ -160,6 +160,11 @@ def main() -> None:
         ("events_rolling_agg", "rolling RANGE-frame agg: TZ-free field-built microsecond key, one user_id exchange + per-key sort, RunningWindowFunction frame — no self-join, no bucket quantisation"),
         ("homoglyph_audit", "homoglyph audit: translate skeleton + class-strip count + mixed-script flag, ONE codegen'd projection over the scan"),
         ("events_pivot", "explicit-domain PIVOT: schema-on-read JSON projection -> ONE combinable groupBy with a 2x|domain|-cell aggregate buffer — no category-discovery scan, no join"),
+        ("feed_parse", "RSS/Atom feed parse: codegen'd regex projection + one explode per format, unioned — no UDF, no shuffle; fuses onto the feed scan"),
+        ("redirect_resolve", "redirect canonicalisation: POINTER DOUBLING — log2(cap) equi hash joins on the url key composing the src->next map (reach doubles, hops add exactly), edge-dedup agg map-side combinable; never a per-hop dependent chain, never a nested loop"),
+        ("html_outline", "heading outline: codegen regex projection + ONE posexplode + ONE url-key window exchange carrying six running-max columns; parent = greatest/CASE — no self-join, no UDF"),
+        ("section_chunks", "heading-aligned sections: the SAME regex drives extract_all AND split, zipped row-locally, one posexplode — ZERO exchanges"),
+        ("page_directives", "page-level directives: robots-meta token flags + row-local hreflang list in one codegen'd projection — zero exchanges, zero Python"),
     ]
     for name, note in named:
         sections.append((name, note, formatted(api.QUERIES[name](spark, SF))))

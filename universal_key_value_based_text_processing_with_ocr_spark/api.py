@@ -1055,6 +1055,44 @@ def q_section_chunks(spark, sf_dir):
     return section_chunks(pages)
 
 
+def q_page_directives(spark, sf_dir):
+    """Page-level crawl directives: four robots-meta shapes (double/
+    single quotes, both attribute orders, comma/space token lists, and
+    none) x three hreflang shapes (duplicated tags that must distinct,
+    attribute order flipped, none); the oracle re-extracts from the
+    SAME payloads with DuckDB regexp + list functions."""
+    from .operators.textstats import page_directives
+
+    docs = _tbl(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    robots = (
+        F.when(did % 4 == 0, F.lit('<meta name="robots" content="NOINDEX,follow">'))
+        .when(did % 4 == 1, F.lit('<meta content="index, nofollow" name="robots">'))
+        .when(did % 4 == 2, F.lit("<meta name='robots' content='noindex nofollow'>"))
+        .otherwise(F.lit(""))
+    )
+    links = (
+        F.when(
+            did % 3 == 0,
+            F.lit(
+                '<link rel="alternate" hreflang="en" href="/en">'
+                '<link rel="alternate" hreflang="DE-at" href="/de">'
+                '<link rel="alternate" hreflang="en" href="/en2">'
+            ),
+        )
+        .when(did % 3 == 1, F.lit('<link hreflang="fr" rel="alternate" href="/fr">'))
+        .otherwise(F.lit(""))
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://p.example/"), ids).alias("url"),
+        F.concat(F.lit("<html><head>"), robots, links, F.lit("</head></html>")).alias(
+            "html_str"
+        ),
+    )
+    return page_directives(pages)
+
+
 def q_bitext_mine(spark, sf_dir):
     """Margin-based bitext mining (LASER/CCMatrix): deterministic parity
     split of the embeddings table into a src/tgt 'language' pair, ratio
@@ -2809,6 +2847,7 @@ QUERIES = {
     "redirect_resolve": q_redirect_resolve,
     "html_outline": q_html_outline,
     "section_chunks": q_section_chunks,
+    "page_directives": q_page_directives,
 }
 
 
@@ -6838,4 +6877,45 @@ ORACLE_SQL["section_chunks"] = r"""
     SELECT url, -1, NULL, NULL, trim(regexp_replace(ss[1], '<[^>]*>', '', 'g'))
     FROM lists
     WHERE trim(regexp_replace(ss[1], '<[^>]*>', '', 'g')) <> ''
+"""
+
+# page directives: the oracle re-extracts robots-meta + hreflang from the
+# SAME constructed payloads (regexp_extract per quote/order variant, token
+# regex on the lowered content, list_sort(list_distinct(lower)) tags).
+ORACLE_SQL["page_directives"] = r"""
+    WITH d AS (
+        SELECT 'https://p.example/' || CAST(doc_id AS VARCHAR) AS url,
+               '<html><head>'
+               || (CASE doc_id % 4
+                   WHEN 0 THEN '<meta name="robots" content="NOINDEX,follow">'
+                   WHEN 1 THEN '<meta content="index, nofollow" name="robots">'
+                   WHEN 2 THEN '<meta name=''robots'' content=''noindex nofollow''>'
+                   ELSE '' END)
+               || (CASE doc_id % 3
+                   WHEN 0 THEN '<link rel="alternate" hreflang="en" href="/en">'
+                            || '<link rel="alternate" hreflang="DE-at" href="/de">'
+                            || '<link rel="alternate" hreflang="en" href="/en2">'
+                   WHEN 1 THEN '<link hreflang="fr" rel="alternate" href="/fr">'
+                   ELSE '' END)
+               || '</head></html>' AS html_str
+        FROM documents
+    ),
+    ex AS (
+        SELECT url,
+               lower(coalesce(
+                   nullif(regexp_extract(html_str, '(?i)<meta\s[^>]*name="robots"[^>]*\scontent="([^"]*)"', 1), ''),
+                   nullif(regexp_extract(html_str, '(?i)<meta\s[^>]*content="([^"]*)"[^>]*\sname="robots"', 1), ''),
+                   nullif(regexp_extract(html_str, '(?i)<meta\s[^>]*name=''robots''[^>]*\scontent=''([^'']*)''', 1), ''),
+                   '')) AS robots,
+               list_sort(list_distinct(list_transform(
+                   regexp_extract_all(html_str, '(?i)<link\s[^>]*hreflang="([^"]*)"[^>]*>', 1),
+                   x -> lower(x)))) AS langs
+        FROM d
+    )
+    SELECT url,
+           regexp_matches(robots, '(^|[,\s])noindex([,\s]|$)') AS noindex,
+           regexp_matches(robots, '(^|[,\s])nofollow([,\s]|$)') AS nofollow,
+           langs AS hreflang_langs,
+           CAST(len(langs) AS INT) AS n_alternates
+    FROM ex
 """

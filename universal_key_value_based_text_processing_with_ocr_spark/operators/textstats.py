@@ -2477,3 +2477,56 @@ def homoglyph_audit(docs: DataFrame) -> DataFrame:
         .alias("is_mixed"),
         F.translate(t, CONFUSABLE_SOURCE, CONFUSABLE_LATIN).alias("skeleton"),
     )
+
+
+def page_directives(
+    df: DataFrame, html_col: str = "html_str", url_col: str = "url"
+) -> DataFrame:
+    """Page-level crawl directives: (url, noindex, nofollow,
+    hreflang_langs, n_alternates) — what the PAGE says about itself, the
+    companion to robots.txt's host-level gate (``robots.apply_robots``).
+
+    - ``noindex`` / ``nofollow`` from ``<meta name="robots">`` (either
+      attribute order, either quote style, token match inside the
+      comma-separated content list) — corpora drop noindex pages the
+      same way they drop robots-disallowed fetches;
+    - ``hreflang_langs``: the sorted-distinct language tags of
+      any ``<link>`` carrying an ``hreflang`` attribute — the page's declared
+      translation cluster, THE join key for cross-lingual dedup /
+      bitext candidate mining (pairs with identical clusters feed
+      ``similarity.bitext_margin_mine``);
+    - ``n_alternates``: how many hreflang alternates the page declares.
+
+    One codegen'd regex projection over the scan — no UDF, no explode
+    into a shuffle (the hreflang list is row-local), no exchange.
+    """
+    h = F.coalesce(F.col(html_col), F.lit(""))
+
+    def _robots_has(token: str) -> F.Column:
+        content = F.coalesce(
+            *[
+                F.nullif(F.regexp_extract(h, p, 1), F.lit(""))
+                for p in (
+                    r'(?i)<meta\s[^>]*name="robots"[^>]*\scontent="([^"]*)"',
+                    r'(?i)<meta\s[^>]*content="([^"]*)"[^>]*\sname="robots"',
+                    r"(?i)<meta\s[^>]*name='robots'[^>]*\scontent='([^']*)'",
+                )
+            ],
+            F.lit(""),
+        )
+        # token match within the comma/space-separated directive list
+        return F.lower(content).rlike(rf"(^|[,\s]){token}([,\s]|$)")
+
+    langs = F.expr(
+        f"""array_sort(array_distinct(transform(
+            regexp_extract_all(coalesce({html_col}, ''),
+                '(?i)<link\\\\s[^>]*hreflang="([^"]*)"[^>]*>', 1),
+            x -> lower(x))))"""
+    )
+    return df.select(
+        F.col(url_col).alias("url"),
+        _robots_has("noindex").alias("noindex"),
+        _robots_has("nofollow").alias("nofollow"),
+        langs.alias("hreflang_langs"),
+        F.size(langs).alias("n_alternates"),
+    )
