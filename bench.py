@@ -201,6 +201,7 @@ def main() -> None:
         # joins the timed set now that its scoring is Arrow-vectorised)
         "feed_parse", "redirect_resolve", "embedding_near_dup_lsh",
         "html_outline", "section_chunks", "page_directives",
+        "jsonld_extract",
     ]
 
     best: dict[str, float] = {}

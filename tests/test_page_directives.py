@@ -51,3 +51,37 @@ def test_hreflang_distinct_sorted_lowercased(spark):  # noqa: F811
     got = _rows(spark, [("a", html)])
     assert got["a"][2] == ["de", "en-us"]
     assert got["a"][3] == 2
+
+
+# ---------------------------------------------------------------------------
+# jsonld_extract
+# ---------------------------------------------------------------------------
+
+
+def test_jsonld_valid_malformed_and_missing(spark):  # noqa: F811
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.tables import (
+        jsonld_extract,
+    )
+
+    rows = [
+        (
+            "u1",
+            '<script type="application/ld+json">{"@type":"Article",'
+            '"headline":"Big","datePublished":"2024-01-02",'
+            '"author":{"name":"Ann"}}</script>'
+            '<script type="application/ld+json">{broken</script>'
+            "<script type='application/ld+json'>{\"headline\":\"Q\"}</script>",
+        ),
+        ("u2", "<script type=\"text/javascript\">var x = 1;</script>"),
+        ("u3", None),
+    ]
+    df = spark.createDataFrame(rows, schema="url string, html_str string")
+    got = [
+        (r.url, r.pos, r.valid, r.ld_type, r.headline, r.date_published, r.author_name)
+        for r in jsonld_extract(df).orderBy("url", "pos").collect()
+    ]
+    assert got == [
+        ("u1", 0, True, "Article", "Big", "2024-01-02", "Ann"),
+        ("u1", 1, False, None, None, None, None),   # malformed row STAYS
+        ("u1", 2, True, None, "Q", None, None),     # single-quoted type attr
+    ]

@@ -1093,6 +1093,46 @@ def q_page_directives(spark, sf_dir):
     return page_directives(pages)
 
 
+def q_jsonld_extract(spark, sf_dir):
+    """JSON-LD mining: per-doc payloads with a valid Article block
+    (nested author), a MALFORMED block every 4th doc (truncated JSON —
+    valid=false row must stay), a minimal typeless block every 3rd doc,
+    and none on the rest; oracle re-extracts with DuckDB regexp + the
+    json_valid-guarded json_extract_string on identical paths."""
+    from .operators.tables import jsonld_extract
+
+    docs = _tbl(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    day = F.lpad(((did % 27) + 1).cast("string"), 2, "0")
+    article = F.concat(
+        F.lit('<script type="application/ld+json">{"@type":"Article","headline":"Story '),
+        ids,
+        F.lit('","datePublished":"2024-01-'),
+        day,
+        F.lit('","author":{"name":"Writer '),
+        ids,
+        F.lit('"}}</script>'),
+    )
+    broken = F.when(
+        did % 4 == 0,
+        F.concat(
+            F.lit('<script type="application/ld+json">{"@type":"Brk'),
+            ids,
+            F.lit("</script>"),
+        ),
+    ).otherwise(F.lit(""))
+    minimal = F.when(
+        did % 3 == 0,
+        F.concat(F.lit('<script type="application/ld+json">{"headline":"Min '), ids, F.lit('"}</script>')),
+    ).otherwise(F.lit(""))
+    pages = docs.select(
+        F.concat(F.lit("https://j.example/"), ids).alias("url"),
+        F.concat(F.lit("<html>"), article, broken, minimal, F.lit("</html>")).alias("html_str"),
+    )
+    return jsonld_extract(pages)
+
+
 def q_bitext_mine(spark, sf_dir):
     """Margin-based bitext mining (LASER/CCMatrix): deterministic parity
     split of the embeddings table into a src/tgt 'language' pair, ratio
@@ -2848,6 +2888,7 @@ QUERIES = {
     "html_outline": q_html_outline,
     "section_chunks": q_section_chunks,
     "page_directives": q_page_directives,
+    "jsonld_extract": q_jsonld_extract,
 }
 
 
@@ -6918,4 +6959,47 @@ ORACLE_SQL["page_directives"] = r"""
            langs AS hreflang_langs,
            CAST(len(langs) AS INT) AS n_alternates
     FROM ex
+"""
+
+# JSON-LD mining: same regex, json_valid-guarded extraction on identical
+# paths — both engines NULL the same malformed blocks, rows preserved.
+ORACLE_SQL["jsonld_extract"] = r"""
+    WITH d AS (
+        SELECT 'https://j.example/' || CAST(doc_id AS VARCHAR) AS url,
+               '<html>'
+               || '<script type="application/ld+json">{"@type":"Article","headline":"Story '
+               || CAST(doc_id AS VARCHAR)
+               || '","datePublished":"2024-01-'
+               || lpad(CAST((doc_id % 27) + 1 AS VARCHAR), 2, '0')
+               || '","author":{"name":"Writer ' || CAST(doc_id AS VARCHAR) || '"}}</script>'
+               || (CASE WHEN doc_id % 4 = 0
+                   THEN '<script type="application/ld+json">{"@type":"Brk'
+                        || CAST(doc_id AS VARCHAR) || '</script>'
+                   ELSE '' END)
+               || (CASE WHEN doc_id % 3 = 0
+                   THEN '<script type="application/ld+json">{"headline":"Min '
+                        || CAST(doc_id AS VARCHAR) || '"}</script>'
+                   ELSE '' END)
+               || '</html>' AS html_str
+        FROM documents
+    ),
+    lists AS (
+        SELECT url,
+               regexp_extract_all(html_str,
+                   '(?is)<script[^>]*type=.application/ld\+json.[^>]*>(.*?)</script>', 1) AS js
+        FROM d
+    ),
+    blocks AS (
+        SELECT url,
+               CAST(generate_subscripts(js, 1) - 1 AS INT) AS pos,
+               trim(unnest(js)) AS j
+        FROM lists
+    )
+    SELECT url, pos,
+           json_valid(j) AS valid,
+           CASE WHEN json_valid(j) THEN json_extract_string(j, '$."@type"') END AS ld_type,
+           CASE WHEN json_valid(j) THEN json_extract_string(j, '$.headline') END AS headline,
+           CASE WHEN json_valid(j) THEN json_extract_string(j, '$.datePublished') END AS date_published,
+           CASE WHEN json_valid(j) THEN json_extract_string(j, '$.author.name') END AS author_name
+    FROM blocks
 """

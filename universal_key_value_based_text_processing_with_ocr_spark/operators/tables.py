@@ -289,3 +289,46 @@ def section_chunks(
         .filter(F.col("text") != "")
     )
     return sections.unionByName(preamble)
+
+
+def jsonld_extract(
+    pages: DataFrame, html_col: str = "html_str", url_col: str = "url"
+) -> DataFrame:
+    """Embedded JSON-LD structured data (schema.org) -> typed rows: one
+    row per ``<script type="application/ld+json">`` block as (url, pos,
+    valid, ld_type, headline, date_published, author_name) — the
+    highest-precision metadata a crawl carries (news articles, products,
+    recipes declare type/headline/date/author here), mined by every
+    curation pipeline that wants publication dates or authorship
+    without guessing from prose.
+
+    Malformed JSON (truncated blocks, trailing commas, HTML comments
+    inside the script) yields ``valid=false`` with NULL fields — the
+    row STAYS so block counts survive for per-host quality audits;
+    field extraction is Spark's codegen'd ``get_json_object`` (JsonPath
+    ``$['@type']`` for the @-key), never a Python json.loads.  The
+    DuckDB oracle guards the same paths behind ``json_valid`` — both
+    engines NULL the same blocks.
+
+    Plan: regex projection + ONE posexplode + JSON-path projection, all
+    fused on the scan — no UDF, no exchange.
+    """
+    pat = r"(?is)<script[^>]*type=.application/ld\\+json.[^>]*>(.*?)</script>"
+    blocks = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.expr(
+                f"regexp_extract_all(coalesce({html_col}, ''), '{pat}', 1)"
+            )
+        ).alias("pos", "_j"),
+    )
+    j = F.trim(F.col("_j"))
+    return blocks.select(
+        "url",
+        "pos",
+        F.get_json_object(j, "$").isNotNull().alias("valid"),
+        F.get_json_object(j, "$['@type']").alias("ld_type"),
+        F.get_json_object(j, "$.headline").alias("headline"),
+        F.get_json_object(j, "$.datePublished").alias("date_published"),
+        F.get_json_object(j, "$.author.name").alias("author_name"),
+    )
