@@ -413,7 +413,10 @@ lineage (plans.run_extraction_job, fresh table per run):
     else " — short of the 0.8 target AT THIS CORPUS SIZE purely through the"
     " sink's constant per-job cost (the stage criterion above is green);"
     " the amortised larger-corpus measurement below is the"
-    " criterion-relevant one."}
+    " criterion-relevant one."
+    if isinstance(job_eff_2_8, float)
+    else " — not measured in this accumulation (a level is missing);"
+    " re-run without SPARK_GRAFT_SCALING_LEVELS focus to record it."}
 {job_48k_block}
 ## Skewed-corpus scaling (adversarial key distribution)
 

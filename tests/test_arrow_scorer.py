@@ -233,3 +233,70 @@ def test_bitext_margin_unchanged_by_arrow_swap(spark):  # noqa: F811
     # and margins are positive finite
     for tgt_id, cos, margin in rows.values():
         assert margin is not None and margin > 0
+
+
+def test_arrow_scorer_null_element_rows_dropped(spark):  # noqa: F811
+    """A NULL ELEMENT inside an embedding must behave like the HOF form's
+    NULL cos (pair filtered) — never a garbage INT64_MIN micro-unit."""
+    src = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, None)], schema=SCHEMA
+    )
+    tgt = spark.createDataFrame(
+        [(10, [4.0, None, 6.0]), (11, [1.0, 1.0, 1.0])], schema=SCHEMA
+    )
+    got = _pairs(similarity.arrow_cosine_scored(src, tgt))
+    assert set(got) == {(0, 11)}
+    assert all(v > -(10**15) for v in got.values())
+
+
+def test_arrow_scorer_ragged_lengths_dropped(spark):  # noqa: F811
+    """Rows whose length differs from the tgt side's first row drop (the
+    expression form NULLed their cos via zip_with padding) — no crash."""
+    src = [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0])]
+    tgt = [(10, [1.0, 0.0, 0.0]), (11, [0.5, 0.5])]
+    got = _pairs(similarity.arrow_cosine_scored(_df(spark, src), _df(spark, tgt)))
+    assert set(got) == {(0, 10)}
+
+
+def test_pair_cosine_null_element_and_ragged(spark):  # noqa: F811
+    """pair_cosine: NULL element or unequal lengths -> NULL (filtered by
+    every consumer's >= threshold predicate), grouped-by-dim batches
+    still score, no crash."""
+    rows = [
+        (0, [1.0, 0.0], [1.0, 0.0]),          # clean: cos 1
+        (1, [1.0, None], [1.0, 1.0]),         # null element -> NULL
+        (2, [1.0, 2.0, 2.0], [1.0, 2.0]),     # ragged -> NULL
+        (3, [2.0, 0.0, 0.0], [2.0, 0.0, 0.0]),  # different dim, still scores
+    ]
+    df = spark.createDataFrame(rows, schema="id long, a array<float>, b array<float>")
+    pc = similarity.pair_cosine(6)
+    got = {r.id: r.c for r in df.select("id", pc(F.col("a"), F.col("b")).alias("c")).collect()}
+    assert got[0] == 1.0 and got[3] == 1.0
+    assert got[1] is None and got[2] is None
+
+
+def test_char_shingles_flush_bound(spark, monkeypatch):  # noqa: F811
+    """Long documents must stream through the bounded flush (multiple
+    yields per Arrow batch, forced via a tiny SHINGLE_FLUSH_ROWS) with
+    output identical to the expression form."""
+    import universal_key_value_based_text_processing_with_ocr_spark.operators.dedup as dedup_mod
+
+    monkeypatch.setattr(dedup_mod, "SHINGLE_FLUSH_ROWS", 500)
+    text = "".join(chr(97 + (i * 7 + i // 26) % 26) for i in range(3000))
+    rows = [(i, text[i % 7 :]) for i in range(20)]  # ~60k shingles total
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    expr_form = df.filter(F.length("text") >= 10).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, length(text) - 9),"
+                " i -> substring(text, i, 10)))"
+            )
+        ).alias("shingle"),
+    )
+    got = sorted(
+        (r.doc_id, r.shingle)
+        for r in dedup_mod.char_shingles(df, 10).collect()
+    )
+    exp = sorted((r.doc_id, r.shingle) for r in expr_form.collect())
+    assert got == exp

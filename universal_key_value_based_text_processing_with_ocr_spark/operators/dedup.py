@@ -64,6 +64,11 @@ def incremental_dedup(new_docs: DataFrame, committed_docs: DataFrame) -> DataFra
     )
 
 
+#: output-buffer bound for the Arrow shingler (shingles per yield) —
+#: caps Python-side peak memory regardless of document length
+SHINGLE_FLUSH_ROWS = 200_000
+
+
 def char_shingles(docs: DataFrame, n: int = 10, extra_cols: tuple = ()) -> DataFrame:
     """Distinct character n-gram shingles per document.
 
@@ -97,9 +102,20 @@ def char_shingles(docs: DataFrame, n: int = 10, extra_cols: tuple = ()) -> DataF
     )
     cols = ["doc_id", *extras, "text"]
 
+    # Flush the output buffer every SHINGLE_FLUSH_ROWS shingles: an Arrow
+    # input batch of LONG documents (50 KB text -> ~50k shingles each x
+    # 10k rows) would otherwise materialise the whole fan-out in Python
+    # lists before one giant yield — the JVM explode this replaced
+    # streamed with per-row peak memory, and so must this.
+    flush_rows = SHINGLE_FLUSH_ROWS
+
     def gen(it):
+        def _empty() -> dict:
+            return {f.name: [] for f in out_schema.fields}
+
         for pdf in it:
-            data: dict = {f.name: [] for f in out_schema.fields}
+            data = _empty()
+            buffered = 0
             for vals in zip(*(pdf[c] for c in cols)):
                 did, *ex, t = vals
                 if t is None or len(t) < n:
@@ -110,7 +126,13 @@ def char_shingles(docs: DataFrame, n: int = 10, extra_cols: tuple = ()) -> DataF
                 for c, v in zip(extras, ex):
                     data[c].extend([v] * k)
                 data["shingle"].extend(seen.keys())
-            yield pd.DataFrame(data)
+                buffered += k
+                if buffered >= flush_rows:
+                    yield pd.DataFrame(data)
+                    data = _empty()
+                    buffered = 0
+            if buffered:
+                yield pd.DataFrame(data)
 
     return docs.select(*cols).mapInPandas(gen, out_schema)
 

@@ -91,15 +91,24 @@ def _guard_quadratic(df: DataFrame, max_rows: int, allow: bool, sibling: str) ->
         )
 
 
+def _np_fold_dot(A, B):
+    """Row-wise dot products with the exact left-fold IEEE order of
+    ``aggregate(zip_with(a,b,x*y), 0.0, acc+v)`` — THE bit-parity
+    invariant every Arrow scorer shares; keep exactly one copy."""
+    import numpy as np
+
+    acc = np.zeros(A.shape[0])
+    for i in range(A.shape[1]):
+        acc = acc + A[:, i] * B[:, i]
+    return acc
+
+
 def _np_fold_norm(A):
     """Row norms with the exact left-fold IEEE order of
     ``sqrt(aggregate(zip_with(a,a,x*y),0.0,acc+v))``."""
     import numpy as np
 
-    acc = np.zeros(A.shape[0])
-    for i in range(A.shape[1]):
-        acc = acc + A[:, i] * A[:, i]
-    return np.sqrt(acc)
+    return np.sqrt(_np_fold_dot(A, A))
 
 
 def _np_round_half_up(x, scale: int):
@@ -170,29 +179,57 @@ def arrow_cosine_scored(
       exact Decimal re-round on .5 boundaries), not numpy's half-even.
 
     Parity is pinned by tests/test_arrow_scorer.py::test_arrow_scorer_parity
-    (every pair equal vs the HOF expression).  Rows with NULL embeddings
-    are dropped up front on both sides — the expression form propagates
-    NULL cos for them and every downstream consumer filters those out, so
-    the output is identical (see bitext_margin_mine's margin-NULL filter).
+    (every pair equal vs the HOF expression).  Dropped-row contract: NULL
+    embeddings, embeddings containing NULL elements, and rows whose
+    length differs from the tgt side's first row are dropped on both
+    sides — the expression form propagates NULL cos for all of those
+    (NULL dot, or zip_with length padding) and every downstream consumer
+    filters NULL cos, so the emitted pairs are identical.  The one
+    DOCUMENTED DIVERGENCE: embeddings containing a literal NaN float
+    (which Arrow makes indistinguishable from a NULL element) got a
+    degenerate cos_u=0 from the JVM's NaN->long cast; they are dropped
+    here instead.
 
-    Scale shape: the tgt side is collected and broadcast (this is the
-    quadratic-guarded small-N scorer — callers guard first; at corpus scale
-    the ANN family supplies shortlists instead), the src side streams
-    through mapInPandas in Arrow batches, each task emitting its
-    (batch x tgt) score block.  One narrow stage, no shuffle.
+    EAGER at construction: the tgt side is collected and broadcast when
+    the DataFrame is BUILT, not at the first action — the same
+    construction-time cost profile as the `_guard_quadratic` count()
+    every caller already runs.  Scale shape: this is the
+    quadratic-guarded small-N scorer (at corpus scale the ANN family
+    supplies shortlists instead); the src side streams through
+    mapInPandas in Arrow batches, each task emitting its (batch x tgt)
+    score block.  One narrow stage, no shuffle.
     """
     import numpy as np
 
     _fold_norm = _np_fold_norm
     _round_half_up = _np_round_half_up
 
+    # NULL ELEMENTS inside an array arrive over Arrow as NaN,
+    # indistinguishable from a literal NaN float — drop both up front
+    # (Spark-side for the src stream, post-collect for tgt).  The
+    # expression form gave such pairs NULL cos (every consumer filters
+    # those); literal-NaN embeddings got a degenerate 0 from the
+    # NaN->long cast — dropping them too is the documented divergence.
+    def _clean(side: DataFrame) -> DataFrame:
+        return side.filter(
+            F.col("embedding").isNotNull()
+            & ~F.exists("embedding", lambda x: x.isNull())
+        ).select("vec_id", "embedding")
+
     spark = src.sparkSession
-    tgt_rows = tgt.filter(F.col("embedding").isNotNull()).select(
-        "vec_id", "embedding"
-    ).collect()
+    tgt_rows = _clean(tgt).collect()
     out_schema = f"{id_a} long, {id_b} long, cos_u long"
+    tgt_rows = [
+        r
+        for r in tgt_rows
+        if len(r.embedding) and all(v == v for v in r.embedding)
+    ]
     if not tgt_rows:
         return spark.createDataFrame([], out_schema)
+    # dimension = the first tgt row's; rows of any other length are
+    # dropped (the expression form's zip_with padding NULLed their cos)
+    dim = len(tgt_rows[0].embedding)
+    tgt_rows = [r for r in tgt_rows if len(r.embedding) == dim]
     B = np.array([r.embedding for r in tgt_rows], dtype=np.float64)
     tids = np.array([r.vec_id for r in tgt_rows], dtype=np.int64)
     order = np.argsort(tids)
@@ -213,8 +250,17 @@ def arrow_cosine_scored(
         for pdf in it:
             if not len(pdf):
                 continue
-            A = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            sids = pdf["vec_id"].to_numpy(np.int64)
+            embs = pdf["embedding"].tolist()
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            keep = [
+                i
+                for i, e in enumerate(embs)
+                if len(e) == d and not np.isnan(e).any()
+            ]
+            if not keep:
+                continue
+            A = np.array([embs[i] for i in keep], dtype=np.float64)
+            sids = ids[keep]
             na = _fold_norm(A)
             if np.any(na == 0.0):
                 # ANSI parity: the JVM expression form raises
@@ -224,6 +270,8 @@ def arrow_cosine_scored(
                     f"(vec_id={int(sids[np.argmax(na == 0.0)])}): "
                     "cosine undefined"
                 )
+            # the (batch x tgt) BLOCK form of _np_fold_dot's left fold —
+            # same IEEE accumulation order per pair, outer-product shaped
             acc = np.zeros((A.shape[0], B_.shape[0]))
             for i in range(d):  # left fold == aggregate(zip_with(...))
                 acc = acc + A[:, i : i + 1] * B_[None, :, i]
@@ -239,11 +287,7 @@ def arrow_cosine_scored(
                 }
             )
 
-    return (
-        src.filter(F.col("embedding").isNotNull())
-        .select("vec_id", "embedding")
-        .mapInPandas(score_blocks, out_schema)
-    )
+    return _clean(src).mapInPandas(score_blocks, out_schema)
 
 
 def embedding_near_dup(
@@ -412,35 +456,57 @@ def pair_cosine(scale: int = 6):
     Returns a pandas UDF ``(array, array) -> double`` bit-identical to
     ``round(dot(a,b)/(norm(a)*norm(b)), scale)`` in the JVM expression
     form: the dot and norms accumulate as the same left fold over
-    dimensions, the rounding is :func:`_np_round_half_up` (BigDecimal
-    HALF_UP incl. the exact Decimal boundary path), NULL on either side
-    yields NULL (as the HOF dot does), and a zero-norm vector raises
-    like ANSI division.  Spark evaluates HOF lambdas interpreted
-    (~7 µs/pair measured); this ships the pair frame once over Arrow and
-    does the arithmetic vectorised.
+    dimensions (:func:`_np_fold_dot` — the one shared copy of the
+    IEEE-order-critical loop), the rounding is :func:`_np_round_half_up`
+    (BigDecimal HALF_UP incl. the exact Decimal boundary path), a
+    zero-norm vector raises like ANSI division, and NULL comes back
+    where the HOF dot gave NULL: whole-NULL sides, pairs of unequal
+    length (zip_with padding), and pairs containing a NULL element.
+    The one DOCUMENTED DIVERGENCE: a literal NaN float (Arrow makes it
+    indistinguishable from a NULL element) produced cos=NaN in the JVM
+    form — and Spark evaluates ``NaN >= threshold`` as TRUE, so such
+    garbage pairs were EMITTED by the predicates; here they are NULL
+    and filtered.  Spark evaluates HOF lambdas interpreted (~7 µs/pair
+    measured); this ships the pair frame once over Arrow and does the
+    arithmetic vectorised.
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        valid = (a.notna() & b.notna()).to_numpy()
+        al = [None if x is None else np.asarray(x, dtype=np.float64) for x in a]
+        bl = [None if x is None else np.asarray(x, dtype=np.float64) for x in b]
+        valid = np.array(
+            [
+                x is not None
+                and y is not None
+                and len(x) == len(y)
+                and len(x) > 0
+                and not np.isnan(x).any()
+                and not np.isnan(y).any()
+                for x, y in zip(al, bl)
+            ]
+        )
         out = pd.array([pd.NA] * len(a), dtype="Float64")
         if valid.any():
-            A = np.array(a[valid].tolist(), dtype=np.float64)
-            B = np.array(b[valid].tolist(), dtype=np.float64)
-            na = _np_fold_norm(A)
-            nb = _np_fold_norm(B)
-            if np.any(na == 0.0) or np.any(nb == 0.0):
-                raise ArithmeticError(
-                    "[DIVIDE_BY_ZERO] zero-norm embedding: cosine undefined"
+            idx = np.flatnonzero(valid)
+            # group by dimension so mixed-length batches still vectorise
+            by_dim: dict = {}
+            for i in idx:
+                by_dim.setdefault(len(al[i]), []).append(i)
+            for d, rows in by_dim.items():
+                A = np.array([al[i] for i in rows], dtype=np.float64)
+                B = np.array([bl[i] for i in rows], dtype=np.float64)
+                na = _np_fold_norm(A)
+                nb = _np_fold_norm(B)
+                if np.any(na == 0.0) or np.any(nb == 0.0):
+                    raise ArithmeticError(
+                        "[DIVIDE_BY_ZERO] zero-norm embedding: cosine undefined"
+                    )
+                out[np.array(rows)] = _np_round_half_up(
+                    _np_fold_dot(A, B) / (na * nb), scale
                 )
-            acc = np.zeros(A.shape[0])
-            for i in range(A.shape[1]):  # left fold == aggregate(zip_with)
-                acc = acc + A[:, i] * B[:, i]
-            out[np.flatnonzero(valid)] = _np_round_half_up(
-                acc / (na * nb), scale
-            )
         return pd.Series(out)
 
     return _cos

@@ -181,14 +181,11 @@ def html_outline(
     bucketed by — co-located, no extra shuffle.
     """
     pat = r"(?is)<h[1-6][^>]*>.*?</h[1-6]>"
-    x = F.coalesce(F.col(html_col), F.lit(""))
     heads = pages.select(
         F.col(url_col).alias("url"),
         F.posexplode(
             F.expr(
-                f"regexp_extract_all({html_col}, '{pat}', 0)".replace(
-                    html_col, "coalesce(" + html_col + ", '')"
-                )
+                f"regexp_extract_all(coalesce({html_col}, ''), '{pat}', 0)"
             )
         ).alias("pos", "_h"),
     )
