@@ -330,16 +330,13 @@ def main() -> None:
     (REPO / "BENCH" / "last_run.json").write_text(json.dumps(out, indent=1))
     out["full_record_file"] = "BENCH/last_run.json"
     newest = [
-        "corpus_cardinality_hll", "embedding_kmeans",
-        "multimodal_webp_decode", "multimodal_tiff_decode",
-        "pq_encode", "similarity_topk_pq", "extraction_eval",
-        "host_boilerplate_strip", "url_templates", "doc_script_detect",
-        "dedup_incremental_embedding", "pdf_extract", "extract_fields_pdf",
-        "pages_field_spans", "bpe_encode", "dedup_incremental_minhash",
-        "dedup_simhash_pairs", "dedup_cluster_policy", "doc_sentences",
-        "tokenizer_fertility", "dedup_containment", "doc_readability",
-        "host_quota_sample", "bitext_mine", "feed_parse",
-        "redirect_resolve",
+        "multimodal_webp_decode", "pdf_extract",
+        "dedup_incremental_embedding", "dedup_incremental_minhash",
+        "dedup_simhash_pairs", "dedup_cluster_policy",
+        "dedup_containment", "bitext_mine",
+        "embedding_near_dup_lsh", "feed_parse", "redirect_resolve",
+        "html_outline", "section_chunks", "page_directives",
+        "jsonld_extract",
     ]
     out["new_queries_total_sec"] = round(sum(new_best.values()), 3)
     out["new_queries_sec"] = {

@@ -165,6 +165,7 @@ def main() -> None:
         ("html_outline", "heading outline: codegen regex projection + ONE posexplode + ONE url-key window exchange carrying six running-max columns; parent = greatest/CASE — no self-join, no UDF"),
         ("section_chunks", "heading-aligned sections: the SAME regex drives extract_all AND split, zipped row-locally, one posexplode — ZERO exchanges"),
         ("page_directives", "page-level directives: robots-meta token flags + row-local hreflang list in one codegen'd projection — zero exchanges, zero Python"),
+        ("jsonld_extract", "JSON-LD mining: regex blocks + ONE posexplode + codegen'd get_json_object paths fused on the scan — malformed blocks keep their row, no Python json"),
     ]
     for name, note in named:
         sections.append((name, note, formatted(api.QUERIES[name](spark, SF))))
