@@ -102,3 +102,31 @@ def test_section_chunks_no_preamble_row_when_empty(spark):  # noqa: F811
 def test_section_chunks_null_and_headless(spark):  # noqa: F811
     got = _chunks(spark, [("a", None), ("b", "just <i>prose</i>")])
     assert got == [("b", -1, None, None, "just prose")]
+
+
+def test_outline_and_sections_join_consistently(spark):  # noqa: F811
+    """Cross-operator invariant: html_outline and section_chunks emit the
+    SAME (url, pos, level, title) spine for the same payload — a consumer
+    may join them on (url, pos) to hang section text off the tree."""
+    from universal_key_value_based_text_processing_with_ocr_spark.operators.tables import (
+        html_outline,
+        section_chunks,
+    )
+
+    rows = [
+        (
+            "u1",
+            "pre <h1>A</h1>alpha<h2>B</h2>beta<h3>C</h3><h2>D</h2>delta",
+        ),
+        ("u2", "<h4>solo</h4>tail"),
+    ]
+    df = spark.createDataFrame(rows, schema="url string, html_str string")
+    o = {
+        (r.url, r.pos): (r.level, r.title)
+        for r in html_outline(df).collect()
+    }
+    s = {
+        (r.url, r.pos): (r.level, r.title)
+        for r in section_chunks(df).filter("pos >= 0").collect()
+    }
+    assert o == s and len(o) == 5
