@@ -559,9 +559,14 @@ def events_rolling_agg(events: DataFrame, window_seconds: int = 900) -> DataFram
             "event_id",
             "user_id",
             F.count(F.lit(1)).over(w).cast("long").alias("n_roll"),
+            # Exact decimal window sum, then ONE cast back to double — the
+            # repo-wide decimal_sum discipline (functions/columns.py): the
+            # oracle's DECIMAL(38,6) reaches pandas as float64 through
+            # DuckDB's bridge, so the engine must ship float64 too or the
+            # value hash sees Decimal('6.550000') vs 6.55 (r5 driver red).
             F.sum(F.col("value").cast("decimal(18,6)"))
             .over(w)
-            .cast("decimal(38,6)")
+            .cast("double")
             .alias("sum_value_roll"),
         )
     )
