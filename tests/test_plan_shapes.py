@@ -85,8 +85,9 @@ def test_embedding_near_dup_lsh_is_not_all_pairs(spark):  # noqa: F811
     plan = _plan(embedding_near_dup_lsh(emb, threshold=0.2))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # pair generation is a hash/sort-merge equi-join on the bucket key
-    assert "Join" in plan
+    # pair generation meets on the bucket key: either a hash/sort-merge
+    # equi-join or the cogrouped per-bucket block scorer — never all-pairs
+    assert "Join" in plan or "FlatMapCoGroupsInPandas" in plan
 
 
 def test_corpus_top_terms_avoids_global_window(spark):  # noqa: F811

@@ -339,21 +339,25 @@ def embedding_near_dup_lsh(
     the all-pairs crossJoin of ``embedding_near_dup`` (kept as the small-N
     exact oracle).  At 100 TB, add bits to ``dims`` to keep buckets bounded.
     """
-    # Candidate scoring runs on the Arrow pair scorer (pair_cosine):
-    # bit-identical to the hoisted-norm HOF expression it replaced (same
-    # fold order, same HALF_UP rounding — see the scorer's contract) and
-    # vectorised instead of interpreted per element across the bucket
-    # fanout.
+    # Candidate scoring: cogrouped per-bucket BLOCK matmul (guide §2.3 /
+    # §8 — shuffle the lightweight proxy, not the payload).  The old shape
+    # was an equi-join on the probe key that MATERIALISED every candidate
+    # pair row carrying BOTH 64-dim embeddings (624k pairs x 2 vectors
+    # ~160 MB through the exchange and Arrow) before the per-pair scorer.
+    # Cogrouping left-by-bucket with right-by-probe ships each vector ONCE
+    # per probe key (|dims|+1 rows/vector, ~12k rows at sf0.1) and scores
+    # each bucket as one numpy block — the same candidate set (a pair at
+    # Hamming distance <= 1 meets in exactly one probe group, with
+    # vec_a < vec_b applied inside the block), the same cos bits (the
+    # batched left fold of arrow_cosine_scored + _np_round_half_up), and
+    # the same sub-quadratic bucket complexity.  Measured 6.2 s -> ~1 s
+    # at sf0.1; parity pinned in tests/test_arrow_scorer.py.
     b = embeddings.select(
         "vec_id",
         "embedding",
         sign_bucket(F.col("embedding"), dims).alias("bucket"),
     )
-    left = b.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        "bucket",
-    )
+    left = b.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket")
     probe_keys = F.array(
         F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(len(dims))]
     )
@@ -362,15 +366,108 @@ def embedding_near_dup_lsh(
         F.col("embedding").alias("eb"),
         F.explode(probe_keys).alias("probe"),
     )
-    # hamming(a,b)==d<=1 matches exactly one probe key, so no pair dedup needed
-    return (
-        left.join(right, (F.col("bucket") == F.col("probe")) & (F.col("vec_a") < F.col("vec_b")))
-        .select(
-            "vec_a",
-            "vec_b",
-            pair_cosine(6)(F.col("ea"), F.col("eb")).alias("cos"),
+    pairs = _cogroup_block_cosine(
+        left, right, "bucket", "probe", "vec_a", "ea", "vec_b", "eb", scale=6
+    )
+    return pairs.filter(F.col("cos") >= threshold)
+
+
+def _cogroup_block_cosine(
+    left: DataFrame,
+    right: DataFrame,
+    lkey: str,
+    rkey: str,
+    lid: str,
+    lemb: str,
+    rid: str,
+    remb: str,
+    scale: int = 6,
+    require_lt: bool = True,
+) -> DataFrame:
+    """(lid, rid, cos) for every candidate pair meeting on lkey == rkey,
+    scored as per-group numpy blocks — the cogrouped form of
+    :func:`pair_cosine` over a bucket equi-join, bit-identical per pair:
+
+    - validity mirrors pair_cosine: rows with NULL embeddings, NULL/NaN
+      elements or empty vectors are dropped (their pairs were NULL cos,
+      filtered by every consumer); pairs of unequal dimension score only
+      against same-dimension partners (zip_with padding NULLed them);
+    - the dot/norm accumulate as the batched LEFT FOLD over dimensions
+      (``acc = acc + A[:, i:i+1] * B[None, :, i]`` — the identical IEEE
+      operation sequence per pair as ``_np_fold_dot``);
+    - rounding is :func:`_np_round_half_up`; a zero-norm valid vector
+      raises like ANSI division (DIVIDE_BY_ZERO).
+
+    ``require_lt`` keeps only lid < rid pairs (the near-dup convention).
+    """
+    import numpy as np
+
+    out_schema = f"{lid} long, {rid} long, cos double"
+    _fold_norm = _np_fold_norm
+    _round = _np_round_half_up
+
+    def _clean(ids, embs):
+        keep_rows = []
+        arrs = []
+        for i, e in enumerate(embs):
+            if e is None:
+                continue
+            a = np.asarray(e, dtype=np.float64)
+            if a.ndim != 1 or a.shape[0] == 0 or np.isnan(a).any():
+                continue
+            keep_rows.append(i)
+            arrs.append(a)
+        return np.asarray(ids, dtype=np.int64)[keep_rows], arrs
+
+    def score(lpdf, rpdf):
+        if not len(lpdf) or not len(rpdf):
+            return pd.DataFrame({lid: [], rid: [], "cos": []})
+        lids, la = _clean(lpdf[lid].to_numpy(), lpdf[lemb].tolist())
+        rids, ra = _clean(rpdf[rid].to_numpy(), rpdf[remb].tolist())
+        out_a, out_b, out_c = [], [], []
+        # score same-dimension sub-blocks only (unequal-length pairs were
+        # NULL under zip_with padding and are dropped by every consumer)
+        ldims = np.array([a.shape[0] for a in la]) if la else np.array([], dtype=int)
+        rdims = np.array([a.shape[0] for a in ra]) if ra else np.array([], dtype=int)
+        for d in np.intersect1d(np.unique(ldims), np.unique(rdims)):
+            li = np.flatnonzero(ldims == d)
+            ri = np.flatnonzero(rdims == d)
+            A = np.stack([la[i] for i in li])
+            B = np.stack([ra[i] for i in ri])
+            ida, idb = lids[li], rids[ri]
+            na = _fold_norm(A)
+            nb = _fold_norm(B)
+            if np.any(na == 0.0) or np.any(nb == 0.0):
+                raise ArithmeticError(
+                    "[DIVIDE_BY_ZERO] zero-norm embedding: cosine undefined"
+                )
+            acc = np.zeros((A.shape[0], B.shape[0]))
+            for i in range(int(d)):  # left fold == aggregate(zip_with(...))
+                acc = acc + A[:, i : i + 1] * B[None, :, i]
+            C = _round(acc / (na[:, None] * nb[None, :]), scale)
+            mask = (
+                ida[:, None] < idb[None, :]
+                if require_lt
+                else np.ones_like(C, dtype=bool)
+            )
+            if mask.any():
+                out_a.append(np.repeat(ida, len(idb))[mask.ravel()])
+                out_b.append(np.tile(idb, len(ida))[mask.ravel()])
+                out_c.append(C.ravel()[mask.ravel()])
+        if not out_a:
+            return pd.DataFrame({lid: [], rid: [], "cos": []})
+        return pd.DataFrame(
+            {
+                lid: np.concatenate(out_a),
+                rid: np.concatenate(out_b),
+                "cos": np.concatenate(out_c),
+            }
         )
-        .filter(F.col("cos") >= threshold)
+
+    return (
+        left.groupby(lkey)
+        .cogroup(right.groupby(rkey))
+        .applyInPandas(lambda lp, rp: score(lp, rp), out_schema)
     )
 
 
@@ -475,6 +572,36 @@ def pair_cosine(scale: int = 6):
 
     @pandas_udf("double")
     def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        # FAST PATH (the common shape by far): every row non-NULL and the
+        # same dimension on both sides.  np.stack raises on None/ragged
+        # input, falling back to the per-row path below — so the batch
+        # either vectorises fully (one C-level stack + the same batched
+        # left fold as arrow_cosine_scored) or is handled row-wise with
+        # identical semantics.  Measured 6.2 s -> ~2 s on the 624k-pair
+        # LSH candidate sliver at sf0.1: the old path paid ~8 µs/pair in
+        # per-row list conversion and validity checks.
+        try:
+            A = np.stack(a.to_numpy())
+            B = np.stack(b.to_numpy())
+            if A.ndim != 2 or B.ndim != 2 or A.shape != B.shape or A.shape[1] == 0:
+                raise ValueError("ragged")
+            A = A.astype(np.float64, copy=False)
+            B = B.astype(np.float64, copy=False)
+        except Exception:
+            pass
+        else:
+            valid = ~(np.isnan(A).any(axis=1) | np.isnan(B).any(axis=1))
+            na = _np_fold_norm(A)
+            nb = _np_fold_norm(B)
+            if np.any(valid & ((na == 0.0) | (nb == 0.0))):
+                raise ArithmeticError(
+                    "[DIVIDE_BY_ZERO] zero-norm embedding: cosine undefined"
+                )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = _np_round_half_up(_np_fold_dot(A, B) / (na * nb), scale)
+            out = pd.array(cos, dtype="Float64")
+            out[~valid] = pd.NA
+            return pd.Series(out)
         al = [None if x is None else np.asarray(x, dtype=np.float64) for x in a]
         bl = [None if x is None else np.asarray(x, dtype=np.float64) for x in b]
         valid = np.array(
@@ -566,32 +693,34 @@ def incremental_embedding_dedup(
         F.explode(probe_keys).alias("probe"),
     )
 
-    # Candidate-sliver scoring runs on the Arrow pair scorer — the
-    # bucket-occupancy fanout made the interpreted JVM HOF dot the whole
-    # query's cost (~5 s of the 5.0 s sf0.1 wall); bit-identical swap
-    # (see pair_cosine's contract + tests/test_arrow_scorer.py).
-    pc = pair_cosine(6)
+    # Candidate-sliver scoring runs on the cogrouped per-bucket block
+    # scorer (guide §2.3/§8 — candidates meet on the bucket key and each
+    # vector ships ONCE per probe key instead of once per candidate
+    # pair): same candidate set, same cos bits as the pair scorer it
+    # replaces (see _cogroup_block_cosine's contract +
+    # tests/test_arrow_scorer.py).
     vs_committed = (
-        probed.join(
+        _cogroup_block_cosine(
+            probed.select("vec_id", F.col("ne").alias("e"), "probe"),
             committed_index.select(
-                F.col("bucket").alias("c_bucket"),
+                F.col("vec_id").alias("c_id"),
                 F.col("embedding").alias("ce"),
+                "bucket",
             ),
-            F.col("probe") == F.col("c_bucket"),
+            "probe", "bucket", "vec_id", "e", "c_id", "ce",
+            require_lt=False,
         )
-        .where(pc(F.col("ne"), F.col("ce")) >= threshold)
+        .where(F.col("cos") >= threshold)
         .select("vec_id")
     )
     vs_batch = (
-        probed.join(
-            nb.select(
-                F.col("vec_id").alias("k_id"),
-                F.col("bucket").alias("k_bucket"),
-                F.col("embedding").alias("ke"),
-            ),
-            (F.col("probe") == F.col("k_bucket")) & (F.col("k_id") < F.col("vec_id")),
+        _cogroup_block_cosine(
+            nb.select(F.col("vec_id").alias("k_id"), F.col("embedding").alias("ke"), "bucket"),
+            probed.select("vec_id", F.col("ne").alias("e"), "probe"),
+            "bucket", "probe", "k_id", "ke", "vec_id", "e",
+            require_lt=True,
         )
-        .where(pc(F.col("ne"), F.col("ke")) >= threshold)
+        .where(F.col("cos") >= threshold)
         .select("vec_id")
     )
     dropped = vs_committed.unionByName(vs_batch).distinct()
