@@ -189,49 +189,39 @@ def _shingle_pair_stats(docs: DataFrame, n: int, max_doc_freq: int):
     (:func:`ngram_jaccard_pairs`, :func:`ngram_containment_pairs`):
     per-pair intersection counts + per-doc set sizes over df-capped char
     shingles.  Returns ``(inter, sizes)``."""
+    from pyspark.sql import Window
+
     raw = char_shingles(docs, n)
-    # Plan: stop-shingle count pass -> broadcast anti-join -> ONE
-    # groupBy(shingle) collecting the (bounded, <= max_doc_freq) per-shingle
-    # doc list -> in-group pair explode.  No shingle-table self-join: the
-    # sort-merge join sorted the 10M-row shingle table twice; generating
-    # pairs inside each bounded group is map-side work after a hash agg.
-    # No persist either: every repeated subtree (raw under both stop and the
-    # anti-join; groups under sizes and pairs) hashes to the same exchange,
-    # so Catalyst's ReuseExchange computes each shuffle once — verified in
-    # the physical plan (tests/test_plan_shapes.py) and by measurement.
-    # A/B best-of-3 at sf0.1 local[32], idle host (scripts/ab_jaccard.py):
-    #   window-count plan 9.1 s | r2 aggregate+anti-join self-join plan
-    #   10.8 s | THIS plan 10.3 s | single collect_set groupBy 6.4 s.
-    # The 6.4 s single-pass variant is rejected for scale: it collects the
-    # doc set BEFORE the frequency filter, so one boilerplate shingle in
-    # 10^9 docs materialises an unbounded agg buffer.  Here the collect
-    # runs strictly after the df-cap filter, so every group is <= 100 ids.
-    # Follow-up (same session): moving the per-doc dedup into a row-local
-    # array_distinct (char_shingles) removed the global distinct exchange —
-    # re-measured 10.9-11.2 s -> 9.4-9.5 s best-of-2 interleaved.
-    # Second follow-up: ONE explicit repartition("shingle") feeds both the
-    # stop-count pass and the collect pass — each needs shingle
-    # distribution, the anti-join between them is narrow (broadcast), and
-    # the two consumers now share a single ReusedExchange instead of each
-    # re-running the scan+explode and exchanging separately.  Measured
-    # best-of-3 interleaved at sf0.1: 9.8 s -> 7.2 s.
+    # Plan (round 6): ONE repartition("shingle") exchange over a SINGLE
+    # shingler run; the stop-shingle df-cap is a window count over that
+    # same exchange (df <= max_doc_freq ≡ the old NOT df > max_doc_freq);
+    # per-pair intersections come from the groupBy(shingle) collect of the
+    # kept rows (bounded groups, <= max_doc_freq ids); per-doc set sizes
+    # come STRAIGHT from the kept rows (groupBy doc_id count), not from
+    # exploding the collected groups.  History: the r5 plan computed stop
+    # as a separate aggregate and removed it with a broadcast anti-join,
+    # but Catalyst pushes a left-anti join below RepartitionByExpression,
+    # so the anti-join's exchange no longer canonicalised with the stop
+    # pass's — the Arrow shingler ran TWICE and the collect_list aggregate
+    # three times (once per consumer).  The window form keeps every
+    # consumer rooted at the one exchange (shingler runs ONCE — the win
+    # that matters at corpus scale, where each extra run is a full text
+    # re-scan), and deriving sizes from rows instead of groups drops two
+    # ObjectHashAggregate passes.  Measured best-of-3 interleaved at
+    # sf0.1 local[32]: 3.7 s -> 2.3 s (scripts history: r2 self-join
+    # 10.8 s, r5 shared-repartition anti-join 7.2 s).  The single-pass
+    # collect-then-filter variant stays rejected for scale: it would
+    # materialise an unbounded agg buffer for one boilerplate shingle in
+    # 10^9 docs; the window count is a constant-space streaming aggregate
+    # over the sorted run.
     raw = raw.repartition("shingle")
-    stop = (
-        raw.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > max_doc_freq)
-        .select("shingle")
+    kept = (
+        raw.withColumn("_df", F.count("*").over(Window.partitionBy("shingle")))
+        .filter(F.col("_df") <= max_doc_freq)
+        .drop("_df")
     )
-    groups = (
-        raw.join(F.broadcast(stop), "shingle", "left_anti")
-        .groupBy("shingle")
-        .agg(F.collect_list("doc_id").alias("docs"))
-    )
-    sizes = (
-        groups.select(F.explode("docs").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_shingles"))
-    )
+    groups = kept.groupBy("shingle").agg(F.collect_list("doc_id").alias("docs"))
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     inter = (
         groups.filter(F.size("docs") >= 2)
         .select(F.explode("docs").alias("doc_a"), F.col("docs"))
