@@ -134,7 +134,11 @@ def char_shingles(docs: DataFrame, n: int = 10, extra_cols: tuple = ()) -> DataF
             if buffered:
                 yield pd.DataFrame(data)
 
-    return docs.select(*cols).mapInPandas(gen, out_schema)
+    # the shingler is CPU-bound per row: spread a single-split scan across
+    # the cluster first (identity at real scale — see widen_small_scan)
+    from ..plans.partitioning import widen_small_scan
+
+    return widen_small_scan(docs.select(*cols), "doc_id").mapInPandas(gen, out_schema)
 
 
 #: ngram_jaccard_pairs refuses inputs above this size unless explicitly

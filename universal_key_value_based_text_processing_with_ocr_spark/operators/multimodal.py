@@ -133,7 +133,13 @@ def synth_images(docs: DataFrame, kind: str = "mixed") -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(gen, schema="doc_id long, payload binary")
+    # encode is CPU-bound per row: spread a single-split scan across the
+    # cluster before the Arrow stage (identity at real scale — see helper)
+    from ..plans.partitioning import widen_small_scan
+
+    return widen_small_scan(docs.select("doc_id"), "doc_id").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
 
 
 def decode_image_stats(images: DataFrame) -> DataFrame:
@@ -334,7 +340,11 @@ def synth_audio(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(gen, schema="doc_id long, payload binary")
+    from ..plans.partitioning import widen_small_scan
+
+    return widen_small_scan(docs.select("doc_id"), "doc_id").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
 
 
 def decode_audio_stats(audio: DataFrame) -> DataFrame:

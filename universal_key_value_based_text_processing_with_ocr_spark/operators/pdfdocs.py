@@ -41,8 +41,11 @@ def render_pdfs(docs_df, vary_layout: bool = True):
     PDF 1.5 ObjStm+XRef-stream — so one distributed job exercises every
     decode path the parser has."""
     from ..pdfcore.writer import build_pdf
+    from ..plans.partitioning import widen_small_scan
 
-    pruned = docs_df.select("doc_id", "text")
+    # render is CPU-bound per row — spread single-split scans (identity
+    # at real scale, see widen_small_scan)
+    pruned = widen_small_scan(docs_df.select("doc_id", "text"), "doc_id")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -96,8 +99,9 @@ def render_pdfs_by_url(df):
     import hashlib
 
     from ..pdfcore.writer import build_pdf
+    from ..plans.partitioning import widen_small_scan
 
-    pruned = df.select("url", "lang", "text")
+    pruned = widen_small_scan(df.select("url", "lang", "text"), "url")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:

@@ -287,7 +287,11 @@ def arrow_cosine_scored(
                 }
             )
 
-    return _clean(src).mapInPandas(score_blocks, out_schema)
+    # the src side streams through a CPU-bound Arrow stage: spread a
+    # single-split scan across the cluster first (identity at real scale)
+    from ..plans.partitioning import widen_small_scan
+
+    return widen_small_scan(_clean(src), "vec_id").mapInPandas(score_blocks, out_schema)
 
 
 def embedding_near_dup(

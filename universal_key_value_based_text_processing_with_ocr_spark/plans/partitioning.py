@@ -97,3 +97,32 @@ def plan_partitions(
     by_max_rows = (n_rows + max_rows_per_partition - 1) // max_rows_per_partition
     want = max(want, by_max_rows)
     return max(1, min(want, max_partitions, max(n_rows, 1)))
+
+
+def widen_small_scan(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Spread a narrow-parallelism scan across the cluster BEFORE a
+    CPU-heavy per-row stage (guide §2.5 "input skew: one huge
+    unsplittable file ... repartition immediately after the read").
+
+    The sf fixtures are single-row-group parquet files, so every scan
+    plans ONE split no matter what ``spark.sql.files.maxPartitionBytes``
+    says — and a fused mapInPandas/decode stage then runs on one core of
+    the whole cluster.  This helper repartitions to
+    ``defaultParallelism`` ONLY when the scan's planned parallelism is
+    below it, keyed on ``key_cols`` (a high-cardinality id — hash keys
+    ~= rows, so partition sizes converge to the multinomial mean, §2.5's
+    synthetic-key rule).  Scale-adaptive by construction: a 100 TB input
+    plans thousands of splits, the gate sees parallelism >= cluster width
+    and the function is the identity — no payload ever reshuffles at
+    scale.  Deterministic keys (never round-robin on rand) keep retries
+    duplicate-free (SPARK-38388).
+    """
+    spark = df.sparkSession
+    want = spark.sparkContext.defaultParallelism
+    try:
+        have = df.rdd.getNumPartitions()
+    except Exception:  # unresolvable plan (streaming, etc.) — leave as-is
+        return df
+    if have >= want:
+        return df
+    return df.repartition(want, *[F.col(c) for c in key_cols])
