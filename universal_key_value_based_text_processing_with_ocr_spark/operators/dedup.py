@@ -790,22 +790,39 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 
     Token multiset (not set) — repeated tokens weigh more, standard SimHash.
     """
-    toks = docs.filter(
-        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    from ..plans.partitioning import widen_small_scan
+
+    toks = widen_small_scan(
+        docs.filter(
+            F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+        ).select("doc_id", "text"),
+        "doc_id",
     ).select("doc_id", F.explode(F.split(F.trim("text"), r"[ \t\n\r\f]+")).alias("tok"))
     h = toks.select("doc_id", _md5_long(F.col("tok")).alias("h"))
-    bit = F.explode(F.array([F.lit(i) for i in range(bits)])).alias("bit")
-    contrib = h.select(
-        "doc_id",
-        bit,
-        F.expr("CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END").alias("c"),
+    # ONE map-side-combinable groupBy with a conditional ±1 sum per bit —
+    # the same column-wise shape as minhash_signatures — instead of the
+    # old bits-fold explode (token rows x bits -> groupBy(doc_id, bit) ->
+    # groupBy(doc_id)), which shuffled ``bits`` rows per token hash and
+    # paid a second exchange.  Per-bit sums are exact integers either
+    # way, so the majority vote and the packed signature are identical.
+    per_bit = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.expr(f"CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END")
+            ).alias(f"s{i}")
+            for i in range(bits)
+        ]
     )
-    per_bit = contrib.groupBy("doc_id", "bit").agg(F.sum("c").alias("s"))
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END")).alias(
-            "simhash"
-        )
+    packed = sum(
+        (
+            F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for i in range(bits)
+        ),
+        start=F.lit(0).cast("long"),
     )
+    return per_bit.select("doc_id", packed.alias("simhash"))
 
 
 def simhash_near_dup_pairs(

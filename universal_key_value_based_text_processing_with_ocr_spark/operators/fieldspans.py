@@ -109,7 +109,11 @@ def line_field_spans(line: str, configs=None, spec_template=None) -> list[tuple]
 
 def extract_line_field_spans(lines_df, configs=None):
     """(url, line_no, line) -> exploded span rows (see SPANS_SCHEMA)."""
-    pruned = lines_df.select("url", "line_no", "line")
+    from ..plans.partitioning import widen_small_scan
+
+    # the span kernel is CPU-bound per line — spread single-split scans
+    # (identity at real scale, see widen_small_scan)
+    pruned = widen_small_scan(lines_df.select("url", "line_no", "line"), "url", "line_no")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         specs = build_span_specs(configs)  # once per task, copied per line

@@ -99,7 +99,11 @@ def render_mixed_payloads(docs_df):
     routed output without touching any renderer or parser."""
     from ..pdfcore.writer import WORDS_PER_LINE, build_pdf, wrap_words
 
-    pruned = docs_df.select("doc_id", "text")
+    from ..plans.partitioning import widen_small_scan
+
+    # render is CPU-bound per row — spread single-split scans (identity at
+    # real scale, see widen_small_scan)
+    pruned = widen_small_scan(docs_df.select("doc_id", "text"), "doc_id")
 
     def render(doc_id: int, text: str) -> bytes:
         mode = doc_id % 3

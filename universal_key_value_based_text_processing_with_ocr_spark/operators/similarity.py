@@ -820,6 +820,11 @@ def lsh_bucketed_topk(
     a pure per-row expression — no centroid table to maintain, so it works
     on an append-only stream without re-clustering."""
     planes = lsh_hyperplanes(n_planes, dim)
+    from ..plans.partitioning import widen_small_scan
+
+    # the bucket/norm folds are interpreted per element — spread a
+    # single-split scan across the cluster first (identity at real scale)
+    embeddings = widen_small_scan(embeddings, "vec_id")
     # Norms are one per-row projection on each side — inside the scored
     # select they would re-run the O(dim) aggregate per (probe x bucket
     # occupancy) candidate.  Bit-identical wherever evaluated.
@@ -912,7 +917,13 @@ def ivf_topk(
     )
     # Row norm computed ONCE per vector, not per (vector x centroid) pair
     # nor per candidate — sqrt(dot(a,a)) is bit-identical wherever run.
-    with_norm = embeddings.withColumn("nrm", _norm(F.col("embedding")))
+    # The norm + k-way assignment folds are interpreted per element —
+    # spread a single-split scan first (identity at real scale).
+    from ..plans.partitioning import widen_small_scan
+
+    with_norm = widen_small_scan(embeddings, "vec_id").withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
     sims = (
         with_norm.crossJoin(F.broadcast(cent))
         .select(
@@ -1012,8 +1023,10 @@ def semdedup(
     # the within-cluster quadratic stage were the query's interpreted-HOF
     # hot spots.
     pc9 = pair_cosine(9)
+    from ..plans.partitioning import widen_small_scan
+
     sims = (
-        embeddings.crossJoin(F.broadcast(cent))
+        widen_small_scan(embeddings, "vec_id").crossJoin(F.broadcast(cent))
         .select(
             "vec_id",
             "embedding",
@@ -1154,8 +1167,10 @@ def pq_encode(embeddings: DataFrame, m: int = 8, n_codes: int = 16) -> DataFrame
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda j: _pq_argmin(_pq_code_dists(F.col("embedding"), j, sub_dim)),
     )
+    from ..plans.partitioning import widen_small_scan
+
     return (
-        embeddings.crossJoin(F.broadcast(cb1))
+        widen_small_scan(embeddings, "vec_id").crossJoin(F.broadcast(cb1))
         .select("vec_id", F.posexplode(codes).alias("subspace", "code"))
         .select(
             "vec_id",
