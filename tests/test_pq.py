@@ -95,9 +95,15 @@ def test_pq_encode_plan_is_narrow(spark):  # noqa: F811
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     # no Python anywhere: the encode is pure codegen'd expressions
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # the corpus scan feeds the broadcast join WITHOUT a repartition: no
-    # Exchange hashpartitioning on the corpus columns
-    assert "hashpartitioning(vec_id" not in plan
+    # the corpus side must never be shuffled BY THE JOIN (that would mean
+    # the broadcast degraded to a shuffle join).  The one allowed corpus
+    # exchange is the explicit gated widen_small_scan repartition
+    # (REPARTITION_BY_NUM — identity at real scale); a join-induced
+    # exchange would be ENSURE_REQUIREMENTS.
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(vec_id[^\n]*", plan):
+        assert "REPARTITION" in m.group(0), m.group(0)
 
 
 def test_pq_code_range_and_coverage(spark):  # noqa: F811

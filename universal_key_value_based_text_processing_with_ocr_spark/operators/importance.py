@@ -60,9 +60,14 @@ def _word_bigrams(docs: DataFrame, id_col: str, keep_empty: bool = False) -> Dat
         "     i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1))) END"
     )
     exploder = F.explode_outer if keep_empty else F.explode
-    return docs.select(F.col(id_col), toks.alias("_toks")).select(
-        id_col, exploder(grams).alias("gram")
-    )
+    # the tokenise+explode map side is CPU-bound and its subtree executes
+    # once per downstream aggregate — spread single-split scans first
+    # (identity at real scale, see widen_small_scan)
+    from ..plans.partitioning import widen_small_scan
+
+    return widen_small_scan(
+        docs.select(F.col(id_col), toks.alias("_toks")), id_col
+    ).select(id_col, exploder(grams).alias("gram"))
 
 
 def hashed_ngram_features(

@@ -44,6 +44,9 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10) -> DataF
         F.col("embedding").alias("q"),
         _norm(F.col("embedding")).alias("qn"),
     )
+    # NOT widened (r6, measured): the n_queries x corpus dot fanout here
+    # is only ~10k folds at fixture scale — a widen exchange costs more
+    # than the single-task work it spreads (0.44 s -> 0.70 s).
     corpus = embeddings.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("e"),

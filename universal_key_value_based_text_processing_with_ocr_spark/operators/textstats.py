@@ -475,9 +475,19 @@ def token_cms_heavy_hitters(
 
 
 def _cms_tokens(docs: DataFrame) -> DataFrame:
-    return docs.filter(F.col("text").isNotNull()).select(
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+")).alias("term")
-    ).filter(F.length("term") > 0)
+    from ..plans.partitioning import widen_small_scan
+
+    return (
+        widen_small_scan(
+            docs.filter(F.col("text").isNotNull()).select("text"), "text"
+        )
+        .select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+")
+            ).alias("term")
+        )
+        .filter(F.length("term") > 0)
+    )
 
 
 def _cms_bucket(m: int) -> F.Column:

@@ -121,8 +121,15 @@ def widen_small_scan(df: DataFrame, *key_cols: str) -> DataFrame:
     want = spark.sparkContext.defaultParallelism
     try:
         have = df.rdd.getNumPartitions()
+        if have >= want:
+            return df
+        # only FILE-backed scans are widened: an in-memory local relation
+        # (createDataFrame fixtures, literal tables) is small by
+        # construction and several operator contracts pin its plan
+        # narrow; the unsplittable-input problem this helper solves is a
+        # property of file row groups.
+        if not df.inputFiles():
+            return df
     except Exception:  # unresolvable plan (streaming, etc.) — leave as-is
-        return df
-    if have >= want:
         return df
     return df.repartition(want, *[F.col(c) for c in key_cols])
