@@ -2333,7 +2333,17 @@ def q_crawl_frontier(spark, sf_dir):
     from .operators.linkgraph import extract_outlinks, host_graph, pagerank_hosts
     from .operators.robots import apply_robots, parse_robots
 
-    links = extract_outlinks(_link_pages(spark, sf_dir))
+    # The link table feeds THREE independent exchange spines (host-graph
+    # rollup, candidate distinct, robots host distinct), and the optimizer
+    # pushes each consumer's projection below any shared node, so the
+    # regexp-extraction subtree executes once per consumer.  Materialise
+    # it once (guide §3.3 "materialising an intermediate truncates the
+    # plan"): localCheckpoint, not cache() — same ContextCleaner reasoning
+    # as pagerank_hosts' spine.  Measured 3.6 -> 2.7 s at sf0.1; widening
+    # the extraction pass first was ALSO tried and consistently lost
+    # ~0.4 s (the shuffle + extra stage costs more than one-core regexp
+    # over this row count).
+    links = extract_outlinks(_link_pages(spark, sf_dir)).localCheckpoint(eager=True)
     ranks = pagerank_hosts(host_graph(links), n_iter=3)
     cand = links.where(~F.col("nofollow")).select("dst_url").distinct()
     # robots: every 5th graph host forbids the /p tree to everyone
