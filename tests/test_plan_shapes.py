@@ -317,7 +317,10 @@ def test_semdedup_centroids_broadcast_pairs_join_on_cluster(spark):  # noqa: F81
     plan = _formatted(semdedup(emb))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # r6: the quadratic stage is a grouped per-cluster numpy block kernel
+    # (one embedding crossing per member), not a pair-materialising
+    # self-join — the cluster id is still the only wide key
+    assert "FlatMapGroupsInPandas" in plan
 
 
 def test_fineweb_pipeline_single_scan_fused(spark):  # noqa: F811

@@ -478,6 +478,66 @@ def _cogroup_block_cosine(
     )
 
 
+def _cluster_drop_ids(ranked: DataFrame, tau: float, scale: int = 9) -> DataFrame:
+    """SemDeDup's within-cluster drop set as one numpy block per cluster:
+    input (cluster, rank, vec_id, embedding); output (vec_id) — every
+    member for which some LOWER-ranked member of the same cluster scores
+    ``cos >= tau``.  Pair-for-pair bit-identical to filtering
+    ``pair_cosine(scale)(e_a, e_b) >= tau`` over the rank_a < rank_b
+    self-join (see :func:`_cogroup_block_cosine` for the shared invariants:
+    left-fold accumulation order, HALF_UP shortest-decimal rounding,
+    validity cleaning, per-dimension sub-blocks, zero-norm ANSI raise) —
+    but each embedding crosses the Arrow boundary once per cluster
+    instead of once per pair, and only dropped ids come back."""
+    import numpy as np
+
+    _fold_norm = _np_fold_norm
+    _round = _np_round_half_up
+
+    def drop(pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_id": np.array([], dtype=np.int64)})
+        ids = pdf["vec_id"].to_numpy()
+        ranks = pdf["rank"].to_numpy()
+        keep_rows, arrs = [], []
+        for i, e in enumerate(pdf["embedding"].tolist()):
+            if e is None:
+                continue
+            a = np.asarray(e, dtype=np.float64)
+            if a.ndim != 1 or a.shape[0] == 0 or np.isnan(a).any():
+                continue
+            keep_rows.append(i)
+            arrs.append(a)
+        if len(keep_rows) < 2:
+            return pd.DataFrame({"vec_id": np.array([], dtype=np.int64)})
+        ids = np.asarray(ids, dtype=np.int64)[keep_rows]
+        ranks = np.asarray(ranks)[keep_rows]
+        dims = np.array([a.shape[0] for a in arrs])
+        dropped = []
+        for d in np.unique(dims):
+            sel = np.flatnonzero(dims == d)
+            A = np.stack([arrs[i] for i in sel])
+            na = _fold_norm(A)
+            # the pair form evaluates every rank_a<rank_b pair, so any
+            # valid zero-norm member of a multi-member cluster raised
+            if np.any(na == 0.0):
+                raise ArithmeticError(
+                    "[DIVIDE_BY_ZERO] zero-norm embedding: cosine undefined"
+                )
+            acc = np.zeros((A.shape[0], A.shape[0]))
+            for i in range(int(d)):  # left fold == aggregate(zip_with(...))
+                acc = acc + A[:, i : i + 1] * A[None, :, i]
+            C = _round(acc / (na[:, None] * na[None, :]), scale)
+            r = ranks[sel]
+            hit = (r[:, None] < r[None, :]) & (C >= tau)
+            dropped.append(ids[sel][hit.any(axis=0)])
+        out = np.concatenate(dropped) if dropped else np.array([], dtype=np.int64)
+        return pd.DataFrame({"vec_id": out})
+
+    return ranked.groupBy("cluster").applyInPandas(drop, "vec_id long")
+
+
 def bitext_margin_mine(
     src: DataFrame,
     tgt: DataFrame,
@@ -1046,22 +1106,19 @@ def semdedup(
     # paper: keep the member farthest from the centroid -> rank ascending
     w_rank = Window.partitionBy("cluster").orderBy(F.col("csim").asc(), F.col("vec_id").asc())
     ranked = members.withColumn("rank", F.row_number().over(w_rank))
-    a = ranked.select(
-        F.col("cluster"), F.col("rank").alias("rank_a"),
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"),
-    )
-    b = ranked.select(
-        F.col("cluster"), F.col("rank").alias("rank_b"),
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"),
-    )
-    # within-cluster pairs only: the join key IS the cluster id, so this
-    # is one co-partitioned self-join, never a global cross join
-    dropped = (
-        a.join(b, "cluster")
-        .filter(F.col("rank_a") < F.col("rank_b"))
-        .filter(pc9(F.col("e_a"), F.col("e_b")) >= tau)
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
+    # within-cluster pairs only, scored as ONE numpy block per cluster
+    # (guide §2.3/§8: the self-join form materialised every rank_a <
+    # rank_b pair row carrying BOTH embeddings through the exchange and
+    # the Arrow boundary — ~n^2/2 x 2 x dim doubles per cluster; the
+    # grouped kernel ships each embedding once and emits only dropped
+    # ids).  Per-pair cos bits are identical to pair_cosine: same
+    # left-fold accumulation order, same shortest-decimal HALF_UP
+    # rounding, same validity rules (NULL/NaN/empty vectors never drop
+    # or get dropped; unequal-dim pairs scored NULL under zip_with
+    # padding are skipped; a zero-norm valid vector in a >=2-member
+    # cluster raises like ANSI division).
+    dropped = _cluster_drop_ids(
+        ranked.select("cluster", "rank", "vec_id", "embedding"), tau, scale=9
     )
     return (
         ranked.join(dropped, "vec_id", "left_anti")
