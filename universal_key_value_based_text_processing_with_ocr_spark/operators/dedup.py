@@ -540,6 +540,23 @@ def incremental_minhash_dedup(
     near-identical docs, which the threshold then drops.
     """
     nb = minhash_bands(new_docs, n_hashes, band_size, shingle_n)
+    return _incremental_minhash_from_bands(
+        new_docs, nb, committed_bands, n_hashes, threshold
+    )
+
+
+def _incremental_minhash_from_bands(
+    new_docs: DataFrame,
+    nb: DataFrame,
+    committed_bands: DataFrame,
+    n_hashes: int = 16,
+    threshold: float = 0.5,
+):
+    """:func:`incremental_minhash_dedup` with the batch's band rows
+    precomputed — the seam that lets a caller who builds BOTH band tables
+    from one corpus pass (the query fixture does: committed index build is
+    query-time setup there) minhash everything in a single shingle+agg
+    pipeline instead of two.  Semantics identical to the public form."""
 
     def _agree(sig_a, sig_b):
         return F.aggregate(
