@@ -625,8 +625,36 @@ def hll_cardinality(items: DataFrame, p: int = 8, hasher: str = "md5") -> DataFr
     Plan shape: the register groupBy is the only corpus-sized shuffle (at
     most m cells, map-side combinable); everything after runs on <= m rows.
     (``n_exact`` adds the exact countDistinct the sketch exists to avoid —
-    it is the CHECK, not the operator; production drops that column.)"""
-    return hll_estimate(hll_sketch(items, p=p, hasher=hasher), items, p=p)
+    it is the CHECK, not the operator; production drops that column.)
+
+    r6: because n_exact forces a distinct-term exchange ANYWAY, both
+    consumers now hang off ONE ``items.distinct()`` spine — registers
+    over the distinct terms are bit-identical (duplicates never change a
+    bucket max, NULL terms collapse to the same single NULL register
+    row), n_exact is a count over the same spine, and the item subtree
+    (the Arrow shingler for the corpus queries) executes once instead of
+    once per consumer (guide §2.4: two operations keyed the same way
+    share one exchange).  Production — which drops n_exact — would feed
+    ``hll_sketch`` the raw stream again: the sketch alone never needs a
+    distinct."""
+    dt = items.select("term").distinct()
+    reg = hll_sketch(dt, p=p, hasher=hasher)
+    m = 1 << p
+    est = _hll_finalize(_hll_stats(reg, m), m)
+    # count(col) skips NULLs exactly as countDistinct did
+    exact = dt.agg(F.count("term").alias("n_exact"))
+    return (
+        reg.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "register",
+            "est",
+            "est_raw",
+            "n_exact",
+            "n_empty_buckets",
+        )
+    )
 
 
 def _hll_stats(reg: DataFrame, m: int, keys: tuple[str, ...] = ()) -> DataFrame:
