@@ -478,6 +478,115 @@ def _cogroup_block_cosine(
     )
 
 
+def _centroid_assign(
+    embeddings: DataFrame, cent_rows: list, scale: int = 9
+) -> DataFrame:
+    """(vec_id, embedding, cluster, csim): every vector's most-cosine-
+    similar centroid from a collected centroid row list — the Arrow block
+    form of ``crossJoin(broadcast(cent)) + pair_cosine + argmin window``,
+    bit-identical winner by construction:
+
+    - per-pair cos bits match :func:`pair_cosine` (same left-fold
+      accumulation, same HALF_UP shortest-decimal rounding);
+    - centroids are scanned in ascending-cid order and ``np.argmax``
+      returns the FIRST maximum, which is exactly ``row_number() over
+      (csim desc nulls-last, cid asc) == 1``;
+    - validity mirrors pair_cosine: an invalid vector (NULL / empty /
+      NaN element) or an invalid centroid scores NULL, a vector whose
+      dimension differs from a centroid's scores NULL against it, and a
+      row with NO scoreable centroid takes the lowest cid with csim
+      NULL (the window's nulls-last order did the same);
+    - a zero-norm VALID vector or centroid raises like ANSI division
+      wherever a pair would have been scored.
+    """
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    fold_norm = _np_fold_norm
+    rnd = _np_round_half_up
+
+    cids = np.array([r.cid for r in cent_rows], dtype=np.int64)
+    order = np.argsort(cids)
+    cids = cids[order]
+    ces = [cent_rows[i].ce for i in order]
+    cvalid, carrs = [], []
+    for e in ces:
+        a = None if e is None else np.asarray(e, dtype=np.float64)
+        ok = a is not None and a.ndim == 1 and a.shape[0] > 0 and not np.isnan(a).any()
+        cvalid.append(ok)
+        carrs.append(a if ok else None)
+    cvalid = np.array(cvalid) if cvalid else np.zeros(0, dtype=bool)
+    for ok, a in zip(cvalid, carrs):
+        if ok and fold_norm(a[None, :])[0] == 0.0:
+            raise ArithmeticError(
+                "[DIVIDE_BY_ZERO] zero-norm embedding: cosine undefined"
+            )
+    bc = spark.sparkContext.broadcast((cids, cvalid, carrs))
+
+    def gen(it):
+        cids, cvalid, carrs = bc.value
+        nc = len(cids)
+        cdims = np.array([(a.shape[0] if a is not None else -1) for a in carrs])
+        for pdf in it:
+            n = len(pdf)
+            if not n:
+                continue
+            embs = pdf["embedding"].tolist()
+            rvalid = np.zeros(n, dtype=bool)
+            rarr = [None] * n
+            for i, e in enumerate(embs):
+                if e is None:
+                    continue
+                a = np.asarray(e, dtype=np.float64)
+                if a.ndim != 1 or a.shape[0] == 0 or np.isnan(a).any():
+                    continue
+                rvalid[i] = True
+                rarr[i] = a
+            best_cid = np.full(n, cids[0] if nc else -1, dtype=np.int64)
+            best_cs = np.full(n, np.nan)
+            rdims = np.array([(a.shape[0] if a is not None else -1) for a in rarr])
+            for d in np.unique(rdims[rvalid]) if rvalid.any() else []:
+                ri = np.flatnonzero(rvalid & (rdims == d))
+                ci = np.flatnonzero(cvalid & (cdims == d))
+                if not len(ri):
+                    continue
+                A = np.stack([rarr[i] for i in ri])
+                na = fold_norm(A)
+                if np.any(na == 0.0) and len(ci):
+                    raise ArithmeticError(
+                        "[DIVIDE_BY_ZERO] zero-norm embedding: cosine undefined"
+                    )
+                if not len(ci):
+                    continue
+                B = np.stack([carrs[i] for i in ci])
+                nb = fold_norm(B)
+                acc = np.zeros((len(ri), len(ci)))
+                for t in range(int(d)):  # left fold == aggregate(zip_with(...))
+                    acc = acc + A[:, t : t + 1] * B[None, :, t]
+                C = rnd(acc / (na[:, None] * nb[None, :]), scale)
+                j = np.argmax(C, axis=1)  # first max = lowest cid (sorted)
+                best_cid[ri] = cids[ci][j]
+                best_cs[ri] = C[np.arange(len(ri)), j]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "embedding": embs,
+                    "cluster": best_cid,
+                    "csim": pd.array(best_cs, dtype="Float64"),
+                }
+            )
+
+    from ..plans.partitioning import widen_small_scan
+
+    return (
+        widen_small_scan(embeddings, "vec_id")
+        .select("vec_id", "embedding")
+        .mapInPandas(
+            gen, "vec_id long, embedding array<double>, cluster long, csim double"
+        )
+    )
+
+
 def _cluster_drop_ids(ranked: DataFrame, tau: float, scale: int = 9) -> DataFrame:
     """SemDeDup's within-cluster drop set as one numpy block per cluster:
     input (cluster, rank, vec_id, embedding); output (vec_id) — every
@@ -1070,39 +1179,24 @@ def semdedup(
     float summation-order noise can never flip a rank or a tau test
     between engines (same policy as ``ivf_topk``).
     """
-    cent = (
+    # Assignment runs as ONE narrow Arrow block stage (r6): the earlier
+    # crossJoin(broadcast(cent)) + pair_cosine + row_number-over-vec_id
+    # form materialised n_centroids pair rows per vector and paid a
+    # vec_id window exchange just to take an argmax; the kernel scores
+    # each Arrow batch against the broadcast centroid block and emits the
+    # winning (cluster, csim) directly — zero exchanges, bit-identical
+    # winners (same cos bits as pair_cosine, argmax == row_number over
+    # (csim desc nulls-last, cid asc) because centroids are scanned in
+    # ascending-cid order and np.argmax takes the first maximum).  The
+    # centroid collect at construction is the same eager cost profile as
+    # arrow_cosine_scored's broadcast (documented there).
+    cent_rows = (
         embeddings.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
         .limit(n_centroids)
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.col("embedding").alias("ce"),
-        )
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+        .collect()
     )
-    # Both cosine sites run on the Arrow pair scorer (pair_cosine — the
-    # norms recompute per pair inside the vectorised batch, bit-identical
-    # to the hoisted-norm HOF form since sqrt(dot(a,a)) over the same
-    # array is the same bits wherever evaluated; rounding and fold order
-    # pinned by tests/test_arrow_scorer.py): the k-fanout assignment and
-    # the within-cluster quadratic stage were the query's interpreted-HOF
-    # hot spots.
-    pc9 = pair_cosine(9)
-    from ..plans.partitioning import widen_small_scan
-
-    sims = (
-        widen_small_scan(embeddings, "vec_id").crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id",
-            "embedding",
-            "cid",
-            pc9(F.col("embedding"), F.col("ce")).alias("csim"),
-        )
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid").asc())
-    members = (
-        sims.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cid").alias("cluster"), "csim")
-    )
+    members = _centroid_assign(embeddings, cent_rows, scale=9)
     # paper: keep the member farthest from the centroid -> rank ascending
     w_rank = Window.partitionBy("cluster").orderBy(F.col("csim").asc(), F.col("vec_id").asc())
     ranked = members.withColumn("rank", F.row_number().over(w_rank))
