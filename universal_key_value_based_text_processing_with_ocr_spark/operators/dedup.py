@@ -1011,6 +1011,26 @@ def connected_components(
             # so chains of stale labels collapse geometrically.
             stepped = stepped.localCheckpoint(eager=True)
             stepped_handle = _ckpt_rdd(stepped)
+            # convergence check BEFORE the pointer jump (r6): if the
+            # min-step changed nothing, every node's label already equals
+            # the min over its closed neighbourhood, which forces adjacent
+            # labels equal (else the step would have lowered one), i.e.
+            # labels are constant per component and the jump is the
+            # identity — so the final round's label-table self-join +
+            # checkpoint never needs to run.  Labels only ever decrease,
+            # so a round the old post-jump check would have continued on
+            # is continued here too: the two loops execute the same
+            # number of rounds and return identical labels.
+            step_changed = (
+                stepped.filter(F.col("label") != F.col("_old")).limit(1).count()
+            )
+            if step_changed == 0:
+                labels.unpersist()
+                _release(prev_ckpt_handles)
+                prev_ckpt_handles = [stepped_handle]
+                labels = stepped.drop("_old")
+                converged = True
+                break
             jumped = (
                 stepped.alias("n")
                 .join(stepped.alias("m"), F.col("n.label") == F.col("m.doc_id"))
@@ -1021,20 +1041,16 @@ def connected_components(
                 )
             )
             new_labels = jumped.localCheckpoint(eager=True)
-            # convergence: any row whose label moved this round — a plain
-            # filter over the just-materialised checkpoint (no join)
-            changed = (
-                new_labels.filter(F.col("label") != F.col("_old")).limit(1).count()
-            )
+            # no post-jump convergence count: the NEXT round's pre-jump
+            # check terminates the loop one full (join + checkpoint +
+            # count) cheaper than checking here — labels only decrease,
+            # so nothing converged can un-converge in between.
             # new_labels is fully materialised: nothing can recompute through
             # stepped or the previous labels — release their blocks NOW.
             labels.unpersist()  # round-0 initial labels (CacheManager persist)
             _release([stepped_handle, *prev_ckpt_handles])
             prev_ckpt_handles = [_ckpt_rdd(new_labels)]
             labels = new_labels.drop("_old")
-            if changed == 0:
-                converged = True
-                break
     except BaseException:
         # a mid-loop failure must not leave label-table checkpoint blocks
         # pinned for the rest of the session (best effort: the handles we
