@@ -193,8 +193,16 @@ def q_pages_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    committed_fps = fps_of(extract_pages(committed_pages), text_col="extracted_text")
-    batch = extract_pages(batch_pages)
+    # Both extraction outputs feed TWO consumers each (the Bloom flags
+    # path and the production drop), and nothing below shares an
+    # exchange, so without a cut the fused extraction kernel executes
+    # once per consumer.  Materialise each once (guide §3.3; same
+    # ContextCleaner reasoning as the pagerank spine) — measured
+    # 2.8-5.4 -> 2.0-2.7 s interleaved at sf0.1, bit-identical output.
+    committed_fps = fps_of(
+        extract_pages(committed_pages), text_col="extracted_text"
+    ).localCheckpoint(eager=True)
+    batch = extract_pages(batch_pages).localCheckpoint(eager=True)
     # Deliberately runs BOTH real operators (the diagnostic flags path and
     # the production drop) even though `kept` is derivable from the flags:
     # the point of this query is oracle coverage of the actual
